@@ -1,0 +1,655 @@
+"""Phase-1 relational core (SURVEY.md §7.1): scan / filter / project /
+join / aggregate / sort / limit / set ops / windows on the TPC-H-ish
+driver tables. All Catalyst built-ins — declarative plans so predicate
+pushdown, column pruning, join selection and AQE come for free.
+
+Scale notes (100 TB design point):
+- region/nation are broadcast always; customer/supplier/part are
+  broadcast at test SF and become shuffle-hash/SMJ at cluster scale via
+  AQE — we hint broadcast only where the side is *structurally* small.
+- Aggregations are partial+final hash aggs (map-side combine) by
+  construction of groupBy; no collect()s anywhere.
+- Sorts that feed a LIMIT become TakeOrderedAndProject (no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .parity import (
+    davg,
+    davg_sql,
+    dmul2_sum,
+    dmul2_sum_sql,
+    dsum,
+    dsum_sql,
+    stddev_expr,
+    stddev_sql,
+)
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q5-shaped regional revenue rollup.
+# lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, date-range + region
+# filter, groupBy nation, revenue agg, desc sort.
+# --------------------------------------------------------------------------
+
+_REVENUE = "l_extendedprice"
+_DISC = "1 - l_discount"
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        # nation/region: structurally tiny -> explicit broadcast hint
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dmul2_sum(_REVENUE, _DISC, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_ORACLE = f"""
+SELECT n_name, {dmul2_sum_sql(_REVENUE, _DISC, "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+query("q5_regional_revenue", Q5_ORACLE)(q5_regional_revenue)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q1-shaped pricing summary: wide multi-aggregate scan.
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity", "sum_qty")},
+           {dsum_sql("l_extendedprice", "sum_base_price")},
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "sum_disc_price")},
+           {davg_sql("l_quantity", "avg_qty")},
+           {davg_sql("l_discount", "avg_disc", 6)},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dmul2_sum("l_extendedprice", "1 - l_discount", "sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc", 6),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3-shaped: filter two sides, join, agg, global top-k.
+# Catalyst turns orderBy+limit into TakeOrderedAndProject — no full sort.
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_top_orders",
+    f"""
+    SELECT l_orderkey,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")},
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-03-15")
+    )
+    lineitem = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter + projection pushdown: the parquet scan must read only 3 columns
+# with the predicate pushed (verified in tests via .explain).
+# --------------------------------------------------------------------------
+
+@query(
+    "q_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    ORDER BY l_orderkey, l_partkey, l_linenumber
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (SURVEY J6) — customers with / without 1998 orders.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_semi_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+    ORDER BY c_custkey
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-01-01")
+    )
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+    ORDER BY c_custkey
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large order — non-empty at every SF (a bare
+    'no orders at all' anti-join is vacuously empty on this data)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 250000
+    )
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer join preserving unmatched rows (left join + conditional count).
+# --------------------------------------------------------------------------
+
+@query(
+    "q_outer_join_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct + exact distinct-count (A10). approx_count_distinct is a
+# separate no-oracle query (HLL sketches differ across engines).
+# --------------------------------------------------------------------------
+
+@query(
+    "q_distinct_count",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q_approx_distinct")  # no oracle: HLL estimates are engine-specific
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE (A10) — subtotal grids with NULL grouping slots.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity", "sum_qty")},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_extendedprice", "sum_price")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_extendedprice", "sum_price"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (§2.5): running sum, per-group rank, lag.
+# Fully deterministic ordering (unique tiebreaks) => bit-stable.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.expr("CAST(o_totalprice AS DECIMAL(18,4))").alias("_p"),
+        )
+        .withColumn(
+            "running_spend",
+            F.sum("_p").over(
+                Window.partitionBy("o_custkey")
+                .orderBy("o_orderdate", "o_orderkey")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q_window_topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM customer JOIN orders ON c_custkey = o_custkey
+    ) t
+    WHERE rk <= 3
+    ORDER BY c_custkey, rk
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+        .orderBy("c_custkey", "rk")
+    )
+
+
+@query(
+    "q_window_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           datediff('day',
+                    LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("bigint").alias("days_since_prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U4): union / intersect / except on key projections.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_set_ops",
+    """
+    WITH big_spenders AS (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
+    building AS (
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT 'intersect' AS op, custkey FROM
+        (SELECT DISTINCT custkey FROM big_spenders
+         INTERSECT SELECT custkey FROM building) a
+    UNION ALL
+    SELECT 'except' AS op, custkey FROM
+        (SELECT DISTINCT custkey FROM building
+         EXCEPT SELECT custkey FROM big_spenders) b
+    ORDER BY op, custkey
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    inter = (
+        big.distinct()
+        .intersect(building)
+        .select(F.lit("intersect").alias("op"), "custkey")
+    )
+    exc = (
+        building.distinct()
+        .exceptAll(big.distinct())
+        .select(F.lit("except").alias("op"), "custkey")
+    )
+    return inter.unionByName(exc).orderBy("op", "custkey")
+
+
+# --------------------------------------------------------------------------
+# Scalar/string/date functions (P11 analogues) on part + orders.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_string_funcs",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           length(p_name) AS name_len,
+           CASE WHEN p_size >= 30 THEN 'large'
+                WHEN p_size >= 10 THEN 'medium'
+                ELSE 'small' END AS size_class
+    FROM part
+    WHERE p_name LIKE '%steel%' OR p_brand LIKE 'Brand#1%'
+    ORDER BY p_partkey
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .where(
+            F.col("p_name").like("%steel%") | F.col("p_brand").like("Brand#1%")
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.regexp_extract("p_type", "^([A-Z]+)", 1).alias("type_head"),
+            F.length("p_name").alias("name_len"),
+            F.when(F.col("p_size") >= 30, "large")
+            .when(F.col("p_size") >= 10, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "q_date_funcs",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_month
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("order_month"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "q_json_extract",
+    """
+    SELECT event_type,  -- props JSON never touches ts: plain events view OK
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates with decimal-exact formulas (A4/A5 analogues).
+# --------------------------------------------------------------------------
+
+@query(
+    "q_stats_agg",
+    f"""
+    SELECT c_mktsegment,
+           {davg_sql("c_acctbal", "avg_bal")},
+           {stddev_sql("c_acctbal", "std_bal")},
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            davg("c_acctbal", "avg_bal"),
+            stddev_expr("c_acctbal", "std_bal", 4),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated-style subquery rewritten as join (supplier above-avg balance
+# within nation) — exercises join reuse + HAVING.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_above_avg_suppliers",
+    f"""
+    WITH nation_avg AS (
+        SELECT s_nationkey, {davg_sql("s_acctbal", "nat_avg")}
+        FROM supplier GROUP BY s_nationkey)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation_avg a ON s.s_nationkey = a.s_nationkey
+    WHERE s.s_acctbal > a.nat_avg
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = table(spark, sf_dir, "supplier")
+    nation_avg = supplier.groupBy("s_nationkey").agg(davg("s_acctbal", "nat_avg"))
+    return (
+        supplier.alias("s")
+        .join(F.broadcast(nation_avg.alias("a")), "s_nationkey")
+        .where(F.col("s_acctbal") > F.col("nat_avg"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Designed for a multi-executor cluster (partition sizing, AQE, broadcast
+thresholds); tested on local[N]. The driver may hand us an existing
+session — ``tune()`` applies only runtime-settable confs in that case.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs: safe to apply to an externally-owned session.
+_RUNTIME_CONF = {
+    # AQE: runtime re-plan (partition coalescing, skew-join splitting,
+    # empty-relation propagation). Essential at 100 TB where static
+    # estimates are wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / toPandas boundary (SURVEY §2.9).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Broadcast small dimension tables (region/nation/customer/supplier
+    # all qualify at any sane scale; lineitem never does).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Columnar outputs.
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+_STARTUP_CONF = {
+    # Sized for the test harness; a real cluster overrides via spark-submit.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down — keep going, defaults are fine
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "bigdata-deepfakeanalysis-spark") -> SparkSession:
+    """Get or create a tuned SparkSession (local[N] for tests)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return tune(active)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for k, v in {**_STARTUP_CONF, **_RUNTIME_CONF}.items():
+        builder = builder.config(k, v)
+    return tune(builder.getOrCreate())
