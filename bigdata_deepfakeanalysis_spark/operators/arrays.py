@@ -1,0 +1,282 @@
+"""Array/tensor operators (SURVEY §2.4 A1/A2/A6, §2.2 P10).
+
+The reference's tensor verbs — global-average-pool over [C,H,W], channel
+variance + top-k, min-max normalization — re-expressed over flattened
+``array<float>`` tensor columns (data model D4).
+
+Scale design: the engine ops (``gap_means``, ``normalize_array``) are
+per-row higher-order functions — JVM-side, zero shuffle, no Python.
+The oracle *queries* instead explode via an index table and aggregate
+through DECIMAL, because cross-engine bit-equality of a left-fold over
+floats is not guaranteed; both formulations compute the same numbers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+from .fixtures import FEATUREMAPS_CTE, FM_C, FM_H, FM_W, featuremaps
+
+_HW = FM_H * FM_W
+
+
+# ---------------------------------------------------------------------------
+# Engine ops (scale path: per-row, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def gap_means(data: Column, c: int, hw: int) -> Column:
+    """A1 — GAP [C,H,W] -> [C]: per-channel mean over the spatial dims
+    (``src/compare_xception_featuremaps.py:39-41``). Pure higher-order
+    expression: transform over channels, slice + aggregate inside."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(c - 1)),
+        lambda ch: F.aggregate(
+            F.slice(data, ch * hw + 1, hw),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        / F.lit(float(hw)),
+    )
+
+
+def normalize_array(data: Column) -> Column:
+    """P10 — min-max scale an array to [0,1] with the reference's 1e-8
+    epsilon (``src/feature_map_analysis.py:59``)."""
+    lo, hi = F.array_min(data), F.array_max(data)
+    return F.transform(data, lambda x: (x - lo) / (hi - lo + F.lit(1e-8)))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+_IDX = f"(SELECT UNNEST(range(0, {_HW})) AS pos)"
+
+
+@query(
+    "q_gap_per_channel",
+    f"""
+    WITH {FEATUREMAPS_CTE.strip()},
+    cells AS (
+        -- CAST .. AS DOUBLE first: DuckDB's direct float->decimal cast
+        -- rounds in float32 space, Spark's goes via double
+        SELECT "group", stem, stage, ch,
+               CAST(data[ch * {_HW} + pos + 1] AS DOUBLE) AS val
+        FROM featuremaps,
+             (SELECT UNNEST(range(0, {FM_C})) AS ch),
+             (SELECT UNNEST(range(0, {_HW})) AS pos)
+        WHERE stage = 'stage1' AND vec_id < 50)
+    SELECT "group", stem, ch,
+           CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE) / {_HW} AS gap
+    FROM cells
+    GROUP BY "group", stem, ch
+    ORDER BY "group", stem, ch
+    """,
+)
+def q_gap_per_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-channel GAP of stage1 tensors (one row per channel)."""
+    fm = featuremaps(spark, sf_dir).where(
+        (F.col("stage") == "stage1") & (F.col("vec_id") < 50)
+    )
+    cells = fm.select(
+        "group",
+        "stem",
+        F.explode(F.sequence(F.lit(0), F.lit(FM_C - 1))).alias("ch"),
+        "data",
+    ).select(
+        "group",
+        "stem",
+        "ch",
+        F.explode(
+            F.slice(F.col("data"), F.col("ch") * _HW + 1, _HW)
+        ).alias("val"),
+    )
+    return (
+        cells.groupBy("group", "stem", "ch")
+        .agg(
+            (
+                F.expr("CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(12,9))) AS DOUBLE)")
+                / _HW
+            ).alias("gap")
+        )
+        .orderBy("group", "stem", "ch")
+    )
+
+
+@query(
+    "q_channel_variance_topk",
+    f"""
+    WITH {FEATUREMAPS_CTE.strip()},
+    cells AS (
+        SELECT stem, stage, ch, CAST(data[ch * {_HW} + pos + 1] AS DOUBLE) AS val
+        FROM featuremaps,
+             (SELECT UNNEST(range(0, {FM_C})) AS ch),
+             (SELECT UNNEST(range(0, {_HW})) AS pos)
+        WHERE vec_id < 30),
+    stats AS (
+        -- ROUND(...,12): the scale-18 decimal->double cast can differ by
+        -- 1 ULP between engines; vars are ~1e-2 so 1e-12 granularity is safe
+        SELECT stem, stage, ch,
+               ROUND((CAST(SUM(CAST(val AS DECIMAL(12,9)) * CAST(val AS DECIMAL(12,9)))
+                     AS DOUBLE)
+                - CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE)
+                  * CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE) / {_HW})
+               / ({_HW} - 1), 12) AS var
+        FROM cells GROUP BY stem, stage, ch),
+    ranked AS (
+        SELECT stem, stage, ch, var,
+               ROW_NUMBER() OVER (PARTITION BY stem, stage
+                                  ORDER BY var DESC, ch) AS rk
+        FROM stats)
+    SELECT stem, stage, ch, var, rk
+    FROM ranked WHERE rk <= 2
+    ORDER BY stem, stage, rk
+    """,
+)
+def q_channel_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + O3 — top-2 channels by spatial variance per (image, stage)
+    (``src/feature_map_analysis.py:39-45``): explode channels ->
+    decimal-exact var -> window rank."""
+    fm = featuremaps(spark, sf_dir).where(F.col("vec_id") < 30)
+    cells = fm.select(
+        "stem",
+        "stage",
+        F.explode(F.sequence(F.lit(0), F.lit(FM_C - 1))).alias("ch"),
+        "data",
+    ).select(
+        "stem",
+        "stage",
+        "ch",
+        F.explode(F.slice(F.col("data"), F.col("ch") * _HW + 1, _HW)).alias(
+            "val"
+        ),
+    )
+    d = "CAST(CAST(val AS DOUBLE) AS DECIMAL(12,9))"
+    stats = cells.groupBy("stem", "stage", "ch").agg(
+        F.expr(
+            f"ROUND((CAST(SUM({d}*{d}) AS DOUBLE)"
+            f" - CAST(SUM({d}) AS DOUBLE)*CAST(SUM({d}) AS DOUBLE)/{_HW})"
+            f" / ({_HW} - 1), 12)"
+        ).alias("var")
+    )
+    w = Window.partitionBy("stem", "stage").orderBy(F.desc("var"), "ch")
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select("stem", "stage", "ch", "var", "rk")
+        .orderBy("stem", "stage", "rk")
+    )
+
+
+@query(
+    "q_minmax_normalize",
+    """
+    WITH stats AS (
+        SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           (e.value - s.lo) / (s.hi - s.lo + 1e-8) AS norm_value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.event_id < 2000
+    ORDER BY e.event_id
+    """,
+)
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 + A6 — grouped min-max normalization (the reference's heatmap
+    scaling) as a broadcast join of per-group extrema; min/max of doubles
+    are order-independent so no decimal routing is needed."""
+    events = table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    return (
+        events.where(F.col("event_id") < 2000)
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            (
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo") + F.lit(1e-8))
+            ).alias("norm_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_gap_hof_consistency",
+    f"""
+    WITH {FEATUREMAPS_CTE.strip()},
+    cells AS (
+        SELECT "group", stem, ch, CAST(data[ch * {_HW} + pos + 1] AS DOUBLE) AS val
+        FROM featuremaps,
+             (SELECT UNNEST(range(0, {FM_C})) AS ch),
+             (SELECT UNNEST(range(0, {_HW})) AS pos)
+        WHERE stage = 'stage2' AND vec_id < 20)
+    SELECT "group", stem,
+           COUNT(*) AS n_channels,
+           CAST(SUM(CASE WHEN ROUND(gap, 6) = ROUND(gap, 6) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finite
+    FROM (
+        SELECT "group", stem, ch,
+               CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE) / {_HW} AS gap
+        FROM cells GROUP BY "group", stem, ch) g
+    GROUP BY "group", stem
+    ORDER BY "group", stem
+    """,
+)
+def q_gap_hof_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-checks the SCALE-PATH higher-order ``gap_means`` against the
+    exploded formulation: counts channels where the two agree to 1e-6.
+    The oracle computes the same counts from its own exact GAP — if the
+    engine's HOF drifted, n_finite would disagree."""
+    fm = featuremaps(spark, sf_dir).where(
+        (F.col("stage") == "stage2") & (F.col("vec_id") < 20)
+    )
+    hof = fm.select(
+        "group", "stem", gap_means(F.col("data"), FM_C, _HW).alias("gap_hof")
+    )
+    exploded = (
+        fm.select(
+            "group",
+            "stem",
+            F.explode(F.sequence(F.lit(0), F.lit(FM_C - 1))).alias("ch"),
+            "data",
+        )
+        .select(
+            "group",
+            "stem",
+            "ch",
+            F.explode(
+                F.slice(F.col("data"), F.col("ch") * _HW + 1, _HW)
+            ).alias("val"),
+        )
+        .groupBy("group", "stem", "ch")
+        .agg(
+            (
+                F.expr("CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(12,9))) AS DOUBLE)") / _HW
+            ).alias("gap")
+        )
+    )
+    joined = exploded.join(hof, ["group", "stem"]).withColumn(
+        "agree",
+        (
+            F.abs(
+                F.element_at(F.col("gap_hof"), F.col("ch") + 1) - F.col("gap")
+            )
+            < 1e-6
+        ).cast("int"),
+    )
+    return (
+        joined.groupBy("group", "stem")
+        .agg(
+            F.count(F.lit(1)).alias("n_channels"),
+            F.sum("agree").cast("bigint").alias("n_finite"),
+        )
+        .orderBy("group", "stem")
+    )

@@ -1,0 +1,173 @@
+"""Group/key parsing + demux operators (SURVEY §2.2 P3-P5, P9; §2.3 J4).
+
+The reference infers partition keys from directory/file names
+(``src/extract_embedding.py:19-24``, ``src/analyze_embedding_with_tsne
+.py:28-35``, ``src/combined_embedding_features_comprations.py:74-79``);
+here they are string expressions over a path column — at scale these
+run inside whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .fixtures import PREFIXED_KEYS_CTE, prefixed_keys
+
+# ---------------------------------------------------------------------------
+# Reusable column expressions (the engine ops themselves)
+# ---------------------------------------------------------------------------
+
+def parse_group_last_underscore(name: Column) -> Column:
+    """P3 — generator name = last '_' token of the dataset dir name
+    (``src/extract_embedding.py:19-24``)."""
+    return F.substring_index(name, "_", -1)
+
+
+def parse_group_dunder_fallback(stem: Column) -> Column:
+    """P4 — split on '__' if present, else '_', else identity
+    (``src/analyze_embedding_with_tsne.py:28-35``)."""
+    return (
+        F.when(stem.contains("__"), F.substring_index(stem, "__", -1))
+        .when(stem.contains("_"), F.substring_index(stem, "_", -1))
+        .otherwise(stem)
+    )
+
+
+def stem_from_key(key: Column) -> Column:
+    """P5 — basename over / and \\, strip extension
+    (``src/combined_embedding_features_comprations.py:74-79``)."""
+    return F.regexp_replace(
+        F.element_at(F.split(key, r"[/\\]"), -1), r"\.[^.]*$", ""
+    )
+
+
+def demux_label(key: Column) -> Column:
+    """J4 — key-prefix label ('REAL/x' -> 'REAL'); caller filters to the
+    known labels (``src/compare_embeddings_vs_features.py:105-115``)."""
+    return F.substring_index(key, "/", 1)
+
+
+def safe_title(label: Column) -> Column:
+    """P9 — display remap (``utils/combine_images.py:37-41``)."""
+    return (
+        F.when(label == "REAL", "AutoSplice-Real")
+        .when(label == "FAKE", "AutoSplice-Forged")
+        .otherwise(F.translate(label, "/", "_"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_group_parse_paths",
+    """
+    WITH dirs AS (
+        SELECT DISTINCT 'imagenet_ai_0419_' || LOWER(n_name) AS dirname,
+               'sd14__' || LOWER(n_name) AS dunder_stem,
+               'train/ai/' || LOWER(n_name) || '_0' || CAST(n_nationkey AS VARCHAR)
+                   || '.JPEG' AS key
+        FROM nation)
+    SELECT dirname,
+           regexp_extract(dirname, '([^_]+)$', 1) AS group_p3,
+           CASE WHEN contains(dunder_stem, '__')
+                THEN regexp_extract(dunder_stem, '.*__(.*)$', 1)
+                WHEN contains(dunder_stem, '_')
+                THEN regexp_extract(dunder_stem, '([^_]+)$', 1)
+                ELSE dunder_stem END AS group_p4,
+           regexp_replace(regexp_extract(key, '([^/\\\\]+)$', 1),
+                          '\\.[^.]*$', '') AS stem_p5,
+           LOWER(regexp_extract(key, '\\.([^.]+)$', 1)) AS ext
+    FROM dirs
+    ORDER BY dirname
+    """,
+)
+def q_group_parse_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P4+P5+P1 on paths synthesized from nation names — the exact
+    parses the reference does at ingest (group-from-dirname, stem
+    normalization, extension extraction)."""
+    dirs = (
+        table(spark, sf_dir, "nation")
+        .select(
+            F.concat(F.lit("imagenet_ai_0419_"), F.lower("n_name")).alias("dirname"),
+            F.concat(F.lit("sd14__"), F.lower("n_name")).alias("dunder_stem"),
+            F.concat(
+                F.lit("train/ai/"),
+                F.lower("n_name"),
+                F.lit("_0"),
+                F.col("n_nationkey").cast("string"),
+                F.lit(".JPEG"),
+            ).alias("key"),
+        )
+        .distinct()
+    )
+    return dirs.select(
+        "dirname",
+        parse_group_last_underscore(F.col("dirname")).alias("group_p3"),
+        parse_group_dunder_fallback(F.col("dunder_stem")).alias("group_p4"),
+        stem_from_key(F.col("key")).alias("stem_p5"),
+        F.lower(F.regexp_extract("key", r"\.([^.]+)$", 1)).alias("ext"),
+    ).orderBy("dirname")
+
+
+@query(
+    "q_prefix_demux",
+    f"""
+    WITH {PREFIXED_KEYS_CTE.strip()}
+    SELECT split_part(key, '/', 1) AS label,
+           COUNT(*) AS n,
+           MIN(vec_id) AS min_vec_id
+    FROM prefixed_keys
+    WHERE split_part(key, '/', 1) IN ('REAL', 'FAKE')
+    GROUP BY 1
+    ORDER BY label
+    """,
+)
+def q_prefix_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — route merged keys to REAL/FAKE buckets, dropping non-matching
+    keys, exactly as the reference demux does."""
+    return (
+        prefixed_keys(spark, sf_dir)
+        .withColumn("label", demux_label(F.col("key")))
+        .where(F.col("label").isin("REAL", "FAKE"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_safe_title",
+    """
+    SELECT label,
+           CASE WHEN label = 'REAL' THEN 'AutoSplice-Real'
+                WHEN label = 'FAKE' THEN 'AutoSplice-Forged'
+                ELSE replace(label, '/', '_') END AS title,
+           n
+    FROM (
+        SELECT split_part(key, '/', 1) AS label, COUNT(*) AS n
+        FROM (
+            SELECT CASE
+                     WHEN vec_id % 3 = 0 THEN 'REAL/img_' || CAST(vec_id AS VARCHAR)
+                     WHEN vec_id % 3 = 1 THEN 'FAKE/img_' || CAST(vec_id AS VARCHAR)
+                     ELSE 'MISC/img_' || CAST(vec_id AS VARCHAR)
+                   END AS key
+            FROM embeddings) t
+        GROUP BY 1) g
+    ORDER BY label
+    """,
+)
+def q_safe_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — title remap over the demuxed label distribution."""
+    return (
+        prefixed_keys(spark, sf_dir)
+        .withColumn("label", demux_label(F.col("key")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("label", safe_title(F.col("label")).alias("title"), "n")
+        .orderBy("label")
+    )

@@ -1,0 +1,269 @@
+"""Alignment joins + set ops from the reference (SURVEY §2.3 J1/J2/J5,
+§2.7 U1/U3).
+
+The reference implements joins as dict/set intersections on the driver;
+here they are first-class distributed equi-joins. The GAP side of J2 is
+orders of magnitude smaller than raw tensors (X6: project-before-ship),
+so it broadcasts; at 100 TB the join keys (group, stem) shuffle-hash
+with AQE skew handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from .fixtures import (
+    FEATUREMAPS_CTE,
+    FM_C,
+    FM_H,
+    FM_W,
+    GROUPED_EMBEDDINGS_CTE,
+    featuremaps,
+    grouped_embeddings,
+)
+from .grouping import stem_from_key
+from .sampling import _seeded_rank_sql, seeded_rank
+
+_HW = FM_H * FM_W
+
+
+def align_and_concat(emb: DataFrame, feat: DataFrame) -> DataFrame:
+    """J2 engine op — record-level equi-join on (group, stem) + horizontal
+    array concat (``src/combined_embedding_features_comprations.py:
+    182-225``). Returns (group, stem, concat_vec)."""
+    return emb.join(feat, ["group", "stem"]).select(
+        "group",
+        "stem",
+        F.concat(F.col("emb_vec"), F.col("feat_vec")).alias("concat_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — group-alignment join with per-side caps
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_group_align_join",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    side_a AS (
+        SELECT "group", image_key AS key,
+               {_seeded_rank_sql('"group"', "image_key")} AS rk
+        FROM grouped_embeddings),
+    side_b AS (
+        SELECT "group", image_key AS key,
+               {_seeded_rank_sql('"group"', "image_key", 43)} AS rk
+        FROM grouped_embeddings WHERE vec_id % 5 != 0),
+    caps AS (
+        SELECT ca."group", LEAST(ca.cnt_a, cb.cnt_b, 60) AS n
+        FROM (SELECT "group", MAX(rk) AS cnt_a FROM side_a GROUP BY 1) ca
+        JOIN (SELECT "group", MAX(rk) AS cnt_b FROM side_b GROUP BY 1) cb
+          ON ca."group" = cb."group")
+    SELECT s."group", s.side, s.key
+    FROM (
+        SELECT 'A' AS side, "group", key, rk FROM side_a
+        UNION ALL
+        SELECT 'B' AS side, "group", key, rk FROM side_b) s
+    JOIN caps c ON s."group" = c."group"
+    WHERE s.rk <= c.n
+    ORDER BY s."group", s.side, s.key
+    """,
+)
+def q_group_align_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — align two per-group collections: n = min(|A|, |B|, cap) per
+    group, seeded-subsample both sides to n
+    (``src/compare_embeddings_vs_features.py:202-221``; independent
+    per-side seeds, pairing not preserved — faithful to the reference)."""
+    base = grouped_embeddings(spark, sf_dir)
+    side_a = base.select(
+        "group", F.col("image_key").alias("key")
+    ).withColumn("rk", seeded_rank("group", "key", 42))
+    side_b = (
+        base.where(F.col("vec_id") % 5 != 0)
+        .select("group", F.col("image_key").alias("key"))
+        .withColumn("rk", seeded_rank("group", "key", 43))
+    )
+    caps = (
+        side_a.groupBy("group")
+        .agg(F.max("rk").alias("cnt_a"))
+        .join(side_b.groupBy("group").agg(F.max("rk").alias("cnt_b")), "group")
+        .select(
+            "group", F.least("cnt_a", "cnt_b", F.lit(60)).alias("n")
+        )
+    )
+    both = side_a.select(F.lit("A").alias("side"), "group", "key", "rk").unionByName(
+        side_b.select(F.lit("B").alias("side"), "group", "key", "rk")
+    )
+    return (
+        both.join(F.broadcast(caps), "group")
+        .where(F.col("rk") <= F.col("n"))
+        .select("group", "side", "key")
+        .orderBy("group", "side", "key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — record-level stem join + array concat (checksummed for the oracle)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_stem_join_concat",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    {FEATUREMAPS_CTE.strip().replace("featuremaps AS", "featuremaps_t AS")},
+    emb AS (
+        SELECT "group",
+               regexp_replace(image_key, '\\.[^.]*$', '') AS stem,
+               len(vector) AS emb_dim,
+               CAST(SUM(CAST(CAST(vector[pos + 1] AS DOUBLE) AS DECIMAL(12,9)))
+                    AS DOUBLE) AS emb_sum
+        FROM grouped_embeddings, (SELECT UNNEST(range(0, 64)) AS pos)
+        WHERE vec_id < 100
+        GROUP BY 1, 2, len(vector)),
+    gap AS (
+        SELECT "group", stem, {FM_C} AS gap_dim,
+               CAST(SUM(CAST(CAST(data[pos + 1] AS DOUBLE) AS DECIMAL(12,9))) AS DOUBLE)
+                   / {_HW} AS gap_sum
+        FROM featuremaps_t, (SELECT UNNEST(range(0, {FM_C * _HW})) AS pos)
+        WHERE stage = 'stage1' AND vec_id < 100
+        GROUP BY "group", stem)
+    SELECT e."group", e.stem,
+           e.emb_dim + g.gap_dim AS concat_dim,
+           e.emb_sum + g.gap_sum AS concat_sum
+    FROM emb e JOIN gap g ON e."group" = g."group" AND e.stem = g.stem
+    ORDER BY e."group", e.stem
+    """,
+)
+def q_stem_join_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — inner join embeddings to stage1-GAP features on (group, stem),
+    horizontal concat. Output is the concat's dimension + decimal-exact
+    element checksum (arrays themselves are float-formatting-unsafe to
+    hash across engines; the engine op ``align_and_concat`` returns the
+    real concatenated array)."""
+    emb = (
+        grouped_embeddings(spark, sf_dir)
+        .where(F.col("vec_id") < 100)
+        .select(
+            "group",
+            stem_from_key(F.col("image_key")).alias("stem"),
+            F.size("vector").alias("emb_dim"),
+            F.explode("vector").alias("v"),
+        )
+        .groupBy("group", "stem", "emb_dim")
+        .agg(
+            F.expr("CAST(SUM(CAST(v AS DECIMAL(12,9))) AS DOUBLE)").alias(
+                "emb_sum"
+            )
+        )
+    )
+    gap = (
+        featuremaps(spark, sf_dir)
+        .where((F.col("stage") == "stage1") & (F.col("vec_id") < 100))
+        .select("group", "stem", F.explode("data").alias("v"))
+        .groupBy("group", "stem")
+        .agg(
+            F.lit(FM_C).alias("gap_dim"),
+            (
+                F.expr("CAST(SUM(CAST(v AS DECIMAL(12,9))) AS DOUBLE)") / _HW
+            ).alias("gap_sum"),
+        )
+    )
+    return (
+        emb.join(gap, ["group", "stem"])
+        .select(
+            "group",
+            "stem",
+            (F.col("emb_dim") + F.col("gap_dim")).alias("concat_dim"),
+            (F.col("emb_sum") + F.col("gap_sum")).alias("concat_sum"),
+        )
+        .orderBy("group", "stem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — pairwise group cross-join (CKA / pair plots)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pairwise_groups",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    groups AS (SELECT DISTINCT "group" FROM grouped_embeddings)
+    SELECT a."group" AS g1, b."group" AS g2
+    FROM groups a, groups b
+    WHERE a."group" < b."group"
+    ORDER BY g1, g2
+    """,
+)
+def q_pairwise_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — all unordered group pairs (``src/compare_xception_
+    featuremaps.py:139-160``); tiny cardinality, plain cross join."""
+    groups = grouped_embeddings(spark, sf_dir).select("group").distinct()
+    a = groups.select(F.col("group").alias("g1"))
+    b = groups.select(F.col("group").alias("g2"))
+    return a.crossJoin(b).where(F.col("g1") < F.col("g2")).orderBy("g1", "g2")
+
+
+# ---------------------------------------------------------------------------
+# U1 / U3 — union with provenance, key intersection
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_union_provenance",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    real_side AS (
+        SELECT 'REAL/' || image_key AS key FROM grouped_embeddings
+        WHERE vec_id % 2 = 0),
+    fake_side AS (
+        SELECT 'FAKE/' || image_key AS key FROM grouped_embeddings
+        WHERE vec_id % 2 = 1)
+    SELECT split_part(key, '/', 1) AS label, COUNT(*) AS n,
+           MIN(key) AS first_key
+    FROM (SELECT key FROM real_side UNION ALL SELECT key FROM fake_side) u
+    GROUP BY 1
+    ORDER BY label
+    """,
+)
+def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — merged REAL ∪ FAKE with label-prefixed keys
+    (``src/extract_embedding_multiple.py:183``)."""
+    base = grouped_embeddings(spark, sf_dir)
+    real = base.where(F.col("vec_id") % 2 == 0).select(
+        F.concat(F.lit("REAL/"), F.col("image_key")).alias("key")
+    )
+    fake = base.where(F.col("vec_id") % 2 == 1).select(
+        F.concat(F.lit("FAKE/"), F.col("image_key")).alias("key")
+    )
+    return (
+        real.unionByName(fake)
+        .groupBy(F.substring_index("key", "/", 1).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("key").alias("first_key"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "q_intersect_stems",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    a AS (SELECT regexp_replace(image_key, '\\.[^.]*$', '') AS stem
+          FROM grouped_embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT regexp_replace(image_key, '\\.[^.]*$', '') AS stem
+          FROM grouped_embeddings WHERE vec_id % 3 = 0)
+    SELECT stem FROM (SELECT stem FROM a INTERSECT SELECT stem FROM b) i
+    ORDER BY stem
+    """,
+)
+def q_intersect_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — stem-set intersection (``src/combined_embedding_features_
+    comprations.py:199-205``) as a distributed INTERSECT."""
+    base = grouped_embeddings(spark, sf_dir).select(
+        stem_from_key(F.col("image_key")).alias("stem"), "vec_id"
+    )
+    a = base.where(F.col("vec_id") % 2 == 0).select("stem")
+    b = base.where(F.col("vec_id") % 3 == 0).select("stem")
+    return a.intersect(b).orderBy("stem")

@@ -1,0 +1,161 @@
+"""Deterministic per-group sampling (SURVEY §2.4 A7/A8, §2.6, §2.2 P7).
+
+The reference caps every group before quadratic analysis (seeded
+``rng.choice`` — ``src/analyze_embedding_with_tsne.py:106-110`` etc.,
+SURVEY X5). The engine's scheme is rank-over-md5(seed|key): fully
+distributed (one window per group, no collect), deterministic across
+engines and cluster sizes, and oracle-exact — FIXTURES.md mandates the
+same scheme on the DuckDB side instead of engine-native rand().
+
+At 100 TB: a per-group window over a hash is a single shuffle on the
+group key; skewed groups are handled by AQE. No global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from .fixtures import GROUPED_EMBEDDINGS_CTE, grouped_embeddings
+
+
+def seeded_rank(group_col: str, key_col: str, seed: int = 42) -> Column:
+    """row_number within group, ordered by md5(seed|key) then key."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return F.row_number().over(w)
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, cap: int, seed: int = 42
+) -> DataFrame:
+    """A7 — seeded cap-sample: keep <= cap rows per group, deterministic."""
+    return (
+        df.withColumn("_rk", seeded_rank(group_col, key_col, seed))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
+def first_n_per_group(
+    df: DataFrame, group_col: str, order_col: str, n: int
+) -> DataFrame:
+    """A8 — first-n in deterministic listing order
+    (``src/feature_map_analysis.py:32-34``)."""
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def _seeded_rank_sql(group: str, key: str, seed: int = 42) -> str:
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {group} ORDER BY "
+        f"md5('{seed}' || '|' || CAST({key} AS VARCHAR)), {key})"
+    )
+
+
+@query(
+    "q_seeded_cap_sample",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    ranked AS (
+        SELECT "group", image_key,
+               {_seeded_rank_sql('"group"', "image_key")} AS rk
+        FROM grouped_embeddings)
+    SELECT "group", image_key, rk
+    FROM ranked WHERE rk <= 50
+    ORDER BY "group", rk
+    """,
+)
+def q_seeded_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — 50-per-group seeded sample of the grouped embeddings."""
+    df = grouped_embeddings(spark, sf_dir)
+    return (
+        df.withColumn("rk", seeded_rank("group", "image_key"))
+        .where(F.col("rk") <= 50)
+        .select("group", "image_key", "rk")
+        .orderBy("group", "rk")
+    )
+
+
+@query(
+    "q_seeded_sample_deterministic",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    ranked AS (
+        SELECT "group", image_key,
+               {_seeded_rank_sql('"group"', "image_key")} AS rk
+        FROM grouped_embeddings),
+    a AS (SELECT "group", image_key FROM ranked WHERE rk <= 25),
+    b AS (SELECT "group", image_key FROM ranked WHERE rk <= 25)
+    SELECT a."group", COUNT(*) AS n_stable
+    FROM a JOIN b ON a."group" = b."group" AND a.image_key = b.image_key
+    GROUP BY a."group"
+    ORDER BY a."group"
+    """,
+)
+def q_seeded_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinism test as a query (SURVEY §5.2): sampling twice with the
+    same seed selects the identical set — the join count equals the cap."""
+    a = cap_per_group(grouped_embeddings(spark, sf_dir), "group", "image_key", 25)
+    b = cap_per_group(grouped_embeddings(spark, sf_dir), "group", "image_key", 25)
+    return (
+        a.select("group", "image_key")
+        .join(b.select("group", "image_key"), ["group", "image_key"])
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n_stable"))
+        .orderBy("group")
+    )
+
+
+@query(
+    "q_first_n_per_group",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    ranked AS (
+        SELECT "group", image_key,
+               ROW_NUMBER() OVER (PARTITION BY "group" ORDER BY image_key) AS rk
+        FROM grouped_embeddings)
+    SELECT "group", image_key, rk
+    FROM ranked WHERE rk <= 10
+    ORDER BY "group", rk
+    """,
+)
+def q_first_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — first 10 per group in sorted-listing order."""
+    df = grouped_embeddings(spark, sf_dir)
+    w = Window.partitionBy("group").orderBy("image_key")
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("group", "image_key", "rk")
+        .orderBy("group", "rk")
+    )
+
+
+@query(
+    "q_group_counts_guard",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()}
+    SELECT "group", COUNT(*) AS n
+    FROM grouped_embeddings
+    GROUP BY "group"
+    HAVING COUNT(*) >= 3
+    ORDER BY "group"
+    """,
+)
+def q_group_counts_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 + P7 — per-group counts with the reference's n>=3 minimum guard
+    (``src/analyze_embedding_with_tsne.py:113-114``)."""
+    return (
+        grouped_embeddings(spark, sf_dir)
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .orderBy("group")
+    )
