@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full JVM-side
+execution, no driver collect), timed wall-clock after a warmup query
+that amortizes JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family (join-heavy agg, windows, arrays,
+# sampling, dedup/similarity/text once registered). Missing names are
+# skipped so the bench never breaks while coverage grows.
+HEADLINE = [
+    "q5_regional_revenue",           # 4-way join + agg (entry flagship)
+    "q1_pricing_summary",            # TPC-H Q1-shaped wide agg
+    "q3_top_orders",                 # join + agg + top-k
+    "q_window_topk_per_group",       # window rank over big table
+    "q_window_running_sum",          # running frame window
+    "q_rollup",                      # grouping sets
+    "q_stem_join_concat",            # array join + decimal checksum
+    "q_seeded_cap_sample",           # md5-rank per-group sample
+    "q_channel_variance_topk",       # explode + agg + window
+    "q_exact_dedup",                 # exact dedup over documents
+    "q_minhash_near_dup",            # MinHash-LSH near-dup pairs
+    "q_ann_cosine_topk",             # brute cosine top-k
+    "q_lang_id",                     # text n-gram language ID
+    "q_token_stats",                 # token counting / quality
+    "q_stream_tumbling_window",      # batch-equivalent streaming window
+]
+
+
+def main() -> None:
+    t_setup = time.time()
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+    from bigdata_deepfakeanalysis_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    # Resolve the headline set against the registry; fall back to the
+    # flagship via __spark_entry__ if a name moved.
+    names = [n for n in HEADLINE if n in queries]
+    missing = [n for n in HEADLINE if n not in queries]
+
+    # Warmup: touch every table once (file listing, footer reads, codegen).
+    from bigdata_deepfakeanalysis_spark.catalog import TABLES, table
+
+    for t in TABLES:
+        try:
+            table(spark, SF_DIR, t).limit(1).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = queries[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "skipped": missing,
+        "setup_sec": round(time.time() - t_setup - total, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
