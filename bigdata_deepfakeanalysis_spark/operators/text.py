@@ -1,0 +1,254 @@
+"""Text-analysis operators (SURVEY §2.8 M11 — north-star extensions).
+
+Language ID (character-n-gram scoring), token counting (whitespace +
+BPE-ish subword estimate), quality scoring (length / punctuation /
+stopword ratios), and document fingerprinting (char-shingle min-hash),
+all over the driver's ``documents`` table.
+
+Scale design (100 TB): every op is per-row string expressions + one
+hash aggregation — whole-stage codegen end to end, no Python, no UDFs.
+The char-n-gram explode is a flatMap (no shuffle); the only shuffles
+are groupBy(doc_id) roll-ups, which AQE coalesces. The lang-ID profile
+table is a literal broadcast — at scale it stays a broadcast join
+(hundreds of rows at most).
+
+No reference counterpart (the reference is image-only); formulas follow
+standard corpus-pipeline heuristics (cld2-style n-gram scoring,
+Gopher/C4-style quality signals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# Lang-ID profile: marker character-bigrams per language with vote
+# weights. Deterministic, tiny, broadcast. (The driver's synthetic text
+# shares one vocabulary across langs, so the *assigned* lang column is
+# not recoverable — the oracle checks the scoring computation itself.)
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILE: list[tuple[str, str, int]] = [
+    ("th", "en", 3), ("he", "en", 2), ("ow", "en", 1),
+    ("sc", "fr", 3), ("qu", "fr", 2), ("an", "fr", 1),
+    ("rg", "de", 3), ("ba", "de", 2), ("ch", "de", 1),
+    ("rr", "es", 3), ("ta", "es", 2), ("lo", "es", 1),
+    ("sh", "zh", 3), ("in", "zh", 2), ("ng", "zh", 1),
+]
+
+_PROFILE_SQL_ROWS = ", ".join(
+    f"('{g}', '{l}', {w})" for g, l, w in _LANG_PROFILE
+)
+LANG_PROFILE_CTE = f"""
+lang_profile AS (
+    SELECT * FROM (VALUES {_PROFILE_SQL_ROWS}) AS t(gram, cand_lang, weight))
+"""
+
+
+def lang_profile(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _LANG_PROFILE, schema="gram string, cand_lang string, weight int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine ops
+# ---------------------------------------------------------------------------
+
+def char_ngrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Explode a text column into its character k-grams (1-based pos).
+    flatMap only — no shuffle."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"p -> substr({text_col}, p, {k})) ELSE array() END"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+
+
+def lang_scores(docs: DataFrame, profile: DataFrame) -> DataFrame:
+    """Per (doc, candidate lang) n-gram vote totals: bigram explode →
+    broadcast join with the profile → hash agg."""
+    grams = char_ngrams(docs, "text", "doc_id", 2)
+    return (
+        grams.join(F.broadcast(profile), grams.gram == profile.gram)
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+
+
+def predict_lang(scores: DataFrame) -> DataFrame:
+    """argmax candidate lang per doc (ties → alphabetical)."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+_BPE_CHUNK = 4  # BPE-ish upper bound: ceil(len(word)/4) subword pieces
+
+_STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count, BPE-ish subword estimate, stopword count —
+    one pass of per-row array expressions, zero shuffle."""
+    toks = f"split({text_col}, ' ')"
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, w) ->"
+            f" acc + CAST(ceil(length(w) / {_BPE_CHUNK}.0) AS LONG))"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"size(filter({toks}, w -> w IN ({stop_list})))"
+        ).alias("n_stopwords"),
+        F.length(text_col).alias("n_chars_obs"),
+    )
+
+
+def quality_score(stats: DataFrame) -> DataFrame:
+    """Composite quality in [0,1]: length band + stopword-ratio band
+    (C4/Gopher-style signals, deterministic arithmetic)."""
+    stop_ratio = F.col("n_stopwords") / F.col("n_tokens")
+    len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 9).alias("stop_ratio"),
+        (
+            F.when(len_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+            + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), F.lit(0.5))
+            .otherwise(F.lit(0.0))
+        ).alias("quality"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str, id_col: str, k: int = 8) -> DataFrame:
+    """Char-shingle fingerprint: min md5 over all k-grams (rolling-hash
+    minimum) + distinct-gram count. One flatMap + one hash agg."""
+    grams = char_ngrams(df, text_col, id_col, k)
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5("gram")).alias("fingerprint"),
+        F.countDistinct("gram").alias("n_distinct_grams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+_CHAR_GRAMS_SQL = """
+grams AS (
+    SELECT doc_id, substr(text, pos, {k}) AS gram
+    FROM (SELECT doc_id, text,
+                 UNNEST(range(1, greatest(length(text) - {km2}, 1))) AS pos
+          FROM documents) t)
+"""
+
+
+@query(
+    "q_lang_id",
+    f"""
+    WITH {LANG_PROFILE_CTE.strip()},
+    {_CHAR_GRAMS_SQL.strip().format(k=2, km2=0)},
+    scores AS (
+        -- CAST: DuckDB SUM(int) is HUGEINT (pandas float64); Spark is BIGINT
+        SELECT g.doc_id, p.cand_lang, CAST(SUM(p.weight) AS BIGINT) AS score
+        FROM grams g JOIN lang_profile p ON g.gram = p.gram
+        GROUP BY g.doc_id, p.cand_lang),
+    ranked AS (
+        SELECT doc_id, cand_lang AS pred_lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rk
+        FROM scores)
+    SELECT doc_id, pred_lang, score FROM ranked WHERE rk = 1
+    ORDER BY doc_id
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: char-bigram profile votes, argmax per document."""
+    docs = table(spark, sf_dir, "documents")
+    return predict_lang(lang_scores(docs, lang_profile(spark))).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "q_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                w -> CAST(ceil(length(w) / {_BPE_CHUNK}.0) AS BIGINT)))
+                AS BIGINT) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '),
+               w -> w IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})))
+               AS n_stopwords,
+           length(text) AS n_chars_obs
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish subword estimate
+    (ceil(len/4) per word), stopword count, observed chars."""
+    return token_stats(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_quality_score",
+    f"""
+    WITH stats AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})))
+                   AS n_stopwords
+        FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(n_stopwords * 1.0 / n_tokens, 9) AS stop_ratio,
+           (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN n_stopwords * 1.0 / n_tokens BETWEEN 0.01 AND 0.5
+                   THEN 0.5 ELSE 0.0 END) AS quality
+    FROM stats
+    ORDER BY doc_id
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword-ratio band → [0, 1]."""
+    stats = token_stats(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return quality_score(stats).orderBy("doc_id")
+
+
+@query(
+    "q_doc_fingerprint",
+    f"""
+    WITH {_CHAR_GRAMS_SQL.strip().format(k=8, km2=6)}
+    SELECT doc_id,
+           MIN(md5(gram)) AS fingerprint,
+           COUNT(DISTINCT gram) AS n_distinct_grams
+    FROM grams
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min rolling char-8-gram md5 + distinct-gram
+    count per document."""
+    return doc_fingerprint(
+        table(spark, sf_dir, "documents"), "text", "doc_id", 8
+    ).orderBy("doc_id")
