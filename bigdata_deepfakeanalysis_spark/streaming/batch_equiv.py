@@ -1,0 +1,295 @@
+"""Structured-Streaming surface with batch-equivalent semantics
+(SURVEY §2.10 — extension; the reference is strictly batch).
+
+Each operator is a DataFrame→DataFrame transformation usable under BOTH
+``spark.read`` (oracle-checked here, at any SF) and ``spark.readStream``
+(wired by :func:`stream_events`; exercised in tests via a file source +
+memory sink). That equivalence is the point: Structured Streaming's
+incremental execution of the same logical plan.
+
+Operators: tumbling / sliding / session windows, watermark late-data
+drop, dedup-within-watermark, stream-static broadcast join.
+
+Scale design: windowed aggs shuffle on (window, key) — bounded state per
+watermark; the static side of stream-static joins is broadcast so the
+stream never shuffles. Window starts are emitted as formatted strings
+(driver hash compares dates poorly across engines — FIXTURES.md note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import EVENTS_US_CTE, table
+from ..registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# Transformations (shared between batch and stream)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """10-minute tumbling window per event_type: count + decimal-exact
+    value sum."""
+    return (
+        events.groupBy(
+            F.window("ts", "10 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", _FMT).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """10-minute window sliding every 5 minutes: each event lands in two
+    windows."""
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("win.start", _FMT).alias("win_start"), "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows per user: a session closes after a 5-minute gap.
+    Emits session start + event count + decimal-exact value sum."""
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", _FMT).alias("sess_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_keep_first(events: DataFrame) -> DataFrame:
+    """Batch equivalent of ``dropDuplicatesWithinWatermark`` on
+    (user_id, event_type): deterministic first-event survivor (min
+    event_id ~ earliest arrival)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_dropped_plus_1"),
+    )
+
+
+def drop_late(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Batch equivalent of ``withWatermark(ts, delay)``'s final state:
+    only events at or above (global max ts - delay) survive."""
+    horizon = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {delay}")).alias("wm")
+    )
+    return events.join(F.broadcast(horizon)).where(F.col("ts") >= F.col("wm"))
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich events with the customer dimension
+    (broadcast — the stream side never shuffles), roll up by segment."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(
+            F.broadcast(dim), events.user_id == dim.c_custkey, "inner"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming wiring (the readStream side of the same transformations)
+# ---------------------------------------------------------------------------
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: file stream over the same parquet,
+    one file = one micro-batch, with the same nanos→µs handling as the
+    batch catalog."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a directory; stage the events file
+    # into one (a production deployment would already land files in a
+    # per-table directory).
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    raw = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def run_stream_once(transformed: DataFrame, sink_name: str) -> None:
+    """Drain the stream into a memory sink (complete mode) — tests
+    compare the sink table against the batch result."""
+    q = (
+        transformed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries (batch semantics of each streaming op)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_stream_tumbling_window",
+    f"""
+    WITH {EVENTS_US_CTE},
+    b AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS w, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events_us GROUP BY 1, 2)
+    SELECT strftime(w, '{_FMT_DUCK}') AS win_start, event_type, n, sum_value
+    FROM b ORDER BY win_start, event_type
+    """,
+)
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return tumbling_counts(ev).orderBy("win_start", "event_type")
+
+
+@query(
+    "q_stream_sliding_window",
+    f"""
+    WITH {EVENTS_US_CTE},
+    starts AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts)
+                 - k * INTERVAL '5 minutes' AS w
+        FROM events_us, (SELECT UNNEST([0, 1]) AS k))
+    SELECT strftime(w, '{_FMT_DUCK}') AS win_start, COUNT(*) AS n
+    FROM starts GROUP BY w ORDER BY win_start
+    """,
+)
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 10m/5m — every event is in exactly the two windows
+    starting at bucket(ts,5m) and bucket(ts,5m)-5m."""
+    ev = table(spark, sf_dir, "events")
+    return sliding_counts(ev).orderBy("win_start")
+
+
+@query(
+    "q_stream_session_window",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '5 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events_us),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM seq)
+    SELECT user_id, strftime(MIN(ts), '{_FMT_DUCK}') AS sess_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) — the oracle recreates Spark's
+    ``session_window`` with gaps-and-islands over LAG."""
+    ev = table(spark, sf_dir, "events")
+    return session_counts(ev).orderBy("user_id", "sess_start")
+
+
+@query(
+    "q_stream_dedup_watermark",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id,
+           COUNT(*) AS n_dropped_plus_1
+    FROM events_us GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return dedup_keep_first(ev).orderBy("user_id", "event_type")
+
+
+@query(
+    "q_stream_late_drop",
+    f"""
+    WITH {EVENTS_US_CTE},
+    wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS wm FROM events_us)
+    SELECT TRUE AS kept, COUNT(*) AS n,
+           strftime(MIN(ts), '{_FMT_DUCK}') AS first_kept_ts
+    FROM events_us, wm WHERE ts >= wm
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data drop: only the final hour of events survives
+    the 1-hour watermark's terminal state."""
+    ev = table(spark, sf_dir, "events")
+    kept = drop_late(ev, "1 hour")
+    return kept.agg(
+        F.lit(True).alias("kept"),
+        F.count(F.lit(1)).alias("n"),
+        F.date_format(F.min("ts"), _FMT).alias("first_kept_ts"),
+    )
+
+
+@query(
+    "q_stream_static_join",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events_us JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return stream_static_join(ev, cust).orderBy("c_mktsegment")
