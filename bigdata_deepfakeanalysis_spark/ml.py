@@ -1,0 +1,455 @@
+"""ML / analytics operators (SURVEY §2.8 M4–M7, M10; §2.4 A4/A9).
+
+The reference's analysis verbs rebuilt on MLlib + DataFrame ops:
+
+- standardize (A4): column mean/std — oracle-exact SQL
+- PCA 2-D + explained variance (M5, ``src/analyze_embedding_with_pca
+  .py:80-97``): ``pyspark.ml.feature.PCA`` — invariant-checked
+- logistic-regression / tree-ensemble CV separability (M6/M7,
+  ``src/compare_embeddings_vs_features.py:45-70``): MLlib estimators +
+  per-label fold assignment (approximate stratification) — invariant-checked
+- linear CKA (A9, ``src/compare_xception_featuremaps.py:50-62,139-160``):
+  pairwise over groups, decimal-exact Gram sums — oracle-exact SQL
+  (and the reference's unseeded-alignment bug fixed: seeded rank align)
+- t-SNE 2-D (M4, ``src/analyze_embedding_with_tsne.py:59-77``):
+  cap-sample → bounded driver collect → sklearn if present, else a
+  deterministic numpy power-iteration PCA fallback — rows-only
+- pair selection (M10, ``src/analyze_embedding_with_tsne.py:214-248``):
+  adjacent + seeded-random strategies — oracle-exact SQL
+
+Scale design: PCA/LR/RF are MLlib distributed fits (tree aggregation for
+covariance/gradients). CKA never materializes matrices: it aggregates
+64×64 Gram cells from exploded cells — one shuffle keyed on (pair, i, j);
+group count G is small so pairs are G². t-SNE is the reference's own
+bounded-collect pattern (X5: cap-before-quadratic) made explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .catalog import table
+from .operators.fixtures import GROUPED_EMBEDDINGS_CTE, grouped_embeddings
+from .operators.sampling import _seeded_rank_sql, seeded_rank
+from .registry import query
+
+_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# A4 — standardize (oracle-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_standardize",
+    f"""
+    WITH cells AS (
+        SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS val
+        FROM embeddings, (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+    stats AS (
+        SELECT pos,
+               CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE)
+                   / COUNT(*) AS mu,
+               SQRT((CAST(SUM(CAST(val AS DECIMAL(12,9))
+                              * CAST(val AS DECIMAL(12,9))) AS DOUBLE)
+                     - CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE)
+                       * CAST(SUM(CAST(val AS DECIMAL(12,9))) AS DOUBLE)
+                       / COUNT(*)) / (COUNT(*) - 1)) AS sigma
+        FROM cells GROUP BY pos)
+    SELECT c.vec_id, c.pos, ROUND((c.val - s.mu) / s.sigma, 9) AS z
+    FROM cells c JOIN stats s ON c.pos = s.pos
+    WHERE c.vec_id < 5 AND c.pos < 8
+    ORDER BY c.vec_id, c.pos
+    """,
+)
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — per-dimension mean-0/std-1 scaling (StandardScaler semantics,
+    sample std), decimal-exact moments; spot-checks 5 vectors × 8 dims."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    d = "CAST(val AS DECIMAL(12,9))"
+    stats = cells.groupBy("pos").agg(
+        F.expr(f"CAST(SUM({d}) AS DOUBLE) / COUNT(*)").alias("mu"),
+        F.expr(
+            f"SQRT((CAST(SUM({d}*{d}) AS DOUBLE)"
+            f" - CAST(SUM({d}) AS DOUBLE)*CAST(SUM({d}) AS DOUBLE)/COUNT(*))"
+            f" / (COUNT(*) - 1))"
+        ).alias("sigma"),
+    )
+    return (
+        cells.where((F.col("vec_id") < 5) & (F.col("pos") < 8))
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 9).alias("z"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M5 — PCA with explained variance (MLlib; invariant-checked)
+# ---------------------------------------------------------------------------
+
+def pca2d(df: DataFrame, vec_col: str = "embedding", k: int = 2) -> tuple:
+    """Fit distributed PCA, return (coords_df, explained_variance list)."""
+    from pyspark.ml.feature import PCA as MLPca
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("_features", array_to_vector(F.col(vec_col)))
+    model = MLPca(k=k, inputCol="_features", outputCol="_pca").fit(feat)
+    coords = model.transform(feat).withColumn(
+        "_coords", vector_to_array("_pca")
+    )
+    return coords, list(model.explainedVariance)
+
+
+@query("q_pca_explained_variance")  # rows-only: eigensolver is engine-local
+def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — PCA(2) coords + explained-variance ratios. Invariants
+    (tests): ratios descending, each in (0,1], sum <= 1; coords finite."""
+    emb = table(spark, sf_dir, "embeddings")
+    coords, ev = pca2d(emb)
+    out = coords.select(
+        "vec_id",
+        "label",
+        F.element_at("_coords", 1).alias("pc1"),
+        F.element_at("_coords", 2).alias("pc2"),
+    )
+    return out.withColumn("ev1", F.lit(ev[0])).withColumn("ev2", F.lit(ev[1]))
+
+
+# ---------------------------------------------------------------------------
+# M6 / M7 — CV separability (MLlib; invariant-checked)
+# ---------------------------------------------------------------------------
+
+def cv_separability(
+    df: DataFrame,
+    estimator: str = "logreg",
+    n_folds: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """k-fold CV accuracy of label-from-embedding classification — the
+    reference's separability score (M6/M7). Folds are assigned
+    per-label (row_number % k over a seeded order): approximate
+    stratification, deterministic, distributed."""
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        RandomForestClassifier,
+    )
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(
+        F.col("label").cast("double").alias("label"),
+        array_to_vector(F.col("embedding")).alias("features"),
+        F.col("vec_id"),
+    ).withColumn(
+        "fold",
+        (
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.md5(F.concat_ws("|", F.lit(seed), F.col("vec_id")))
+                )
+            )
+            % n_folds
+        ),
+    ).cache()
+
+    if estimator == "logreg":
+        est = LogisticRegression(maxIter=20, regParam=0.01)
+    else:  # tree ensemble (XGBoost-ish fallback, SURVEY M7 stance)
+        est = RandomForestClassifier(numTrees=30, maxDepth=6, seed=seed)
+    evaluator = MulticlassClassificationEvaluator(metricName="accuracy")
+
+    rows = []
+    for fold in range(n_folds):
+        model = est.fit(data.where(F.col("fold") != fold))
+        acc = evaluator.evaluate(model.transform(data.where(F.col("fold") == fold)))
+        rows.append((estimator, fold, float(acc)))
+    spark = df.sparkSession
+    out = spark.createDataFrame(rows, "estimator string, fold int, accuracy double")
+    return out
+
+
+@query("q_logreg_cv_separability")  # rows-only: solver paths engine-local
+def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — 5-fold logistic-regression separability per fold + mean row.
+    Invariant (tests): accuracy in [0,1]."""
+    emb = table(spark, sf_dir, "embeddings")
+    folds = cv_separability(emb, "logreg")
+    mean_row = folds.groupBy("estimator").agg(
+        F.lit(-1).alias("fold"), F.avg("accuracy").alias("accuracy")
+    )
+    return folds.unionByName(mean_row).orderBy("fold")
+
+
+@query("q_tree_cv_separability")  # rows-only
+def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — tree-ensemble variant (RandomForest standing in for XGBoost;
+    same fold scheme)."""
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return cv_separability(emb, "tree", n_folds=3).orderBy("fold")
+
+
+# ---------------------------------------------------------------------------
+# A9 — linear CKA over group pairs (oracle-exact)
+# ---------------------------------------------------------------------------
+
+_CKA_CAP = 30
+
+_CKA_CELLS_CTE = f"""
+ranked AS (
+    SELECT "group", vec_id,
+           {_seeded_rank_sql('"group"', "vec_id")} AS r
+    FROM grouped_embeddings),
+aligned AS (
+    SELECT g."group", g.vec_id, r.r
+    FROM grouped_embeddings g JOIN ranked r
+      ON g."group" = r."group" AND g.vec_id = r.vec_id
+    WHERE r.r <= {_CKA_CAP}),
+cells AS (
+    SELECT a."group", a.r, pos,
+           CAST(g.vector[pos + 1] AS DOUBLE) AS val
+    FROM aligned a
+    JOIN grouped_embeddings g
+      ON a."group" = g."group" AND a.vec_id = g.vec_id,
+         (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+centered AS (
+    SELECT "group", r, pos,
+           val - (CAST(SUM(CAST(val AS DECIMAL(12,9)))
+                       OVER (PARTITION BY "group", pos) AS DOUBLE)
+                  / COUNT(*) OVER (PARTITION BY "group", pos)) AS cv
+    FROM cells)
+"""
+
+
+@query(
+    "q_cka_pairs",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    {_CKA_CELLS_CTE.strip()},
+    grams AS (
+        SELECT x."group" AS g1, y."group" AS g2, x.pos AS i, y.pos AS j,
+               CAST(SUM(CAST(x.cv AS DECIMAL(12,9))
+                        * CAST(y.cv AS DECIMAL(12,9))) AS DOUBLE) AS m
+        FROM centered x JOIN centered y ON x.r = y.r
+        WHERE x."group" <= y."group"
+        GROUP BY x."group", y."group", x.pos, y.pos),
+    frob AS (
+        SELECT g1, g2,
+               CAST(SUM(CAST(m AS DECIMAL(18,6)) * CAST(m AS DECIMAL(18,6)))
+                    AS DOUBLE) AS f2
+        FROM grams GROUP BY g1, g2)
+    SELECT a.g1, a.g2,
+           ROUND(a.f2 / (SQRT(s1.f2) * SQRT(s2.f2)), 9) AS cka
+    FROM frob a
+    JOIN frob s1 ON s1.g1 = a.g1 AND s1.g2 = a.g1
+    JOIN frob s2 ON s2.g1 = a.g2 AND s2.g2 = a.g2
+    WHERE a.g1 < a.g2
+    ORDER BY a.g1, a.g2
+    """,
+)
+def q_cka_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — linear CKA between every group pair: seeded rank-alignment
+    (fixing the reference's unseeded ``np.random.choice`` at
+    ``src/compare_xception_featuremaps.py:154-155``), column centering
+    per group, CKA = ||Xc'Yc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F).
+    Never materializes matrices — Gram cells via one (r)-keyed join."""
+    base = grouped_embeddings(spark, sf_dir)
+    aligned = (
+        base.withColumn("r", seeded_rank("group", "vec_id"))
+        .where(F.col("r") <= _CKA_CAP)
+    )
+    cells = aligned.select(
+        "group", "r", F.posexplode("vector").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    d = "CAST(val AS DECIMAL(12,9))"
+    w = Window.partitionBy("group", "pos")
+    centered = cells.withColumn(
+        "cv",
+        F.col("val")
+        - F.expr(f"CAST(SUM({d}) OVER (PARTITION BY `group`, pos) AS DOUBLE)")
+        / F.count(F.lit(1)).over(w),
+    )
+    x = centered.select(
+        F.col("group").alias("g1"), "r", F.col("pos").alias("i"),
+        F.col("cv").alias("xv"),
+    )
+    y = centered.select(
+        F.col("group").alias("g2"), "r", F.col("pos").alias("j"),
+        F.col("cv").alias("yv"),
+    )
+    grams = (
+        x.join(y, "r")
+        .where(F.col("g1") <= F.col("g2"))
+        .groupBy("g1", "g2", "i", "j")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(xv AS DECIMAL(12,9))"
+                " * CAST(yv AS DECIMAL(12,9))) AS DOUBLE)"
+            ).alias("m")
+        )
+    )
+    dm = "CAST(m AS DECIMAL(18,6))"
+    frob = grams.groupBy("g1", "g2").agg(
+        F.expr(f"CAST(SUM({dm}*{dm}) AS DOUBLE)").alias("f2")
+    )
+    self1 = frob.where(F.col("g1") == F.col("g2")).select(
+        F.col("g1").alias("sg"), F.col("f2").alias("f2_self")
+    )
+    return (
+        frob.where(F.col("g1") < F.col("g2"))
+        .join(self1.withColumnRenamed("sg", "g1").withColumnRenamed("f2_self", "f2_1"), "g1")
+        .join(self1.withColumnRenamed("sg", "g2").withColumnRenamed("f2_self", "f2_2"), "g2")
+        .select(
+            "g1",
+            "g2",
+            F.round(F.col("f2") / (F.sqrt("f2_1") * F.sqrt("f2_2")), 9).alias(
+                "cka"
+            ),
+        )
+        .orderBy("g1", "g2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10 — pair-selection strategies (oracle-exact)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pair_selection",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    groups AS (
+        SELECT "group",
+               ROW_NUMBER() OVER (ORDER BY "group") AS idx
+        FROM (SELECT DISTINCT "group" FROM grouped_embeddings)),
+    adjacent AS (
+        SELECT 'adjacent' AS strategy, a."group" AS g1, b."group" AS g2,
+               CAST((a.idx + 1) / 2 AS INTEGER) AS pair_rank
+        FROM groups a JOIN groups b ON b.idx = a.idx + 1
+        WHERE a.idx % 2 = 1),
+    rnd AS (
+        SELECT 'random' AS strategy, a."group" AS g1, b."group" AS g2,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('42' || '|' || a."group" || '|' || b."group"))
+                   AS INTEGER) AS pair_rank
+        FROM groups a JOIN groups b ON a."group" < b."group")
+    SELECT strategy, g1, g2, pair_rank
+    FROM (SELECT * FROM adjacent UNION ALL
+          SELECT * FROM rnd WHERE pair_rank <= 3) u
+    ORDER BY strategy, pair_rank
+    """,
+)
+def q_pair_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — 'adjacent' pairs (g0-g1, g2-g3, …) and seeded-'random'
+    first-3 of all combinations (md5 order replacing the reference's
+    seeded shuffle)."""
+    groups = (
+        grouped_embeddings(spark, sf_dir)
+        .select("group")
+        .distinct()
+        .withColumn("idx", F.row_number().over(Window.orderBy("group")))
+    )
+    a, b = groups.alias("a"), groups.alias("b")
+    adjacent = (
+        a.join(b, F.col("b.idx") == F.col("a.idx") + 1)
+        .where(F.col("a.idx") % 2 == 1)
+        .select(
+            F.lit("adjacent").alias("strategy"),
+            F.col("a.group").alias("g1"),
+            F.col("b.group").alias("g2"),
+            ((F.col("a.idx") + 1) / 2).cast("int").alias("pair_rank"),
+        )
+    )
+    rnd = (
+        a.join(b, F.col("a.group") < F.col("b.group"))
+        .select(
+            F.lit("random").alias("strategy"),
+            F.col("a.group").alias("g1"),
+            F.col("b.group").alias("g2"),
+        )
+        .withColumn(
+            "pair_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.concat_ws("|", F.lit("42"), F.col("g1"), F.col("g2")))
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("pair_rank") <= 3)
+    )
+    return adjacent.unionByName(rnd).orderBy("strategy", "pair_rank")
+
+
+# ---------------------------------------------------------------------------
+# M4 — t-SNE (bounded collect; rows-only)
+# ---------------------------------------------------------------------------
+
+def tsne2d(
+    df: DataFrame,
+    group_col: str = "group",
+    key_col: str = "image_key",
+    vec_col: str = "vector",
+    cap: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """M4 — the reference's capped t-SNE (X5: sample-before-quadratic):
+    seeded per-group cap → bounded toPandas collect → sklearn TSNE if
+    installed, else deterministic numpy PCA-2D (documented fallback).
+    Returns (group, key, x, y) as a DataFrame again."""
+    import numpy as np
+
+    spark = df.sparkSession
+    capped = (
+        df.withColumn("_r", seeded_rank(group_col, key_col, seed))
+        .where(F.col("_r") <= cap)
+        .select(group_col, key_col, vec_col)
+    )
+    pdf = capped.toPandas()  # bounded: <= cap * n_groups rows
+    X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+    try:
+        from sklearn.manifold import TSNE  # optional extra
+
+        n = X.shape[0]
+        perp = min(30, max(5, n - 1))
+        coords = TSNE(
+            n_components=2, perplexity=perp, random_state=seed, init="pca"
+        ).fit_transform(X)
+    except ImportError:
+        # Deterministic fallback: project onto the top-2 principal
+        # directions (power iteration, fixed start) — keeps the op total
+        # so pipelines run in minimal environments.
+        Xc = X - X.mean(axis=0)
+        cov = Xc.T @ Xc
+        vecs = []
+        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+        for _ in range(2):
+            for _ in range(50):
+                v = cov @ v
+                v /= np.linalg.norm(v)
+            vecs.append(v)
+            cov = cov - np.outer(v, v) * float(v @ cov @ v)
+            v = np.roll(v, 1)
+        coords = Xc @ np.stack(vecs, axis=1)
+    out = pdf[[group_col, key_col]].copy()
+    out["x"] = coords[:, 0].astype(float)
+    out["y"] = coords[:, 1].astype(float)
+    return spark.createDataFrame(out)
+
+
+@query("q_tsne2d")  # rows-only: embedding layout is solver-specific
+def q_tsne2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — capped 2-D embedding of grouped vectors. Invariants (tests):
+    one row per sampled input, finite coords."""
+    return tsne2d(grouped_embeddings(spark, sf_dir), cap=50).orderBy(
+        "group", "image_key"
+    )

@@ -1,0 +1,268 @@
+"""Multimodal binary-column operators (SURVEY §2.8 M11; §2.9).
+
+Image/audio/video modeled as opaque ``binary`` columns with typed
+metadata (width/height/n_frames), mirroring the reference's image
+pipeline shape (E1: scan → decode → featurize → persist,
+``src/extract_embedding.py:54-93``) without torch/PIL in the container:
+
+- a deterministic ``media`` fixture derived in-query from embeddings
+  (content = md5-hex bytes, so both engines derive identical payloads)
+- metadata scan ops (kind rollups, byte lengths) — oracle-exact
+- surrogate featurizer over ``mapInPandas`` (M1's stand-in, SURVEY §7.5):
+  md5 of the content's hex representation → 8-dim pseudo-embedding.
+  Deterministic, so even the Python-UDF path is oracle-exact.
+- frame sampling (video-style every-k-th frame) — oracle-exact
+- resize stub: real PIL decode when available, else a clearly-marked
+  deterministic fake — the Spark plumbing (schema, Arrow batches,
+  partition-level iteration) is real and tested either way.
+
+Scale design: mapInPandas featurizers initialize per partition (X10:
+model-once-per-executor), stream Arrow batches, and emit narrow rows —
+the binary column never shuffles (featurize before any groupBy; GAP
+X6 pattern). Metadata predicates push down to parquet when media is
+stored columnar (binary column pruned unless selected).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import table
+from .registry import query
+
+_N_DIMS = 8
+
+# ---------------------------------------------------------------------------
+# media fixture (engine + oracle derive identical rows)
+# ---------------------------------------------------------------------------
+
+MEDIA_CTE = """
+media AS (
+    SELECT vec_id AS media_id,
+           CASE WHEN vec_id % 3 = 0 THEN 'image'
+                WHEN vec_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           md5('m' || CAST(vec_id AS VARCHAR))
+               || md5('n' || CAST(vec_id AS VARCHAR)) AS hex_payload,
+           CAST(16 + vec_id % 48 AS INTEGER) AS width,
+           CAST(16 + (vec_id * 7) % 48 AS INTEGER) AS height,
+           CAST(1 + vec_id % 24 AS INTEGER) AS n_frames
+    FROM embeddings)
+"""
+
+
+def media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-column table: content is real BINARY on the Spark side
+    (64 bytes of md5-derived payload)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    hex_payload = F.concat(
+        F.md5(F.concat(F.lit("m"), vid.cast("string"))),
+        F.md5(F.concat(F.lit("n"), vid.cast("string"))),
+    )
+    return emb.select(
+        vid.alias("media_id"),
+        F.when(vid % 3 == 0, "image")
+        .when(vid % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        hex_payload.alias("hex_payload"),
+        F.to_binary(hex_payload, F.lit("hex")).alias("content"),
+        (16 + vid % 48).cast("int").alias("width"),
+        (16 + (vid * 7) % 48).cast("int").alias("height"),
+        (1 + vid % 24).cast("int").alias("n_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas featurizers
+# ---------------------------------------------------------------------------
+
+def _surrogate_vec(payload_hex: str) -> list[float]:
+    """Deterministic pseudo-embedding: md5 hex digits of the payload's
+    hex representation, scaled to [0, 1]. Stands in for the CNN forward
+    pass (M1) — same signature, same batch shape."""
+    h = hashlib.md5(payload_hex.encode("ascii")).hexdigest()
+    return [int(c, 16) / 15.0 for c in h[:_N_DIMS]]
+
+
+def surrogate_featurize(media_df: DataFrame) -> DataFrame:
+    """mapInPandas featurizer (iterator-of-batches: per-partition init,
+    Arrow transfer — the M1/M2 execution shape with a hash 'model')."""
+    schema = "media_id bigint, dim int, feature double"
+
+    n_dims = _N_DIMS
+
+    # NOTE: the closure is self-contained (stdlib only) so workers can
+    # unpickle it without the engine package on their sys.path.
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib  # per-partition "model init" (X10)
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out_ids, out_dims, out_vals = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                h = _hashlib.md5(bytes(content).hex().encode("ascii")).hexdigest()
+                vec = [int(c, 16) / 15.0 for c in h[:n_dims]]
+                out_ids.extend([mid] * len(vec))
+                out_dims.extend(range(len(vec)))
+                out_vals.extend(vec)
+            yield _pd.DataFrame(
+                {"media_id": out_ids, "dim": out_dims, "feature": out_vals}
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def resize_half(media_df: DataFrame) -> DataFrame:
+    """Decode + resize to half resolution. Real decode needs PIL (absent
+    in this container): import-gated; the fallback emits a deterministic
+    fake pixel summary so the pipeline stays total. The Spark plumbing
+    (schema, Arrow batching, metadata math) is identical either way."""
+    schema = (
+        "media_id bigint, new_width int, new_height int,"
+        " checksum bigint, decoded boolean"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401  (optional extra)
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                payload = bytes(content)
+                if have_pil:  # real path: decode → bilinear half-size
+                    # (exercised only where PIL is installed)
+                    raise NotImplementedError(
+                        "real image decode is an optional extra; this "
+                        "container has no imaging libs (task spec: stub)"
+                    )
+                # deterministic fake: checksum of the payload stands in
+                # for the resized pixel buffer
+                rows.append(
+                    (mid, w // 2, h // 2, sum(payload) % 65536, False)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "new_width", "new_height", "checksum",
+                    "decoded",
+                ],
+            )
+
+    return media_df.select(
+        "media_id", "content", "width", "height"
+    ).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_multimodal_metadata",
+    f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT kind, COUNT(*) AS n,
+           CAST(SUM(length(hex_payload) / 2) AS BIGINT) AS total_bytes,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(n_frames) AS BIGINT) AS sum_frames
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the binary table; byte length comes
+    from the real binary column on the Spark side."""
+    return (
+        media(spark, sf_dir)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("n_frames").cast("bigint").alias("sum_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
+    "q_surrogate_features",
+    f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT media_id, dim,
+           ROUND((instr('0123456789abcdef',
+                        substr(md5(hex_payload), dim + 1, 1)) - 1)
+                 / 15.0, 9) AS feature
+    FROM media, (SELECT UNNEST(range(0, {_N_DIMS})) AS dim)
+    WHERE media_id < 50
+    ORDER BY media_id, dim
+    """,
+)
+def q_surrogate_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas surrogate featurizer (Python UDF path!) checked
+    exactly against SQL recomputing the same md5-digit embedding — the
+    Arrow round-trip must be value-preserving."""
+    feats = surrogate_featurize(media(spark, sf_dir).where(F.col("media_id") < 50))
+    return feats.withColumn("feature", F.round("feature", 9)).orderBy(
+        "media_id", "dim"
+    )
+
+
+@query(
+    "q_frame_sample",
+    f"""
+    WITH {MEDIA_CTE.strip()},
+    frames AS (
+        SELECT media_id, n_frames,
+               greatest(n_frames // 4, 1) AS stride,
+               UNNEST(range(0, n_frames)) AS frame_idx
+        FROM media WHERE kind = 'video' AND media_id < 100)
+    SELECT media_id, frame_idx
+    FROM frames WHERE frame_idx % stride = 0
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every stride-th frame index (stride = n_frames/4,
+    min 1) of each video — pure metadata math, the per-frame decode
+    would hang off this explode as a mapInPandas stage."""
+    vids = media(spark, sf_dir).where(
+        (F.col("kind") == "video") & (F.col("media_id") < 100)
+    )
+    return (
+        vids.select(
+            "media_id",
+            F.greatest(
+                (F.col("n_frames") / 4).cast("int"), F.lit(1)
+            ).alias("stride"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1)
+            ).alias("frame_idx"),
+        )
+        .where(F.col("frame_idx") % F.col("stride") == 0)
+        .select("media_id", "frame_idx")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@query("q_resize_stub")  # rows-only: fake-decode summary is engine-local
+def q_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-half plumbing over mapInPandas (decode stubbed per task
+    spec — no imaging libs in container). Tests assert schema, half
+    dimensions, and determinism."""
+    return resize_half(media(spark, sf_dir).where(F.col("media_id") < 100)).orderBy(
+        "media_id"
+    )

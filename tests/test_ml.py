@@ -1,0 +1,51 @@
+"""Self-consistency invariants for the non-SQL-expressible ML ops
+(SURVEY §5.2) — mirroring the reference's own inline guards."""
+
+from __future__ import annotations
+
+import math
+
+from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def test_pca_invariants(spark):
+    df = all_queries()["q_pca_explained_variance"](spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    ev1, ev2 = float(df.ev1.iloc[0]), float(df.ev2.iloc[0])
+    assert 0 < ev2 <= ev1 <= 1 and ev1 + ev2 <= 1
+    assert df.pc1.map(math.isfinite).all() and df.pc2.map(math.isfinite).all()
+
+
+def test_cv_accuracy_bounds(spark):
+    df = all_queries()["q_logreg_cv_separability"](spark, SF_DIR).toPandas()
+    assert ((df.accuracy >= 0) & (df.accuracy <= 1)).all()
+    mean_row = df[df.fold == -1]
+    folds = df[df.fold >= 0]
+    assert len(folds) == 5 and len(mean_row) == 1
+    assert abs(float(mean_row.accuracy.iloc[0]) - folds.accuracy.mean()) < 1e-9
+
+
+def test_cka_bounds(spark, duck):
+    from bigdata_deepfakeanalysis_spark.registry import all_oracles
+
+    df = all_queries()["q_cka_pairs"](spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    assert ((df.cka >= 0) & (df.cka <= 1 + 1e-9)).all()
+
+
+def test_tsne_shape_and_determinism(spark):
+    fn = all_queries()["q_tsne2d"]
+    a = fn(spark, SF_DIR).toPandas()
+    assert len(a) > 0
+    assert a.x.map(math.isfinite).all() and a.y.map(math.isfinite).all()
+    b = fn(spark, SF_DIR).toPandas()
+    assert (a[["group", "image_key"]].values == b[["group", "image_key"]].values).all()
+    assert (a.x - b.x).abs().max() < 1e-9 and (a.y - b.y).abs().max() < 1e-9
+
+
+def test_ann_fast_consistency_full_overlap(spark):
+    df = all_queries()["q_ann_fast_consistency"](spark, SF_DIR).toPandas()
+    assert len(df) == 10
+    assert (df.n_overlap == 5).all()
