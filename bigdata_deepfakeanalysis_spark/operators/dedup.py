@@ -111,16 +111,15 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: flatMap, no shuffle until
     the DISTINCT (which co-partitions by (doc, shingle))."""
-    toks = F.split(F.col(text_col), " ")
+    concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
     grams = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"p -> concat_ws(' ', slice(split({text_col}, ' '), p + 1, {n}))) "
-        f"ELSE array() END"
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(0, size(_t) - {n}), "
+        f"p -> concat_ws(' ', {concat_args})) ELSE array() END"
     )
-    _ = toks  # toks folded into the expr above (single split in codegen)
     return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
+        df.withColumn("_t", F.split(F.col(text_col), " "))
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
         .distinct()
     )
 
@@ -129,30 +128,31 @@ def minhash_bands(
     sh_df: DataFrame, k: int = 12, band_rows: int = 3
 ) -> DataFrame:
     """K md5-minhashes per doc, folded into K/band_rows banded signature
-    strings. Two shuffles: groupBy(doc, i) for the mins, groupBy(doc,
-    band) for the signatures."""
-    hashed = sh_df.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        "sh",
-    ).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat_ws("|", F.col("i").cast("string"), F.col("sh"))).alias(
-            "h"
-        ),
+    strings. ONE shuffle: a single groupBy(doc) computes all K mins as
+    parallel MIN aggregates (map-side partial agg keeps shuffle rows at
+    one per (doc, partition)); bands are row-local concats, then an
+    unpivot (flatMap, no shuffle)."""
+    mins = sh_df.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sh")))
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
     )
-    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    return (
-        mins.withColumn("band", F.floor(F.col("i") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "concat_ws('|', transform(sort_array(collect_list(struct(i, mh))),"
-                " x -> x.mh))"
-            ).alias("sig")
+    n_bands = k // band_rows
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_rows + j}") for j in range(band_rows)]
+            ).alias("sig"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    return mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:

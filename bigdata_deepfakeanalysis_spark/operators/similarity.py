@@ -114,16 +114,17 @@ norms AS (
 """
 
 
-def _cells_norms(spark: SparkSession, sf_dir: str):
-    emb = table(spark, sf_dir, "embeddings")
-    cells = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "val")
-    ).withColumn("val", F.col("val").cast("double"))
-    d = "CAST(val AS DECIMAL(12,9))"
-    norms = cells.groupBy("vec_id").agg(
-        F.expr(f"CAST(SUM({d}*{d}) AS DOUBLE)").alias("n2")
+def dot_decimal(a: str, b: str) -> Column:
+    """Decimal-exact dot product as a per-row higher-order fold —
+    shuffle-free, bit-identical to the oracle's SUM over exploded
+    decimal products (exact arithmetic is order-independent)."""
+    return F.expr(
+        f"CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))"
+        f" * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,9)) AS DECIMAL(38,18))),"
+        f" CAST(0 AS DECIMAL(38,18)),"
+        f" (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)"
     )
-    return cells, norms
 
 
 @query(
@@ -154,40 +155,28 @@ def _cells_norms(spark: SparkSession, sf_dir: str):
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors as queries —
-    the ANN exactness baseline."""
-    cells, norms = _cells_norms(spark, sf_dir)
-    q = cells.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qv")
+    the ANN exactness baseline. Plan: one corpus scan, broadcast query
+    set, per-row decimal HOF dot — no shuffle until the tiny top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        dot_decimal("embedding", "embedding").alias("nc"),
     )
-    c = cells.select(
-        F.col("vec_id").alias("cand_id"), "pos", F.col("val").alias("cv")
-    )
-    dots = (
-        q.join(c, "pos")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST(qv AS DECIMAL(12,9))"
-                " * CAST(cv AS DECIMAL(12,9))) AS DOUBLE)"
-            ).alias("dot")
-        )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        dot_decimal("embedding", "embedding").alias("nq"),
     )
     scored = (
-        dots.join(
-            norms.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("nq")),
-            "query_id",
-        )
-        .join(
-            norms.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("nc")),
-            "cand_id",
-        )
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")), 9).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_decimal("qvec", "cvec") / (F.sqrt("nq") * F.sqrt("nc")), 9
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -249,43 +238,30 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     within bucket. The scale path for ANN at 100 TB — bucket id becomes
     a partition key and probing is partition pruning."""
     emb = table(spark, sf_dir, "embeddings")
-    buckets = emb.select("vec_id", lsh_bucket("embedding").alias("bucket"))
-    cells, norms = _cells_norms(spark, sf_dir)
-
-    q = buckets.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "bucket"
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        lsh_bucket("embedding").alias("bucket"),
+        F.col("embedding").alias("cvec"),
+        dot_decimal("embedding", "embedding").alias("nc"),
     )
-    c = buckets.select(F.col("vec_id").alias("cand_id"), "bucket")
-    pairs = q.join(c, "bucket").where(F.col("cand_id") != F.col("query_id"))
-
-    qc = cells.select(F.col("vec_id").alias("query_id"), "pos", F.col("val").alias("qv"))
-    cc = cells.select(F.col("vec_id").alias("cand_id"), "pos", F.col("val").alias("cv"))
-    dots = (
-        pairs.join(qc, "query_id")
-        .join(cc, ["cand_id", "pos"])
-        .groupBy("query_id", "cand_id")
-        .agg(
-            F.expr(
-                "CAST(SUM(CAST(qv AS DECIMAL(12,9))"
-                " * CAST(cv AS DECIMAL(12,9))) AS DOUBLE)"
-            ).alias("dot")
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            lsh_bucket("embedding").alias("bucket"),
+            F.col("embedding").alias("qvec"),
+            dot_decimal("embedding", "embedding").alias("nq"),
         )
     )
     scored = (
-        dots.join(
-            norms.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("nq")),
-            "query_id",
-        )
-        .join(
-            norms.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("nc")),
-            "cand_id",
-        )
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")), 9).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_decimal("qvec", "cvec") / (F.sqrt("nq") * F.sqrt("nc")), 9
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")

@@ -61,26 +61,51 @@ def lang_profile(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def char_ngrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """Explode a text column into its character k-grams (1-based pos).
-    flatMap only — no shuffle."""
+    """Explode a text column into its character k-grams. flatMap only —
+    no shuffle. Splits to a char array once so each gram is k O(1)
+    lookups (substr-per-gram would be O(len) each → quadratic per doc)."""
+    concat_args = ", ".join(f"_c[p + {j}]" for j in range(k))
     grams = F.expr(
         f"CASE WHEN length({text_col}) >= {k} THEN "
-        f"transform(sequence(1, length({text_col}) - {k - 1}), "
-        f"p -> substr({text_col}, p, {k})) ELSE array() END"
+        f"transform(sequence(0, length({text_col}) - {k}), "
+        f"p -> concat({concat_args})) ELSE array() END"
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    # Normalize input parallelism before the row-exploding stage: a
+    # single-file scan is one partition, which would serialize the whole
+    # explode (at 100 TB inputs arrive pre-split; locally they don't).
+    # Partitioning by id also co-locates the downstream per-doc groupBys.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(par, F.col(id_col))
+        .withColumn("_c", F.split(F.col(text_col), ""))
+        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
     )
 
 
 def lang_scores(docs: DataFrame, profile: DataFrame) -> DataFrame:
-    """Per (doc, candidate lang) n-gram vote totals: bigram explode →
-    broadcast join with the profile → hash agg."""
-    grams = char_ngrams(docs, "text", "doc_id", 2)
+    """Per (doc, candidate lang) n-gram vote totals.
+
+    Plan: one doc scan; per profile gram a LITERAL-pattern
+    ``regexp_count`` with a zero-width lookahead (overlapping matches —
+    same counts as exploding every bigram and joining, with no explode
+    and the regex compiled once per task, not per row), unpivoted via
+    ``stack`` and rolled up in one narrow groupBy."""
+    rows = sorted(
+        ((r["gram"], r["cand_lang"], int(r["weight"])) for r in profile.collect())
+    )
+    cells = ", ".join(
+        f"'{l}', {w}, regexp_count(text, '(?={g})')" for g, l, w in rows
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        grams.join(F.broadcast(profile), grams.gram == profile.gram)
+        docs.repartition(par)
+        .selectExpr(
+            "doc_id",
+            f"stack({len(rows)}, {cells}) AS (cand_lang, weight, cnt)",
+        )
         .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("weight").alias("score"))
+        .agg(F.sum(F.col("weight") * F.col("cnt")).alias("score"))
+        .where(F.col("score") > 0)
     )
 
 
@@ -102,17 +127,16 @@ _STOPWORDS = ("the", "a", "of", "and", "in")
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace token count, BPE-ish subword estimate, stopword count —
     one pass of per-row array expressions, zero shuffle."""
-    toks = f"split({text_col}, ' ')"
     stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
-    return df.select(
+    return df.withColumn("_t", F.split(F.col(text_col), " ")).select(
         F.col(id_col).alias("doc_id"),
-        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr("size(_t)").alias("n_tokens"),
         F.expr(
-            f"aggregate({toks}, 0L, (acc, w) ->"
+            f"aggregate(_t, 0L, (acc, w) ->"
             f" acc + CAST(ceil(length(w) / {_BPE_CHUNK}.0) AS LONG))"
         ).alias("n_bpe_tokens"),
         F.expr(
-            f"size(filter({toks}, w -> w IN ({stop_list})))"
+            f"size(filter(_t, w -> w IN ({stop_list})))"
         ).alias("n_stopwords"),
         F.length(text_col).alias("n_chars_obs"),
     )
