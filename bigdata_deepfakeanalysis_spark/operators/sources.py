@@ -1,0 +1,197 @@
+"""Sources & sinks (SURVEY §2.1 S1/S2/S5/S6/S9; §3 E1 ingest shape).
+
+The reference ingests directory-partitioned image datasets — the
+partition key lives in the path (``imagenet_ai_0419_<GEN>/train/ai/*``,
+``src/extract_embedding.py:14-24``) — and persists features as
+compressed per-group files (``src/feature_map_analysis.py:196-205``).
+Here:
+
+- S1/S2: ``binaryFile`` scan with ``pathGlobFilter`` pushdown over a
+  deterministic on-disk tree (bytes derived from vec_ids, so the DuckDB
+  oracle recomputes every aggregate WITHOUT reading the files)
+- P3 group parse from ``input_file_name()`` (codegen string ops)
+- S5/S6: partitioned parquet sink + read-back (partition pruning
+  asserted in tests via the explain output)
+- S9: CSV / JSON round-trips (the reference's JSON-sink compat path)
+
+Scale design: ``pathGlobFilter`` prunes at file-listing time (X2); the
+partitioned write keys the layout by group so downstream group-filtered
+scans are partition-pruned (X1). Fixture staging is idempotent,
+deterministic, and tiny (one 32-byte blob per image).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .fixtures import GROUPED_EMBEDDINGS_CTE, grouped_embeddings
+
+_N_IMAGES = 100
+_GENS = ("adm", "biggan", "sdv5", "vqdm")  # generator names, reference-style
+_TREE = Path("/tmp/bigdata_dfa_image_tree")
+
+
+def _payload(vec_id: int) -> bytes:
+    """Deterministic 32-byte fake image: md5('m'|id) || md5('n'|id) —
+    the same derivation as multimodal.media, so SQL can recompute it."""
+    return bytes.fromhex(
+        hashlib.md5(f"m{vec_id}".encode()).hexdigest()
+        + hashlib.md5(f"n{vec_id}".encode()).hexdigest()
+    )
+
+
+def write_image_tree(base: Path = _TREE) -> Path:
+    """Stage the GenImage-layout tree (idempotent):
+    ``<base>/imagenet_ai_0419_<gen>/train/ai/img_<id>.png`` plus decoy
+    files that the glob filter must skip."""
+    marker = base / ".complete"
+    if marker.exists():
+        return base
+    for vid in range(_N_IMAGES):
+        gen = _GENS[vid % 4]
+        d = base / f"imagenet_ai_0419_{gen}" / "train" / "ai"
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"img_{vid}.png").write_bytes(_payload(vid))
+        if vid % 10 == 0:  # decoys: wrong extension / metadata files
+            (d / f"img_{vid}.txt").write_bytes(b"not an image")
+    (base / "imagenet_ai_0419_adm" / "train" / "ai" / "listing.json").write_bytes(
+        b"{}"
+    )
+    marker.write_bytes(b"")
+    return base
+
+
+def scan_images(spark: SparkSession, base: Path = _TREE) -> DataFrame:
+    """S1+S2 — binaryFile scan, extension filter pushed to file listing,
+    group key parsed from the directory name (P3)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .option("recursiveFileLookup", "false")
+        .load(f"{base}/imagenet_ai_0419_*/train/ai/")
+    )
+    dirname = F.element_at(F.split(F.col("path"), "/"), -4)
+    return raw.select(
+        F.substring_index(dirname, "_", -1).alias("group"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+        F.col("length").alias("n_bytes"),
+        "content",
+    )
+
+
+@query(
+    "q_binaryfile_ingest",
+    f"""
+    WITH imgs AS (
+        SELECT vec_id,
+               ['adm', 'biggan', 'sdv5', 'vqdm'][(vec_id % 4) + 1] AS "group",
+               instr('0123456789abcdef',
+                     substr(md5('m' || CAST(vec_id AS VARCHAR)), 1, 1)) - 1
+                   AS first_nibble
+        FROM embeddings WHERE vec_id < {_N_IMAGES})
+    SELECT "group", COUNT(*) AS n_images,
+           CAST(COUNT(*) * 32 AS BIGINT) AS total_bytes,
+           CAST(SUM(first_nibble) AS BIGINT) AS sum_first_nibble
+    FROM imgs GROUP BY "group" ORDER BY "group"
+    """,
+)
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 ingest — stage the image tree, binaryFile-scan it with the
+    glob filter (decoy .txt/.json files must be pruned at listing), parse
+    the generator group from the path, aggregate counts / byte totals /
+    a content checksum (first nibble of each payload). The oracle
+    re-derives everything from vec_ids — if the scan read a decoy or
+    missed a file, counts and checksums diverge."""
+    write_image_tree()
+    imgs = scan_images(spark)
+    return (
+        imgs.select(
+            "group",
+            "n_bytes",
+            # first nibble of the payload == first md5 hex digit
+            F.expr(
+                "CAST(conv(substring(hex(substring(content, 1, 1)), 1, 1),"
+                " 16, 10) AS INT)"
+            ).alias("first_nibble"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("first_nibble").cast("bigint").alias("sum_first_nibble"),
+        )
+        .orderBy("group")
+    )
+
+
+_ROUNDTRIP_DIR = "/tmp/bigdata_dfa_roundtrip"
+
+
+@query(
+    "q_partitioned_roundtrip",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()}
+    SELECT "group", COUNT(*) AS n,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(SUM(len(vector)) AS BIGINT) AS total_dims
+    FROM grouped_embeddings
+    WHERE "group" = 'gen1'
+    GROUP BY "group"
+    """,
+)
+def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 — write grouped embeddings partitioned by group (zstd
+    parquet, the engine's tensor-store layout D4), read back with a
+    group filter: the filter must become a PartitionFilter (pruned
+    directories, tested via explain), and the round-tripped data must
+    aggregate identically to the source."""
+    out = f"{_ROUNDTRIP_DIR}/grouped_embeddings"
+    (
+        grouped_embeddings(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("group")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("group") == "gen1")
+    return back.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        F.sum(F.size("vector")).cast("bigint").alias("total_dims"),
+    )
+
+
+@query(
+    "q_csv_json_roundtrip",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """,
+)
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — nation → CSV (with header) and region → JSON, read both
+    back, join: values must survive both text formats (the reference's
+    JSON persistence path, ``src/extract_embedding.py:134-138``)."""
+    nation_csv = f"{_ROUNDTRIP_DIR}/nation_csv"
+    region_json = f"{_ROUNDTRIP_DIR}/region_json"
+    table(spark, sf_dir, "nation").write.mode("overwrite").option(
+        "header", True
+    ).csv(nation_csv)
+    table(spark, sf_dir, "region").write.mode("overwrite").json(region_json)
+    n = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(nation_csv)
+    )
+    r = spark.read.json(region_json)
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").cast("bigint"), "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )

@@ -54,6 +54,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        sources,
         text,
     )
     from . import ml  # noqa: F401
