@@ -1,0 +1,240 @@
+"""Remaining SURVEY §2 line items: range / as-of joins (J6), validity
+filters (P8), and the reference's map-shaped embedding-JSON source (S3).
+
+Scale design: the range join broadcasts the tiny band table (a band
+per row via a broadcast theta join — at scale Spark turns banded range
+predicates into pruned broadcast joins); the as-of join is realized as
+the distributed idiom — partition by key, order by time, forward-fill
+with ``last(..., ignorenulls)`` — one shuffle on the key, no pairwise
+time comparison. The JSON source reads map-shaped text through
+``from_json`` + ``explode`` (the reference's ``{key: vector}`` files,
+``src/analyze_embedding_with_tsne.py:37-57``).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import EVENTS_US_CTE, table
+from ..registry import query
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# J6 — range (theta) join
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1e9, "high")]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _BANDS)
+
+
+@query(
+    "q_range_join",
+    f"""
+    WITH {EVENTS_US_CTE},
+    bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, e.event_type, COUNT(*) AS n
+    FROM events_us e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band, e.event_type
+    ORDER BY band, event_type
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — banded range join: events matched to value bands on an
+    interval predicate (broadcast nested-loop over 3 rows — the
+    degenerate-but-correct plan for tiny band tables)."""
+    ev = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "lo double, hi double, band string")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — as-of join (forward-fill idiom)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_asof_join",
+    f"""
+    WITH {EVENTS_US_CTE},
+    filled AS (
+        SELECT event_id, user_id, event_type, ts,
+               last_value(CASE WHEN event_type = 'signup' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS asof_signup
+        FROM events_us)
+    SELECT event_id, user_id,
+           strftime(ts, '{_FMT_DUCK}') AS ts,
+           strftime(asof_signup, '{_FMT_DUCK}') AS asof_signup_ts
+    FROM filled
+    WHERE event_type = 'purchase' AND event_id < 3000
+    ORDER BY event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — as-of join: each purchase matched to the user's most recent
+    signup at-or-before it. Distributed idiom: one shuffle on user_id,
+    in-partition sort, forward-fill — never a pairwise time join."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = ev.withColumn(
+        "asof_signup",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        filled.where(
+            (F.col("event_type") == "purchase") & (F.col("event_id") < 3000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts"),
+            F.date_format("asof_signup", _FMT).alias("asof_signup_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — validity / schema-guard filter
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_validity_filter",
+    """
+    WITH corrupted AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding[1:16] FROM embeddings
+        WHERE vec_id % 7 = 0
+        UNION ALL
+        SELECT vec_id + 2000000, NULL FROM embeddings WHERE vec_id % 11 = 0)
+    SELECT len(embedding) IS NOT NULL AND len(embedding) = 64 AS valid,
+           COUNT(*) AS n,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM corrupted
+    GROUP BY 1 ORDER BY valid
+    """,
+)
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — the reference's shape guards (``X.ndim != 2`` checks,
+    ``src/analyze_embedding_with_tsne.py:51-53``) as a schema-residual
+    filter: vectors must be non-null with exactly D=64 elements; a
+    corrupted union (truncated + null rows) is split valid/invalid."""
+    emb = table(spark, sf_dir, "embeddings")
+    corrupted = (
+        emb.select("vec_id", "embedding")
+        .unionByName(
+            emb.where(F.col("vec_id") % 7 == 0).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"),
+                F.slice("embedding", 1, 16).alias("embedding"),
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") % 11 == 0).select(
+                (F.col("vec_id") + 2000000).alias("vec_id"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+            )
+        )
+    )
+    return (
+        corrupted.withColumn(
+            "valid",
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64),
+        )
+        .groupBy("valid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+        .orderBy("valid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S3 — map-shaped embedding-JSON source
+# ---------------------------------------------------------------------------
+
+_JSON_DIR = Path("/tmp/bigdata_dfa_embjson")
+_JSON_N = 20
+
+
+def write_embedding_json(spark: SparkSession, sf_dir: str) -> Path:
+    """Stage one reference-style embedding JSON file: a single object
+    ``{image_key: [float × 64]}`` (``src/extract_embedding.py:134-138``).
+    Deterministic; derived from the first _JSON_N vectors."""
+    _JSON_DIR.mkdir(parents=True, exist_ok=True)
+    out = _JSON_DIR / "embeddings_resnet50.json"
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _JSON_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    obj = {f"img_{r.vec_id}.png": list(r.v) for r in sorted(rows)}
+    out.write_text(json.dumps(obj, sort_keys=True))
+    return out
+
+
+@query(
+    "q_embedding_json_source",
+    f"""
+    SELECT 'img_' || CAST(vec_id AS VARCHAR) || '.png' AS image_key,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,9))) AS DOUBLE)
+               AS vec_sum
+    FROM embeddings, UNNEST(embedding) AS t(v)
+    WHERE vec_id < {_JSON_N}
+    GROUP BY vec_id, len(embedding)
+    ORDER BY image_key
+    """,
+)
+def q_embedding_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — parse the ``{{key: vector}}`` JSON through from_json(map) +
+    explode; the oracle recomputes per-key dimension and decimal-exact
+    sums from the parquet source, so any JSON round-trip corruption
+    (precision, key mangling, dropped entries) surfaces as a mismatch."""
+    path = write_embedding_json(spark, sf_dir)
+    parsed = (
+        spark.read.text(str(path))
+        .select(
+            F.explode(
+                F.from_json(F.col("value"), "map<string, array<double>>")
+            ).alias("image_key", "vector")
+        )
+    )
+    return (
+        parsed.select(
+            "image_key",
+            F.size("vector").cast("bigint").alias("dim"),
+            F.explode("vector").alias("v"),
+        )
+        .groupBy("image_key", "dim")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(v AS DECIMAL(12,9))) AS DOUBLE)"
+            ).alias("vec_sum")
+        )
+        .orderBy("image_key")
+    )

@@ -47,6 +47,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from .operators import (  # noqa: F401
+        advanced,
         arrays,
         dedup,
         grouping,
@@ -57,7 +58,7 @@ def _load_all() -> None:
         sources,
         text,
     )
-    from . import ml  # noqa: F401
+    from . import explainability, ml  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
     from . import multimodal  # noqa: F401
 

@@ -30,3 +30,11 @@ def test_resize_stub_shapes_and_determinism(spark):
     assert (m.new_height == m.height // 2).all()
     b = all_queries()["q_resize_stub"](spark, SF_DIR).toPandas()
     assert (a.checksum.values == b.checksum.values).all()
+
+
+def test_heatmap_stub_invariants(spark):
+    df = all_queries()["q_gradcam_stub"](spark, SF_DIR).toPandas()
+    assert len(df) == 40
+    assert (df.n_cells == df.h * df.w).all()
+    assert (df.hm_min >= 0).all() and (df.hm_max <= 1.0).all()
+    assert (~df.used_torch).all()
