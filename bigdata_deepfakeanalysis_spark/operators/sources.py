@@ -195,3 +195,57 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").cast("bigint"), "n_name", "r_name")
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "q_e2e_image_pipeline",
+    f"""
+    WITH feats AS (
+        SELECT ['adm', 'biggan', 'sdv5', 'vqdm'][(vec_id % 4) + 1] AS "group",
+               dim,
+               (instr('0123456789abcdef',
+                      substr(md5(md5('m' || CAST(vec_id AS VARCHAR))
+                                 || md5('n' || CAST(vec_id AS VARCHAR))),
+                             dim + 1, 1)) - 1) / 15.0 AS feature
+        FROM embeddings, (SELECT UNNEST(range(0, 8)) AS dim)
+        WHERE vec_id < {_N_IMAGES})
+    SELECT "group", dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(feature AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*)
+               AS mean_feature
+    FROM feats GROUP BY "group", dim
+    ORDER BY "group", dim
+    """,
+)
+def q_e2e_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 end-to-end (SURVEY §3): binaryFile scan of the staged image
+    tree -> group from path (P3) -> mapInPandas surrogate featurizer
+    (M1 stand-in, Arrow batches, per-partition init) -> per-(group, dim)
+    decimal-exact mean (the E2 aggregation shape). The oracle re-derives
+    the features arithmetically from vec_ids: scan, decode plumbing,
+    Python UDF round-trip, and aggregation are all checked in one query.
+    """
+    from ..multimodal import surrogate_featurize
+
+    write_image_tree()
+    imgs = scan_images(spark).select(
+        "group",
+        F.regexp_extract("filename", r"img_(\d+)\.png", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        "content",
+    )
+    feats = surrogate_featurize(imgs).join(
+        imgs.select("media_id", "group"), "media_id"
+    )
+    return (
+        feats.groupBy("group", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(feature AS DECIMAL(12,9))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("mean_feature"),
+        )
+        .orderBy("group", "dim")
+    )
