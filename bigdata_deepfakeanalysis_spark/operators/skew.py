@@ -1,0 +1,97 @@
+"""Skew-handling operators (task-spec scale requirement; SURVEY §4).
+
+AQE's skew-join splitting covers joins; aggregation-side skew on hot
+keys needs the salting idiom, exposed here as first-class ops:
+
+- ``salted_agg``: two-phase aggregation — shuffle on (key, salt) so a
+  hot key spreads over S reducers, then merge the S partials. For
+  algebraic aggregates (count/sum/min/max) the result is EXACTLY the
+  unsalted aggregate, which is what the oracle checks.
+- ``salted_distinct_count``: exact distinct per hot key via
+  (key, salt-by-value) partial distincts — the value-hash salt keeps
+  each distinct value in exactly one partial, so partial counts add up.
+
+At 100 TB: event streams routinely have power-law keys (one event_type
+dominating); without salting the single reducer for the hot key is the
+stage's straggler. Salt width S trades shuffle fan-out for balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame, key: str, value: str, n_salts: int = 16
+) -> DataFrame:
+    """count + sum(value) per key, two-phase over a random-ish salt
+    (crc32 of a row-unique expr — deterministic, uniform)."""
+    salted = df.withColumn(
+        "_salt", (F.crc32(F.col(value).cast("string")) % n_salts).cast("int")
+    )
+    partials = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.expr(
+            f"SUM(CAST({value} AS DECIMAL(18,6)))"
+        ).alias("_s"),
+    )
+    return partials.groupBy(key).agg(
+        F.sum("_n").alias("n"),
+        F.expr("CAST(SUM(_s) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+def salted_distinct_count(
+    df: DataFrame, key: str, value: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key: salt BY VALUE HASH so every
+    distinct value lands in exactly one (key, salt) partial; partial
+    distinct counts then sum exactly."""
+    salted = df.withColumn(
+        "_salt", (F.crc32(F.col(value).cast("string")) % n_salts).cast("int")
+    )
+    partials = salted.groupBy(key, "_salt").agg(
+        F.countDistinct(value).alias("_d")
+    )
+    return partials.groupBy(key).agg(F.sum("_d").alias("n_distinct"))
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..catalog import EVENTS_US_CTE, table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+
+@query(
+    "q_salted_agg",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events_us GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the hot event_type keys — must
+    equal the plain aggregate exactly (the oracle computes the unsalted
+    form; any salt-phase bug shows as a value mismatch)."""
+    ev = table(spark, sf_dir, "events")
+    return salted_agg(ev, "event_type", "value").orderBy("event_type")
+
+
+@query(
+    "q_salted_distinct",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events_us GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted exact distinct-count per hot key (salt by value hash →
+    partial distincts are disjoint and sum exactly)."""
+    ev = table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id").orderBy(
+        "event_type"
+    )

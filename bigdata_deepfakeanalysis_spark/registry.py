@@ -55,6 +55,7 @@ def _load_all() -> None:
         relational,
         sampling,
         similarity,
+        skew,
         sources,
         text,
     )
