@@ -39,6 +39,12 @@ HEADLINE = [
     "q_lang_id",                     # text n-gram language ID
     "q_token_stats",                 # token counting / quality
     "q_stream_tumbling_window",      # batch-equivalent streaming window
+    "q_simhash_hamming",             # simhash + blocked hamming pairs
+    "q_ngram_jaccard",               # shared-shingle jaccard verify
+    "q_cosine_near_dup",             # blocked cosine near-dup pairs
+    "q_asof_join",                   # forward-fill as-of join
+    "q_salted_distinct",             # salted exact distinct
+    "q_stream_session_window",       # gaps-and-islands sessions
 ]
 
 

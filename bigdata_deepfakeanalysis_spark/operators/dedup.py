@@ -215,46 +215,66 @@ def cosine_pairs(
     """Blocked cosine near-dup: pairs within a block, decimal-exact dot
     and norms, cosine rounded to 1e-9 (decimal→double ULP guard).
 
-    The explode-join keys on (pair, pos) only within blocks — at 100 TB
-    the block column is the coarse quantizer (IVF cell / LSH bucket) so
-    the pair count stays linear-ish in corpus size."""
-    d = "CAST(val AS DECIMAL(12,9))"
-    cells = vec_df.select(
-        "vec_id", block_col, F.posexplode("vec").alias("pos", "val")
+    Two-phase plan (the 100 TB shape): (1) candidate generation —
+    ``applyInPandas`` per block computes the block's pairwise cosine
+    matrix with one vectorized matmul and emits only pairs above
+    ``threshold - 1e-6`` (float64 error bound; one shuffle on the block
+    key, quadratic work confined to blocks); (2) exact rescore — the few
+    surviving pairs get decimal-exact dot products (order-free, equal to
+    the oracle's exploded decimal SUMs) and the true threshold filter.
+    At scale the block column is the coarse quantizer (IVF cell / LSH
+    bucket), keeping per-block pair counts bounded."""
+    import pandas as pd  # noqa: F401  (worker-side module, std in env)
+
+    approx_cut = threshold - 1e-6
+
+    # self-contained closure: numpy/pandas only, no engine package needed
+    def block_pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        X = _np.asarray(pdf["vec"].tolist(), dtype=_np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        norms = _np.sqrt((X * X).sum(axis=1))
+        M = (X @ X.T) / _np.outer(norms, norms)
+        ia, ib = _np.where(M >= approx_cut)
+        keep = ids[ia] < ids[ib]
+        return _pd.DataFrame(
+            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]}
+        )
+
+    cands = (
+        vec_df.select("vec_id", block_col, "vec")
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, "vec_a long, vec_b long")
     )
-    norms = (
-        cells.groupBy("vec_id")
-        .agg(F.expr(f"CAST(SUM({d}*{d}) AS DOUBLE)").alias("n2"))
+
+    dot = (
+        "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+        " CAST(CAST(x AS DECIMAL(12,9)) * CAST(y AS DECIMAL(12,9))"
+        " AS DECIMAL(38,18))), CAST(0 AS DECIMAL(38,18)),"
+        " (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)"
     )
-    a = cells.select(
-        F.col("vec_id").alias("vec_a"), F.col(block_col).alias("blk"),
-        "pos", F.col("val").alias("va"),
+    va = vec_df.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("vec").alias("va"),
+        F.expr(dot.format(a="vec", b="vec")).alias("na"),
     )
-    b = cells.select(
-        F.col("vec_id").alias("vec_b"), F.col(block_col).alias("blk"),
-        "pos", F.col("val").alias("vb"),
-    )
-    da, db = "CAST(va AS DECIMAL(12,9))", "CAST(vb AS DECIMAL(12,9))"
-    dots = (
-        a.join(b, ["blk", "pos"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(F.expr(f"CAST(SUM({da}*{db}) AS DOUBLE)").alias("dot"))
+    vb = vec_df.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("vec").alias("vb"),
+        F.expr(dot.format(a="vec", b="vec")).alias("nb"),
     )
     return (
-        dots.join(
-            norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na")),
-            "vec_a",
-        )
-        .join(
-            norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb")),
-            "vec_b",
-        )
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
             F.round(
-                F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 9
+                F.expr(dot.format(a="va", b="vb"))
+                / (F.sqrt("na") * F.sqrt("nb")),
+                9,
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
