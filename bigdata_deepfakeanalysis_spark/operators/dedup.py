@@ -5,19 +5,23 @@ Five dedup families over the ``documents`` / ``embeddings`` tables:
 - exact (hash-groupBy, deterministic min-id survivor)
 - MinHash + LSH banding (shingle → K minhashes → banded signature →
   bucket self-join for candidate pairs)
-- SimHash (per-token bit votes → 16-bit fingerprint → Hamming pairs)
+- SimHash (per-token bit votes → 64-bit fingerprint as 4×16-bit bands
+  → pigeonhole-exact banded Hamming pairs)
 - n-gram Jaccard verification (exact set overlap on shared shingles)
-- embedding-cosine near-dup (blocked pair join + decimal-exact dot)
+- embedding-cosine near-dup (blocked pair join + fixed-point int64 dot)
 
 Scale design (100 TB): every op is a shuffle-on-key pipeline — shingle
 explode is a flatMap (no shuffle), minhash is one groupBy(doc, hash_i),
 band bucketing is one groupBy(doc, band), and the candidate join keys on
 (band, signature) so only colliding docs meet. Nothing is pairwise over
-the full corpus: the quadratic step is confined to LSH buckets (MinHash)
-or explicit blocks (SimHash: (lang, source); cosine: label). Hashes are
-md5 (hex-lexicographic min == numeric min) so Spark and DuckDB agree
+the full corpus: the quadratic step is confined to LSH buckets (MinHash),
+SimHash fingerprint bands (2^16 values per band), or explicit blocks
+(cosine: the coarse-quantizer block key). Hashes are md5
+(hex-lexicographic min == numeric min) so Spark and DuckDB agree
 bit-for-bit; at production scale xxhash64 drops in for speed without
-changing the shape.
+changing the shape. Exact float reductions go through fixed-point int64
+quantization (``similarity.quantize``) — order-independent like decimal,
+but whole-stage codegen.
 
 No reference counterpart (the reference has no dedup — SURVEY §2.8);
 semantics follow the standard MinHash/SimHash constructions (Broder;
@@ -170,9 +174,21 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """16-bit SimHash: per-token md5, bit j = high bit of hex char j,
-    count-weighted ±1 votes, fingerprint = Σ 2^j [vote_j > 0]."""
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash as 4 × 16-bit band columns ``(doc_id, b0..b3)``.
+
+    Bit j of a token's hash = bit (j%4) of md5 hex nibble (j//4);
+    count-weighted ±1 votes per bit; fingerprint bit = [vote > 0].
+
+    Plan shape (the round-1 16-bit version exploded 16 rows per
+    (doc, token) — 16× shuffle volume): the 64 votes are 64
+    conditional-SUM aggregate columns in a SINGLE ``groupBy(doc_id)``
+    (the same pattern ``minhash_bands`` uses for its K mins), with the
+    16 nibbles precomputed once per token row. Two narrow shuffles
+    total — (doc_id, token) then (doc_id) — both with map-side partial
+    aggregation. Storing the fingerprint as four 16-bit bands (not one
+    int64) keeps every expression engine-portable and feeds the banded
+    pair join directly."""
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -180,53 +196,117 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.md5("w"))
-    )
-    votes = (
-        tok.select(
-            "doc_id",
-            "cnt",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
-        )
         .withColumn(
-            "bit_hi",
-            F.expr("instr('0123456789abcdef', substr(h, j + 1, 1)) - 1 >= 8"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.col("bit_hi"), F.col("cnt")).otherwise(-F.col("cnt"))
-            ).alias("vote")
+            "nibs",
+            F.expr(
+                "transform(sequence(1, 16), i ->"
+                " instr('0123456789abcdef', substr(md5(w), i, 1)) - 1)"
+            ),
         )
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"((element_at(nibs, {j // 4 + 1}) >> {j % 4}) & 1) = 1"
+                    ),
+                    F.col("cnt"),
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    band_cols = [
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN v{16 * k + j} > 0 THEN {1 << j} ELSE 0 END)"
+                for j in range(16)
+            )
         )
         .cast("int")
-        .alias("simhash")
+        .alias(f"b{k}")
+        for k in range(4)
+    ]
+    return votes.select("doc_id", *band_cols)
+
+
+def simhash_band_pairs(sim: DataFrame, ham_max: int = 3) -> DataFrame:
+    """Hamming-≤3 pairs via banded self-join — exact by pigeonhole:
+    a 64-bit fingerprint split into 4 bands of 16 bits; any pair within
+    Hamming distance 3 differs in at most 3 bands, so at least one band
+    matches exactly. Joining on (band index, band value) therefore
+    finds EVERY qualifying pair while pruning the candidate space to
+    ~N²/2^16 per band — the scale-safe block key the round-1
+    (lang, source) blocking was not (its block sizes are unbounded on
+    a real corpus)."""
+    bands = sim.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"), F.col(f"b{k}").alias("bval")
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "b0", "b1", "b2", "b3", "bv.band", "bv.bval")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+        "band",
+        "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"bb{k}") for k in range(4)],
+        "band",
+        "bval",
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", *(f"a{k}" for k in range(4)),
+                *(f"bb{k}" for k in range(4)))
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            sum(
+                F.bit_count(F.expr(f"a{k} ^ bb{k}")) for k in range(4)
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= ham_max)
     )
 
 
 def cosine_pairs(
     vec_df: DataFrame, block_col: str, threshold: float
 ) -> DataFrame:
-    """Blocked cosine near-dup: pairs within a block, decimal-exact dot
-    and norms, cosine rounded to 1e-9 (decimal→double ULP guard).
+    """Blocked cosine near-dup: pairs within a block, fixed-point int64
+    dot and norms (exact, order-free, engine-agnostic — see
+    ``similarity.quantize``), cosine rounded to 1e-9.
 
     Two-phase plan (the 100 TB shape): (1) candidate generation —
     ``applyInPandas`` per block computes the block's pairwise cosine
     matrix with one vectorized matmul and emits only pairs above
-    ``threshold - 1e-6`` (float64 error bound; one shuffle on the block
-    key, quadratic work confined to blocks); (2) exact rescore — the few
-    surviving pairs get decimal-exact dot products (order-free, equal to
-    the oracle's exploded decimal SUMs) and the true threshold filter.
-    At scale the block column is the coarse quantizer (IVF cell / LSH
-    bucket), keeping per-block pair counts bounded."""
-    import pandas as pd  # noqa: F401  (worker-side module, std in env)
+    ``threshold - 1e-3`` (covers both float64 and quantization error;
+    one shuffle on the block key, quadratic work confined to blocks);
+    (2) exact rescore — surviving pairs get the fixed-point cosine
+    (bit-identical to the oracle's integer SUMs over unnested cells,
+    and pure whole-stage codegen — the round-1 DECIMAL(38,18) rescore
+    here cost ~14 s at sf0.1) and the true threshold filter. At scale
+    the block column is the coarse quantizer (IVF cell / LSH bucket),
+    keeping per-block pair counts bounded."""
+    from .similarity import cosine_fixed, dot_fixed, quantize
 
-    approx_cut = threshold - 1e-6
+    approx_cut = threshold - 1e-3
 
     # self-contained closure: numpy/pandas only, no engine package needed
     def block_pairs(pdf):
@@ -249,33 +329,20 @@ def cosine_pairs(
         .applyInPandas(block_pairs, "vec_a long, vec_b long")
     )
 
-    dot = (
-        "CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
-        " CAST(CAST(x AS DECIMAL(12,9)) * CAST(y AS DECIMAL(12,9))"
-        " AS DECIMAL(38,18))), CAST(0 AS DECIMAL(38,18)),"
-        " (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)"
-    )
     va = vec_df.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("vec").alias("va"),
-        F.expr(dot.format(a="vec", b="vec")).alias("na"),
-    )
+        F.col("vec_id").alias("vec_a"), quantize("vec").alias("qa")
+    ).withColumn("na", dot_fixed("qa", "qa"))
     vb = vec_df.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("vec").alias("vb"),
-        F.expr(dot.format(a="vec", b="vec")).alias("nb"),
-    )
+        F.col("vec_id").alias("vec_b"), quantize("vec").alias("qb")
+    ).withColumn("nb", dot_fixed("qb", "qb"))
     return (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
+        .withColumn("dot", dot_fixed("qa", "qb"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(
-                F.expr(dot.format(a="va", b="vb"))
-                / (F.sqrt("na") * F.sqrt("nb")),
-                9,
-            ).alias("cosine"),
+            cosine_fixed("dot", "na", "nb").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -352,63 +419,56 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("doc_a", "doc_b")
 
 
+_SIM64_CTE = """
+tok AS (
+    SELECT doc_id, w, COUNT(*) AS cnt, md5(w) AS h
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+          FROM aug_docs) t
+    GROUP BY doc_id, w),
+votes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN (((instr('0123456789abcdef',
+                                  substr(h, CAST(j // 4 + 1 AS INTEGER), 1))
+                            - 1) >> (j % 4)) & 1) = 1
+                    THEN cnt ELSE -cnt END) AS vote
+    FROM tok, (SELECT UNNEST(range(0, 64)) AS j)
+    GROUP BY doc_id, j),
+sim AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 AND j // 16 = 0
+                         THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS b0,
+           CAST(SUM(CASE WHEN vote > 0 AND j // 16 = 1
+                         THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS b1,
+           CAST(SUM(CASE WHEN vote > 0 AND j // 16 = 2
+                         THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS b2,
+           CAST(SUM(CASE WHEN vote > 0 AND j // 16 = 3
+                         THEN (1 << (j % 16)) ELSE 0 END) AS INTEGER) AS b3
+    FROM votes GROUP BY doc_id)
+"""
+
+
 @query(
     "q_simhash_hamming",
     f"""
     WITH {AUG_DOCS_CTE.strip()},
-    tok AS (
-        SELECT doc_id, w, COUNT(*) AS cnt, md5(w) AS h
-        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
-              FROM aug_docs) t
-        GROUP BY doc_id, w),
-    votes AS (
-        SELECT doc_id, j,
-               SUM(CASE WHEN strpos('0123456789abcdef', substr(h, j + 1, 1))
-                             - 1 >= 8
-                        THEN cnt ELSE -cnt END) AS vote
-        FROM tok, (SELECT UNNEST(range(0, 16)) AS j)
-        GROUP BY doc_id, j),
-    sim AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN vote > 0 THEN (1 << j) ELSE 0 END)
-                    AS INTEGER) AS simhash
-        FROM votes GROUP BY doc_id),
-    blocked AS (SELECT s.doc_id, d.lang, d.source, s.simhash
-                FROM sim s JOIN aug_docs d ON s.doc_id = d.doc_id)
+    {_SIM64_CTE.strip()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM blocked a JOIN blocked b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     ORDER BY doc_a, doc_b
     """,
 )
 def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit fingerprints, (lang, source)-blocked pair
-    join, Hamming distance <= 3."""
-    docs = aug_docs(spark, sf_dir)
-    sim = simhash16(docs, "text", "doc_id").join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
-    a = sim.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source",
-        F.col("simhash").alias("sim_a"),
-    )
-    b = sim.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source",
-        F.col("simhash").alias("sim_b"),
-    )
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("sim_a ^ sim_b")).alias("hamming"),
-        )
-        .where(F.col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    )
+    """SimHash near-dup: 64-bit fingerprints, banded pair join (exact by
+    pigeonhole — see ``simhash_band_pairs``), Hamming distance <= 3.
+    The oracle brute-forces all pairs; the engine's band join must find
+    the identical set."""
+    sim = simhash64(aug_docs(spark, sf_dir), "text", "doc_id")
+    return simhash_band_pairs(sim, ham_max=3).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -475,27 +535,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cosine_near_dup",
     f"""
     WITH {AUG_EMB_CTE.strip()},
+    qv AS (
+        SELECT vec_id, label,
+               list_transform(vec,
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM aug_emb),
     cells AS (
-        SELECT vec_id, label, pos, vec[pos + 1] AS val
-        FROM aug_emb, (SELECT UNNEST(range(0, 64)) AS pos)),
+        SELECT vec_id, label, pos, q[pos + 1] AS qval
+        FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
     norms AS (
-        SELECT vec_id,
-               CAST(SUM(CAST(val AS DECIMAL(12,9)) * CAST(val AS DECIMAL(12,9)))
-                    AS DOUBLE) AS n2
-        FROM cells GROUP BY vec_id),
+        SELECT vec_id, SUM(qval * qval) AS n2 FROM cells GROUP BY vec_id),
     dots AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(SUM(CAST(a.val AS DECIMAL(12,9))
-                        * CAST(b.val AS DECIMAL(12,9))) AS DOUBLE) AS dot
+               SUM(a.qval * b.qval) AS dot
         FROM cells a JOIN cells b
           ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
         GROUP BY a.vec_id, b.vec_id)
     SELECT vec_a, vec_b,
-           ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) AS cosine
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na.n2 AS DOUBLE))
+                    * SQRT(CAST(nb.n2 AS DOUBLE))), 9) AS cosine
     FROM dots
     JOIN norms na ON vec_a = na.vec_id
     JOIN norms nb ON vec_b = nb.vec_id
-    WHERE ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) >= 0.999
+    WHERE ROUND(CAST(dot AS DOUBLE)
+                / (SQRT(CAST(na.n2 AS DOUBLE))
+                   * SQRT(CAST(nb.n2 AS DOUBLE))), 9) >= 0.999
     ORDER BY vec_a, vec_b
     """,
 )

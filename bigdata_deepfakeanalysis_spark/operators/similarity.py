@@ -4,19 +4,35 @@ Approximate-nearest-neighbor over ``embeddings.embedding``
 (array<float>, 64-dim):
 
 - brute-force cosine top-k (the exactness baseline; oracle-checked via
-  decimal-exact dot products)
+  fixed-point integer dot products — see below)
 - LSH-bucketed variant (sign-random-projection buckets; the scale path:
-  candidate set per query shrinks from N to N/2^bits)
-- fast JVM path: ``zip_with`` dot product inside whole-stage codegen
-  (rows-only check: its top-k set must agree with the exact path)
+  candidate set per query shrinks from N to N/2^bits), with an optional
+  multi-probe mode (probe all buckets within Hamming 1) to trade work
+  for recall
+- recall measurement: LSH top-k overlap against the exact top-k
+- fast JVM path: plain double ``zip_with`` dot (rows-only check: its
+  top-k set must agree with the exact path)
+
+Cross-engine exactness without decimals — **fixed-point int64 dots**:
+each element is quantized once, ``q = floor(x * 2^20)`` as BIGINT, and
+dot products / norms are exact integer sums of ``q_a * q_b``
+(|x| < 1 → |q| <= 2^20, 64 products of <= 2^40 sum to < 2^47: no
+overflow, and the int64→double cast at the end is exact below 2^53).
+Integer addition is order-independent, so Spark's per-row fold and
+DuckDB's SUM over unnested cells agree bit-for-bit — the property the
+round-1 DECIMAL(38,18) formulation bought at ~100× the cost (117 s at
+sf0.1; this plan is pure whole-stage codegen). The quantization (~1e-6
+per element) is part of the operator contract on both engines.
 
 Scale design (100 TB): the query set is small → broadcast it against the
 corpus scan (no shuffle on the corpus side); per-query top-k is a window
 over the query id, which Spark executes as partial top-k map-side. The
-LSH variant adds one narrow projection (bucket id per row, pure
-expressions) and prunes the candidate join to matching buckets. At real
-scale the bucket column is a partition key so probing is partition
-pruning. Hyperplanes are md5-derived (deterministic, engine-agnostic).
+LSH variant adds one narrow projection (bucket id per row, pure integer
+expressions — the sign sum is exact, so bucket ids can never disagree
+between engines) and prunes the candidate join to matching buckets. At
+real scale the bucket column is a partition key so probing is partition
+pruning. Hyperplanes are md5-derived (deterministic, engine-agnostic)
+with odd integer weights ``2*digit - 17`` (never zero → no sign ties).
 """
 
 from __future__ import annotations
@@ -30,14 +46,51 @@ from ..registry import query
 
 _DIM = 64
 _N_PLANES = 4  # 16 buckets
+_SCALE = 1 << 20  # fixed-point quantization scale (2^20)
 
 # ---------------------------------------------------------------------------
 # Engine ops
 # ---------------------------------------------------------------------------
 
+def quantize(col_sql: str) -> Column:
+    """Fixed-point quantization: array<float|double> → array<bigint>,
+    ``q = floor(x * 2^20)``. floor-then-cast is exact and identical
+    across engines (double→bigint CAST alone truncates in Spark but
+    rounds in DuckDB — floor removes the ambiguity)."""
+    return F.expr(
+        f"transform({col_sql}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0D) AS BIGINT))"
+    )
+
+
+def dot_fixed(a: str, b: str) -> Column:
+    """Exact integer dot product of two quantized (BIGINT) arrays —
+    order-independent, whole-stage-codegen, bit-identical to the
+    oracle's SUM over unnested cells."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_fixed(dot: str, n2_a: str, n2_b: str) -> Column:
+    """Cosine from integer dot + squared norms, rounded to 1e-9.
+    All inputs are exact integers < 2^53 → the double math is the same
+    IEEE-754 expression on both engines."""
+    return F.round(
+        F.expr(f"CAST({dot} AS DOUBLE)")
+        / (
+            F.sqrt(F.expr(f"CAST({n2_a} AS DOUBLE)"))
+            * F.sqrt(F.expr(f"CAST({n2_b} AS DOUBLE)"))
+        ),
+        9,
+    )
+
+
 def dot_fast(a: Column, b: Column) -> Column:
-    """JVM-side dot product: zip_with + aggregate, sequential fold —
-    deterministic within Spark, no Python."""
+    """JVM-side double dot product: zip_with + aggregate, sequential
+    fold — deterministic within Spark, no Python; engine-local float
+    ordering (use for ranking, not for oracle parity)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -49,7 +102,7 @@ def cosine_topk_fast(
     corpus: DataFrame, queries_df: DataFrame, k: int
 ) -> DataFrame:
     """Broadcast the (small) query set against the corpus; exact cosine
-    via zip_with; per-query top-k window."""
+    via double zip_with; per-query top-k window."""
     q = queries_df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -78,69 +131,66 @@ def cosine_topk_fast(
     )
 
 
-def hyperplane_sign(vec_sql: str, plane: int) -> Column:
-    """Sign bit of dot(vec, r_plane) where r_plane[pos] = digit(md5) - 7.5
-    — a deterministic pseudo-random hyperplane shared with the oracle.
-    (SQL-lambda form: the index variable is only visible inside SQL.)"""
+def hyperplane_sign(qcol: str, plane: int) -> Column:
+    """Sign bit of the integer projection Σ q_i * w_i with odd weights
+    w_i = 2*digit_i(md5) - 17 — exact int64 arithmetic, so the sign
+    (and hence the bucket) can never flip between engines."""
     return F.expr(
-        f"CAST(aggregate(transform({vec_sql}, (x, i) -> CAST(x AS DOUBLE) *"
-        f" (CAST(instr('0123456789abcdef', substr(md5(concat('{plane}', '|',"
-        f" CAST(i AS STRING))), 1, 1)) AS DOUBLE) - 8.5)),"
-        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0 AS INT)"
-    )  # instr is 1-based: digit+1 - 8.5 == digit - 7.5
+        f"CAST(aggregate(transform({qcol}, (x, i) -> x *"
+        f" (2 * CAST(instr('0123456789abcdef',"
+        f" substr(md5(concat('{plane}', '|', CAST(i AS STRING))), 1, 1))"
+        f" AS BIGINT) - 19)),"  # instr is 1-based: 2*(digit+1)-19 = 2d-17
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 AS INT)"
+    )
 
 
-def lsh_bucket(vec_sql: str, n_planes: int = _N_PLANES) -> Column:
-    """Pack sign bits of n_planes random projections into a bucket id."""
+def lsh_bucket(
+    qcol: str, n_planes: int = _N_PLANES, plane_offset: int = 0
+) -> Column:
+    """Pack sign bits of n_planes random projections into a bucket id.
+    ``plane_offset`` selects an independent plane set — table t of a
+    multi-table LSH index uses planes [t*n_planes, (t+1)*n_planes)."""
     b = F.lit(0)
     for p in range(n_planes):
-        b = b + F.shiftleft(hyperplane_sign(vec_sql, p), p)
+        b = b + F.shiftleft(hyperplane_sign(qcol, plane_offset + p), p)
     return b
 
 
 # ---------------------------------------------------------------------------
-# Oracle-checked queries (decimal-exact formulation)
+# Oracle-checked queries (fixed-point formulation)
 # ---------------------------------------------------------------------------
 
-_CELLS_CTE = f"""
-cells AS (
-    SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS val
-    FROM embeddings, (SELECT UNNEST(range(0, {_DIM})) AS pos)),
-norms AS (
+_QCELLS_CTE = f"""
+qv AS (
     SELECT vec_id,
-           CAST(SUM(CAST(val AS DECIMAL(12,9)) * CAST(val AS DECIMAL(12,9)))
-                AS DOUBLE) AS n2
-    FROM cells GROUP BY vec_id)
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}.0) AS BIGINT)) AS q
+    FROM embeddings),
+cells AS (
+    SELECT vec_id, pos, q[pos + 1] AS qval
+    FROM qv, (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+norms AS (
+    SELECT vec_id, SUM(qval * qval) AS n2 FROM cells GROUP BY vec_id)
 """
 
-
-def dot_decimal(a: str, b: str) -> Column:
-    """Decimal-exact dot product as a per-row higher-order fold —
-    shuffle-free, bit-identical to the oracle's SUM over exploded
-    decimal products (exact arithmetic is order-independent)."""
-    return F.expr(
-        f"CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
-        f" CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,9))"
-        f" * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,9)) AS DECIMAL(38,18))),"
-        f" CAST(0 AS DECIMAL(38,18)),"
-        f" (acc, v) -> CAST(acc + v AS DECIMAL(38,18))) AS DOUBLE)"
-    )
+_COS_SQL = (
+    "ROUND(CAST(dot AS DOUBLE)"
+    " / (SQRT(CAST(nq.n2 AS DOUBLE)) * SQRT(CAST(nc.n2 AS DOUBLE))), 9)"
+)
 
 
 @query(
     "q_ann_cosine_topk",
     f"""
-    WITH {_CELLS_CTE.strip()},
+    WITH {_QCELLS_CTE.strip()},
     dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               CAST(SUM(CAST(q.val AS DECIMAL(12,9))
-                        * CAST(c.val AS DECIMAL(12,9))) AS DOUBLE) AS dot
+               SUM(q.qval * c.qval) AS dot
         FROM cells q JOIN cells c
           ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id != q.vec_id
         GROUP BY q.vec_id, c.vec_id),
     scored AS (
-        SELECT query_id, cand_id,
-               ROUND(dot / (SQRT(nq.n2) * SQRT(nc.n2)), 9) AS cosine
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
         FROM dots
         JOIN norms nq ON query_id = nq.vec_id
         JOIN norms nc ON cand_id = nc.vec_id),
@@ -156,27 +206,28 @@ def dot_decimal(a: str, b: str) -> Column:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors as queries —
     the ANN exactness baseline. Plan: one corpus scan, broadcast query
-    set, per-row decimal HOF dot — no shuffle until the tiny top-k."""
+    set, per-row fixed-point int64 dot (whole-stage codegen, no Python,
+    no decimals) — no shuffle until the tiny top-k."""
     emb = table(spark, sf_dir, "embeddings")
     c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cvec"),
-        dot_decimal("embedding", "embedding").alias("nc"),
-    )
-    q = emb.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        dot_decimal("embedding", "embedding").alias("nq"),
+        F.col("vec_id").alias("cand_id"), quantize("embedding").alias("cq")
+    ).withColumn("nc", dot_fixed("cq", "cq"))
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            quantize("embedding").alias("qq"),
+        )
+        .withColumn("nq", dot_fixed("qq", "qq"))
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", dot_fixed("qq", "cq"))
         .select(
             "query_id",
             "cand_id",
-            F.round(
-                dot_decimal("qvec", "cvec") / (F.sqrt("nq") * F.sqrt("nc")), 9
-            ).alias("cosine"),
+            cosine_fixed("dot", "nq", "nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -191,26 +242,26 @@ _BUCKET_SQL = f"""
 buckets AS (
     SELECT vec_id,
            CAST({" + ".join(
-               f"(CASE WHEN (SELECT SUM(CAST(embedding[pos + 1] AS DOUBLE) * "
-               f"(instr('0123456789abcdef', substr(md5('{p}' || '|' ||"
-               f" CAST(pos AS VARCHAR)), 1, 1)) - 8.5)) "
-               f"FROM (SELECT UNNEST(range(0, {_DIM})) AS pos)) > 0 "
-               f"THEN {1 << p} ELSE 0 END)"
+               f"(CASE WHEN (SELECT SUM(q[pos + 1] *"
+               f" (2 * instr('0123456789abcdef',"
+               f" substr(md5('{p}' || '|' || CAST(pos AS VARCHAR)), 1, 1))"
+               f" - 19))"
+               f" FROM (SELECT UNNEST(range(0, {_DIM})) AS pos)) > 0"
+               f" THEN {1 << p} ELSE 0 END)"
                for p in range(_N_PLANES)
            )} AS INTEGER) AS bucket
-    FROM embeddings)
+    FROM qv)
 """
 
 
 @query(
     "q_ann_lsh_bucketed",
     f"""
-    WITH {_CELLS_CTE.strip()},
+    WITH {_QCELLS_CTE.strip()},
     {_BUCKET_SQL.strip()},
     dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               CAST(SUM(CAST(qc.val AS DECIMAL(12,9))
-                        * CAST(cc.val AS DECIMAL(12,9))) AS DOUBLE) AS dot
+               SUM(qc.qval * cc.qval) AS dot
         FROM buckets q
         JOIN buckets c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
         JOIN cells qc ON qc.vec_id = q.vec_id
@@ -218,8 +269,7 @@ buckets AS (
         WHERE q.vec_id < 10
         GROUP BY q.vec_id, c.vec_id),
     scored AS (
-        SELECT query_id, cand_id,
-               ROUND(dot / (SQRT(nq.n2) * SQRT(nc.n2)), 9) AS cosine
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
         FROM dots
         JOIN norms nq ON query_id = nq.vec_id
         JOIN norms nc ON cand_id = nc.vec_id),
@@ -239,29 +289,28 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partition key and probing is partition pruning."""
     emb = table(spark, sf_dir, "embeddings")
     c = emb.select(
-        F.col("vec_id").alias("cand_id"),
-        lsh_bucket("embedding").alias("bucket"),
-        F.col("embedding").alias("cvec"),
-        dot_decimal("embedding", "embedding").alias("nc"),
+        F.col("vec_id").alias("cand_id"), quantize("embedding").alias("cq")
+    ).withColumns(
+        {"bucket": lsh_bucket("cq"), "nc": dot_fixed("cq", "cq")}
     )
     q = (
         emb.where(F.col("vec_id") < 10)
         .select(
             F.col("vec_id").alias("query_id"),
-            lsh_bucket("embedding").alias("bucket"),
-            F.col("embedding").alias("qvec"),
-            dot_decimal("embedding", "embedding").alias("nq"),
+            quantize("embedding").alias("qq"),
+        )
+        .withColumns(
+            {"bucket": lsh_bucket("qq"), "nq": dot_fixed("qq", "qq")}
         )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("dot", dot_fixed("qq", "cq"))
         .select(
             "query_id",
             "cand_id",
-            F.round(
-                dot_decimal("qvec", "cvec") / (F.sqrt("nq") * F.sqrt("nc")), 9
-            ).alias("cosine"),
+            cosine_fixed("dot", "nq", "nc").alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
@@ -274,8 +323,9 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_ann_fast_consistency")  # rows-only: double-fold order is engine-local
 def q_ann_fast_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fast zip_with path vs decimal-exact path: per-query overlap of the
-    two top-5 sets (must be 5 for every query — asserted in tests)."""
+    """Fast double zip_with path vs fixed-point exact path: per-query
+    overlap of the two top-5 sets (must be 5 for every query — asserted
+    in tests)."""
     emb = table(spark, sf_dir, "embeddings")
     fast = cosine_topk_fast(emb, emb.where(F.col("vec_id") < 10), 5).select(
         "query_id", "cand_id"
@@ -286,4 +336,112 @@ def q_ann_fast_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .orderBy("query_id")
+    )
+
+
+_N_TABLES = 16  # multi-table LSH index width for the recall query
+
+
+@query("q_ann_lsh_recall")  # rows-only: recall metric over engine-local LSH
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall vs the exact top-3 under the two standard recall
+    knobs: (a) ``single`` — one 4-plane table, own bucket only;
+    (b) ``multiprobe1`` — one table, probing all buckets within Hamming
+    1 of the query's; (c) ``tables16`` — 16 independent 4-plane tables,
+    candidates unioned (the production shape: each table is a partition
+    namespace, a probe is L pruned lookups). Tests assert
+    tables16 ≥ multiprobe1 ≥ single in the mean and tables16 ≥ 0.6."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = 3
+    exact = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id")
+    )
+
+    def tbuckets(qcol: str, tables: list) -> Column:
+        """array of (table, bucket) structs for the given table ids."""
+        return F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(qcol, _N_PLANES, _N_PLANES * t).alias("bucket"),
+            )
+            for t in tables
+        ])
+
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), quantize("embedding").alias("cq")
+    ).withColumn("nc", dot_fixed("cq", "cq"))
+    c_idx = c.withColumn(
+        "tb", F.explode(tbuckets("cq", list(range(_N_TABLES))))
+    ).select("cand_id", "cq", "nc", "tb.tbl", "tb.bucket")
+
+    q = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            quantize("embedding").alias("qq"),
+        )
+        .withColumn("nq", dot_fixed("qq", "qq"))
+    )
+
+    def lsh_top(probes: Column) -> DataFrame:
+        qp = q.withColumn("tb", F.explode(probes)).select(
+            "query_id", "qq", "nq", "tb.tbl", "tb.bucket"
+        )
+        scored = (
+            c_idx.join(F.broadcast(qp), ["tbl", "bucket"])
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", "qq", "cq", "nq", "nc")
+            .dropDuplicates(["query_id", "cand_id"])
+            .withColumn("dot", dot_fixed("qq", "cq"))
+            .select(
+                "query_id",
+                "cand_id",
+                cosine_fixed("dot", "nq", "nc").alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "cand_id")
+        )
+
+    t0 = lsh_bucket("qq", _N_PLANES, 0)
+    single = lsh_top(tbuckets("qq", [0]))
+    multi = lsh_top(
+        F.array(
+            F.struct(F.lit(0).alias("tbl"), t0.alias("bucket")),
+            *[
+                F.struct(
+                    F.lit(0).alias("tbl"),
+                    t0.bitwiseXOR(F.lit(1 << p)).alias("bucket"),
+                )
+                for p in range(_N_PLANES)
+            ],
+        )
+    )
+    tables16 = lsh_top(tbuckets("qq", list(range(_N_TABLES))))
+
+    def recall(found: DataFrame, strategy: str) -> DataFrame:
+        return (
+            exact.join(found, ["query_id", "cand_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .join(exact.groupBy("query_id").count(), "query_id", "right")
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)) / F.col("count"))
+                .alias("recall"),
+            )
+        )
+
+    return (
+        recall(single, "single")
+        .unionByName(recall(multi, "multiprobe1"))
+        .unionByName(recall(tables16, "tables16"))
+        .orderBy("strategy", "query_id")
     )

@@ -49,3 +49,15 @@ def test_ann_fast_consistency_full_overlap(spark):
     df = all_queries()["q_ann_fast_consistency"](spark, SF_DIR).toPandas()
     assert len(df) == 10
     assert (df.n_overlap == 5).all()
+
+
+def test_ann_lsh_recall_ladder(spark):
+    """More probes / more tables must buy recall; the 16-table index
+    must recover most of the exact top-3 on the fixture."""
+    df = all_queries()["q_ann_lsh_recall"](spark, SF_DIR).toPandas()
+    mean = df.groupby("strategy")["recall"].mean()
+    assert set(mean.index) == {"single", "multiprobe1", "tables16"}
+    assert mean["multiprobe1"] >= mean["single"]
+    assert mean["tables16"] >= mean["multiprobe1"]
+    assert mean["tables16"] >= 0.6
+    assert ((df.recall >= 0) & (df.recall <= 1)).all()
