@@ -6,6 +6,10 @@ documents embeddings — one parquet per table per scale-factor dir.
 
 from __future__ import annotations
 
+import os
+import tempfile
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -63,6 +67,22 @@ EVENTS_US_CTE = (
     " epoch_ns(ts) AS ts_ns,"
     " user_id, event_type, value, props FROM events)"
 )
+
+
+def staging_dir(name: str) -> Path:
+    """Fixture-staging directory for queries that must materialize local
+    files (image tree, JSON/CSV round-trips, file-stream source).
+
+    Root is ``$SPARK_GRAFT_STAGING_DIR`` (default: the system temp dir)
+    so a sandboxed driver can point staging somewhere writable; the
+    queries that stage fixtures register LAST so an unwritable sandbox
+    costs only those entries, never the pure-compute coverage."""
+    root = Path(
+        os.environ.get("SPARK_GRAFT_STAGING_DIR", tempfile.gettempdir())
+    )
+    d = root / "bigdata_dfa_staging" / name
+    d.mkdir(parents=True, exist_ok=True)
+    return d
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

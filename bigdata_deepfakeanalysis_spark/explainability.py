@@ -46,26 +46,20 @@ def _heatmap_udf(method: str):
         import numpy as _np
         import pandas as _pd
 
-        try:  # per-partition model init (X10)
-            import torch  # noqa: F401  (optional extra)
-
-            have_torch = True
-        except ImportError:
-            have_torch = False
-
+        # A REAL implementation replaces the body of this loop with
+        # per-partition model init (X10) + forward/backward hooks on the
+        # target layer (M8) / per-block attention capture (M9) — see
+        # src/gradcam_dynamic.py:132-180,213-316. That needs a trained
+        # torch model (an optional extra this container cannot carry),
+        # so the engine always runs the deterministic stub below and
+        # flags used_torch=False; merely having torch importable must
+        # not change behavior (a model is still absent).
         for pdf in batches:
             rows = []
             for mid, content, w, h in zip(
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 hh, ww = max(h // 8, 1), max(w // 8, 1)
-                if have_torch:
-                    # real path: forward+backward hooks on the target
-                    # layer (M8) / per-block attention capture (M9)
-                    raise NotImplementedError(
-                        "torch explainability is an optional extra; this "
-                        "container has no torch (task spec: stub)"
-                    )
                 # deterministic fake: md5-seeded pseudo-activation map,
                 # min-max normalized exactly like the reference's CAM
                 seed = _hashlib.md5(

@@ -132,7 +132,7 @@ def resize_half(media_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from PIL import Image  # noqa: F401  (optional extra)
+            from PIL import Image  # optional extra; absent in container
 
             have_pil = True
         except ImportError:
@@ -143,12 +143,30 @@ def resize_half(media_df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
                 payload = bytes(content)
-                if have_pil:  # real path: decode → bilinear half-size
-                    # (exercised only where PIL is installed)
-                    raise NotImplementedError(
-                        "real image decode is an optional extra; this "
-                        "container has no imaging libs (task spec: stub)"
-                    )
+                if have_pil:
+                    # real path: decode → bilinear half-size; rows whose
+                    # bytes aren't a decodable image (e.g. this fixture's
+                    # synthetic payloads) fall through to the stub with
+                    # decoded=False rather than failing the batch
+                    try:
+                        import io as _io
+
+                        img = Image.open(_io.BytesIO(payload)).convert("RGB")
+                        half = img.resize(
+                            (max(img.width // 2, 1), max(img.height // 2, 1))
+                        )
+                        rows.append(
+                            (
+                                mid,
+                                half.width,
+                                half.height,
+                                sum(half.tobytes()) % 65536,
+                                True,
+                            )
+                        )
+                        continue
+                    except Exception:
+                        pass
                 # deterministic fake: checksum of the payload stands in
                 # for the resized pixel buffer
                 rows.append(

@@ -176,7 +176,6 @@ def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # S3 — map-shaped embedding-JSON source
 # ---------------------------------------------------------------------------
 
-_JSON_DIR = Path("/tmp/bigdata_dfa_embjson")
 _JSON_N = 20
 
 
@@ -184,8 +183,9 @@ def write_embedding_json(spark: SparkSession, sf_dir: str) -> Path:
     """Stage one reference-style embedding JSON file: a single object
     ``{image_key: [float × 64]}`` (``src/extract_embedding.py:134-138``).
     Deterministic; derived from the first _JSON_N vectors."""
-    _JSON_DIR.mkdir(parents=True, exist_ok=True)
-    out = _JSON_DIR / "embeddings_resnet50.json"
+    from ..catalog import staging_dir
+
+    out = staging_dir("embjson") / "embeddings_resnet50.json"
     rows = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < _JSON_N)

@@ -25,10 +25,24 @@ from pyspark.sql import functions as F
 def salted_agg(
     df: DataFrame, key: str, value: str, n_salts: int = 16
 ) -> DataFrame:
-    """count + sum(value) per key, two-phase over a random-ish salt
-    (crc32 of a row-unique expr — deterministic, uniform)."""
+    """count + sum(value) per key, two-phase over a row-unique salt
+    (deterministic per physical row: partition id + row offset). A salt
+    derived from the aggregated value would collapse when a hot key
+    carries a constant/low-cardinality value — exactly the power-law
+    case salting exists for — so the salt must not depend on data
+    values at all."""
     salted = df.withColumn(
-        "_salt", (F.crc32(F.col(value).cast("string")) % n_salts).cast("int")
+        "_salt",
+        (
+            F.crc32(
+                F.concat_ws(
+                    "|",
+                    F.spark_partition_id(),
+                    F.monotonically_increasing_id(),
+                )
+            )
+            % n_salts
+        ).cast("int"),
     )
     partials = salted.groupBy(key, "_salt").agg(
         F.count(F.lit(1)).alias("_n"),

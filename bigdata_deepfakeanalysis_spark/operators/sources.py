@@ -28,13 +28,16 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import staging_dir, table
 from ..registry import query
 from .fixtures import GROUPED_EMBEDDINGS_CTE, grouped_embeddings
 
 _N_IMAGES = 100
 _GENS = ("adm", "biggan", "sdv5", "vqdm")  # generator names, reference-style
-_TREE = Path("/tmp/bigdata_dfa_image_tree")
+
+
+def _tree() -> Path:
+    return staging_dir("image_tree")
 
 
 def _payload(vec_id: int) -> bytes:
@@ -46,10 +49,11 @@ def _payload(vec_id: int) -> bytes:
     )
 
 
-def write_image_tree(base: Path = _TREE) -> Path:
+def write_image_tree(base: Path | None = None) -> Path:
     """Stage the GenImage-layout tree (idempotent):
     ``<base>/imagenet_ai_0419_<gen>/train/ai/img_<id>.png`` plus decoy
     files that the glob filter must skip."""
+    base = _tree() if base is None else base
     marker = base / ".complete"
     if marker.exists():
         return base
@@ -67,9 +71,10 @@ def write_image_tree(base: Path = _TREE) -> Path:
     return base
 
 
-def scan_images(spark: SparkSession, base: Path = _TREE) -> DataFrame:
+def scan_images(spark: SparkSession, base: Path | None = None) -> DataFrame:
     """S1+S2 — binaryFile scan, extension filter pushed to file listing,
     group key parsed from the directory name (P3)."""
+    base = _tree() if base is None else base
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")
@@ -130,7 +135,6 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROUNDTRIP_DIR = "/tmp/bigdata_dfa_roundtrip"
 
 
 @query(
@@ -151,7 +155,7 @@ def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     group filter: the filter must become a PartitionFilter (pruned
     directories, tested via explain), and the round-tripped data must
     aggregate identically to the source."""
-    out = f"{_ROUNDTRIP_DIR}/grouped_embeddings"
+    out = str(staging_dir("roundtrip") / "grouped_embeddings")
     (
         grouped_embeddings(spark, sf_dir)
         .write.mode("overwrite")
@@ -178,8 +182,9 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 — nation → CSV (with header) and region → JSON, read both
     back, join: values must survive both text formats (the reference's
     JSON persistence path, ``src/extract_embedding.py:134-138``)."""
-    nation_csv = f"{_ROUNDTRIP_DIR}/nation_csv"
-    region_json = f"{_ROUNDTRIP_DIR}/region_json"
+    rt = staging_dir("roundtrip")
+    nation_csv = str(rt / "nation_csv")
+    region_json = str(rt / "region_json")
     table(spark, sf_dir, "nation").write.mode("overwrite").option(
         "header", True
     ).csv(nation_csv)

@@ -45,23 +45,34 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    ORDER MATTERS for driver coverage: the driver executes queries in
+    registration order under a wall-clock budget, so cheap pure-compute
+    modules register first and the module that stages on-disk fixture
+    trees (sources) registers LAST — a truncated or staging-restricted
+    run loses the least (round-1 lesson: the run stopped after 50/77
+    queries, exactly at the disk-staging modules). Staging paths are
+    env-configurable via $SPARK_GRAFT_STAGING_DIR (catalog.staging_dir)."""
+    # pure-compute over the parquet tables — cheapest first
     from .operators import (  # noqa: F401
-        advanced,
-        arrays,
-        dedup,
-        grouping,
-        joins,
         relational,
+        grouping,
         sampling,
-        similarity,
-        skew,
-        sources,
+        joins,
+        arrays,
         text,
+        skew,
+        similarity,
+        dedup,
+        advanced,
     )
-    from . import explainability, ml  # noqa: F401
     from .streaming import batch_equiv  # noqa: F401
+    from . import ml  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import explainability  # noqa: F401
+    # disk-staging fixtures last
+    from .operators import sources  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

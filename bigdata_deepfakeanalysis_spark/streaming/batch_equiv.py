@@ -133,16 +133,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     one file = one micro-batch, with the same nanos→µs handling as the
     batch catalog."""
     import shutil
-    import tempfile
     from pathlib import Path
+
+    from ..catalog import staging_dir
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a directory; stage the events file
-    # into one (a production deployment would already land files in a
-    # per-table directory).
-    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
-    shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    # into a fixed, marker-gated directory keyed by the SF dir (a fresh
+    # mkdtemp per call leaked /tmp disk across repeated test/bench runs).
+    stage = staging_dir(f"events_stream_{Path(sf_dir).name}")
+    if not (stage / "events.parquet").exists():
+        shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
     raw = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)

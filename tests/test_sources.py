@@ -23,7 +23,9 @@ def test_glob_filter_prunes_decoys(spark):
 
 
 def test_partitioned_readback_prunes(spark):
-    out = "/tmp/bigdata_dfa_roundtrip/grouped_embeddings"
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir
+
+    out = str(staging_dir("roundtrip") / "grouped_embeddings")
     (
         grouped_embeddings(spark, SF_DIR)
         .write.mode("overwrite")
