@@ -12,8 +12,8 @@ The reference's analysis verbs rebuilt on MLlib + DataFrame ops:
   pairwise over groups, decimal-exact Gram sums — oracle-exact SQL
   (and the reference's unseeded-alignment bug fixed: seeded rank align)
 - t-SNE 2-D (M4, ``src/analyze_embedding_with_tsne.py:59-77``):
-  cap-sample → bounded driver collect → sklearn if present, else a
-  deterministic numpy power-iteration PCA fallback — rows-only
+  cap-sample → bounded driver collect → vendored exact numpy t-SNE
+  (``tsne.tsne_exact``; deterministic, KL-decreasing) — rows-only
 - pair selection (M10, ``src/analyze_embedding_with_tsne.py:214-248``):
   adjacent + seeded-random strategies — oracle-exact SQL
 
@@ -436,10 +436,14 @@ def tsne2d(
     seed: int = 42,
 ) -> DataFrame:
     """M4 — the reference's capped t-SNE (X5: sample-before-quadratic):
-    seeded per-group cap → bounded toPandas collect → sklearn TSNE if
-    installed, else deterministic numpy PCA-2D (documented fallback).
-    Returns (group, key, x, y) as a DataFrame again."""
+    seeded per-group cap → bounded toPandas collect → the engine's
+    vendored exact t-SNE (``tsne.tsne_exact``: perplexity clamp, PCA
+    init, fixed seed — the semantics of ``src/analyze_embedding_with_
+    tsne.py:59-77`` without the sklearn dependency). Returns
+    (group, key, x, y) as a DataFrame again."""
     import numpy as np
+
+    from .tsne import tsne_exact
 
     spark = df.sparkSession
     capped = (
@@ -448,31 +452,9 @@ def tsne2d(
         .select(group_col, key_col, vec_col)
     )
     pdf = capped.toPandas()  # bounded: <= cap * n_groups rows
+    pdf = pdf.sort_values([group_col, key_col]).reset_index(drop=True)
     X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-    try:
-        from sklearn.manifold import TSNE  # optional extra
-
-        n = X.shape[0]
-        perp = min(30, max(5, n - 1))
-        coords = TSNE(
-            n_components=2, perplexity=perp, random_state=seed, init="pca"
-        ).fit_transform(X)
-    except ImportError:
-        # Deterministic fallback: project onto the top-2 principal
-        # directions (power iteration, fixed start) — keeps the op total
-        # so pipelines run in minimal environments.
-        Xc = X - X.mean(axis=0)
-        cov = Xc.T @ Xc
-        vecs = []
-        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
-        for _ in range(2):
-            for _ in range(50):
-                v = cov @ v
-                v /= np.linalg.norm(v)
-            vecs.append(v)
-            cov = cov - np.outer(v, v) * float(v @ cov @ v)
-            v = np.roll(v, 1)
-        coords = Xc @ np.stack(vecs, axis=1)
+    coords, _kl = tsne_exact(X, perplexity=30.0, seed=seed)
     out = pdf[[group_col, key_col]].copy()
     out["x"] = coords[:, 0].astype(float)
     out["y"] = coords[:, 1].astype(float)

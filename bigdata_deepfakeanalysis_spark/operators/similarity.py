@@ -131,15 +131,29 @@ def cosine_topk_fast(
     )
 
 
+def _plane_weights(plane: int) -> list[int]:
+    """Hyperplane weights w_i = 2*digit - 17 where digit is the first
+    hex digit of md5('<plane>|<i>') — the identical derivation the
+    oracle SQL performs with its md5()/instr() expression, done once at
+    plan-build time instead of per row per element."""
+    import hashlib
+
+    return [
+        2 * int(hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[0], 16) - 17
+        for i in range(_DIM)
+    ]
+
+
 def hyperplane_sign(qcol: str, plane: int) -> Column:
     """Sign bit of the integer projection Σ q_i * w_i with odd weights
     w_i = 2*digit_i(md5) - 17 — exact int64 arithmetic, so the sign
-    (and hence the bucket) can never flip between engines."""
+    (and hence the bucket) can never flip between engines. The weight
+    vector is a constant literal array (folded into codegen); the
+    round-1 form recomputed 64 md5() calls per sign per row, which at
+    16 tables × 4 planes made bucketing itself the bottleneck."""
+    arr = "array(" + ",".join(f"{x}L" for x in _plane_weights(plane)) + ")"
     return F.expr(
-        f"CAST(aggregate(transform({qcol}, (x, i) -> x *"
-        f" (2 * CAST(instr('0123456789abcdef',"
-        f" substr(md5(concat('{plane}', '|', CAST(i AS STRING))), 1, 1))"
-        f" AS BIGINT) - 19)),"  # instr is 1-based: 2*(digit+1)-19 = 2d-17
+        f"CAST(aggregate(zip_with({qcol}, {arr}, (x, y) -> x * y),"
         f" CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 AS INT)"
     )
 

@@ -254,3 +254,126 @@ def q_e2e_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — npz compatibility reader (the reference's tensor store)
+# ---------------------------------------------------------------------------
+
+_NPZ_N = 30  # stems staged into the npz store (x3 stages = 90 files)
+
+
+def write_npz_store(spark: SparkSession, sf_dir: str) -> Path:
+    """Stage a reference-layout npz tensor store —
+    ``<base>/<group>/<stem>/<stage>.npz`` with single key ``fmap``,
+    float32 [C,H,W] (``src/feature_map_analysis.py:196-205``) — from
+    the D4 featuremaps fixture. Idempotent, keyed by SF dir; bounded
+    driver-side staging (90 tiny files)."""
+    import numpy as np
+
+    from .fixtures import FM_C, FM_H, FM_W, featuremaps
+
+    base = staging_dir(f"npz_store_{Path(sf_dir).name}")
+    marker = base / ".complete"
+    if marker.exists():
+        return base
+    rows = featuremaps(spark, sf_dir).where(F.col("vec_id") < _NPZ_N).collect()
+    for r in rows:
+        d = base / r.group / r.stem
+        d.mkdir(parents=True, exist_ok=True)
+        arr = np.asarray(r.data, dtype=np.float32).reshape(FM_C, FM_H, FM_W)
+        np.savez_compressed(d / f"{r.stage}.npz", fmap=arr)
+    marker.write_bytes(b"")
+    return base
+
+
+def read_npz_featuremaps(spark: SparkSession, base: Path) -> DataFrame:
+    """S4 ingest path for users with existing reference output
+    (``src/compare_xception_featuremaps.py:34-37`` reads
+    ``np.load(f)["fmap"]``): binaryFile scan + mapInPandas npz decode
+    into the engine-native D4 schema. The binary payload never
+    shuffles — decode emits narrow rows in the scan stage."""
+    schema = (
+        "group string, stem string, stage string,"
+        " c int, h int, w int, data array<float>"
+    )
+
+    # self-contained closure (numpy/pandas only) for worker unpickling
+    def run(batches):
+        import io as _io
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                parts = path.rstrip("/").split("/")
+                stage, stem, group = parts[-1][:-4], parts[-2], parts[-3]
+                fmap = _np.load(_io.BytesIO(bytes(content)))["fmap"]
+                c, h, w = (int(x) for x in fmap.shape)
+                rows.append(
+                    (
+                        group, stem, stage, c, h, w,
+                        fmap.astype(_np.float32).ravel().tolist(),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["group", "stem", "stage", "c", "h", "w", "data"],
+            )
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.npz")
+        .option("recursiveFileLookup", "true")
+        .load(str(base))
+    )
+    return raw.select("path", "content").mapInPandas(run, schema)
+
+
+@query(
+    "q_npz_roundtrip",
+    f"""
+    WITH fm AS (
+        SELECT 'gen' || CAST(label % 4 AS VARCHAR) AS "group",
+               'stage' || CAST(stage_n AS VARCHAR) AS stage,
+               embedding[(stage_n - 1) * 14 + 1 :
+                         (stage_n - 1) * 14 + 36] AS data
+        FROM embeddings, (SELECT UNNEST([1, 2, 3]) AS stage_n)
+        WHERE vec_id < {_NPZ_N})
+    SELECT "group", stage, COUNT(*) AS n_tensors,
+           CAST(COUNT(*) * 36 AS BIGINT) AS n_cells,
+           CAST(SUM(list_aggregate(
+                    list_transform(data,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                                  AS BIGINT)),
+                    'sum')) AS BIGINT) AS checksum_q
+    FROM fm GROUP BY "group", stage
+    ORDER BY "group", stage
+    """,
+)
+def q_npz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 round-trip: D4 fixture → compressed npz store on disk →
+    binaryFile + mapInPandas decode → per-(group, stage) counts and a
+    fixed-point checksum over every tensor cell. The oracle recomputes
+    from the parquet source, so any compression/decode/shape loss in
+    the npz path diverges."""
+    base = write_npz_store(spark, sf_dir)
+    fm = read_npz_featuremaps(spark, base)
+    cell_sum = (
+        "aggregate(transform(data, x ->"
+        " CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return (
+        fm.groupBy("group", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_tensors"),
+            F.sum(F.col("c") * F.col("h") * F.col("w"))
+            .cast("bigint")
+            .alias("n_cells"),
+            F.sum(F.expr(cell_sum)).cast("bigint").alias("checksum_q"),
+        )
+        .orderBy("group", "stage")
+    )

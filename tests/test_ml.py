@@ -35,6 +35,34 @@ def test_cka_bounds(spark, duck):
     assert ((df.cka >= 0) & (df.cka <= 1 + 1e-9)).all()
 
 
+def test_tsne_kl_decreases_and_separates():
+    """The vendored solver is a real t-SNE: its KL objective decreases
+    over iterations, and planted clusters end up separated."""
+    import numpy as np
+
+    from bigdata_deepfakeanalysis_spark.tsne import tsne_exact
+
+    rng = np.random.RandomState(0)
+    X = np.concatenate(
+        [rng.normal(0, 0.05, (40, 16)), rng.normal(1, 0.05, (40, 16))]
+    )
+    Y, kl = tsne_exact(X, perplexity=15, n_iter=400, seed=42)
+    assert Y.shape == (80, 2)
+    assert np.isfinite(Y).all() and np.isfinite(kl).all()
+    assert len(kl) >= 3 and kl[-1] < kl[0]  # objective actually optimized
+    # cluster separation: within-cluster spread << between-cluster gap
+    c0, c1 = Y[:40].mean(0), Y[40:].mean(0)
+    gap = np.linalg.norm(c0 - c1)
+    spread = max(
+        np.linalg.norm(Y[:40] - c0, axis=1).mean(),
+        np.linalg.norm(Y[40:] - c1, axis=1).mean(),
+    )
+    assert gap > 2 * spread
+    # determinism
+    Y2, _ = tsne_exact(X, perplexity=15, n_iter=400, seed=42)
+    assert np.abs(Y - Y2).max() < 1e-12
+
+
 def test_tsne_shape_and_determinism(spark):
     fn = all_queries()["q_tsne2d"]
     a = fn(spark, SF_DIR).toPandas()

@@ -1,31 +1,70 @@
 """The streaming ops must produce the SAME result via readStream as via
-the batch path — Structured Streaming incrementalizes the same plan."""
+the batch path — Structured Streaming incrementalizes the same plan.
+
+Parameterized over every streaming operator whose plan is runnable in a
+single availableNow drain (tumbling / sliding / session windows, dedup,
+stream-static join). ``drop_late`` is batch-equivalent-only by design:
+its batch form aggregates the stream then joins it back (not a runnable
+streaming plan), and a one-batch availableNow run never advances the
+watermark, so there is nothing to drop — its semantics are covered by
+the q_stream_late_drop oracle check.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import pytest
 
 from bigdata_deepfakeanalysis_spark.catalog import table
-from bigdata_deepfakeanalysis_spark.streaming.batch_equiv import (
-    run_stream_once,
-    stream_events,
-    tumbling_counts,
-)
+from bigdata_deepfakeanalysis_spark.streaming import batch_equiv as BE
 
 from .conftest import SF_SMALL
 
+_CASES = {
+    "tumbling": (
+        lambda spark, ev: BE.tumbling_counts(ev),
+        ["win_start", "event_type"],
+        ["sum_value"],
+    ),
+    "sliding": (
+        lambda spark, ev: BE.sliding_counts(ev),
+        ["win_start"],
+        [],
+    ),
+    "session": (
+        lambda spark, ev: BE.session_counts(ev),
+        ["user_id", "sess_start"],
+        ["sum_value"],
+    ),
+    "dedup": (
+        lambda spark, ev: BE.dedup_keep_first(ev),
+        ["user_id", "event_type"],
+        [],
+    ),
+    "stream_static": (
+        lambda spark, ev: BE.stream_static_join(
+            ev, table(spark, SF_SMALL, "customer")
+        ),
+        ["c_mktsegment"],
+        ["sum_value"],
+    ),
+}
 
-def test_stream_matches_batch(spark):
-    batch = tumbling_counts(table(spark, SF_SMALL, "events")).toPandas()
 
-    stream = stream_events(spark, SF_SMALL)
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_stream_matches_batch(spark, name):
+    build, key, float_cols = _CASES[name]
+    batch = build(spark, table(spark, SF_SMALL, "events")).toPandas()
+
+    stream = BE.stream_events(spark, SF_SMALL)
     assert stream.isStreaming
-    run_stream_once(tumbling_counts(stream), "tumbling_sink")
-    streamed = spark.table("tumbling_sink").toPandas()
+    sink = f"{name}_sink"
+    BE.run_stream_once(build(spark, stream), sink)
+    streamed = spark.table(sink).toPandas()
 
-    key = ["win_start", "event_type"]
     b = batch.sort_values(key).reset_index(drop=True)
     s = streamed.sort_values(key).reset_index(drop=True)
     assert len(b) == len(s) > 0
-    assert (b[key + ["n"]].values == s[key + ["n"]].values).all()
-    assert (abs(b.sum_value - s.sum_value) < 1e-9).all()
+    exact_cols = [c for c in b.columns if c not in float_cols]
+    assert (b[exact_cols].values == s[exact_cols].values).all()
+    for c in float_cols:
+        assert (abs(b[c] - s[c]) < 1e-9).all()
