@@ -1,0 +1,87 @@
+"""Plan-quality assertions (SURVEY §4; task-spec scale requirements).
+
+Correctness says the operators compute the right thing; these tests pin
+the PHYSICAL properties that make them survive a 100 TB scale-up:
+filters pushed to the parquet scan, small dimensions broadcast, hot
+arithmetic inside whole-stage codegen (no Python eval in the row loop),
+Python UDF stages Arrow-vectorized, and no more shuffles than the
+algorithm needs.
+"""
+
+from __future__ import annotations
+
+from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+from .conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_dims_and_pushes_filters(spark):
+    plan = _plan(all_queries()["q5_regional_revenue"](spark, SF_DIR))
+    # every dimension side of the 4-way join is broadcast — no shuffle
+    # of lineitem for the joins themselves
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the date-range and region predicates reach the parquet reader
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+
+
+def test_filter_project_prunes_columns_and_pushes(spark):
+    plan = _plan(all_queries()["q_filter_project"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # column pruning: the scan must not read every lineitem column
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+
+
+def test_ann_hot_path_is_jvm_only(spark):
+    """The fixed-point dot product must stay in codegen — a Python eval
+    node in the scoring loop is the round-1 regression this guards."""
+    for name in ("q_ann_cosine_topk", "q_ann_lsh_bucketed"):
+        plan = _plan(all_queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # the query side is broadcast; the corpus is never shuffled
+        # before scoring (the only shuffles feed the per-query window
+        # and the final presentation sort)
+        assert "Broadcast" in plan, name
+        # Spark's rank-limit pushdown applies partial top-k map-side
+        # BEFORE the window shuffle — the property that keeps per-query
+        # top-k traffic at k rows per partition at scale
+        assert "WindowGroupLimit" in plan, name
+        assert plan.split("Broadcast")[0].count("Exchange") <= 2, name
+
+
+def test_python_udf_stages_are_arrow_vectorized(spark):
+    """Where Python is unavoidable (M1 surrogate featurizer, cosine
+    block-matmul candidates), it must be the Arrow path, never
+    row-at-a-time pickling."""
+    feat_plan = _plan(all_queries()["q_surrogate_features"](spark, SF_DIR))
+    assert "MapInPandas" in feat_plan
+    assert "BatchEvalPython" not in feat_plan
+    cos_plan = _plan(all_queries()["q_cosine_near_dup"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in cos_plan
+    assert "BatchEvalPython" not in cos_plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    """Hash-groupBy dedup is one shuffle (partial agg map-side, final
+    agg reduce-side) — more exchanges would mean a redundant stage."""
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        aug_docs,
+        exact_dedup,
+    )
+
+    plan = _plan(exact_dedup(aug_docs(spark, SF_DIR), "text", "doc_id"))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_stream_static_join_broadcasts_dimension(spark):
+    """The static side must broadcast so the stream never shuffles."""
+    plan = _plan(all_queries()["q_stream_static_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
