@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import EVENTS_US_CTE, table
 from ..registry import query
 from .parity import (
     davg,
@@ -652,4 +652,206 @@ def q_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("s_acctbal") > F.col("nat_avg"))
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round-2 relational widening: grouping sets, pivot, exact percentiles,
+# correlated EXISTS, and a TPC-H-Q7-shaped two-dimension trade rollup.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT r_name, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql("o_totalprice", "total")}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+    ORDER BY r_name NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — explicit GROUPING SETS (the general form rollup/cube are
+    sugar for): per-(region, priority), per-region, and grand-total
+    aggregates in one pass (Spark executes a single Expand + hash agg,
+    not three scans)."""
+    joined = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.groupingSets(
+            [["r_name", "o_orderpriority"], ["r_name"], []],
+            "r_name",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_pivot",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+           {", ".join(
+               f"COUNT(*) FILTER (event_type = '{t}') AS {t}"
+               for t in _EVENT_TYPES
+           )}
+    FROM events_us
+    GROUP BY day ORDER BY day
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts spread into one column per event
+    type (explicit value list → deterministic schema, single shuffle;
+    the oracle spells the same thing as conditional aggregation)."""
+    ev = table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("day")
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 9) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 9) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 9) AS p75
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — exact interpolated percentiles (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` both implement the R-7 (n-1)p rule, so the
+    values agree bit-for-bit after the 1e-9 round)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.50D, 0.75D))"
+            ).alias("q")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("q", 1), 9).alias("p25"),
+            F.round(F.element_at("q", 2), 9).alias("p50"),
+            F.round(F.element_at("q", 3), 9).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_exists_returned",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_exists_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape): orders with at
+    least one returned line, counted per priority. Exercises the SQL
+    front-end (Catalyst rewrites the EXISTS to a left-semi join — same
+    physical plan as the DataFrame semi-join operator)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q7_trade_flows",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE sn.n_name < cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(o_orderdate)
+    ORDER BY supp_nation, cust_nation, o_year
+    """,
+)
+def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped trade-flow rollup: 5-way join with nation joined
+    TWICE (customer side and supplier side), revenue per (supp_nation,
+    cust_nation, year). supplier/nation broadcast; lineitem never
+    shuffles for the joins, only for the final aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "o_year")
     )
