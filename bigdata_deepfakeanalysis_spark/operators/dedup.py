@@ -112,20 +112,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: flatMap, no shuffle until
-    the DISTINCT (which co-partitions by (doc, shingle))."""
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per doc: flatMap (no shuffle); the DISTINCT
+    (one (doc, shingle) shuffle) only when the consumer needs set
+    semantics. MinHash does NOT — MIN over md5 hashes is insensitive to
+    duplicates — so the minhash pipeline passes distinct=False and its
+    only shuffle is the groupBy(doc) computing the K mins. Jaccard
+    (exact set overlap) keeps the DISTINCT."""
     concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
     grams = F.expr(
         f"CASE WHEN size(_t) >= {n} THEN "
         f"transform(sequence(0, size(_t) - {n}), "
         f"p -> concat_ws(' ', {concat_args})) ELSE array() END"
     )
-    return (
+    out = (
         df.withColumn("_t", F.split(F.col(text_col), " "))
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_bands(
@@ -413,8 +420,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12) + LSH(4 bands × 3 rows) candidate pairs over the
-    augmented corpus — finds the planted near-dup variants."""
-    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id")
+    augmented corpus — finds the planted near-dup variants.
+    distinct=False: MIN is duplicate-insensitive, so the shingle-dedup
+    shuffle is skipped (identical result, one shuffle fewer)."""
+    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id", distinct=False)
     pairs = lsh_candidate_pairs(minhash_bands(sh, k=12, band_rows=3))
     return pairs.orderBy("doc_a", "doc_b")
 

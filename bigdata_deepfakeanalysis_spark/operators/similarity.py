@@ -9,7 +9,9 @@ Approximate-nearest-neighbor over ``embeddings.embedding``
   candidate set per query shrinks from N to N/2^bits), with an optional
   multi-probe mode (probe all buckets within Hamming 1) to trade work
   for recall
-- recall measurement: LSH top-k overlap against the exact top-k
+- IVF variant (k-means coarse quantizer, nprobe knob) — the second
+  standard ANN scale path
+- recall measurement: LSH and IVF top-k overlap against the exact top-k
 - fast JVM path: plain double ``zip_with`` dot (rows-only check: its
   top-k set must agree with the exact path)
 
@@ -457,5 +459,130 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall(single, "single")
         .unionByName(recall(multi, "multiprobe1"))
         .unionByName(recall(tables16, "tables16"))
+        .orderBy("strategy", "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-quantizer scale path
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = _IVF_CELLS, seed: int = 42):
+    """Fit a k-means coarse quantizer (MLlib, seeded) and assign every
+    vector to its cell. At 100 TB the assignment is a narrow projection
+    against broadcast centroids and ``cell`` is the partition key — a
+    probe reads nprobe partitions instead of the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn(
+        "_f", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_f", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("_f")
+    return model, assigned
+
+
+@query("q_ann_ivf_recall")  # rows-only: engine-local clustering + recall
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall vs the exact top-3: queries probe their nearest 1 vs 4
+    quantizer cells (nprobe is IVF's recall knob, as tables/probes are
+    LSH's). Candidates are scored with the double JVM dot; recall is
+    |IVF∩exact|/3 per query. Tests assert nprobe=4 ≥ nprobe=1 in the
+    mean."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    k = 3
+    exact = (
+        q_ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rk") <= k)
+        .select("query_id", "cand_id")
+    )
+
+    model, assigned = ivf_assign(emb)
+    corpus = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cvec"),
+        "cell",
+    )
+
+    # rank cells per query by distance to the (broadcast-sized) centroids
+    centroids = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(
+        centroids, "cell int, centroid array<double>"
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qvec", "centroid", lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ranked_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id", "qvec", "cell",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cell"))
+            )
+            .alias("cell_rk"),
+        )
+    )
+
+    def ivf_top(nprobe: int) -> DataFrame:
+        probes = ranked_cells.where(F.col("cell_rk") <= nprobe)
+        scored = (
+            corpus.join(F.broadcast(probes), "cell")
+            .where(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    dot_fast(F.col("qvec"), F.col("cvec"))
+                    / (
+                        F.sqrt(dot_fast(F.col("qvec"), F.col("qvec")))
+                        * F.sqrt(dot_fast(F.col("cvec"), F.col("cvec")))
+                    )
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "cand_id")
+        )
+
+    def recall(found: DataFrame, strategy: str) -> DataFrame:
+        return (
+            exact.join(found, ["query_id", "cand_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .join(exact.groupBy("query_id").count(), "query_id", "right")
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                (F.coalesce("n_overlap", F.lit(0)) / F.col("count"))
+                .alias("recall"),
+            )
+        )
+
+    return (
+        recall(ivf_top(1), "nprobe1")
+        .unionByName(recall(ivf_top(4), "nprobe4"))
         .orderBy("strategy", "query_id")
     )

@@ -79,6 +79,16 @@ def test_ann_fast_consistency_full_overlap(spark):
     assert (df.n_overlap == 5).all()
 
 
+def test_ann_ivf_recall_ladder(spark):
+    """IVF: probing more quantizer cells must buy recall."""
+    df = all_queries()["q_ann_ivf_recall"](spark, SF_DIR).toPandas()
+    mean = df.groupby("strategy")["recall"].mean()
+    assert set(mean.index) == {"nprobe1", "nprobe4"}
+    assert mean["nprobe4"] >= mean["nprobe1"]
+    assert mean["nprobe4"] >= 0.5
+    assert ((df.recall >= 0) & (df.recall <= 1)).all()
+
+
 def test_ann_lsh_recall_ladder(spark):
     """More probes / more tables must buy recall; the 16-table index
     must recover most of the exact top-3 on the fixture."""
