@@ -46,6 +46,7 @@ HEADLINE = [
     "q_salted_distinct",             # salted exact distinct
     "q_stream_session_window",       # gaps-and-islands sessions
     "q_ann_lsh_recall",              # multi-table LSH index vs exact top-k
+    "q_corpus_curation",             # quality filter -> dedup -> lang rollup
 ]
 
 

@@ -276,3 +276,85 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(
         table(spark, sf_dir, "documents"), "text", "doc_id", 8
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the LLM-training-data pipeline, composed)
+# ---------------------------------------------------------------------------
+
+_PIPE_DOCS_CTE = """
+pipe_docs AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, text, lang
+    FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+@query(
+    "q_corpus_curation",
+    f"""
+    WITH {_PIPE_DOCS_CTE.strip()},
+    stats AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})))
+                   AS n_stopwords
+        FROM pipe_docs),
+    kept AS (
+        SELECT * FROM stats
+        WHERE (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END
+               + CASE WHEN n_stopwords * 1.0 / n_tokens BETWEEN 0.01 AND 0.5
+                      THEN 0.5 ELSE 0.0 END) >= 1.0),
+    survivors AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+               MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+        FROM kept GROUP BY md5(text))
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dupes_removed,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               AS mean_tokens
+    FROM survivors GROUP BY lang ORDER BY lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data pipeline over a corpus with planted exact
+    copies: quality-filter (C4-style bands) → exact dedup (min-id
+    survivor per identical text) → per-language rollup with duplicate
+    accounting. One quality pass (zero shuffle), one dedup shuffle on
+    md5(text), one rollup shuffle on lang — the 100 TB shape of the
+    whole curation stage."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang"
+    )
+    pipe = docs.unionByName(copies)
+
+    stats = token_stats(pipe, "text", "doc_id").join(
+        pipe.select("doc_id", "text", "lang"), "doc_id"
+    )
+    scored = quality_score(stats).join(
+        stats.select("doc_id", "text", "lang"), "doc_id"
+    )
+    kept = scored.where(F.col("quality") >= 1.0)
+    survivors = kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).cast("bigint")
+            .alias("n_dupes_removed"),
+            F.expr(
+                "CAST(SUM(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("mean_tokens"),
+        )
+        .orderBy("lang")
+    )
