@@ -284,3 +284,72 @@ def q_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_half(media(spark, sf_dir).where(F.col("media_id") < 100)).orderBy(
         "media_id"
     )
+
+
+_STAGES = (1, 2, 3)
+
+
+def surrogate_multistage(media_df: DataFrame) -> DataFrame:
+    """M3 — multi-stage feature-map extraction shape
+    (``src/feature_map_analysis.py:80-139``: one backbone forward pass
+    emits a list of per-stage maps; UDTF-shaped 1→N rows per image).
+    mapInPandas with per-partition init; the surrogate 'backbone'
+    derives stage s features as md5(hex_payload || '|s<s>') digits, so
+    the whole Python path is SQL-recomputable and oracle-exact."""
+    schema = "media_id bigint, stage int, dim int, feature double"
+
+    n_dims = _N_DIMS
+    stages = _STAGES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib  # per-partition "model init" (X10)
+
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, st, dims, vals = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                hexp = bytes(content).hex()
+                for s in stages:
+                    h = _hashlib.md5(
+                        f"{hexp}|s{s}".encode("ascii")
+                    ).hexdigest()
+                    for d in range(n_dims):
+                        ids.append(mid)
+                        st.append(s)
+                        dims.append(d)
+                        vals.append(int(h[d], 16) / 15.0)
+            yield _pd.DataFrame(
+                {"media_id": ids, "stage": st, "dim": dims, "feature": vals}
+            )
+
+    return media_df.select("media_id", "content").mapInPandas(run, schema)
+
+
+@query(
+    "q_multistage_features",
+    f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT media_id, stage, dim,
+           ROUND((instr('0123456789abcdef',
+                        substr(md5(hex_payload || '|s' ||
+                                   CAST(stage AS VARCHAR)),
+                               dim + 1, 1)) - 1)
+                 / 15.0, 9) AS feature
+    FROM media,
+         (SELECT UNNEST([{", ".join(str(s) for s in _STAGES)}]) AS stage),
+         (SELECT UNNEST(range(0, {_N_DIMS})) AS dim)
+    WHERE media_id < 40
+    ORDER BY media_id, stage, dim
+    """,
+)
+def q_multistage_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — the UDTF-shaped multi-stage extractor (1 image → stages ×
+    dims rows) checked exactly against SQL recomputing the same
+    per-stage hash features."""
+    feats = surrogate_multistage(
+        media(spark, sf_dir).where(F.col("media_id") < 40)
+    )
+    return feats.withColumn("feature", F.round("feature", 9)).orderBy(
+        "media_id", "stage", "dim"
+    )
