@@ -106,6 +106,77 @@ def drop_late(events: DataFrame, delay: str = "1 hour") -> DataFrame:
     return events.join(F.broadcast(horizon)).where(F.col("ts") >= F.col("wm"))
 
 
+def record_breakers(events: DataFrame) -> DataFrame:
+    """Per-user record-breaking events: rows whose ``value`` strictly
+    exceeds the running max of every earlier event (ordered by
+    (ts, event_id)); the first event per user is a breaker by
+    definition. Batch form of the custom stateful operator below —
+    comparisons only, no float arithmetic, so batch / stream / oracle
+    agree bit-exactly on the parquet doubles."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        events.withColumn("_prior_max", F.max("value").over(w))
+        .where(
+            F.col("_prior_max").isNull()
+            | (F.col("value") > F.col("_prior_max"))
+        )
+        .select(
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts"),
+            "event_id",
+            "value",
+        )
+    )
+
+
+def record_breakers_stateful(stream: DataFrame) -> DataFrame:
+    """The same operator as a CUSTOM STATEFUL streaming op
+    (``applyInPandasWithState``, SURVEY §2.10 extension): per-user state
+    is one double (the running max), each micro-batch emits only the
+    rows that beat it and folds the batch's max back into state. State
+    is O(1) per key — the 100 TB shape for "emit improvements over
+    all history" where a windowed agg would have to retain every event.
+    Requires per-key in-order arrival across micro-batches (holds for
+    the one-file-per-trigger replay source here; a production deployment
+    pairs it with an ordered source per key, e.g. Kafka partitions)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, ts string, event_id bigint, value double"
+    state_schema = "max_value double"
+
+    def fn(key, pdfs, state: GroupState):
+        cur = state.get[0] if state.exists else None
+        ids, tss, vals = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                if cur is None or val > cur:
+                    ids.append(eid)
+                    tss.append(ts.strftime("%Y-%m-%d %H:%M:%S"))
+                    vals.append(val)
+                    cur = val
+        if cur is not None:
+            state.update((float(cur),))
+        import pandas as _pd
+
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ids),
+                "ts": tss,
+                "event_id": ids,
+                "value": vals,
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static join: enrich events with the customer dimension
     (broadcast — the stream side never shuffles), roll up by segment."""
@@ -160,13 +231,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_stream_once(transformed: DataFrame, sink_name: str) -> None:
-    """Drain the stream into a memory sink (complete mode) — tests
-    compare the sink table against the batch result."""
+def run_stream_once(
+    transformed: DataFrame, sink_name: str, mode: str = "complete"
+) -> None:
+    """Drain the stream into a memory sink — tests compare the sink
+    table against the batch result. ``mode="append"`` for stateful ops
+    (applyInPandasWithState emits append-only output)."""
     q = (
         transformed.writeStream.format("memory")
         .queryName(sink_name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -278,6 +352,29 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.date_format(F.min("ts"), _FMT).alias("first_kept_ts"),
     )
+
+
+@query(
+    "q_stream_record_breakers",
+    f"""
+    WITH {EVENTS_US_CTE},
+    w AS (
+        SELECT user_id, ts, event_id, value,
+               MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS pm
+        FROM events_us)
+    SELECT user_id, strftime(ts, '{_FMT_DUCK}') AS ts, event_id, value
+    FROM w WHERE pm IS NULL OR value > pm
+    ORDER BY user_id, event_id
+    """,
+)
+def q_stream_record_breakers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful op (record-breaking events per user), checked via
+    its batch window-function equivalent; the applyInPandasWithState
+    path is asserted batch≡stream in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return record_breakers(ev).orderBy("user_id", "event_id")
 
 
 @query(

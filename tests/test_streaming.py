@@ -50,6 +50,24 @@ _CASES = {
 }
 
 
+def test_stateful_record_breakers_matches_batch(spark):
+    """applyInPandasWithState custom stateful op == batch window form.
+    Comparisons only (no float arithmetic) so equality is exact."""
+    batch = BE.record_breakers(table(spark, SF_SMALL, "events")).toPandas()
+
+    stream = BE.stream_events(spark, SF_SMALL)
+    BE.run_stream_once(
+        BE.record_breakers_stateful(stream), "breakers_sink", mode="append"
+    )
+    streamed = spark.table("breakers_sink").toPandas()
+
+    key = ["user_id", "event_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    assert (b[b.columns].values == s[b.columns].values).all()
+
+
 @pytest.mark.parametrize("name", sorted(_CASES))
 def test_stream_matches_batch(spark, name):
     build, key, float_cols = _CASES[name]
