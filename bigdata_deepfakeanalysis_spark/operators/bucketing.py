@@ -1,0 +1,95 @@
+"""Bucketed tables + shuffle-free co-located joins (SURVEY §2 scale
+extension; the reference joins in-process dicts —
+``src/compare_xception_featuremaps.py:30-44`` pairs files by stem — so
+its "join" never pays a shuffle; at 100 TB the Spark equivalent is a
+bucketed join).
+
+The core 100 TB lever: a fact-fact join (lineitem ⋈ orders on orderkey)
+normally shuffles BOTH sides every query. Writing both tables bucketed
+(``bucketBy(N, key)`` + ``sortBy``) pays that shuffle ONCE at ingest;
+every later join on the bucket key is a zero-Exchange sort-merge join —
+Catalyst sees the matching ``HashPartitioning(key, N)`` output
+partitioning on both scans and elides the shuffle (and with ``sortBy``
+the per-bucket sort too). ``tests/test_plans.py`` asserts the physical
+plan has no Exchange under the join.
+
+Bucket-count policy at scale: pick N so each bucket of the LARGER table
+is ~128-256 MB (100 TB lineitem → ~500k buckets is too many files; in
+practice N in the thousands + partitioning by date prunes first). Here
+N=8 keeps the sf0.01 fixture tiny.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import staging_dir, table
+from ..registry import query
+from .parity import dmul2_sum, dmul2_sum_sql
+
+_N_BUCKETS = 8
+
+
+def stage_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem as bucketed, per-bucket-sorted external
+    tables keyed by orderkey (idempotent per session + SF: the catalog
+    entry is the marker; data lands under the staging root so a
+    sandboxed driver can redirect it via $SPARK_GRAFT_STAGING_DIR)."""
+    tag = Path(sf_dir).name.replace(".", "_")
+    names = []
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(name):
+            path = staging_dir(f"bucketed_{tag}") / tbl
+            (
+                table(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", str(path))
+                .saveAsTable(name)
+            )
+        names.append(name)
+    return tuple(names)
+
+
+def bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders on the shared bucket key, rolled up per order
+    priority — the join itself is shuffle-free (both scans expose
+    HashPartitioning(orderkey, 8))."""
+    orders_t, lineitem_t = stage_bucketed(spark, sf_dir)
+    orders = spark.table(orders_t)
+    lineitem = spark.table(lineitem_t)
+    return (
+        lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_bucketed_join",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over bucketed tables; the oracle
+    runs the identical join over the plain parquet (bucketing is a
+    physical property — results must be identical)."""
+    return bucketed_order_revenue(spark, sf_dir)

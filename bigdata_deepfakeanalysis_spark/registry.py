@@ -73,6 +73,7 @@ def _load_all() -> None:
     from . import explainability  # noqa: F401
     # disk-staging fixtures last
     from .operators import sources  # noqa: F401
+    from .operators import bucketing  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -80,6 +80,35 @@ def test_exact_dedup_single_shuffle(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both scans expose HashPartitioning(orderkey, 8) from bucketing,
+    so the fact-fact join runs with ZERO Exchange under it — the
+    pay-the-shuffle-once-at-ingest property that makes repeated
+    100 TB fact joins affordable. Broadcast is disabled to prove the
+    co-location (at real scale neither side would broadcast anyway)."""
+    from bigdata_deepfakeanalysis_spark.operators.bucketing import (
+        stage_bucketed,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders_t, lineitem_t = stage_bucketed(spark, SF_DIR)
+        from pyspark.sql import functions as F
+
+        joined = spark.table(lineitem_t).join(
+            spark.table(orders_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stream_static_join_broadcasts_dimension(spark):
     """The static side must broadcast so the stream never shuffles."""
     plan = _plan(all_queries()["q_stream_static_join"](spark, SF_DIR))
