@@ -468,3 +468,76 @@ def q_tsne2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsne2d(grouped_embeddings(spark, sf_dir), cap=50).orderBy(
         "group", "image_key"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (corpus curation: cluster-and-inspect; also the
+# coarse quantizer that similarity.ivf_assign trains per-query)
+# ---------------------------------------------------------------------------
+
+def kmeans_profile(
+    emb: DataFrame, k: int = 8, seed: int = 42
+) -> DataFrame:
+    """Distributed k-means over the embedding column, emitting one row
+    per cluster: size + mean distance to the centroid. Cluster ids are
+    relabeled by (size desc, original id) so output is stable across
+    runs with the same seed even if MLlib renumbers.
+
+    Scale shape: MLlib KMeans is the scale path (broadcast centroids,
+    map-side assignment, treeAggregate updates — no all-pairs stage);
+    the profile is one groupBy(cluster) over k<<N groups."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feat)
+    assigned = model.transform(feat)
+    centers = [
+        (int(i), [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cdf = assigned.sparkSession.createDataFrame(
+        centers, "cluster int, centroid array<double>"
+    )
+    from pyspark.ml.functions import vector_to_array
+
+    prof = (
+        assigned.select(
+            "vec_id",
+            F.col("prediction").alias("cluster"),
+            vector_to_array("features").alias("v"),
+        )
+        .join(F.broadcast(cdf), "cluster")
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        "v", "centroid", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist"), 6).alias("mean_dist"),
+        )
+    )
+    w = Window.orderBy(F.desc("n"), "cluster")
+    return (
+        prof.withColumn("rank", F.row_number().over(w))
+        .select("rank", "n", "mean_dist")
+        .orderBy("rank")
+    )
+
+
+@query("q_kmeans_clusters")  # rows-only: cluster assignment engine-local
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering profile (k=8). Invariants (tests): k rows,
+    sizes sum to corpus size, deterministic across runs (same seed)."""
+    return kmeans_profile(table(spark, sf_dir, "embeddings"))

@@ -855,3 +855,90 @@ def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"))
         .orderBy("supp_nation", "cust_nation", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q14-shaped promo revenue ratio: conditional aggregate over a
+# dimension join (CASE inside SUM; ratio of two decimal-exact sums).
+# --------------------------------------------------------------------------
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    WITH sums AS (
+        SELECT
+            {dmul2_sum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END", "1 - l_discount", "promo_revenue")},
+            {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "total_revenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01')
+    SELECT promo_revenue, total_revenue,
+           ROUND(100.0 * promo_revenue / total_revenue, 9) AS promo_pct
+    FROM sums
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: the part dimension broadcasts (it is orders of
+    magnitude under lineitem at every SF); the date filter is pushed to
+    the lineitem scan; ratio of two order-independent decimal sums."""
+    lineitem = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = table(spark, sf_dir, "part")
+    promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END"
+    joined = lineitem.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        dmul2_sum(promo, "1 - l_discount", "promo_revenue"),
+        dmul2_sum("l_extendedprice", "1 - l_discount", "total_revenue"),
+    ).select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 9
+        ).alias("promo_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q19-shaped disjunctive-predicate join: OR-of-conjunctions mixing
+# both sides' columns — the planner must keep the equi-join key and
+# apply the residual disjunction as a post-join filter.
+# --------------------------------------------------------------------------
+
+_Q19_COND = """(
+    (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 11)
+ OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        AND l_quantity BETWEEN 10 AND 20)
+ OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        AND l_quantity BETWEEN 20 AND 30))"""
+
+
+@query(
+    "q19_disjunctive_join",
+    f"""
+    SELECT COUNT(*) AS n_items,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")}
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE {_Q19_COND}
+    """,
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: broadcast equi-join on partkey with the OR-of-ANDs as
+    a residual; Catalyst pushes the p_brand/p_size disjunction's common
+    implications to the part scan."""
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .where(F.expr(_Q19_COND))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"),
+        )
+    )

@@ -586,3 +586,102 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recall(ivf_top(4), "nprobe4"))
         .orderBy("strategy", "query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 storage quantization (scalar quantization — the 4x memory lever
+# that lets a 100 TB float32 embedding corpus fit hot in executor memory
+# for the ANN scan; FAISS's SQ8 is the reference pattern)
+# ---------------------------------------------------------------------------
+
+def sq8_profile(emb: DataFrame, dim: int = _DIM) -> DataFrame:
+    """Per-dimension scalar quantization to 256 bins: global per-dim
+    [lo, hi] range, ``code = min(floor((v-lo)/(hi-lo)*256), 255)``,
+    dequantized midpoint ``lo + (code+0.5)/256*(hi-lo)``. Emits the
+    64-row per-dim profile (range, codes used, mean |error|).
+
+    Scale shape: posexplode → partial min/max agg (shuffle carries 64
+    rows per map partition), 64-row stats broadcast back, coding is
+    per-row codegen arithmetic. Every arithmetic step is the identical
+    IEEE-754 double expression on both engines (floor, not round —
+    cross-engine tie-breaking of round() differs; the final mean goes
+    through DECIMAL for order independence)."""
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("dim", "v")
+                    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    coded = (
+        ex.join(F.broadcast(stats), "dim")
+        .withColumn(
+            "code",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * 256
+                    ),
+                    F.lit(255),
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "err",
+            F.abs(
+                F.col("v")
+                - (
+                    F.col("lo")
+                    + (F.col("code") + 0.5)
+                    / 256
+                    * (F.col("hi") - F.col("lo"))
+                )
+            ),
+        )
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.round(F.min("lo"), 9).alias("lo"),
+            F.round(F.min("hi"), 9).alias("hi"),
+            F.countDistinct("code").alias("codes_used"),
+            F.round(
+                F.expr(
+                    "CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE)"
+                    " / COUNT(*)"
+                ),
+                9,
+            ).alias("avg_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+@query(
+    "q_embedding_sq8",
+    f"""
+    WITH ex AS (
+        SELECT vec_id, dim,
+               CAST(embedding[dim + 1] AS DOUBLE) AS v
+        FROM embeddings, (SELECT UNNEST(range(0, {_DIM})) AS dim)),
+    stats AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY dim),
+    coded AS (
+        SELECT ex.dim, v, lo, hi,
+               CASE WHEN hi = lo THEN 0
+                    ELSE CAST(LEAST(FLOOR((v - lo) / (hi - lo) * 256),
+                                    255) AS INTEGER) END AS code
+        FROM ex JOIN stats ON ex.dim = stats.dim),
+    erred AS (
+        SELECT dim, lo, hi, code,
+               ABS(v - (lo + (code + 0.5) / 256 * (hi - lo))) AS err
+        FROM coded)
+    SELECT dim, ROUND(MIN(lo), 9) AS lo, ROUND(MIN(hi), 9) AS hi,
+           COUNT(DISTINCT code) AS codes_used,
+           ROUND(CAST(SUM(CAST(err AS DECIMAL(18,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS avg_abs_err
+    FROM erred GROUP BY dim ORDER BY dim
+    """,
+)
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 per-dimension quantization profile, oracle-exact."""
+    return sq8_profile(table(spark, sf_dir, "embeddings"))

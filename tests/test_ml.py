@@ -99,3 +99,14 @@ def test_ann_lsh_recall_ladder(spark):
     assert mean["tables16"] >= mean["multiprobe1"]
     assert mean["tables16"] >= 0.6
     assert ((df.recall >= 0) & (df.recall <= 1)).all()
+
+
+def test_kmeans_cluster_profile(spark):
+    """k clusters, sizes partition the corpus, deterministic re-run."""
+    a = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
+    assert len(a) == 8
+    assert a["n"].sum() == 500
+    assert (a["n"].values == sorted(a["n"].values, reverse=True)).all()
+    assert (a["mean_dist"] > 0).all()
+    b = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
