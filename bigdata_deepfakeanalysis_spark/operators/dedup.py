@@ -579,3 +579,121 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(aug_emb(spark, sf_dir), "label", 0.999).orderBy(
         "vec_a", "vec_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: candidate pairs -> connected components -> one
+# canonical doc per cluster. The step after LSH that real corpus dedup
+# needs (keep one survivor per component, not per pair).
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over the undirected pair graph: every node
+    starts labeled with its own id; each round takes the min of its and
+    its neighbors' labels; converges in O(component diameter) rounds
+    (near-dup components are band-join cliques — diameter 1-2, so 2-3
+    rounds in practice). Each round is one shuffle-join + one groupBy;
+    the driver only checks a scalar changed-count per round (the
+    GraphFrames large-star/small-star optimization applies at 100 TB if
+    components were ever deep chains). Returns (id, component)."""
+    edges = pairs.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.withColumnRenamed("id", "dst"), "dst"
+                )
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_min"))
+                .withColumnRenamed("src", "id")
+            )
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("nbr_min", F.col("label")),
+                    ).alias("label"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.withColumnRenamed("label", "new_label")
+                .join(labels, "id")
+                .where(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("id", F.col("label").alias("component"))
+    finally:
+        edges.unpersist()
+
+
+@query(
+    "q_dedup_components",
+    f"""
+    WITH RECURSIVE {AUG_DOCS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    hashed AS (
+        SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '|' || sh) AS h
+        FROM shingles, (SELECT UNNEST(range(0, 12)) AS i)),
+    mins AS (
+        SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+    bands AS (
+        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+               string_agg(mh, '|' ORDER BY i) AS sig
+        FROM mins GROUP BY doc_id, i // 3),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+    SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+    GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup components over the MinHash+LSH candidate pairs: each
+    clustered doc labeled with its component (= min doc id reachable);
+    the oracle computes the same components via a recursive transitive
+    closure."""
+    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id", distinct=False)
+    pairs = lsh_candidate_pairs(minhash_bands(sh, k=12, band_rows=3))
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")

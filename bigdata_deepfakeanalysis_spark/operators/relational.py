@@ -942,3 +942,44 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Window distribution functions: ntile / percent_rank / cume_dist over
+# partitioned frames (rounds out §2.5 beyond rank/lag/frames).
+# --------------------------------------------------------------------------
+
+@query(
+    "q_window_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM customer
+    WHERE c_custkey < 300
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — deterministic total order inside
+    each partition (acctbal DESC, custkey tiebreak) so ranks are
+    engine-stable; round() guards the percent arithmetic."""
+    from pyspark.sql.window import Window as W
+
+    cust = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -358,3 +358,59 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — real Python UDTF (table function): one doc row → N (pos,
+# bigram) rows via a lateral join. Completes the UDF surface (pandas
+# UDF / mapInPandas / applyInPandas / applyInPandasWithState are
+# exercised elsewhere; this is the genuine ``@udtf`` API, not just the
+# explode idiom). The UDTF path is per-row Python — correct but not the
+# scale path; the codegen equivalent for 100 TB is ``dedup.shingles``.
+# The oracle recomputes the identical rows with string_split, proving
+# the Python table function is SQL-equivalent.
+# ---------------------------------------------------------------------------
+
+def _make_bigram_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class BigramUDTF:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = [t for t in (text or "").split(" ") if t]
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    return BigramUDTF
+
+
+@query(
+    "q_udtf_bigrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts
+        FROM documents WHERE doc_id < 20),
+    filtered AS (
+        SELECT doc_id, list_filter(ts, t -> t <> '') AS ts FROM toks),
+    pos AS (
+        SELECT doc_id, ts, UNNEST(range(0, greatest(len(ts) - 1, 0))) AS pos
+        FROM filtered)
+    SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+           ts[pos + 1] || ' ' || ts[pos + 2] AS bigram
+    FROM pos ORDER BY doc_id, pos
+    """,
+)
+def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF lateral join: documents → (pos, bigram) rows."""
+    BigramUDTF = _make_bigram_udtf()
+    spark.udtf.register("bigrams", BigramUDTF)
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.pos, b.bigram
+        FROM _udtf_docs d,
+             LATERAL bigrams(d.doc_id, d.text) b
+        ORDER BY d.doc_id, b.pos
+        """
+    )
