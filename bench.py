@@ -47,6 +47,10 @@ HEADLINE = [
     "q_stream_session_window",       # gaps-and-islands sessions
     "q_ann_lsh_recall",              # multi-table LSH index vs exact top-k
     "q_corpus_curation",             # quality filter -> dedup -> lang rollup
+    "q_dedup_components",            # near-dup clusters (min-label prop)
+    "q_bucketed_join",               # zero-Exchange co-located fact join
+    "q_embedding_sq8",               # int8 scalar quantization profile
+    "q14_promo_revenue",             # conditional-agg ratio over dim join
 ]
 
 

@@ -377,3 +377,38 @@ def q_npz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "stage")
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_acctbal
+    FROM customer
+    WHERE c_custkey < 500
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — ORC columnar round-trip (zlib): customer → ORC → read back →
+    aggregate; values must survive the second columnar format. The read
+    side keeps predicate pushdown (ORC min/max stripes) — same scan
+    contract as parquet."""
+    rt = staging_dir("roundtrip")
+    orc_path = str(rt / "customer_orc")
+    table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < 500
+    ).write.mode("overwrite").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
