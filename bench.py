@@ -98,6 +98,10 @@ def main() -> None:
         "n_queries": len(timings),
         "skipped": missing,
         "setup_sec": round(time.time() - t_setup - total, 1),
+        # cache policy marker: tables are cached before timing (warm
+        # run — operator cost, not scan setup). BENCH_r01 was cold;
+        # r02+ are warm — compare rounds with the same flag only.
+        "warm_cache": True,
     }
     print(json.dumps(out))
 

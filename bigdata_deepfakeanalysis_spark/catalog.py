@@ -31,29 +31,58 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+# events.ts is parquet TIMESTAMP(NANOS); reading it with this
+# user-specified schema forces the physical INT64 through as a long.
+# Depending on the Spark build the long comes back as NANOS (legacy
+# nanosAsLong behavior) or µs (the 4.x TIMESTAMP_NTZ conversion path) —
+# _events_ts_ns normalizes either to exact nanos by magnitude (epoch-µs
+# ≈ 1.7e15 vs epoch-ns ≈ 1.7e18; the generator's timestamps are whole
+# µs, so µs*1000 is exact).
+EVENTS_READ_SCHEMA = (
+    "event_id long, ts long, user_id long,"
+    " event_type string, value double, props string"
+)
+
+_NS_MAGNITUDE = 10**17
+
+
+def events_select(df: DataFrame) -> DataFrame:
+    """Normalize a raw events scan (EVENTS_READ_SCHEMA) to the engine
+    shape: µs-truncated ``ts`` timestamp (for window/streaming APIs) +
+    exact ``ts_ns`` bigint (for oracle-exact arithmetic)."""
+    from pyspark.sql import functions as F
+
+    is_ns = F.col("ts") >= F.lit(_NS_MAGNITUDE)
+    # integer div only: float division of epoch-ns longs (≈1.7e18) would
+    # round through double above 2^53
+    ts_us = F.when(is_ns, F.expr("ts div 1000")).otherwise(F.col("ts"))
+    ts_ns = F.when(is_ns, F.col("ts")).otherwise(F.col("ts") * 1000)
+    return df.select(
+        "event_id",
+        F.timestamp_micros(ts_us).alias("ts"),
+        ts_ns.alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Column pruning + predicate pushdown reach the
     parquet reader because we return the raw declarative scan.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively (µs max) — we read nanos as int64 and expose BOTH the exact
-    ``ts_ns`` (bigint, for oracle-exact arithmetic) and a µs-truncated
-    ``ts`` timestamp (for window/streaming APIs). Oracle SQL mirrors the
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's native
+    timestamp type cannot hold (µs max) — we force the INT64 through as
+    a long (see EVENTS_READ_SCHEMA) and expose BOTH the exact ``ts_ns``
+    (bigint) and a µs-truncated ``ts`` timestamp. Oracle SQL mirrors the
     truncation with ``make_timestamp(epoch_ns(ts)//1000)``.
     """
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.select(
-            "event_id",
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            F.col("ts").alias("ts_ns"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
+        return events_select(
+            spark.read.schema(EVENTS_READ_SCHEMA).parquet(
+                f"{sf_dir}/{name}.parquet"
+            )
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -181,6 +181,51 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_verify(
+    cands: DataFrame,
+    sh_df: DataFrame,
+    min_common: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard rescore of candidate pairs (the verification
+    stage downstream of LSH): ``cands`` is (doc_a, doc_b), ``sh_df`` is
+    the DISTINCT (doc_id, sh) shingle set.
+
+    Plan: candidate pairs expand by doc_a's shingles, then an equi-join
+    on (doc_b, sh) counts the intersection — work is
+    O(|candidates| × shingles/doc), never quadratic in document
+    frequency (the round-2 version self-joined the raw shingle table on
+    ``sh``, which a high-DF stop-shingle turns into a quadratic bucket
+    at corpus scale). Union size comes from per-doc shingle counts:
+    |A∪B| = |A| + |B| - |A∩B|."""
+    sizes = sh_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cands.join(
+            sh_df.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            sh_df.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 × 16-bit band columns ``(doc_id, b0..b3)``.
 
@@ -369,6 +414,25 @@ shingles AS (
     FROM shingled)
 """
 
+# MinHash(K=12) banding → LSH candidate pairs — shared by the minhash,
+# jaccard-verify, and components oracles (mirrors minhash_bands +
+# lsh_candidate_pairs exactly).
+_MINHASH_PAIRS_CTE = """
+hashed AS (
+    SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '|' || sh) AS h
+    FROM shingles, (SELECT UNNEST(range(0, 12)) AS i)),
+mins AS (
+    SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
+bands AS (
+    SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
+           string_agg(mh, '|' ORDER BY i) AS sig
+    FROM mins GROUP BY doc_id, i // 3),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+"""
+
 
 @query(
     "q_exact_dedup",
@@ -402,19 +466,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {AUG_DOCS_CTE.strip()},
     {_SHINGLES_CTE.strip()},
-    hashed AS (
-        SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '|' || sh) AS h
-        FROM shingles, (SELECT UNNEST(range(0, 12)) AS i)),
-    mins AS (
-        SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
-    bands AS (
-        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
-               string_agg(mh, '|' ORDER BY i) AS sig
-        FROM mins GROUP BY doc_id, i // 3),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+    {_MINHASH_PAIRS_CTE.strip()}
     SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
     """,
 )
@@ -485,12 +537,14 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {AUG_DOCS_CTE.strip()},
     {_SHINGLES_CTE.strip()},
+    {_MINHASH_PAIRS_CTE.strip()},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a JOIN shingles b
-          ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN shingles a ON a.doc_id = p.doc_a
+        JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY p.doc_a, p.doc_b
         HAVING COUNT(*) >= 5)
     SELECT doc_a, doc_b,
            ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 9) AS jaccard
@@ -502,63 +556,50 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard >= 0.5 over pairs sharing >= 5 shingles —
-    the verification stage downstream of LSH candidates."""
-    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= 5)
+    """Exact 3-gram Jaccard >= 0.5 verification of the MinHash-LSH
+    candidate pairs — the full candidate-generation → exact-rescore
+    near-dup pipeline. Candidates come from ``lsh_candidate_pairs``
+    (bucketed, bounded); the exact intersection join touches only
+    candidate pairs, so no shared-shingle self-join appears in the plan
+    (the round-2 scale hazard — a high-document-frequency shingle made
+    a quadratic bucket)."""
+    aug = aug_docs(spark, sf_dir)
+    sh = shingles(aug, "text", "doc_id")
+    cands = lsh_candidate_pairs(
+        minhash_bands(
+            shingles(aug, "text", "doc_id", distinct=False), k=12, band_rows=3
+        )
     )
-    return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
-                9,
-            ),
-        )
-        .where(
-            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-            >= 0.5
-        )
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+    return jaccard_verify(cands, sh, min_common=5, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
     )
 
 
-@query(
-    "q_cosine_near_dup",
-    f"""
+def _cosine_near_dup_oracle() -> str:
+    """Bucket-blocked quantized-cosine oracle; mirrors lsh_bucket's
+    hyperplane derivation via similarity._BUCKET_SQL."""
+    from .similarity import _BUCKET_SQL
+
+    return f"""
     WITH {AUG_EMB_CTE.strip()},
     qv AS (
         SELECT vec_id, label,
                list_transform(vec,
                    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
         FROM aug_emb),
+    {_BUCKET_SQL.strip()},
     cells AS (
-        SELECT vec_id, label, pos, q[pos + 1] AS qval
+        SELECT vec_id, pos, q[pos + 1] AS qval
         FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
     norms AS (
         SELECT vec_id, SUM(qval * qval) AS n2 FROM cells GROUP BY vec_id),
     dots AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                SUM(a.qval * b.qval) AS dot
-        FROM cells a JOIN cells b
-          ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+        FROM cells a
+        JOIN cells b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        JOIN buckets ba ON ba.vec_id = a.vec_id
+        JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
         GROUP BY a.vec_id, b.vec_id)
     SELECT vec_a, vec_b,
            ROUND(CAST(dot AS DOUBLE)
@@ -571,14 +612,45 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (SQRT(CAST(na.n2 AS DOUBLE))
                    * SQRT(CAST(nb.n2 AS DOUBLE))), 9) >= 0.999
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@query("q_cosine_near_dup", _cosine_near_dup_oracle())
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: label-blocked pairs with cosine >=
-    0.999 — catches the planted scaled copies (cosine exactly 1)."""
-    return cosine_pairs(aug_emb(spark, sf_dir), "label", 0.999).orderBy(
-        "vec_a", "vec_b"
+    """Embedding-cosine near-dup with the sign-LSH bucket as the block
+    key (16 buckets from 4 md5-derived integer hyperplanes —
+    ``similarity.lsh_bucket``): pairs within a bucket with cosine >=
+    0.999 catch the planted scaled copies (scaling preserves every
+    projection sign, so a copy always lands in its original's bucket).
+    The round-2 block key was the 2-value ``label`` column — O((N/2)²)
+    pairs per block at scale; a quantizer bucket bounds block size.
+    The oracle mirrors the identical bucket derivation (integer
+    arithmetic — signs can never disagree between engines), so the
+    check stays hash-exact. The k-means IVF-cell variant is
+    ``q_cosine_near_dup_ivf`` (rows-only: cells are engine-local)."""
+    from .similarity import lsh_bucket, quantize
+
+    blocked = (
+        aug_emb(spark, sf_dir)
+        .withColumn("_q", quantize("vec"))
+        .withColumn("bucket", lsh_bucket("_q"))
     )
+    return cosine_pairs(blocked, "bucket", 0.999).orderBy("vec_a", "vec_b")
+
+
+@query("q_cosine_near_dup_ivf")  # rows-only: k-means cells engine-local
+def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup blocked by the IVF coarse-quantizer cell
+    (``similarity.ivf_assign`` — MLlib k-means, broadcast centroids):
+    the production blocking when an IVF index already exists. Cluster
+    assignment is engine-local, so the driver check is rows-only;
+    pytest asserts the pair set covers every planted scaled copy (a
+    scaled vector has cosine 1 with its original and k-means assigns
+    both to the same centroid)."""
+    from .similarity import ivf_assign
+
+    _, assigned = ivf_assign(aug_emb(spark, sf_dir), vec_col="vec")
+    return cosine_pairs(assigned, "cell", 0.999).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------
@@ -621,6 +693,7 @@ def connected_components(
         .cache()
     )
     try:
+        changed = -1
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(
@@ -651,6 +724,15 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # partial labels would silently diverge from the exact
+            # transitive closure — fail loud (a component deeper than
+            # max_iter means the caller should raise it or switch to
+            # the GraphFrames large-star/small-star variant)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing)"
+            )
         return labels.select("id", F.col("label").alias("component"))
     finally:
         edges.unpersist()
@@ -661,19 +743,7 @@ def connected_components(
     f"""
     WITH RECURSIVE {AUG_DOCS_CTE.strip()},
     {_SHINGLES_CTE.strip()},
-    hashed AS (
-        SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '|' || sh) AS h
-        FROM shingles, (SELECT UNNEST(range(0, 12)) AS i)),
-    mins AS (
-        SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
-    bands AS (
-        SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
-               string_agg(mh, '|' ORDER BY i) AS sig
-        FROM mins GROUP BY doc_id, i // 3),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    {_MINHASH_PAIRS_CTE.strip()},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION

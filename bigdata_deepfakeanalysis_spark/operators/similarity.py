@@ -470,7 +470,12 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS = 16
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = _IVF_CELLS, seed: int = 42):
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = _IVF_CELLS,
+    seed: int = 42,
+    vec_col: str = "embedding",
+):
     """Fit a k-means coarse quantizer (MLlib, seeded) and assign every
     vector to its cell. At 100 TB the assignment is a narrow projection
     against broadcast centroids and ``cell`` is the partition key — a
@@ -479,7 +484,7 @@ def ivf_assign(emb: DataFrame, n_cells: int = _IVF_CELLS, seed: int = 42):
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn(
-        "_f", array_to_vector(F.col("embedding").cast("array<double>"))
+        "_f", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_f", predictionCol="cell"

@@ -60,23 +60,32 @@ def lang_profile(spark: SparkSession) -> DataFrame:
 # Engine ops
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame, *key_cols) -> DataFrame:
+    """Repartition up to default parallelism ONLY when the input is
+    under-split (e.g. a single local parquet file scanning as 1-2
+    partitions, which would serialize a row-exploding stage). At 100 TB
+    inputs arrive pre-split, the guard is false, and no Exchange enters
+    the plan — the round-2 version repartitioned unconditionally, a
+    pure-overhead full shuffle on pre-split inputs."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *key_cols) if key_cols else df.repartition(par)
+
+
 def char_ngrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Explode a text column into its character k-grams. flatMap only —
-    no shuffle. Splits to a char array once so each gram is k O(1)
-    lookups (substr-per-gram would be O(len) each → quadratic per doc)."""
+    no shuffle (input-parallelism guard aside). Splits to a char array
+    once so each gram is k O(1) lookups (substr-per-gram would be
+    O(len) each → quadratic per doc)."""
     concat_args = ", ".join(f"_c[p + {j}]" for j in range(k))
     grams = F.expr(
         f"CASE WHEN length({text_col}) >= {k} THEN "
         f"transform(sequence(0, length({text_col}) - {k}), "
         f"p -> concat({concat_args})) ELSE array() END"
     )
-    # Normalize input parallelism before the row-exploding stage: a
-    # single-file scan is one partition, which would serialize the whole
-    # explode (at 100 TB inputs arrive pre-split; locally they don't).
-    # Partitioning by id also co-locates the downstream per-doc groupBys.
-    par = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.repartition(par, F.col(id_col))
+        _spread(df, F.col(id_col))
         .withColumn("_c", F.split(F.col(text_col), ""))
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
     )
@@ -96,9 +105,8 @@ def lang_scores(docs: DataFrame, profile: DataFrame) -> DataFrame:
     cells = ", ".join(
         f"'{l}', {w}, regexp_count(text, '(?={g})')" for g, l, w in rows
     )
-    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(par)
+        _spread(docs)
         .selectExpr(
             "doc_id",
             f"stack({len(rows)}, {cells}) AS (cand_lang, weight, cnt)",

@@ -206,29 +206,28 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from pathlib import Path
 
-    from ..catalog import staging_dir
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from ..catalog import EVENTS_READ_SCHEMA, events_select, staging_dir
     # The file stream source requires a directory; stage the events file
     # into a fixed, marker-gated directory keyed by the SF dir (a fresh
     # mkdtemp per call leaked /tmp disk across repeated test/bench runs).
     stage = staging_dir(f"events_stream_{Path(sf_dir).name}")
-    if not (stage / "events.parquet").exists():
-        shutil.copy(f"{sf_dir}/events.parquet", stage / "events.parquet")
+    src = Path(sf_dir) / "events.parquet"
+    dst = stage / "events.parquet"
+    # gate the copy on (size, mtime), not bare existence — a
+    # regenerated fixture must invalidate the staged copy
+    src_stat = src.stat()
+    if (
+        not dst.exists()
+        or dst.stat().st_size != src_stat.st_size
+        or dst.stat().st_mtime < src_stat.st_mtime
+    ):
+        shutil.copy2(str(src), str(dst))
     raw = (
-        spark.readStream.schema(batch_schema)
+        spark.readStream.schema(EVENTS_READ_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-        "props",
-    )
+    return events_select(raw).drop("ts_ns")
 
 
 def run_stream_once(

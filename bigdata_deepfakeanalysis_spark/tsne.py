@@ -64,7 +64,11 @@ def tsne_exact(
         _, _, vt = np.linalg.svd(Xc, full_matrices=False)
         Y = Xc @ vt[:2].T if vt.shape[0] >= 2 else np.zeros((n, 2))
         return Y, [0.0]
-    perp = min(perplexity, max(5.0, float(n - 1) / 3.0))
+    # clamp so the entropy target is reachable: the binary search solves
+    # H(p) = log(perp) over n-1 neighbors, and H is bounded by log(n-1) —
+    # perp > n-1 would never converge (burns all iterations returning
+    # near-uniform affinities on tiny samples)
+    perp = min(perplexity, max(5.0, float(n - 1) / 3.0), float(n - 2))
 
     d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
     P = _conditional_p(d2, perp)
