@@ -133,6 +133,7 @@ def cv_separability(
     estimator: str = "logreg",
     n_folds: int = 5,
     seed: int = 42,
+    gbt_max_iter: int = 10,
 ) -> DataFrame:
     """k-fold CV accuracy of label-from-embedding classification — the
     reference's separability score (M6/M7). Folds are assigned
@@ -177,9 +178,10 @@ def cv_separability(
         else:  # boosting (M7; reference XGB 300×6, lr .05, subsample .9)
             n_labels = data.select("label").distinct().count()
             gbt = GBTClassifier(
-                maxIter=10,  # 300 in the reference; scaled to the capped
-                # fixture (MLlib GBT = one distributed job per iteration,
-                # so iteration count is the latency knob at test scale)
+                maxIter=gbt_max_iter,  # reference runs 300; the default
+                # here is scaled to the capped fixture (MLlib GBT = one
+                # distributed job per iteration, so iteration count is
+                # the latency knob at test scale — pass 300 for parity)
                 maxDepth=6,
                 stepSize=0.05,
                 subsamplingRate=0.9,
@@ -220,14 +222,19 @@ def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 — boosting variant: MLlib GBTClassifier with the reference's
     XGBClassifier params mapped (``src/compare_embeddings_vs_features
     .py:49-70``; see cv_separability docstring for the param delta),
-    same per-label fold scheme. Restricted to the label-{0,1} pair so
-    the estimator is a single binary GBT (the reference likewise scores
-    REAL-vs-FAKE pairs; full multiclass goes through the OneVsRest path
-    in cv_separability, exercised by its unit test)."""
+    same per-label fold scheme. Three labels so the OneVsRest multiclass
+    path (MLlib GBT is binary-only) runs in the registered query, not
+    only in its unit test; the label count, fold count and
+    ``gbt_max_iter=4`` are latency caps for the fixture — the
+    reference's full run is 300 iterations over all classes (one
+    distributed fit per class per fold per iteration, which is the knob
+    that matters at test scale)."""
     emb = table(spark, sf_dir, "embeddings").where(
-        (F.col("vec_id") < 200) & (F.col("label") < 2)
+        (F.col("vec_id") < 200) & (F.col("label") < 3)
     )
-    return cv_separability(emb, "gbt", n_folds=3).orderBy("fold")
+    return cv_separability(emb, "gbt", n_folds=2, gbt_max_iter=4).orderBy(
+        "fold"
+    )
 
 
 # ---------------------------------------------------------------------------

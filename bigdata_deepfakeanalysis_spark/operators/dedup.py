@@ -16,10 +16,12 @@ band bucketing is one groupBy(doc, band), and the candidate join keys on
 (band, signature) so only colliding docs meet. Nothing is pairwise over
 the full corpus: the quadratic step is confined to LSH buckets (MinHash),
 SimHash fingerprint bands (2^16 values per band), or explicit blocks
-(cosine: the coarse-quantizer block key). Hashes are md5
-(hex-lexicographic min == numeric min) so Spark and DuckDB agree
-bit-for-bit; at production scale xxhash64 drops in for speed without
-changing the shape. Exact float reductions go through fixed-point int64
+(cosine: the coarse-quantizer block key). Base hashes are md5 parsed to
+int64 so Spark and DuckDB agree bit-for-bit, with the K minhash
+functions derived via Carter-Wegman affine mixing mod 2^31-1 (integer
+arithmetic — one md5 per shingle, not K); at production scale xxhash64
+drops in as the base hash without changing the shape. Exact float
+reductions go through fixed-point int64
 quantization (``similarity.quantize``) — order-independent like decimal,
 but whole-stage codegen.
 
@@ -135,28 +137,76 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+_MH_P = 2147483647  # Mersenne prime 2^31 - 1
+
+
+def _mh_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the Carter-Wegman affine family
+    h_i(x) = (a_i·x + b_i) mod p — identical literals go into the
+    oracle SQL, so the two engines can never disagree.
+
+    The coefficients are md5-derived so they are mutually independent:
+    a_i linear in i (e.g. a_i = (i+1)·c) degenerates the whole family
+    to scalar multiples of one function — every h_i shares the same
+    argmin and LSH buckets collapse into giant false-positive cliques
+    (observed: a 101-doc bucket at sf0.1)."""
+    import hashlib
+
+    def _h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+    return [
+        (_h(f"mh_a|{i}") % (_MH_P - 1) + 1, _h(f"mh_b|{i}") % _MH_P)
+        for i in range(k)
+    ]
+
+
+# base hash: one md5 per shingle, 15 hex digits (< 2^60) parsed to
+# BIGINT, reduced mod p. Spark's conv() and DuckDB's CAST('0x…') parse
+# identically (bit-checked); the K per-function mixes are then integer
+# multiply-adds (a·x ≤ 2^62: no overflow).
+_MH_BASE = (
+    f"CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT) % {_MH_P}"
+)
+
+
 def minhash_bands(
     sh_df: DataFrame, k: int = 12, band_rows: int = 3
 ) -> DataFrame:
-    """K md5-minhashes per doc, folded into K/band_rows banded signature
+    """K minhashes per doc, folded into K/band_rows banded signature
     strings. ONE shuffle: a single groupBy(doc) computes all K mins as
     parallel MIN aggregates (map-side partial agg keeps shuffle rows at
     one per (doc, partition)); bands are row-local concats, then an
-    unpivot (flatMap, no shuffle)."""
-    mins = sh_df.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("sh")))
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
+    unpivot (flatMap, no shuffle).
+
+    Hashing cost is 1 md5 + K integer affine mixes per shingle
+    occurrence (universal-hash family mod the Mersenne prime 2^31-1) —
+    the previous K-independent-md5 formulation spent 12 md5 + 12 string
+    concats per occurrence and was the dominant cost of every
+    MinHash-based query (~6.5 s of q_minhash_near_dup at sf0.1)."""
+    coeffs = _mh_coeffs(k)
+    mins = (
+        sh_df.withColumn("_hm", F.expr(_MH_BASE))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("_hm") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
     )
     n_bands = k // band_rows
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                "|", *[F.col(f"mh{b * band_rows + j}") for j in range(band_rows)]
+                "|",
+                *[
+                    F.col(f"mh{b * band_rows + j}").cast("string")
+                    for j in range(band_rows)
+                ],
             ).alias("sig"),
         )
         for b in range(n_bands)
@@ -191,20 +241,40 @@ def jaccard_verify(
     stage downstream of LSH): ``cands`` is (doc_a, doc_b), ``sh_df`` is
     the DISTINCT (doc_id, sh) shingle set.
 
-    Plan: candidate pairs expand by doc_a's shingles, then an equi-join
-    on (doc_b, sh) counts the intersection — work is
-    O(|candidates| × shingles/doc), never quadratic in document
-    frequency (the round-2 version self-joined the raw shingle table on
-    ``sh``, which a high-DF stop-shingle turns into a quadratic bucket
-    at corpus scale). Union size comes from per-doc shingle counts:
-    |A∪B| = |A| + |B| - |A∩B|."""
-    sizes = sh_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    Plan: the shingle table is first pruned to candidate docs with a
+    broadcast semi-join (candidate pairs ≪ corpus, so this drops the
+    shuffled shingle volume from |corpus| to |candidate docs| — at
+    near-dup rates of a few %, a 10-100× cut); then candidate pairs
+    expand by doc_a's shingles and an equi-join on (doc_b, sh) counts
+    the intersection — work is O(|candidates| × shingles/doc), never
+    quadratic in document frequency (the round-2 version self-joined
+    the raw shingle table on ``sh``, which a high-DF stop-shingle turns
+    into a quadratic bucket at corpus scale). Union size comes from
+    per-doc shingle counts: |A∪B| = |A| + |B| - |A∩B|.
+
+    ``cands`` feeds four plan branches (two doc-id projections, the
+    expansion join, and the pruning semi-join); without materialization
+    the whole upstream candidate-generation pipeline (MinHash bands +
+    the banded self-join) re-executes per branch — measured 4-6× the
+    query cost at sf0.1 (a lazy .persist() still races the four
+    branches within one job). Eagerly checkpointed: near-dup candidate
+    pairs are a small fraction of the corpus, and a production pipeline
+    would stage them to parquet between the LSH and verify phases
+    anyway."""
+    cands = cands.localCheckpoint(eager=True)
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh_df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cands.join(
-            sh_df.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+            sh_cand.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
         )
         .join(
-            sh_df.select(F.col("doc_id").alias("doc_b"), "sh"),
+            sh_cand.select(F.col("doc_id").alias("doc_b"), "sh"),
             ["doc_b", "sh"],
         )
         .groupBy("doc_a", "doc_b")
@@ -416,16 +486,22 @@ shingles AS (
 
 # MinHash(K=12) banding → LSH candidate pairs — shared by the minhash,
 # jaccard-verify, and components oracles (mirrors minhash_bands +
-# lsh_candidate_pairs exactly).
-_MINHASH_PAIRS_CTE = """
-hashed AS (
-    SELECT doc_id, i, md5(CAST(i AS VARCHAR) || '|' || sh) AS h
-    FROM shingles, (SELECT UNNEST(range(0, 12)) AS i)),
+# lsh_candidate_pairs exactly, including the Carter-Wegman coefficients).
+_COEF_ROWS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_mh_coeffs(12))
+)
+_MINHASH_PAIRS_CTE = f"""
+coef AS (SELECT * FROM (VALUES {_COEF_ROWS}) AS t(i, a, b)),
+hm AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % {_MH_P} AS hm
+    FROM shingles),
+hashed AS (SELECT doc_id, i, (a * hm + b) % {_MH_P} AS h FROM hm, coef),
 mins AS (
     SELECT doc_id, i, MIN(h) AS mh FROM hashed GROUP BY doc_id, i),
 bands AS (
     SELECT doc_id, CAST(i // 3 AS INTEGER) AS band,
-           string_agg(mh, '|' ORDER BY i) AS sig
+           string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS sig
     FROM mins GROUP BY doc_id, i // 3),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -672,7 +748,15 @@ def connected_components(
     rounds in practice). Each round is one shuffle-join + one groupBy;
     the driver only checks a scalar changed-count per round (the
     GraphFrames large-star/small-star optimization applies at 100 TB if
-    components were ever deep chains). Returns (id, component)."""
+    components were ever deep chains). Returns (id, component).
+
+    Iteration state is ``localCheckpoint``-ed, not cached: a cache
+    keeps the logical plan growing every round (cache substitution
+    happens after analysis, so Catalyst re-analyzes the whole
+    accumulated lineage — measured planning time compounding 2 s → 8 s
+    per round on a 2.7k-edge graph), while a checkpoint truncates the
+    plan to the materialized partitions. On a cluster with flaky
+    executors, swap in a reliable ``checkpoint()`` dir — same shape."""
     edges = pairs.select(
         F.col(src).cast("long").alias("src"),
         F.col(dst).cast("long").alias("dst"),
@@ -684,58 +768,54 @@ def connected_components(
             )
         )
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    try:
-        changed = -1
-        for _ in range(max_iter):
-            nbr_min = (
-                edges.join(
-                    labels.withColumnRenamed("id", "dst"), "dst"
-                )
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_min"))
-                .withColumnRenamed("src", "id")
+    changed = -1
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.withColumnRenamed("id", "dst"), "dst"
             )
-            new_labels = (
-                labels.join(nbr_min, "id", "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce("nbr_min", F.col("label")),
-                    ).alias("label"),
-                )
-                .cache()
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_min", F.col("label")),
+                ).alias("label"),
             )
-            changed = (
-                new_labels.withColumnRenamed("label", "new_label")
-                .join(labels, "id")
-                .where(F.col("new_label") != F.col("label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        if changed != 0:
-            # partial labels would silently diverge from the exact
-            # transitive closure — fail loud (a component deeper than
-            # max_iter means the caller should raise it or switch to
-            # the GraphFrames large-star/small-star variant)
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                f"rounds ({changed} labels still changing)"
-            )
-        return labels.select("id", F.col("label").alias("component"))
-    finally:
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        # partial labels would silently diverge from the exact
+        # transitive closure — fail loud (a component deeper than
+        # max_iter means the caller should raise it or switch to
+        # the GraphFrames large-star/small-star variant)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing)"
+        )
+    return labels.select("id", F.col("label").alias("component"))
 
 
 @query(

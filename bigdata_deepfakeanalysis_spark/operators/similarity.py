@@ -172,6 +172,38 @@ def lsh_bucket(
     return b
 
 
+def plane_signs(qcol: str, n_planes_total: int) -> Column:
+    """All projection sign bits at once: ONE expression over a 2-D
+    literal weight array — ``transform(sequence, p -> sign(dot(q,
+    planes[p])))`` → array<int>. Semantically identical to n calls of
+    ``hyperplane_sign`` but one fold template instead of n independent
+    aggregate expressions: at 64 planes the per-plane form is 64
+    aggregate folds × 64-literal arrays, which blows past whole-stage
+    codegen limits (interpreted fallback) and costs seconds of Catalyst
+    analysis; this form stays a single codegen'd expression."""
+    planes = "array(" + ",".join(
+        "array(" + ",".join(f"{x}L" for x in _plane_weights(p)) + ")"
+        for p in range(n_planes_total)
+    ) + ")"
+    return F.expr(
+        f"transform(sequence(0, {n_planes_total - 1}), p -> "
+        f"CAST(aggregate(zip_with({qcol}, element_at({planes}, p + 1),"
+        f" (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        f" > 0 AS INT))"
+    )
+
+
+def bucket_from_signs(signs_col: str, table: int, n_planes: int = _N_PLANES) -> Column:
+    """Bucket id of LSH table ``table`` from the precomputed sign array
+    (row-local integer arithmetic, no re-projection)."""
+    return sum(
+        F.shiftleft(
+            F.expr(f"element_at({signs_col}, {table * n_planes + p + 1})"), p
+        )
+        for p in range(n_planes)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked queries (fixed-point formulation)
 # ---------------------------------------------------------------------------
@@ -369,27 +401,44 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables16 ≥ multiprobe1 ≥ single in the mean and tables16 ≥ 0.6."""
     emb = table(spark, sf_dir, "embeddings")
     k = 3
+    # ground truth feeds one semi-join + one count per strategy (6 plan
+    # branches) — checkpoint the 30-row result instead of re-running the
+    # brute-force scan per branch
     exact = (
         q_ann_cosine_topk(spark, sf_dir)
         .where(F.col("rk") <= k)
         .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
     )
 
-    def tbuckets(qcol: str, tables: list) -> Column:
-        """array of (table, bucket) structs for the given table ids."""
+    n_all_planes = _N_PLANES * _N_TABLES
+
+    def tbuckets(tables: list) -> Column:
+        """array of (table, bucket) structs from the ``signs`` column."""
         return F.array(*[
             F.struct(
                 F.lit(t).alias("tbl"),
-                lsh_bucket(qcol, _N_PLANES, _N_PLANES * t).alias("bucket"),
+                bucket_from_signs("signs", t).alias("bucket"),
             )
             for t in tables
         ])
 
-    c = emb.select(
-        F.col("vec_id").alias("cand_id"), quantize("embedding").alias("cq")
-    ).withColumn("nc", dot_fixed("cq", "cq"))
+    # Index build: one pass computes all 64 plane signs per vector
+    # (single codegen'd expression — see plane_signs), then the 16-table
+    # index is a row-local explode. Checkpointed: three probe strategies
+    # reuse it (a production index is a materialized table; rebuilding
+    # it per probe was ~3× the query's execution cost).
+    c = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"),
+            quantize("embedding").alias("cq"),
+        )
+        .withColumn("nc", dot_fixed("cq", "cq"))
+        .withColumn("signs", plane_signs("cq", n_all_planes))
+        .localCheckpoint(eager=True)
+    )
     c_idx = c.withColumn(
-        "tb", F.explode(tbuckets("cq", list(range(_N_TABLES))))
+        "tb", F.explode(tbuckets(list(range(_N_TABLES))))
     ).select("cand_id", "cq", "nc", "tb.tbl", "tb.bucket")
 
     q = (
@@ -399,6 +448,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize("embedding").alias("qq"),
         )
         .withColumn("nq", dot_fixed("qq", "qq"))
+        .withColumn("signs", plane_signs("qq", n_all_planes))
     )
 
     def lsh_top(probes: Column) -> DataFrame:
@@ -424,8 +474,8 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id")
         )
 
-    t0 = lsh_bucket("qq", _N_PLANES, 0)
-    single = lsh_top(tbuckets("qq", [0]))
+    t0 = bucket_from_signs("signs", 0)
+    single = lsh_top(tbuckets([0]))
     multi = lsh_top(
         F.array(
             F.struct(F.lit(0).alias("tbl"), t0.alias("bucket")),
@@ -438,7 +488,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    tables16 = lsh_top(tbuckets("qq", list(range(_N_TABLES))))
+    tables16 = lsh_top(tbuckets(list(range(_N_TABLES))))
 
     def recall(found: DataFrame, strategy: str) -> DataFrame:
         return (
