@@ -847,3 +847,44 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), "component"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): coarse-quantize embeddings, find
+# near-identical pairs within each cell, cluster them, keep one
+# survivor per semantic group. The composed embedding-side analogue of
+# the MinHash text pipeline — quantizer blocks bound the quadratic
+# stage, components turn pairs into groups, an anti-join picks
+# survivors. Every stage is an operator this module or similarity
+# already ships; this query is their production composition.
+# ---------------------------------------------------------------------------
+
+@query("q_semantic_dedup")  # rows-only: k-means cells are engine-local
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cells → blocked cosine ≥ 0.999 pairs → connected components
+    → min-id survivor per component; per-label dedup accounting.
+    Pytest asserts every planted 1.01-scaled copy is removed and every
+    original survives (the copy's component label is its original's
+    lower id)."""
+    from .similarity import ivf_assign
+
+    emb = aug_emb(spark, sf_dir)
+    _, assigned = ivf_assign(emb, vec_col="vec")
+    pairs = cosine_pairs(assigned, "cell", 0.999)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    labeled = emb.join(
+        cc.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).withColumn(
+        "is_survivor",
+        F.col("component").isNull()
+        | (F.col("component") == F.col("vec_id")),
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_survivor").cast("long")).alias("n_survivors"),
+            F.sum((~F.col("is_survivor")).cast("long")).alias("n_removed"),
+        )
+        .orderBy("label")
+    )

@@ -740,3 +740,101 @@ def sq8_profile(emb: DataFrame, dim: int = _DIM) -> DataFrame:
 def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 per-dimension quantization profile, oracle-exact."""
     return sq8_profile(table(spark, sf_dir, "embeddings"))
+
+
+@query("q_ann_sq8_rescore")  # rows-only: dequantized ordering engine-local
+def q_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over SQ8 storage: shortlist on the int8-dequantized
+    vectors (the 4× memory lever — at 100 TB the hot scan reads codes,
+    not floats), exact fixed-point rescore of the top-10 shortlist down
+    to top-3. Pytest asserts mean overlap with the exact top-3 ≥ 2/3 —
+    the standard compressed-scan + rescore serving shape (FAISS
+    SQ8+refine). Codes/dequant use the same floor arithmetic as
+    ``sq8_profile``."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    deq = (
+        ex.join(F.broadcast(stats), "dim")
+        .withColumn(
+            "code",
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo")) * 256
+                    ),
+                    F.lit(255),
+                )
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            "dv",
+            F.col("lo")
+            + (F.col("code") + 0.5) / 256 * (F.col("hi") - F.col("lo")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, dv))),"
+                " x -> x.dv)"
+            ).alias("dvec")
+        )
+    )
+    corpus = deq.select(
+        F.col("vec_id").alias("cand_id"), F.col("dvec").alias("cvec")
+    )
+    q = deq.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("dvec").alias("qvec")
+    )
+    approx = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                dot_fast(F.col("qvec"), F.col("cvec"))
+                / (
+                    F.sqrt(dot_fast(F.col("qvec"), F.col("qvec")))
+                    * F.sqrt(dot_fast(F.col("cvec"), F.col("cvec")))
+                )
+            ).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), "cand_id"
+    )
+    shortlist = (
+        approx.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "cand_id")
+    )
+    cq = emb.select(
+        F.col("vec_id").alias("cand_id"), quantize("embedding").alias("cq")
+    ).withColumn("nc", dot_fixed("cq", "cq"))
+    qq = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), quantize("embedding").alias("qq")
+    ).withColumn("nq", dot_fixed("qq", "qq"))
+    rescored = (
+        shortlist.join(cq, "cand_id")
+        .join(F.broadcast(qq), "query_id")
+        .withColumn("dot", dot_fixed("qq", "cq"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_fixed("dot", "nq", "nc").alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= 3)
+        .orderBy("query_id", "rk")
+    )

@@ -287,6 +287,253 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Repetition filters (Gopher-style quality rules): the most frequent
+# word-bigram's share of all bigrams, and the fraction of tokens whose
+# unigram repeats — the two signals that catch boilerplate / generated
+# spam that length and stopword bands miss.
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc repetition metrics. Plan: one token explode feeding two
+    narrow (doc, gram) hash aggs (bigrams and unigrams) — same flatMap
+    + keyed-shuffle shape as ``dedup.shingles``, so the 100 TB scaling
+    story is identical. No per-row quadratic work, no Python."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN transform("
+                "sequence(0, size(_t) - 2), p -> concat_ws(' ', _t[p], _t[p+1]))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    big_stats = (
+        bigrams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+        )
+    )
+    unigrams = toks.select("doc_id", F.explode("_t").alias("w"))
+    uni_stats = (
+        unigrams.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                "n_repeated"
+            ),
+        )
+    )
+    return big_stats.join(uni_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_bigrams",
+        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 9).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("n_repeated") / F.col("n_tokens"), 9).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
+@query(
+    "q_repetition_filter",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bigrams AS (
+        SELECT doc_id, t[p] || ' ' || t[p + 1] AS g
+        FROM (SELECT doc_id, t,
+                     UNNEST(range(1, greatest(len(t), 1))) AS p
+              FROM toks) x),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g),
+    bstats AS (
+        SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n
+        FROM bc GROUP BY doc_id),
+    uc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents) u
+        GROUP BY doc_id, w),
+    ustats AS (
+        SELECT doc_id, SUM(c) AS n_tokens,
+               SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_repeated
+        FROM uc GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(b.top_bigram_n * 1.0 / b.n_bigrams, 9) AS top_bigram_frac,
+           ROUND(u.n_repeated * 1.0 / u.n_tokens, 9) AS dup_token_frac
+    FROM bstats b JOIN ustats u ON b.doc_id = u.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document (top-bigram share,
+    repeated-token fraction)."""
+    return repetition_stats(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + provenance rollup. The driver's synthetic corpus has
+# no contact strings or URLs, so both engines derive the same planted
+# fixture (emails on doc_id%11, phones on %13, source URLs on %7) —
+# the redaction regexes and the domain parse run over real data shapes.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+_URL_RE = "https?://([A-Za-z0-9.-]+)/[A-Za-z0-9/._-]*"
+
+PII_DOCS_CTE = """
+pii_docs AS (
+    SELECT doc_id, lang,
+           text
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' call +49-555-' || CAST(1000 + doc_id % 9000
+                                                AS VARCHAR)
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' via https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                   ELSE '' END AS text
+    FROM documents)
+"""
+
+
+def pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    email = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(
+            F.lit(" call +49-555-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ),
+    ).otherwise("")
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" via https://site"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example.org/page/"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise("")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.concat(F.col("text"), email, phone, url).alias("text"),
+    )
+
+
+@query(
+    "q_pii_redaction",
+    f"""
+    WITH {PII_DOCS_CTE.strip()},
+    counted AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                             'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+        FROM pii_docs)
+    SELECT lang,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           COUNT(CASE WHEN n_emails + n_phones > 0 THEN 1 END) AS n_docs_hit,
+           MIN(CASE WHEN n_emails > 0 THEN md5(redacted) END)
+               AS sample_redacted_hash
+    FROM counted GROUP BY lang ORDER BY lang
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count + redact emails/phones per doc (pure
+    regexp codegen, zero shuffle until the per-lang rollup); the md5 of
+    a deterministic redacted sample proves the replacement text is
+    byte-identical across engines."""
+    counted = pii_docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+    return (
+        counted.groupBy("lang")
+        .agg(
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+            F.count(
+                F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)
+            ).alias("n_docs_hit"),
+            F.min(
+                F.when(F.col("n_emails") > 0, F.md5("redacted"))
+            ).alias("sample_redacted_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_domain_rollup",
+    f"""
+    WITH {PII_DOCS_CTE.strip()}
+    SELECT regexp_extract(text, '{_URL_RE}', 1) AS domain,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id
+    FROM pii_docs
+    WHERE regexp_extract(text, '{_URL_RE}', 1) <> ''
+    GROUP BY 1 ORDER BY domain
+    """,
+)
+def q_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style provenance rollup: extract the URL host per doc and
+    aggregate per domain — the blocklist/quota join key in a real
+    curation pipeline."""
+    docs = pii_docs(spark, sf_dir).select(
+        "doc_id", F.regexp_extract("text", _URL_RE, 1).alias("domain")
+    )
+    return (
+        docs.where(F.col("domain") != "")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation (the LLM-training-data pipeline, composed)
 # ---------------------------------------------------------------------------
 

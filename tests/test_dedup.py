@@ -28,6 +28,28 @@ def test_ivf_cosine_near_dup_covers_planted_copies(spark):
     assert not missing, f"planted copies not paired: {missing[:5]}"
 
 
+def test_semantic_dedup_removes_planted_copies(spark):
+    """Every label's removed count must equal its planted-copy count:
+    originals (lower id = component label) survive, the 1.01-scaled
+    copies do not."""
+    from pyspark.sql import functions as F
+
+    out = all_queries()["q_semantic_dedup"](spark, SF_DIR).toPandas()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    planted = (
+        emb.where("vec_id % 5 = 0")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_planted"))
+        .toPandas()
+        .set_index("label")["n_planted"]
+    )
+    for _, row in out.iterrows():
+        assert row["n_removed"] >= planted.get(row["label"], 0), row
+        assert (
+            row["n_survivors"] + row["n_removed"] == row["n_vectors"]
+        ), row
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A 5-node chain needs 4 propagation rounds; max_iter=1 must raise,
     never silently return partial labels."""

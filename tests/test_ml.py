@@ -110,3 +110,18 @@ def test_kmeans_cluster_profile(spark):
     assert (a["mean_dist"] > 0).all()
     b = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
     assert a.equals(b)
+
+
+def test_ann_sq8_rescore_overlap(spark):
+    """SQ8 shortlist + exact rescore must recover most of the exact
+    top-3 (the dequantization error only perturbs the shortlist edge)."""
+    sq8 = all_queries()["q_ann_sq8_rescore"](spark, SF_DIR).toPandas()
+    exact = (
+        all_queries()["q_ann_cosine_topk"](spark, SF_DIR)
+        .where("rk <= 3")
+        .toPandas()
+    )
+    s = set(zip(sq8.query_id, sq8.cand_id))
+    e = set(zip(exact.query_id, exact.cand_id))
+    assert len(sq8) == len(exact) == 30
+    assert len(s & e) >= 20  # mean overlap >= 2/3
