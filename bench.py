@@ -51,6 +51,11 @@ HEADLINE = [
     "q_bucketed_join",               # zero-Exchange co-located fact join
     "q_embedding_sq8",               # int8 scalar quantization profile
     "q14_promo_revenue",             # conditional-agg ratio over dim join
+    "q_repetition_filter",           # row-local Gopher repetition metrics
+    "q_pii_redaction",               # regex PII scrub + lang rollup
+    "q_domain_rollup",               # URL-domain provenance rollup
+    "q_ann_sq8_rescore",             # SQ8 shortlist + exact rescore ANN
+    "q_semantic_dedup",              # IVF -> cosine -> components -> survivors
 ]
 
 

@@ -293,56 +293,62 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spam that length and stopword bands miss.
 # ---------------------------------------------------------------------------
 
+_MAX_RUN = """
+aggregate(array_sort({arr}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L),
+    'best', GREATEST(acc.best,
+                     IF(acc.prev IS NOT NULL AND x = acc.prev,
+                        acc.run + 1, 1L))),
+  acc -> acc.best)
+"""
+
+_N_SINGLETONS = """
+aggregate(array_sort({arr}),
+  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'singles', 0L),
+  (acc, x) -> IF(acc.prev IS NULL,
+    named_struct('prev', x, 'run', 1L, 'singles', 0L),
+    IF(x = acc.prev,
+       named_struct('prev', x, 'run', acc.run + 1, 'singles', acc.singles),
+       named_struct('prev', x, 'run', 1L,
+                    'singles', acc.singles + IF(acc.run = 1, 1L, 0L)))),
+  acc -> acc.singles + IF(acc.run = 1, 1L, 0L))
+"""
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc repetition metrics. Plan: one token explode feeding two
-    narrow (doc, gram) hash aggs (bigrams and unigrams) — same flatMap
-    + keyed-shuffle shape as ``dedup.shingles``, so the 100 TB scaling
-    story is identical. No per-row quadratic work, no Python."""
+    """Per-doc repetition metrics, entirely row-local: sort the token /
+    bigram array once, then a single higher-order ``aggregate`` pass
+    counts the longest equal-run (= the mode's frequency) and the
+    singleton count (repeated tokens = n - singletons). ZERO shuffle,
+    whole-stage codegen — the explode + double-groupBy formulation
+    shuffled one row per gram occurrence (5.5M rows, ~8 s at sf0.1; this
+    is ~1 s) and its shuffle volume scales with corpus token count
+    rather than document count. Per-doc sort is O(len·log len) on
+    ~100-token docs — noise next to a network shuffle."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("_t"),
-    )
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(_t) >= 2 THEN transform("
-                "sequence(0, size(_t) - 2), p -> concat_ws(' ', _t[p], _t[p+1]))"
-                " ELSE array() END"
-            )
-        ).alias("g"),
-    )
-    big_stats = (
-        bigrams.groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.max("c").alias("top_bigram_n"),
-        )
-    )
-    unigrams = toks.select("doc_id", F.explode("_t").alias("w"))
-    uni_stats = (
-        unigrams.groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
-                "n_repeated"
-            ),
-        )
-    )
-    return big_stats.join(uni_stats, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "n_bigrams",
-        F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 9).alias(
-            "top_bigram_frac"
+    ).withColumn(
+        "_b",
+        F.expr(
+            "CASE WHEN size(_t) >= 2 THEN transform("
+            "sequence(0, size(_t) - 2), p -> concat_ws(' ', _t[p], _t[p+1]))"
+            " ELSE array() END"
         ),
-        F.round(F.col("n_repeated") / F.col("n_tokens"), 9).alias(
-            "dup_token_frac"
-        ),
+    )
+    n_tokens = F.expr("size(_t)").cast("long")
+    n_bigrams = F.expr("size(_b)").cast("long")
+    top_bigram_n = F.expr(_MAX_RUN.format(arr="_b"))
+    n_repeated = n_tokens - F.expr(_N_SINGLETONS.format(arr="_t"))
+    return toks.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_bigrams.alias("n_bigrams"),
+        F.round(top_bigram_n / n_bigrams, 9).alias("top_bigram_frac"),
+        F.round(n_repeated / n_tokens, 9).alias("dup_token_frac"),
     )
 
 

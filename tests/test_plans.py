@@ -114,3 +114,31 @@ def test_stream_static_join_broadcasts_dimension(spark):
     plan = _plan(all_queries()["q_stream_static_join"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_curation_ops_are_codegen_only(spark):
+    """Repetition filters and PII redaction are per-row string
+    expressions + keyed aggs — no Python eval nodes anywhere, and the
+    PII pass keeps zero exchanges before its single rollup shuffle."""
+    for name in ("q_repetition_filter", "q_pii_redaction", "q_domain_rollup"):
+        plan = _plan(all_queries()[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+    pii_plan = _plan(all_queries()["q_pii_redaction"](spark, SF_DIR))
+    # one agg shuffle (lang rollup) + the presentation sort only
+    assert pii_plan.count("Exchange") <= 2
+
+
+def test_ngram_jaccard_has_no_shingle_self_join(spark):
+    """The verify stage must consume LSH candidates: the only
+    self-joined relation may be the banded signature table, never the
+    raw shingle table keyed on the shingle text (the r2 quadratic
+    hazard). Structural proxy: every SortMergeJoin keys on doc ids or
+    (band, sig) — none on the bare shingle column alone."""
+    plan = _plan(all_queries()["q_ngram_jaccard"](spark, SF_DIR))
+    for frag in plan.split("SortMergeJoin")[1:]:
+        keys = frag.split("\n")[0]
+        assert ("doc_a" in keys) or ("doc_b" in keys) or (
+            "band" in keys and "sig" in keys
+        ), keys
