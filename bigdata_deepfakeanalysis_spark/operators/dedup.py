@@ -299,31 +299,36 @@ def jaccard_verify(
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash as 4 × 16-bit band columns ``(doc_id, b0..b3)``.
 
-    Bit j of a token's hash = bit (j%4) of md5 hex nibble (j//4);
-    count-weighted ±1 votes per bit; fingerprint bit = [vote > 0].
+    Token hash bits come from md5 parsed to integers — bits 0-59 from
+    the first 15 hex digits as one int64 (same conv/'0x'-CAST pairing
+    the MinHash base hash bit-checks across engines), bits 60-63 from
+    the 16th digit; count-weighted ±1 votes per bit; fingerprint bit =
+    [vote > 0]. Integer shifts replace the earlier per-token
+    16-element instr() nibble array — one parse instead of 16 string
+    scans per token row.
 
     Plan shape (the round-1 16-bit version exploded 16 rows per
     (doc, token) — 16× shuffle volume): the 64 votes are 64
     conditional-SUM aggregate columns in a SINGLE ``groupBy(doc_id)``
-    (the same pattern ``minhash_bands`` uses for its K mins), with the
-    16 nibbles precomputed once per token row. Two narrow shuffles
-    total — (doc_id, token) then (doc_id) — both with map-side partial
-    aggregation. Storing the fingerprint as four 16-bit bands (not one
-    int64) keeps every expression engine-portable and feeds the banded
-    pair join directly."""
+    (the same pattern ``minhash_bands`` uses for its K mins) over raw
+    token occurrences — each occurrence votes ±1, which IS the
+    count-weighted vote, so the earlier (doc, token)→count pre-shuffle
+    was a full extra pass of the token stream for nothing (tokens are
+    mostly unique within a doc). ONE shuffle total, with map-side
+    partial aggregation collapsing it to 64 ints per (doc, partition).
+    Storing the fingerprint as four 16-bit bands (not one int64) keeps
+    every expression engine-portable and feeds the banded pair join
+    directly."""
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.col(text_col), " ")).alias("w"),
         )
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
-            "nibs",
-            F.expr(
-                "transform(sequence(1, 16), i ->"
-                " instr('0123456789abcdef', substr(md5(w), i, 1)) - 1)"
-            ),
+            "h1", F.expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)")
+        )
+        .withColumn(
+            "h2", F.expr("CAST(conv(substr(md5(w), 16, 1), 16, 10) AS BIGINT)")
         )
     )
     votes = tok.groupBy("doc_id").agg(
@@ -331,10 +336,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.expr(
-                        f"((element_at(nibs, {j // 4 + 1}) >> {j % 4}) & 1) = 1"
+                        f"(({'h1' if j < 60 else 'h2'} >> "
+                        f"{j if j < 60 else j - 60}) & 1) = 1"
                     ),
-                    F.col("cnt"),
-                ).otherwise(-F.col("cnt"))
+                    F.lit(1),
+                ).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(64)
         ]
@@ -558,15 +564,16 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIM64_CTE = """
 tok AS (
-    SELECT doc_id, w, COUNT(*) AS cnt, md5(w) AS h
+    SELECT doc_id, w, COUNT(*) AS cnt,
+           CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h1,
+           CAST('0x' || substr(md5(w), 16, 1) AS BIGINT) AS h2
     FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
           FROM aug_docs) t
     GROUP BY doc_id, w),
 votes AS (
     SELECT doc_id, j,
-           SUM(CASE WHEN (((instr('0123456789abcdef',
-                                  substr(h, CAST(j // 4 + 1 AS INTEGER), 1))
-                            - 1) >> (j % 4)) & 1) = 1
+           SUM(CASE WHEN ((CASE WHEN j < 60 THEN h1 >> j
+                                ELSE h2 >> (j - 60) END) & 1) = 1
                     THEN cnt ELSE -cnt END) AS vote
     FROM tok, (SELECT UNNEST(range(0, 64)) AS j)
     GROUP BY doc_id, j),

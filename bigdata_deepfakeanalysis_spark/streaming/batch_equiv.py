@@ -391,3 +391,78 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cust = table(spark, sf_dir, "customer")
     return stream_static_join(ev, cust).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (event-time attribution): every purchase
+# within 10 minutes after a click by the same user. In streaming form
+# both sides carry watermarks and the join condition bounds event time
+# on both ends, so Spark keeps only a watermark-deep state window per
+# side — the canonical bounded-state stream-stream join. The batch form
+# is the identical transformation (watermarks are no-ops in batch).
+# ---------------------------------------------------------------------------
+
+def stream_stream_attribution(
+    clicks_src: DataFrame,
+    purchases_src: DataFrame,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """(click, purchase) pairs per user with the purchase in
+    [click_ts, click_ts + within]; integer µs lag (exact on both
+    engines)."""
+    a = clicks_src.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    b = purchases_src.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+            ).alias("lag_us"),
+        )
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    f"""
+    WITH {EVENTS_US_CTE},
+    a AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events_us WHERE event_type = 'click'),
+    b AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                 ts AS purchase_ts
+          FROM events_us WHERE event_type = 'purchase')
+    SELECT user_id, click_id, purchase_id,
+           epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+    FROM a JOIN b ON user_id = p_user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts <= click_ts + INTERVAL '10 minutes'
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval self-join (click → purchase attribution) —
+    the batch semantics of the watermarked stream-stream join; the
+    readStream path is asserted batch≡stream in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return stream_stream_attribution(ev, ev).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )

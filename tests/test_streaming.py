@@ -86,3 +86,23 @@ def test_stream_matches_batch(spark, name):
     assert (b[exact_cols].values == s[exact_cols].values).all()
     for c in float_cols:
         assert (abs(b[c] - s[c]) < 1e-9).all()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == batch interval join.
+    Integer join keys and µs lags — equality is exact."""
+    ev = table(spark, SF_SMALL, "events")
+    batch = BE.stream_stream_attribution(ev, ev).toPandas()
+
+    sa = BE.stream_events(spark, SF_SMALL).withWatermark("ts", "1 hour")
+    sb = BE.stream_events(spark, SF_SMALL).withWatermark("ts", "1 hour")
+    BE.run_stream_once(
+        BE.stream_stream_attribution(sa, sb), "ss_join_sink", mode="append"
+    )
+    streamed = spark.table("ss_join_sink").toPandas()
+
+    key = ["user_id", "click_id", "purchase_id"]
+    b = batch.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    assert (b[b.columns].values == s[b.columns].values).all()
