@@ -38,7 +38,11 @@ _STARTUP_CONF = {
     # Sized for the test harness; a real cluster overrides via spark-submit.
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local-mode driver == the whole "cluster": size the heap so cached
+    # tables + checkpoint blocks + broadcast vars don't GC-thrash a
+    # long bench session (the container has 128 GiB; 8g showed 5-8×
+    # slowdowns on late-bench queries purely from collector pressure)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 
