@@ -895,3 +895,88 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup: anchor char-40-grams at stride 10 — any
+# two docs sharing a verbatim substring of >= 49 chars share at least
+# one anchor (gram + stride - 1), so the anchor join finds every long
+# verbatim overlap without a suffix array. A document-frequency cutoff
+# on anchors (the standard stop-span guard) bounds the self-join
+# buckets; pairs are confirmed by requiring >= min_anchors shared
+# spans. The shuffle-on-key Spark shape of "Deduplicating Training
+# Data Makes Language Models Better"-style substring dedup.
+# ---------------------------------------------------------------------------
+
+def substring_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram: int = 40,
+    stride: int = 10,
+    min_anchors: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_spans) for docs sharing >= min_anchors
+    anchor spans, anchors with document frequency > max_df dropped."""
+    anchors = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length({text_col}) >= {gram} THEN "
+                    f"transform(sequence(1, length({text_col}) - {gram} + 1,"
+                    f" {stride}), p -> substr({text_col}, p, {gram}))"
+                    f" ELSE array() END"
+                )
+            ).alias("a"),
+        )
+        .distinct()
+    )
+    keep = (
+        anchors.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .where((F.col("df_count") >= 2) & (F.col("df_count") <= max_df))
+        .select("a")
+    )
+    pruned = anchors.join(keep, "a")
+    left = pruned.select(F.col("doc_id").alias("doc_a"), "a")
+    right = pruned.select(F.col("doc_id").alias("doc_b"), "a")
+    return (
+        left.join(right, "a")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+        .where(F.col("n_shared_spans") >= min_anchors)
+    )
+
+
+@query(
+    "q_substring_span_dedup",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    anchors AS (
+        SELECT DISTINCT doc_id, substr(text, CAST(p AS INTEGER), 40) AS a
+        FROM (SELECT doc_id, text,
+                     UNNEST(range(1, greatest(length(text) - 38, 2), 10)) AS p
+              FROM aug_docs) t
+        WHERE length(text) >= 40),
+    keep AS (
+        SELECT a FROM anchors GROUP BY a
+        HAVING COUNT(*) BETWEEN 2 AND 50),
+    pruned AS (SELECT doc_id, anchors.a FROM anchors JOIN keep USING (a))
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM pruned x JOIN pruned y ON x.a = y.a AND x.doc_id < y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING COUNT(*) >= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-verbatim-overlap pairs over the augmented corpus: each
+    planted variant shares its original's full text, so every
+    (X, X+1000000) pair must surface with many shared spans."""
+    return substring_span_pairs(
+        aug_docs(spark, sf_dir), "text", "doc_id"
+    ).orderBy("doc_a", "doc_b")

@@ -159,3 +159,68 @@ def q_group_counts_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 3)
         .orderBy("group")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified train/val/test split — the training-mix op every data
+# pipeline needs: deterministic per-label proportional assignment via
+# the same rank-over-md5 scheme (no engine rand(), so both engines
+# agree row-for-row). One window shuffle on the label; scale-safe.
+# ---------------------------------------------------------------------------
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str,
+    key_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign train/val/test per label by seeded-rank position within
+    the label's row count: first train_frac → train, next val_frac →
+    val, rest → test. Exact row counts per label are deterministic
+    (floor arithmetic), unlike randomSplit's Bernoulli draw."""
+    n_w = Window.partitionBy(label_col)
+    rk = seeded_rank(label_col, key_col, seed)
+    n = F.count(F.lit(1)).over(n_w)
+    split = (
+        F.when(rk <= F.floor(n * train_frac), "train")
+        .when(rk <= F.floor(n * train_frac) + F.floor(n * val_frac), "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+@query(
+    "q_stratified_split",
+    f"""
+    WITH ranked AS (
+        SELECT label, vec_id,
+               {_seeded_rank_sql("label", "vec_id")} AS rk,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM embeddings),
+    assigned AS (
+        SELECT label, vec_id,
+               CASE WHEN rk <= FLOOR(n * 0.8) THEN 'train'
+                    WHEN rk <= FLOOR(n * 0.8) + FLOOR(n * 0.1) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM ranked)
+    SELECT label, split, COUNT(*) AS n_rows, MIN(vec_id) AS min_key
+    FROM assigned GROUP BY label, split ORDER BY label, split
+    """,
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 stratified split of embeddings by label; per-(label,
+    split) counts + a deterministic witness key."""
+    from ..catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select("label", "vec_id")
+    out = stratified_split(emb, "label", "vec_id")
+    return (
+        out.groupBy("label", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("vec_id").alias("min_key"),
+        )
+        .orderBy("label", "split")
+    )

@@ -91,16 +91,28 @@ def char_ngrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
-def lang_scores(docs: DataFrame, profile: DataFrame) -> DataFrame:
+def lang_scores(
+    docs: DataFrame, profile: DataFrame | list | None = None
+) -> DataFrame:
     """Per (doc, candidate lang) n-gram vote totals.
 
     Plan: one doc scan; per profile gram a LITERAL-pattern
     ``regexp_count`` with a zero-width lookahead (overlapping matches —
     same counts as exploding every bigram and joining, with no explode
     and the regex compiled once per task, not per row), unpivoted via
-    ``stack`` and rolled up in one narrow groupBy."""
-    rows = sorted(
-        ((r["gram"], r["cand_lang"], int(r["weight"])) for r in profile.collect())
+    ``stack`` and rolled up in one narrow groupBy. ``profile`` may be
+    the (gram, lang, weight) list directly — passing a DataFrame costs
+    a driver collect job per call (the profile is plan-time literal
+    data either way)."""
+    if profile is None:
+        profile = _LANG_PROFILE
+    rows = (
+        sorted(profile)
+        if isinstance(profile, list)
+        else sorted(
+            (r["gram"], r["cand_lang"], int(r["weight"]))
+            for r in profile.collect()
+        )
     )
     cells = ", ".join(
         f"'{l}', {w}, regexp_count(text, '(?={g})')" for g, l, w in rows
@@ -212,9 +224,7 @@ grams AS (
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: char-bigram profile votes, argmax per document."""
     docs = table(spark, sf_dir, "documents")
-    return predict_lang(lang_scores(docs, lang_profile(spark))).orderBy(
-        "doc_id"
-    )
+    return predict_lang(lang_scores(docs)).orderBy("doc_id")
 
 
 @query(
