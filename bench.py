@@ -56,6 +56,9 @@ HEADLINE = [
     "q_domain_rollup",               # URL-domain provenance rollup
     "q_ann_sq8_rescore",             # SQ8 shortlist + exact rescore ANN
     "q_semantic_dedup",              # IVF -> cosine -> components -> survivors
+    "q_stream_stream_join",          # watermarked interval join (batch form)
+    "q_stratified_split",            # deterministic train/val/test assignment
+    "q_substring_span_dedup",        # char-40-gram anchor span dedup
 ]
 
 

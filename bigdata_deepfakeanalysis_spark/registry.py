@@ -90,7 +90,6 @@ _WINDOW: list[str] = [
     "q_ann_cosine_topk",
     "q_ann_lsh_bucketed",
     "q_embedding_sq8",
-    "q_ann_fast_consistency",
     "q_ann_lsh_recall",
     "q_ann_ivf_recall",
     # dedup family
@@ -144,6 +143,7 @@ _WINDOW: list[str] = [
     # one per remaining module: text, relational, arrays, grouping,
     # sampling, joins)
     "q_corpus_curation",
+    "q_repetition_filter",
     "q5_regional_revenue",
     "q_gap_per_channel",
     "q_prefix_demux",
