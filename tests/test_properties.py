@@ -1,0 +1,134 @@
+"""Property-based checks (hypothesis) for the algorithmic dedup cores.
+
+Each property batches all generated documents into ONE DataFrame and
+runs ONE Spark job per example (per-row Spark jobs would be minutes);
+max_examples stays small — the point is randomized structural coverage
+beyond the fixed synthetic corpus, not fuzzing volume.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOKENS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_doc = st.lists(st.sampled_from(_TOKENS), min_size=2, max_size=30)
+_corpus = st.lists(_doc, min_size=2, max_size=20)
+
+
+def _hamming(a: tuple, b: tuple) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_simhash_band_pairs_equal_bruteforce(spark, docs):
+    """Pigeonhole exactness: the banded self-join must find EXACTLY the
+    brute-force Hamming<=3 pairs — for any corpus, not just the
+    fixture."""
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        simhash64,
+        simhash_band_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    sim = simhash64(df, "text", "doc_id")
+    fp = {
+        r.doc_id: (r.b0, r.b1, r.b2, r.b3) for r in sim.collect()
+    }
+    brute = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and _hamming(fp[a], fp[b]) <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_band_pairs(sim, ham_max=3).collect()
+    }
+    assert banded == brute
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_repetition_stats_match_python_reference(spark, docs):
+    """The sorted-run HOF formulation == a direct Counter reference."""
+    from bigdata_deepfakeanalysis_spark.operators.text import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    for i, toks in enumerate(docs):
+        bigrams = [
+            f"{toks[p]} {toks[p+1]}" for p in range(len(toks) - 1)
+        ]
+        uni = Counter(toks)
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_bigrams == len(bigrams)
+        top = max(Counter(bigrams).values()) if bigrams else 0
+        if bigrams:
+            assert abs(r.top_bigram_frac - top / len(bigrams)) < 1e-8
+        repeated = sum(c for c in uni.values() if c > 1)
+        assert abs(r.dup_token_frac - repeated / len(toks)) < 1e-8
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-0.999, max_value=0.999, allow_nan=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_fixed_point_dot_is_order_free_and_bounded(spark, vecs):
+    """quantize/dot_fixed: |q| <= 2^20 per element, so any 64-element
+    dot stays far below int64 overflow, and the integer sum equals the
+    Python big-int reference exactly (order independence)."""
+    import math
+
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        dot_fixed,
+        quantize,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = (
+        df.select("vec_id", quantize("vec").alias("q"))
+        .withColumn("n2", dot_fixed("q", "q"))
+        .collect()
+    )
+    for r in out:
+        ref_q = [math.floor(v * (1 << 20)) for v in vecs[r.vec_id]]
+        assert list(r.q) == ref_q
+        assert r.n2 == sum(x * x for x in ref_q)
