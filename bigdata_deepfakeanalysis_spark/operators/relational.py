@@ -983,3 +983,169 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q13-shaped: orders-per-customer distribution through a FILTERED
+# LEFT join (the filter lives in the join condition, not a WHERE — a
+# WHERE would turn the outer join inner and drop zero-order customers).
+# --------------------------------------------------------------------------
+
+@query(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS n_custs
+    FROM per_cust GROUP BY c_count
+    ORDER BY n_custs DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: per-customer non-urgent order counts (COUNT of
+    a nullable join column keeps zero-order customers at 0), then the
+    histogram of those counts. Two aggregations, one outer join;
+    customer is the smaller side but must be join LHS to keep its
+    unmatched rows — Spark picks a shuffle join and AQE coalesces."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_custs"))
+        .orderBy(F.desc("n_custs"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q18-shaped: large-volume orders (HAVING over a decimal-exact
+# quantity sum gates the join back to orders + customer).
+# --------------------------------------------------------------------------
+
+@query(
+    "q18_large_volume_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   AS qty_sum
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250)
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           o_totalprice, qty_sum
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY qty_sum DESC, o_orderkey
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate lineitem per order, HAVING-gate to
+    the heavy tail (~1% of orders), then join the small survivor set
+    back to orders and customer. The gate runs FIRST so the joins see
+    only survivors — at 100 TB the HAVING output is broadcastable and
+    neither fact table shuffles for the join."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "qty_sum"))
+        .where(F.col("qty_sum") > 250)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            "qty_sum",
+        )
+        .orderBy(F.desc("qty_sum"), "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q22-shaped: dormant high-balance customers — scalar subquery
+# (decimal-exact average) + anti join on recent orders, per-nation
+# rollup.
+# --------------------------------------------------------------------------
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS v
+        FROM customer WHERE c_acctbal > 0),
+    dormant AS (
+        SELECT c_custkey, c_nationkey, c_acctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > v
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= DATE '1998-01-01'))
+    SELECT n_name,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_bal
+    FROM dormant JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    since 1998 — scalar aggregate subquery (decimal-exact mean: both
+    engines divide the same exact sum by the same count), anti join
+    against the filtered orders (the date filter pushes to the orders
+    scan), per-nation rollup over a broadcast dim."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    recent = orders.where(F.col("o_orderdate") >= "1998-01-01").select(
+        F.col("o_custkey")
+    )
+    dormant = (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("v"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        dormant.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.expr(
+                "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+            ).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
