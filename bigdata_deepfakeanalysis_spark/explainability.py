@@ -1,22 +1,26 @@
 """Explainability UDFs — Grad-CAM (M8) and ViT attention rollout (M9).
 
 The reference computes these with torch autograd hooks
-(``src/gradcam_dynamic.py:132-180`` Grad-CAM; ``:213-316`` rollout) —
-not expressible relationally, so the engine treats them as black-box
-tensor UDFs (SURVEY §2.8): ``mapInPandas`` over the media table,
-emitting a per-image heatmap as ``array<float>`` + its (h, w).
+(``src/gradcam_dynamic.py:132-180`` Grad-CAM; ``:213-316`` rollout).
+A trained torch model is an optional extra this container cannot carry,
+so — as with the M1/M3 featurizers (SURVEY §7.5) — the TENSORS are
+deterministic md5-seeded surrogates, but the OPERATOR MATH is the
+reference's real computation, executed in full:
 
-Torch is an optional extra (absent in this container, task spec:
-stub). When missing, a clearly-marked deterministic fake produces
-heatmaps with the REAL output contract — min-max-normalized to [0, 1]
-(the reference normalizes CAMs the same way, ``gradcam_dynamic.py:
-174-175``) at (h//8, w//8) resolution (conv-stage downsampling) — so
-schema, batch shape, normalization invariants, and partition-level
-model-init (X10) are all exercised and tested.
+- Grad-CAM: channel weights = GAP of the gradients over (h, w);
+  ``cam = relu(Σ_c w_c · A_c)``; min-max normalization
+  (``gradcam_dynamic.py:168-175``).
+- Rollout: per layer mean over heads, add identity, row-normalize;
+  chain the layer matrices; CLS row → patch grid; min-max normalize
+  (``gradcam_dynamic.py:262-300``).
 
-Scale design: one pass of mapInPandas per image batch, model loaded
-once per partition, heatmaps emitted as flat arrays with shape columns
-(data model D4) — the same execution shape as the surrogate featurizer.
+``used_torch=False`` marks the surrogate tensor source; swapping the
+surrogate generator for real hook captures changes nothing downstream.
+
+Scale design: one pass of mapInPandas per image batch, tensor state
+built once per row from the image bytes, heatmaps emitted as flat
+arrays with shape columns (data model D4) — the same execution shape as
+the surrogate featurizer.
 """
 
 from __future__ import annotations
@@ -35,6 +39,11 @@ _HEATMAP_SCHEMA = (
     " heatmap array<float>, used_torch boolean"
 )
 
+_N_CHANNELS = 8       # surrogate conv channels (M8)
+_N_LAYERS = 4         # surrogate transformer depth (M9)
+_N_HEADS = 2          # surrogate attention heads
+_GRID = 7             # ViT patch grid -> 7x7 = 49 patches + CLS
+
 
 def _heatmap_udf(method: str):
     """Build the mapInPandas fn. Closure is self-contained (stdlib +
@@ -46,33 +55,62 @@ def _heatmap_udf(method: str):
         import numpy as _np
         import pandas as _pd
 
-        # A REAL implementation replaces the body of this loop with
-        # per-partition model init (X10) + forward/backward hooks on the
-        # target layer (M8) / per-block attention capture (M9) — see
-        # src/gradcam_dynamic.py:132-180,213-316. That needs a trained
-        # torch model (an optional extra this container cannot carry),
-        # so the engine always runs the deterministic stub below and
-        # flags used_torch=False; merely having torch importable must
-        # not change behavior (a model is still absent).
+        def _surrogate(content: bytes, tag: str, shape: tuple) -> _np.ndarray:
+            """md5-seeded uniform tensor in [0, 1) — deterministic per
+            (image bytes, tag); stands in for a hook capture."""
+            n = int(_np.prod(shape))
+            seed = _hashlib.md5(bytes(content) + tag.encode()).digest()
+            buf = (seed * (n // len(seed) + 1))[:n]
+            return (
+                _np.frombuffer(buf, dtype=_np.uint8)
+                .astype(_np.float64)
+                .reshape(shape)
+                / 255.0
+            )
+
+        def _gradcam(content: bytes, h: int, w: int):
+            hh, ww = max(h // 8, 1), max(w // 8, 1)
+            acts = _surrogate(content, "acts", (_N_CHANNELS, hh, ww))
+            # centered so relu has something to clip (real grads are
+            # signed; uniform [0,1) grads would make relu a no-op)
+            grads = _surrogate(content, "grads", (_N_CHANNELS, hh, ww)) - 0.5
+            weights = grads.mean(axis=(1, 2))          # GAP of gradients
+            cam = _np.einsum("c,chw->hw", weights, acts)
+            cam = _np.maximum(cam, 0.0)                # relu
+            lo, hi = cam.min(), cam.max()
+            norm = (cam - lo) / (hi - lo + 1e-8)       # ref :174-175
+            return hh, ww, norm.ravel()
+
+        def _rollout(content: bytes):
+            t = _GRID * _GRID + 1                      # CLS + patches
+            attn = _surrogate(
+                content, "attn", (_N_LAYERS, _N_HEADS, t, t)
+            )
+            # softmax per row so each head is a real attention matrix
+            attn = _np.exp(attn * 4.0)
+            attn = attn / attn.sum(axis=-1, keepdims=True)
+            result = _np.eye(t)
+            for layer in range(_N_LAYERS):
+                a = attn[layer].mean(axis=0)           # mean over heads
+                a = a + _np.eye(t)                     # + identity
+                a = a / a.sum(axis=-1, keepdims=True)  # row-normalize
+                result = a @ result                    # chain product
+            cls_to_patches = result[0, 1:]             # CLS row
+            lo, hi = cls_to_patches.min(), cls_to_patches.max()
+            norm = (cls_to_patches - lo) / (hi - lo + 1e-8)
+            return _GRID, _GRID, norm
+
         for pdf in batches:
             rows = []
             for mid, content, w, h in zip(
                 pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
             ):
-                hh, ww = max(h // 8, 1), max(w // 8, 1)
-                # deterministic fake: md5-seeded pseudo-activation map,
-                # min-max normalized exactly like the reference's CAM
-                seed = _hashlib.md5(
-                    bytes(content) + method.encode()
-                ).digest()
-                raw = _np.frombuffer(
-                    (seed * ((hh * ww) // len(seed) + 1))[: hh * ww],
-                    dtype=_np.uint8,
-                ).astype(_np.float64)
-                lo, hi = raw.min(), raw.max()
-                norm = (raw - lo) / (hi - lo + 1e-8)
+                if method == "gradcam":
+                    hh, ww, hm = _gradcam(bytes(content), int(h), int(w))
+                else:
+                    hh, ww, hm = _rollout(bytes(content))
                 rows.append(
-                    (mid, method, hh, ww, norm.astype(float).tolist(), False)
+                    (mid, method, hh, ww, hm.astype(float).tolist(), False)
                 )
             yield _pd.DataFrame(
                 rows,
@@ -85,23 +123,26 @@ def _heatmap_udf(method: str):
 
 
 def gradcam(media_df: DataFrame) -> DataFrame:
-    """M8 — Grad-CAM heatmaps (torch-gated; deterministic stub without)."""
+    """M8 — Grad-CAM heatmaps: real GAP-weight/relu/normalize math over
+    surrogate activation + gradient tensors (torch hooks would replace
+    only the tensor source)."""
     return media_df.select(
         "media_id", "content", "width", "height"
     ).mapInPandas(_heatmap_udf("gradcam"), _HEATMAP_SCHEMA)
 
 
 def attention_rollout(media_df: DataFrame) -> DataFrame:
-    """M9 — ViT attention rollout (torch-gated; stub without)."""
+    """M9 — attention rollout: real head-mean/+I/row-normalize/chain
+    math over surrogate per-layer attention matrices."""
     return media_df.select(
         "media_id", "content", "width", "height"
     ).mapInPandas(_heatmap_udf("rollout"), _HEATMAP_SCHEMA)
 
 
-@query("q_gradcam_stub")  # rows-only: autograd output is model-specific
-def q_gradcam_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 plumbing — heatmap summary per image (full arrays stay in the
-    engine; the query emits shape + normalization invariants)."""
+@query("q_gradcam_surrogate")  # rows-only: tensor source is engine-local
+def q_gradcam_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — heatmap summary per image (full arrays stay in the engine;
+    the query emits shape + normalization invariants)."""
     hm = gradcam(media(spark, sf_dir).where(F.col("media_id") < 40))
     return hm.select(
         "media_id",
@@ -115,11 +156,11 @@ def q_gradcam_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("q_attention_rollout_stub")  # rows-only
-def q_attention_rollout_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M9 plumbing — same contract as q_gradcam_stub for the rollout
-    method (the reference's Grad-CAM cap is 40 images per group —
-    BASELINE.md — mirrored here)."""
+@query("q_attention_rollout_surrogate")  # rows-only
+def q_attention_rollout_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — same contract as q_gradcam_surrogate for the rollout method
+    (the reference's Grad-CAM cap is 40 images per group — BASELINE.md —
+    mirrored here)."""
     hm = attention_rollout(media(spark, sf_dir).where(F.col("media_id") < 40))
     return hm.select(
         "media_id",

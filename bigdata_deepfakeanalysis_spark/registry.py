@@ -120,9 +120,9 @@ _WINDOW: list[str] = [
     "q_surrogate_features",
     "q_frame_sample",
     "q_multistage_features",
-    # explainability stub (never driver-verified; one slot covers the
-    # module — its sibling q_attention_rollout_stub rides after 50)
-    "q_gradcam_stub",
+    # explainability (never driver-verified; one slot covers the module
+    # — its sibling q_attention_rollout_surrogate rides after 50)
+    "q_gradcam_surrogate",
     # advanced joins / guards (r1-green, fell out of the r2 window)
     "q_range_join",
     "q_asof_join",

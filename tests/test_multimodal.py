@@ -32,9 +32,65 @@ def test_resize_stub_shapes_and_determinism(spark):
     assert (a.checksum.values == b.checksum.values).all()
 
 
-def test_heatmap_stub_invariants(spark):
-    df = all_queries()["q_gradcam_stub"](spark, SF_DIR).toPandas()
+def test_heatmap_invariants(spark):
+    df = all_queries()["q_gradcam_surrogate"](spark, SF_DIR).toPandas()
     assert len(df) == 40
     assert (df.n_cells == df.h * df.w).all()
     assert (df.hm_min >= 0).all() and (df.hm_max <= 1.0).all()
     assert (~df.used_torch).all()
+    # rollout emits the CLS->patch grid (7x7) and is deterministic
+    r1 = all_queries()["q_attention_rollout_surrogate"](spark, SF_DIR).toPandas()
+    assert (r1.n_cells == 49).all() and (r1.h == 7).all()
+    r2 = all_queries()["q_attention_rollout_surrogate"](spark, SF_DIR).toPandas()
+    assert (r1.hm_min.values == r2.hm_min.values).all()
+    assert (r1.hm_max.values == r2.hm_max.values).all()
+
+
+def test_rollout_math_matches_numpy_reference(spark):
+    """The chained rollout of row-stochastic matrices must itself be
+    row-stochastic BEFORE normalization — verified by recomputing one
+    image's rollout from the same surrogate generator."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdata_deepfakeanalysis_spark.multimodal import media
+
+    row = (
+        media(spark, SF_DIR)
+        .where("media_id = 0")
+        .select("content")
+        .collect()[0]
+    )
+    content = bytes(row.content)
+    t = 50
+    n = 4 * 2 * t * t
+    seed = hashlib.md5(content + b"attn").digest()
+    buf = (seed * (n // len(seed) + 1))[:n]
+    attn = (
+        np.frombuffer(buf, dtype=np.uint8).astype(np.float64).reshape(
+            4, 2, t, t
+        )
+        / 255.0
+    )
+    attn = np.exp(attn * 4.0)
+    attn = attn / attn.sum(axis=-1, keepdims=True)
+    result = np.eye(t)
+    for layer in range(4):
+        a = attn[layer].mean(axis=0) + np.eye(t)
+        a = a / a.sum(axis=-1, keepdims=True)
+        result = a @ result
+    assert np.allclose(result.sum(axis=-1), 1.0)  # row-stochastic chain
+    cls = result[0, 1:]
+    expected = (cls - cls.min()) / (cls.max() - cls.min() + 1e-8)
+
+    from bigdata_deepfakeanalysis_spark.explainability import (
+        attention_rollout,
+    )
+
+    hm = (
+        attention_rollout(media(spark, SF_DIR).where("media_id = 0"))
+        .collect()[0]
+        .heatmap
+    )
+    assert np.allclose(np.array(hm), expected, atol=1e-6)
