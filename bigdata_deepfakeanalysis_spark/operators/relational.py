@@ -1149,3 +1149,68 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q17-shaped: small-quantity-order revenue — correlated scalar
+# subquery (per-part average quantity) rewritten as an aggregate +
+# self-join, decimal-exact so the 0.2*avg threshold compares
+# identically on both engines.
+# --------------------------------------------------------------------------
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                           AS DOUBLE) / COUNT(*)) AS qty_cut
+        FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#4' AND l_quantity < qty_cut
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below 20% of their part's
+    average quantity. The correlated subquery is the aggregate
+    part_avg joined back to lineitem (exactly Catalyst's decorrelation
+    rewrite, stated explicitly); the mean is decimal-exact-sum /
+    count so the strict < threshold can never flip between engines.
+    At scale: part_avg is one partial-agg shuffle keyed like the join
+    that consumes it, and the brand filter pushes to the part scan."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.expr(
+                    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+                )
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_cut")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#4")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (
+                F.expr(
+                    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))"
+                    " AS DOUBLE)"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
