@@ -793,7 +793,12 @@ def connected_components(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
+        # carry the changed flag through the checkpoint so the
+        # convergence test is a narrow scan of the materialized
+        # partitions, not another shuffle join against the old labels
+        # (one fewer join + shuffle per round; the count action reuses
+        # the checkpoint blocks the loop needs anyway)
+        stepped = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
@@ -801,16 +806,15 @@ def connected_components(
                     F.col("label"),
                     F.coalesce("nbr_min", F.col("label")),
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_min", F.col("label"))
+                    < F.col("label")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .where(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("chg")).count()
+        labels = stepped.drop("chg")
         if changed == 0:
             break
     if changed != 0:

@@ -1214,3 +1214,376 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q6-shaped: forecast-revenue-change — pure scan + conjunctive
+# filter + scalar aggregate. The whole query is one codegen'd stage
+# with every predicate pushed to the parquet scan.
+# --------------------------------------------------------------------------
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {dmul2_sum_sql("l_extendedprice", "l_discount", "revenue")},
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue left on the table by discounts — a
+    filter so selective the scan IS the query. All four predicates
+    push down to the parquet reader (min/max row-group pruning at
+    scale); no shuffle at all, one partial+final scalar agg."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dmul2_sum("l_extendedprice", "l_discount", "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q8-shaped: national market share — 7-way join (nation twice),
+# conditional decimal aggregate ratio per year.
+# --------------------------------------------------------------------------
+
+@query(
+    "q8_market_share",
+    """
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(18,4)) *
+               CAST(1 - l_discount AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01')
+    SELECT o_year,
+           COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                                  THEN volume END) AS DOUBLE), 0.0)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_7's share of PROMO-part revenue sold to
+    ASIA customers, per year. Nation joins twice under different roles
+    (customer's nation restricts the region; supplier's nation feeds
+    the CASE numerator). Sums stay DECIMAL until the final division of
+    two identical-on-both-engines doubles, so the ratio is bit-stable.
+    At scale: part/supplier/nation/region broadcast; lineitem⋈orders
+    is the only big shuffle and AQE handles its skew."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    vol = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.expr(
+                "CAST(l_extendedprice AS DECIMAL(18,4)) *"
+                " CAST(1 - l_discount AS DECIMAL(18,4))"
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.coalesce(
+                    F.expr(
+                        "CAST(SUM(CASE WHEN supp_nation = 'NATION_7'"
+                        " THEN volume END) AS DOUBLE)"
+                    ),
+                    F.lit(0.0),
+                )
+                / F.expr("CAST(SUM(volume) AS DOUBLE)")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q9-shaped (adapted: no partsupp table in the driver schema, so
+# profit = revenue rather than revenue - supplycost*qty): product-line
+# profit by supplier nation × order year.
+# --------------------------------------------------------------------------
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "profit")}
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (partsupp-less adaptation, documented): revenue
+    attributed to red parts, rolled up by supplier nation and year.
+    The LIKE filter prunes part before the broadcast; orders joins on
+    the fact's own orderkey so only one big-table shuffle exists."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dmul2_sum("l_extendedprice", "1 - l_discount", "profit"))
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q10-shaped: returned-item revenue per customer, global top-20.
+# --------------------------------------------------------------------------
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter. Decimal-exact revenue makes the top-20 cut deterministic
+    (ties break on c_custkey identically in both engines); the final
+    sort+limit becomes TakeOrderedAndProject — no global sort."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q12-shaped (adapted: driver lineitem has no l_shipmode, so the
+# line status plays the shipmode role): late-shipment priority counts —
+# equi join + theta residual (l_shipdate > o_orderdate) + conditional
+# integer aggregate.
+# --------------------------------------------------------------------------
+
+@query(
+    "q12_priority_lines",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode→linestatus adaptation, documented):
+    count urgent vs non-urgent order lines shipped in 1996 strictly
+    after their order date. The theta predicate rides as a residual on
+    the equi hash join — no nested-loop fallback; integer CASE sums
+    are exact on any engine."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q15-shaped: top supplier by quarterly revenue — aggregate view
+# + scalar-max subquery + equality join back to the dimension.
+# --------------------------------------------------------------------------
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               {dmul2_sum_sql("l_extendedprice", "1 - l_discount",
+                              "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) hitting the quarter's max revenue.
+    The revenue view aggregates once and is consumed twice (per-row
+    and scalar MAX); the decimal-exact sum makes the float equality
+    against the max legitimate — both engines derive both sides from
+    the identical decimal. At scale rev is tiny (one row per supplier)
+    so the max is a broadcast scalar, not a second fact scan."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dmul2_sum("l_extendedprice", "1 - l_discount", "total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q16-shaped (adapted: lineitem is the part↔supplier bridge in
+# place of partsupp): supplier-count per part attribute triple, with a
+# NOT IN exclusion on negative-balance suppliers.
+# --------------------------------------------------------------------------
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 44)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp→lineitem bridge, documented): how many
+    distinct reputable suppliers ship each (brand, size) bucket. The
+    NOT IN subquery is a broadcast anti join (negative-balance supplier
+    keys are tiny and null-free); COUNT(DISTINCT) expands to a
+    two-phase partial-distinct aggregate — no row explosion."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 44))
+    )
+    bad_supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
