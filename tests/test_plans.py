@@ -142,3 +142,41 @@ def test_ngram_jaccard_has_no_shingle_self_join(spark):
         assert ("doc_a" in keys) or ("doc_b" in keys) or (
             "band" in keys and "sig" in keys
         ), keys
+
+
+def test_q6_is_single_stage_scan_agg(spark):
+    """Q6 is the purest pushdown test: all four predicates reach the
+    parquet reader and the only Exchange is the scalar-agg gather."""
+    plan = _plan(all_queries()["q6_forecast_revenue"](spark, SF_DIR))
+    # the plan string elides long filter lists, so assert the scan has
+    # SOME pushed predicate and prunes to exactly the 4 touched columns
+    assert "PushedFilters: [" in plan
+    assert "PushedFilters: []" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema, col
+    assert plan.count("Exchange") == 1
+
+
+def test_q8_broadcasts_every_dimension(spark):
+    """The 7-way market-share join must broadcast part/supplier/nation
+    ×2/region — lineitem⋈orders is the only allowed big shuffle."""
+    plan = _plan(all_queries()["q8_market_share"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "BatchEvalPython" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark):
+    """ORDER BY + LIMIT 20 must compile to TakeOrderedAndProject —
+    a per-partition top-k + driver merge, never a global sort."""
+    plan = _plan(all_queries()["q10_returned_items"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q16_exclusion_is_broadcast_anti(spark):
+    """The NOT IN supplier exclusion must be a broadcast anti join —
+    the exclusion list is structurally tiny at any scale."""
+    plan = _plan(all_queries()["q16_supplier_part_counts"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
