@@ -1587,3 +1587,304 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q2-shaped minimum-cost supplier (partsupp→lineitem adaptation:
+# the observed minimum line price per (part, supplier) plays the
+# ps_supplycost role). Correlated scalar-MIN subquery, decorrelated in
+# the DataFrame plan to a per-part aggregate + equality join — the
+# standard Catalyst rewrite, written explicitly.
+# --------------------------------------------------------------------------
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey, supply_cost
+    FROM part
+    JOIN cost     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_size = 9 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      AND supply_cost = (
+          SELECT MIN(c2.supply_cost)
+          FROM cost c2
+          JOIN supplier s2 ON s2.s_suppkey  = c2.l_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD size-9 part, the European
+    supplier(s) offering the minimum observed price. The correlated
+    scalar-MIN is decorrelated to ``min_cost = groupBy(part).min`` and
+    an equality join — one aggregate over the (part, supplier) bridge,
+    reused for both the per-row cost and the per-part floor (MIN of a
+    double is engine-order-independent, so the equality is exact).
+    At scale the bridge agg is the only fact shuffle; part/supplier/
+    nation/region are broadcast; the final sort feeds a LIMIT so it is
+    TakeOrderedAndProject, not a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 9) & (F.col("p_type") == "STANDARD")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+
+    # (part, supplier) -> min observed price: the partsupp surrogate.
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supply_cost")
+    )
+    # European (part, supplier) costs only — supplier/nation/region all
+    # broadcast; no extra fact shuffle.
+    euro_cost = (
+        cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    floor = euro_cost.groupBy(F.col("l_partkey").alias("fp_key")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        euro_cost.join(
+            floor,
+            (F.col("l_partkey") == F.col("fp_key"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey",
+            "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q11-shaped important-part value concentration: per-part shipped
+# value for one nation's suppliers, kept only where it exceeds a fixed
+# fraction of that nation's total — aggregate reused against its own
+# global rollup (HAVING vs scalar subquery).
+# --------------------------------------------------------------------------
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                   CAST(l_quantity AS DECIMAL(18,4))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey)
+    SELECT l_partkey AS p_key, CAST(value_dec AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE) >
+          CAST((SELECT SUM(value_dec) FROM val) AS DOUBLE) * 0.001
+    ORDER BY part_value DESC, p_key
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp value → shipped lineitem value): parts
+    whose NATION_7-supplied value exceeds 0.1% of the nation total.
+    The per-part aggregate stays DECIMAL through both uses — its own
+    row value AND the global total — and converts to DOUBLE only for
+    the final comparison, so the threshold is the identical IEEE double
+    in both engines (decimal addition is order-independent; the
+    partial/final agg split cannot perturb it). The total is a 1-row
+    broadcast, not a second fact scan."""
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    val = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *"
+                " CAST(l_quantity AS DECIMAL(18,4)))"
+            ).alias("value_dec")
+        )
+    )
+    total = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.join(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.col("total_dec").cast("double") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q20-shaped dominant-supplier promotion: suppliers who shipped
+# more than half of a small part's 1996 volume, restricted to one
+# region — nested aggregate threshold feeding a semi join into the
+# supplier dimension.
+# --------------------------------------------------------------------------
+
+@query(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+        GROUP BY l_partkey, l_suppkey),
+    tot AS (
+        SELECT l_partkey AS t_key, SUM(qty_dec) AS tot_dec
+        FROM shipped GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey, s_name, s_acctbal
+    FROM shipped
+    JOIN tot      ON l_partkey = t_key
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND CAST(qty_dec AS DOUBLE) > 0.5 * CAST(tot_dec AS DOUBLE)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty → shipped-volume dominance): European
+    suppliers who moved >50% of some small part's 1996 volume. The
+    (part, supplier) aggregate is reused for the per-part total (exact
+    decimal both times — associative, partial-agg-proof); the 'small%'
+    part filter pushes into the fact scan as a broadcast semi join
+    BEFORE the aggregate, so the shuffle only carries matching parts.
+    DISTINCT collapses a supplier dominating several parts — at scale
+    that output is supplier-bounded, i.e. tiny."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    small_parts = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    shipped = (
+        li.join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.expr("SUM(CAST(l_quantity AS DECIMAL(18,4)))").alias("qty_dec")
+        )
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_key")).agg(
+        F.sum("qty_dec").alias("tot_dec")
+    )
+    return (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_key"))
+        .where(
+            F.col("qty_dec").cast("double")
+            > F.lit(0.5) * F.col("tot_dec").cast("double")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q21-shaped sole-late-supplier audit: EXISTS + NOT-EXISTS pair
+# over the same fact, decorrelated in the DataFrame plan to ONE
+# per-order aggregate (distinct suppliers, distinct late suppliers)
+# joined back to the late lines. The oracle keeps the declarative
+# correlated form — identical semantics, independent derivation.
+# --------------------------------------------------------------------------
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receiptdate→shipdate-lag adaptation): per
+    supplier, late 'F'-order lines (shipped >60 days after the order
+    date) on multi-supplier orders where THEY were the only late
+    supplier. The EXISTS / NOT-EXISTS pair decorrelates to one
+    per-order WINDOW — n_supp = distinct suppliers over the order,
+    n_late_supp = distinct suppliers among its late lines — and the
+    filter (late AND n_supp >= 2 AND n_late_supp = 1): a line is late
+    and its supplier uniquely so exactly when those hold. The window
+    keeps it to ONE lineitem scan and ONE orderkey shuffle (an
+    aggregate-and-join-back would scan the fact twice), instead of the
+    three correlated fact scans the literal form implies. collect_set
+    per order is bounded by lines-per-order — O(10), never a skew
+    hazard."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = table(spark, sf_dir, "supplier")
+    late = F.expr("l_shipdate > o_orderdate + INTERVAL 60 DAY")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .where(
+            F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -180,3 +180,44 @@ def test_q16_exclusion_is_broadcast_anti(spark):
     plan = _plan(all_queries()["q16_supplier_part_counts"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_q2_floor_join_stays_on_bridge_agg(spark):
+    """The decorrelated scalar-MIN must reuse the (part,supplier)
+    bridge aggregate — dims broadcast, the LIMIT a TakeOrdered, and no
+    Python anywhere."""
+    plan = _plan(all_queries()["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_q11_total_is_broadcast_scalar(spark):
+    """The nation-total threshold must arrive as a broadcast 1-row
+    side, not a re-aggregation of the fact."""
+    plan = _plan(all_queries()["q11_important_parts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # only one scan of lineitem feeds the whole query
+    assert plan.count("Scan parquet") <= 6
+
+
+def test_q20_part_filter_precedes_aggregate(spark):
+    """The 'small%' part restriction must semi-join BEFORE the
+    (part,supplier) aggregate so the shuffle carries only matching
+    parts."""
+    plan = _plan(all_queries()["q20_dominant_suppliers"](spark, SF_DIR))
+    semi = plan.find("LeftSemi")
+    agg = plan.find("HashAggregate")
+    assert semi != -1 and agg != -1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q21_single_fact_scan_via_window(spark):
+    """The EXISTS/NOT-EXISTS pair must decorrelate to per-order window
+    aggregates over ONE lineitem scan — not three correlated fact
+    scans (and not even an agg-and-join-back, which scans it twice)."""
+    plan = _plan(all_queries()["q21_waiting_suppliers"](spark, SF_DIR))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
