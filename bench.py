@@ -59,6 +59,9 @@ HEADLINE = [
     "q_stream_stream_join",          # watermarked interval join (batch form)
     "q_stratified_split",            # deterministic train/val/test assignment
     "q_substring_span_dedup",        # char-40-gram anchor span dedup
+    "q_contamination_check",         # benchmark n-gram leakage scan
+    "q_sequence_packing",            # token-budget context-bin packing
+    "q_tfidf_topterms",              # per-lang TF-IDF top terms
 ]
 
 

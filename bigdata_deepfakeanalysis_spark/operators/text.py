@@ -685,3 +685,232 @@ def q_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, b.pos
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check, sequence packing, TF-IDF — the three
+# remaining staples of an LLM training-data pipeline (alongside dedup /
+# quality / lang-ID above): is the eval suite leaking into the train
+# split, how do documents pack into fixed token budgets, and which
+# terms dominate each language shard.
+# ---------------------------------------------------------------------------
+
+# Word tokenization shared by the ops below — spelled identically in
+# both engines so the token stream is bit-equal: lowercase, split on
+# non-alphanumeric runs, drop empties.
+_TOKS = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " w -> w <> '')"
+)
+
+# Word-8-gram list from a token array (space-joined). Spark's
+# sequence(1, n) is DESCENDING when n < 1, so the CASE guard is
+# load-bearing; DuckDB's range(1, n) is already empty there.
+_GRAMS8 = (
+    "CASE WHEN size(toks) >= 8 THEN "
+    "transform(sequence(1, size(toks) - 7),"
+    " i -> concat_ws(' ', slice(toks, i, 8))) "
+    "ELSE array() END"
+)
+_GRAMS8_SQL = (
+    "list_transform(range(1, len(toks) - 6),"
+    " i -> array_to_string(toks[i:i+7], ' '))"
+)
+
+
+from .dedup import AUG_DOCS_CTE as _AUG_DOCS_CTE  # noqa: E402
+
+
+@query(
+    "q_contamination_check",
+    f"""
+    WITH {_AUG_DOCS_CTE.strip()},
+    grams AS (
+        SELECT DISTINCT doc_id, UNNEST({_GRAMS8_SQL}) AS gram
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM aug_docs) t),
+    bench AS (
+        SELECT DISTINCT gram FROM grams
+        WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+    train AS (SELECT * FROM grams
+              WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.gram) AS n_hits,
+           ROUND(COUNT(b.gram) * 1.0 / COUNT(*), 9) AS contam_ratio
+    FROM train t LEFT JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    HAVING COUNT(b.gram) > 0
+    ORDER BY doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: which train documents share word-8-grams
+    with the held-out eval set (docs with doc_id % 97 == 0 stand in for
+    a benchmark suite; the augmented corpus's planted near-dups of
+    benchmark docs are the contamination to catch — the standard
+    n-gram-overlap decontamination check from GPT-3/PaLM data cards).
+
+    100 TB design: the benchmark gram set is eval-suite-sized (MBs) —
+    a broadcast build side — so the corpus-side gram stream never
+    shuffles for the join; the only wide op is the per-doc groupBy.
+    Per-doc DISTINCT grams bound the join fan-out."""
+    from .dedup import aug_docs
+
+    docs = aug_docs(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
+    grams = (
+        docs.select(
+            "doc_id", F.expr(_TOKS).alias("toks"), is_bench.alias("is_bench")
+        )
+        .select("doc_id", "is_bench", F.explode(F.expr(_GRAMS8)).alias("gram"))
+        .distinct()
+    )
+    bench = (
+        grams.where(F.col("is_bench")).select("gram").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.where(~F.col("is_bench"))
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") * 1.0 / F.count(F.lit(1)), 9).alias(
+                "contam_ratio"
+            ),
+        )
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sequence_packing",
+    f"""
+    WITH stats AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tokens,
+               (CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+               // 2048 AS bin
+        FROM stats)
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(CAST(SUM(n_tokens) AS BIGINT) / 2048.0, 9) AS fill_ratio
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id
+    order) to fixed 2048-token context bins per language shard — a doc
+    starts in the bin where its cumulative offset lands — and report
+    per-bin doc count and fill ratio. This is the streaming-concat
+    packing used to build pretraining batches.
+
+    100 TB design: a GLOBAL running sum doesn't scale, so the cumsum
+    window is partitioned by shard (lang here; date/source/file in
+    production) — each shard packs independently, which is exactly how
+    real packing shards the corpus. Integer arithmetic end to end, so
+    the bin assignment is engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    packed = (
+        stats.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("bin", F.expr("(CAST(cum AS BIGINT) - n_tokens) DIV 2048"))
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("bigint") / F.lit(2048.0), 9
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT doc_id, lang, UNNEST(toks) AS term FROM toks),
+    pre AS (SELECT term, doc_id, lang, COUNT(*) AS c
+            FROM terms GROUP BY term, doc_id, lang),
+    tf AS (SELECT lang, term, CAST(SUM(c) AS BIGINT) AS tf
+           FROM pre GROUP BY lang, term),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs
+              FROM pre GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT lang, term, tf, df_docs,
+               CAST(tf * n_docs AS DOUBLE) / df_docs AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT lang, term, tf, df_docs, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY score DESC, term) AS rnk FROM scored) r
+    WHERE rnk <= 5
+    ORDER BY lang, score DESC, term
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms by TF-IDF (linear idf N/df rather than
+    ln(N/df): ln differs in the last ulp across libm implementations,
+    while tf·N/df is one exact integer product and one IEEE division —
+    bit-equal on any engine; ln is monotone in df so for equal tf the
+    ordering is identical).
+
+    100 TB design: ONE fact-level shuffle — the (term, doc) pre-agg —
+    then tf, per-(term,lang) doc counts, and the term-level df all
+    derive from it in a single lineage chain: df_docs is a SUM window
+    over the term partition of the (term, lang) aggregate (a doc has
+    one lang, so distinct docs per term = Σ_lang docs), which avoids
+    both a second fact derivation (Spark can't reuse a differently
+    pruned subplan) and a vocab-level join. Top-k per lang is a rank
+    window, map-side-limited by WindowGroupLimit."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKS)).alias("term")
+    )
+    tl = terms.groupBy("term", "lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_tl = tl.groupBy("term", "lang").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        per_tl.withColumn(
+            "df_docs", F.sum("docs").over(Window.partitionBy("term"))
+        )
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_docs"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "term", "tf", "df_docs", "score")
+        .orderBy("lang", F.desc("score"), "term")
+    )

@@ -221,3 +221,29 @@ def test_q21_single_fact_scan_via_window(spark):
     assert plan.count("orders.parquet") == 1
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    """The eval-suite gram set must be the broadcast build side — the
+    corpus gram stream must not shuffle for the join."""
+    plan = _plan(all_queries()["q_contamination_check"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_single_fact_level_shuffle(spark):
+    """tf and df must both derive from the one (term, doc) pre-agg —
+    not two independent explodes of the corpus."""
+    plan = _plan(all_queries()["q_tfidf_topterms"](spark, SF_DIR))
+    assert plan.count("documents.parquet") <= 2  # terms + the N scalar
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_partitions_by_shard(spark):
+    """The cumsum window must partition by the shard key (lang) — a
+    global running sum would single-thread the corpus."""
+    plan = _plan(all_queries()["q_sequence_packing"](spark, SF_DIR))
+    assert "Window" in plan
+    import re
+    assert re.search(r"windowspecdefinition\(lang", plan) or "partitionBy" in plan
