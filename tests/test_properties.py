@@ -132,3 +132,46 @@ def test_fixed_point_dot_is_order_free_and_bounded(spark, vecs):
         ref_q = [math.floor(v * (1 << 20)) for v in vecs[r.vec_id]]
         assert list(r.q) == ref_q
         assert r.n2 == sum(x * x for x in ref_q)
+
+
+def test_contamination_flags_planted_benchmark_dupes(spark):
+    """The planted near-dup variants of benchmark docs (doc 0 and 485
+    are both %97==0 and %5==0 at sf0.01) fully contain the original
+    text, so they MUST surface with high contamination (the appended
+    ' near dup tail' mints a few clean grams, so ≈0.85, not 1.0)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["q_contamination_check"](spark, SF_DIR).collect()
+    }
+    for planted in (1000000, 1000485):
+        assert planted in rows, planted
+        assert rows[planted].contam_ratio > 0.8, rows[planted]
+
+
+def test_sequence_packing_conserves_tokens(spark):
+    """Bin token totals must sum to the corpus token total per lang —
+    packing moves documents, never drops or splits them."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    packed = (
+        all_queries()["q_sequence_packing"](spark, SF_DIR)
+        .groupBy("lang")
+        .agg(F.sum("bin_tokens").alias("t"))
+    )
+    direct = (
+        table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+    )
+    got = {r.lang: r.t for r in packed.collect()}
+    want = {r.lang: r.t for r in direct.collect()}
+    assert got == want
