@@ -754,24 +754,29 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: the benchmark gram set is eval-suite-sized (MBs) —
     a broadcast build side — so the corpus-side gram stream never
     shuffles for the join; the only wide op is the per-doc groupBy.
-    Per-doc DISTINCT grams bound the join fan-out."""
+    Per-doc dedup happens ROW-LOCALLY (array_distinct before the
+    explode, inside codegen) — a global DISTINCT here would shuffle
+    the entire gram stream for a property that is per-document."""
     from .dedup import aug_docs
 
     docs = aug_docs(spark, sf_dir)
     is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
-    grams = (
-        docs.select(
-            "doc_id", F.expr(_TOKS).alias("toks"), is_bench.alias("is_bench")
+    def explode_grams(src: DataFrame) -> DataFrame:
+        return src.select(
+            "doc_id", F.expr(_TOKS).alias("toks")
+        ).select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_GRAMS8))).alias("gram"),
         )
-        .select("doc_id", "is_bench", F.explode(F.expr(_GRAMS8)).alias("gram"))
-        .distinct()
-    )
+
+    # benchmark side filters to the eval docs BEFORE the explode — the
+    # broadcast build must never re-derive the corpus-wide gram stream
     bench = (
-        grams.where(F.col("is_bench")).select("gram").distinct()
+        explode_grams(docs.where(is_bench)).select("gram").distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        grams.where(~F.col("is_bench"))
+        explode_grams(docs.where(~is_bench))
         .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
         .agg(
