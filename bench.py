@@ -62,6 +62,8 @@ HEADLINE = [
     "q_contamination_check",         # benchmark n-gram leakage scan
     "q_sequence_packing",            # token-budget context-bin packing
     "q_tfidf_topterms",              # per-lang TF-IDF top terms
+    "q_cms_heavy_hitters",           # count-min-sketch frequency estimates
+    "q_zorder_layout",               # Morton-key range split + file stats
 ]
 
 

@@ -1,0 +1,119 @@
+"""Mergeable-sketch operators — count-min-sketch heavy hitters.
+
+The 100 TB story: a CMS is a tiny (d×w) grid of counters that
+partial-aggregates map-side and merges associatively, so frequency
+estimation over an arbitrarily large token stream costs ONE narrow
+shuffle of d·w rows — the raw stream never moves. Estimates
+overcount (never undercount): est(t) = min over d rows of the
+counter each seeded hash lands t in.
+
+Engine-exactness: the hash is md5-prefix → int (identical in Spark
+via ``conv(substr(md5(..),1,8),16,10)`` and DuckDB via
+``('0x' || substr(md5(..),1,8))::BIGINT``), so both engines build
+bit-identical sketches — the oracle replays the exact construction.
+
+No reference counterpart (the reference is image-only); CMS follows
+Cormode & Muthukrishnan (2005).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .text import _TOKS, _TOKS_SQL
+
+_D = 4      # hash rows
+_W = 256    # buckets per row
+
+
+def _bucket(term_expr: str, r: int) -> str:
+    """Spark SQL: seeded CMS bucket of a term."""
+    return (
+        f"CAST(conv(substr(md5(concat('{r}', '|', {term_expr})), 1, 8),"
+        f" 16, 10) AS BIGINT) % {_W}"
+    )
+
+
+def _bucket_sql(term_expr: str, r: int) -> str:
+    """DuckDB: the identical bucket derivation."""
+    return (
+        f"(('0x' || substr(md5('{r}' || '|' || {term_expr}), 1, 8))::BIGINT)"
+        f" % {_W}"
+    )
+
+
+@query(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    terms AS (SELECT UNNEST(toks) AS term FROM toks),
+    hashed AS (
+        SELECT term,
+               {", ".join(f"{_bucket_sql('term', r)} AS b{r}" for r in range(1, _D + 1))}
+        FROM terms),
+    sketch AS (
+        {" UNION ALL ".join(
+            f"SELECT {r} AS r, b{r} AS bucket, COUNT(*) AS cnt"
+            f" FROM hashed GROUP BY b{r}" for r in range(1, _D + 1))}),
+    truth AS (SELECT term, COUNT(*) AS true_cnt FROM terms GROUP BY term),
+    cand AS (
+        SELECT DISTINCT term,
+               {", ".join(f"{_bucket_sql('term', r)} AS b{r}" for r in range(1, _D + 1))}
+        FROM terms),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT term, {r} AS r, b{r} AS bucket FROM cand"
+            for r in range(1, _D + 1))}),
+    est AS (
+        SELECT p.term, MIN(s.cnt) AS cms_est
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+        GROUP BY p.term)
+    SELECT e.term, t.true_cnt, CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM est e JOIN truth t ON e.term = t.term
+    ORDER BY cms_est DESC, e.term
+    LIMIT 10
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the document token stream:
+    build a {_D}×{_W} CMS, probe every candidate term, report the
+    top-10 by estimate next to the exact count (est ≥ truth always —
+    tested). The exact-count branch exists only for the diagnostic
+    comparison; the production path is sketch build + probe.
+
+    100 TB design: the sketch build is ONE pass — the d bucket ids are
+    row-local md5 expressions, the posexplode is a flatMap, and the
+    groupBy partial-aggregates each partition down to ≤ d·w rows
+    before the only (tiny) shuffle. Probing joins candidates against
+    the broadcast 1024-row sketch."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+    buckets = F.array(
+        *[F.expr(_bucket("term", r)) for r in range(1, _D + 1)]
+    )
+    sketch = (
+        terms.select(F.posexplode(buckets).alias("pos", "bucket"))
+        .select((F.col("pos") + 1).alias("r"), "bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    truth = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = (
+        terms.distinct()
+        .select("term", F.posexplode(buckets).alias("pos", "bucket"))
+        .select("term", (F.col("pos") + 1).alias("r"), "bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.join(truth, "term")
+        .select("term", "true_cnt", "cms_est")
+        .orderBy(F.desc("cms_est"), "term")
+        .limit(10)
+    )

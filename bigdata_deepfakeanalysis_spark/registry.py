@@ -67,6 +67,8 @@ def _load_all() -> None:
     from . import explainability  # noqa: F401
     from .operators import sources  # noqa: F401
     from .operators import bucketing  # noqa: F401
+    from .operators import sketches  # noqa: F401
+    from .operators import layout  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

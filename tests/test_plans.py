@@ -247,3 +247,26 @@ def test_sequence_packing_partitions_by_shard(spark):
     assert "Window" in plan
     import re
     assert re.search(r"windowspecdefinition\(lang", plan) or "partitionBy" in plan
+
+
+def test_cms_sketch_build_is_one_narrow_shuffle(spark):
+    """The sketch-build branch must partial-aggregate map-side down to
+    ≤ d·w rows — and nothing in the query may leave codegen."""
+    plan = _plan(all_queries()["q_cms_heavy_hitters"](spark, SF_DIR))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # probe joins the broadcast sketch
+
+
+def test_zorder_split_has_no_sort_or_window(spark):
+    """The range split must be the zkey prefix — shuffle-free row-local
+    assignment; a global sort or window here would not scale."""
+    plan = _plan(all_queries()["q_zorder_layout"](spark, SF_DIR))
+    assert "Window" not in plan
+    # stats gather + its broadcast + agg shuffle + 16-row presentation
+    # sort; crucially NO exchange between the fact scan and the
+    # prefix-keyed aggregate (the file assignment is row-local)
+    assert plan.count("Exchange") <= 4
+    fact_side = plan.split("Broadcast")[-1]
+    assert "rangepartitioning" not in fact_side
+    assert "BatchEvalPython" not in plan

@@ -175,3 +175,43 @@ def test_sequence_packing_conserves_tokens(spark):
     got = {r.lang: r.t for r in packed.collect()}
     want = {r.lang: r.t for r in direct.collect()}
     assert got == want
+
+
+def test_cms_never_undercounts(spark):
+    """CMS estimates are ≥ the true count for EVERY term (structural
+    guarantee of count-min), and exact for the clear heavy hitters
+    here (w=256 >> vocab size ⇒ few collisions)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_cms_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cms_est >= r.true_cnt, r
+
+
+def test_zorder_files_bound_both_dimensions(spark):
+    """Every z-order file must span ≤ ~1/4 of BOTH key domains: the
+    4-bit prefix fixes 2 high bits of each 16-bit dimension. A
+    single-key sort would leave the second dimension unbounded."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    li = table(spark, SF_DIR, "lineitem")
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    p_dom = g[1] - g[0]
+    s_dom = g[3] - g[2]
+    files = all_queries()["q_zorder_layout"](spark, SF_DIR).collect()
+    assert len(files) > 1
+    # quarter of the domain + one normalization cell of slack
+    for f in files:
+        assert f.p_hi - f.p_lo <= p_dom / 4 + p_dom / 65535 + 1, f
+        assert f.s_hi - f.s_lo <= s_dom / 4 + s_dom / 65535 + 1, f
