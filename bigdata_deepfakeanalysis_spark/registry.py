@@ -139,18 +139,19 @@ _WINDOW: list[str] = [
     "q_csv_json_roundtrip",
     "q_e2e_image_pipeline",
     "q_npz_roundtrip",
-    "q_orc_roundtrip",
     "q_bucketed_join",
     # banked-family flagships (fresh r3 rows for r1/r2-green families —
     # one per remaining module: text, relational, arrays, grouping,
     # sampling, joins)
     "q_corpus_curation",
-    "q_repetition_filter",
     "q5_regional_revenue",
     "q_gap_per_channel",
     "q_prefix_demux",
     "q_seeded_cap_sample",
     "q_stem_join_concat",
+    # sketches / layout (round-3 scale extensions)
+    "q_cms_heavy_hitters",
+    "q_zorder_layout",
 ]
 
 

@@ -270,3 +270,113 @@ def test_zorder_split_has_no_sort_or_window(spark):
     fact_side = plan.split("Broadcast")[-1]
     assert "rangepartitioning" not in fact_side
     assert "BatchEvalPython" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a hot key (80% of events) joined SMJ
+    against a dim must come out as SortMergeJoin(skew=true) with the
+    hot partition split into map-output chunks.
+
+    Scale lesson encoded here: the split unit is the MAP OUTPUT — a
+    single-mapper input (one parquet file under maxPartitionBytes)
+    leaves AQE nothing to split, so skew handling silently no-ops.
+    At 100 TB inputs are thousands of files (mappers), so splits are
+    always available; the repartition(10) below recreates that."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "100")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8192",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"
+        )
+        ev = (
+            table(spark, SF_DIR, "events")
+            .repartition(10)  # multi-mapper input — see docstring
+            .select(
+                F.when(F.col("user_id") % 10 < 8, F.lit(0))
+                .otherwise(F.col("user_id"))
+                .alias("skew_key"),
+                # incompressible payload so the hot partition's shuffle
+                # bytes actually exceed the skew threshold
+                F.md5(F.col("event_id").cast("string")).alias("payload"),
+            )
+        )
+        dim = spark.range(0, 20000).select(
+            F.col("id").alias("skew_key"), (F.col("id") % 7).alias("w")
+        )
+        # the filter pushes below the join (left-side column), so it
+        # must stay mildly selective — too tight and the post-filter
+        # hot partition drops under the skew threshold (a window above
+        # the join instead would legitimately BLOCK the split: skew
+        # splitting may not violate a downstream distribution
+        # requirement, and window partitioning is one)
+        j = ev.join(dim, "skew_key").where(F.col("payload") < "4")
+        rows = j.collect()  # bounded: ~1/4 of events
+        assert len(rows) > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime filtering: a selective dimension filter must inject a
+    bloom-filter `might_contain` guard on the fact-side scan, so
+    non-matching fact rows die before the join shuffle — the runtime
+    analogue of static partition pruning, and the difference between
+    shuffling 100 TB and shuffling the ~matching slice."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # local fixtures are far below the 10 GB production default
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
