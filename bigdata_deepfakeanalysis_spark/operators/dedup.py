@@ -171,49 +171,79 @@ _MH_BASE = (
 
 
 def minhash_bands(
-    sh_df: DataFrame, k: int = 12, band_rows: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    band_rows: int = 3,
+    n: int = 3,
 ) -> DataFrame:
     """K minhashes per doc, folded into K/band_rows banded signature
-    strings. ONE shuffle: a single groupBy(doc) computes all K mins as
-    parallel MIN aggregates (map-side partial agg keeps shuffle rows at
-    one per (doc, partition)); bands are row-local concats, then an
-    unpivot (flatMap, no shuffle).
+    strings. ZERO shuffles: shingling, base hashing, and all K mins are
+    ONE higher-order expression over the document row (MIN over a doc's
+    shingles is row-local state — exploding shingle rows and
+    aggregating them back, as rounds 1-2 did, paid a full hash-agg over
+    every shingle occurrence for a per-row reduction), then the band
+    unpivot is the explode (flatMap, no shuffle).
+
+    The token array, gram array, and base-hash array are each bound as
+    a LAMBDA VARIABLE via the single-element-transform let idiom
+    (``transform(array(e), x -> body)[0]``). This is load-bearing:
+    written as separate projected columns, Catalyst's CollapseProject
+    inlines the base-hash expression into every one of the K min
+    columns and the md5 pass runs K times per row (measured 4× slower
+    than the aggregate formulation it replaced); the lambda binding
+    evaluates it exactly once.
 
     Hashing cost is 1 md5 + K integer affine mixes per shingle
-    occurrence (universal-hash family mod the Mersenne prime 2^31-1) —
-    the previous K-independent-md5 formulation spent 12 md5 + 12 string
-    concats per occurrence and was the dominant cost of every
-    MinHash-based query (~6.5 s of q_minhash_near_dup at sf0.1)."""
+    occurrence (universal-hash family mod the Mersenne prime 2^31-1).
+    Docs with fewer than ``n`` tokens have no shingles and emit no
+    signature rows (same semantics as the aggregate formulation)."""
     coeffs = _mh_coeffs(k)
-    mins = (
-        sh_df.withColumn("_hm", F.expr(_MH_BASE))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.col("_hm") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)
-                ).alias(f"mh{i}")
-                for i, (a, b) in enumerate(coeffs)
-            ]
-        )
-    )
     n_bands = k // band_rows
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[
-                    F.col(f"mh{b * band_rows + j}").cast("string")
-                    for j in range(band_rows)
-                ],
-            ).alias("sig"),
+    concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(0, size(_t) - {n}), "
+        f"p -> concat_ws(' ', {concat_args})) ELSE array() END"
+    )
+    base = (
+        f"transform(_g, sh -> CAST(conv(substr(md5(sh), 1, 15), 16, 10)"
+        f" AS BIGINT) % {_MH_P}L)"
+    )
+
+    def _min(i: int) -> str:
+        a, b = coeffs[i]
+        return (
+            f"CAST(array_min(transform(hb,"
+            f" h -> (h * {a}L + {b}L) % {_MH_P}L)) AS STRING)"
+        )
+
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'sig', concat_ws('|', {rows}))".format(
+            b=b,
+            rows=", ".join(_min(b * band_rows + j) for j in range(band_rows)),
         )
         for b in range(n_bands)
-    ]
-    return mins.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    )
+    bands_expr = (
+        f"explode("
+        f" transform(array(split({text_col}, ' ')), _t ->"
+        f"  transform(array({grams}), _g ->"
+        f"   transform(array({base}), hb ->"
+        f"    CASE WHEN size(hb) = 0 THEN"
+        f"     CAST(array() AS array<struct<band:int,sig:string>>)"
+        f"    ELSE array({band_structs}) END"
+        f"   )[0]"
+        f"  )[0]"
+        f" )[0]"
+        f")"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.expr(bands_expr).alias("bs")
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -557,8 +587,9 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented corpus — finds the planted near-dup variants.
     distinct=False: MIN is duplicate-insensitive, so the shingle-dedup
     shuffle is skipped (identical result, one shuffle fewer)."""
-    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id", distinct=False)
-    pairs = lsh_candidate_pairs(minhash_bands(sh, k=12, band_rows=3))
+    pairs = lsh_candidate_pairs(
+        minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
+    )
     return pairs.orderBy("doc_a", "doc_b")
 
 
@@ -648,11 +679,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a quadratic bucket)."""
     aug = aug_docs(spark, sf_dir)
     sh = shingles(aug, "text", "doc_id")
-    cands = lsh_candidate_pairs(
-        minhash_bands(
-            shingles(aug, "text", "doc_id", distinct=False), k=12, band_rows=3
-        )
-    )
+    cands = lsh_candidate_pairs(minhash_bands(aug, k=12, band_rows=3))
     return jaccard_verify(cands, sh, min_common=5, threshold=0.5).orderBy(
         "doc_a", "doc_b"
     )
@@ -852,8 +879,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered doc labeled with its component (= min doc id reachable);
     the oracle computes the same components via a recursive transitive
     closure."""
-    sh = shingles(aug_docs(spark, sf_dir), "text", "doc_id", distinct=False)
-    pairs = lsh_candidate_pairs(minhash_bands(sh, k=12, band_rows=3))
+    pairs = lsh_candidate_pairs(
+        minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
+    )
     cc = connected_components(pairs)
     return cc.select(
         F.col("id").alias("doc_id"), "component"
