@@ -269,7 +269,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard rescore of candidate pairs (the verification
     stage downstream of LSH): ``cands`` is (doc_a, doc_b), ``sh_df`` is
-    the DISTINCT (doc_id, sh) shingle set.
+    the RAW (doc_id, sh) shingle stream (duplicates fine — the
+    per-doc DISTINCT happens here, AFTER the candidate pruning, so the
+    set-dedup shuffle carries only candidate docs' shingles instead of
+    the corpus').
 
     Plan: the shingle table is first pruned to candidate docs with a
     broadcast semi-join (candidate pairs ≪ corpus, so this drops the
@@ -290,14 +293,21 @@ def jaccard_verify(
     branches within one job). Eagerly checkpointed: near-dup candidate
     pairs are a small fraction of the corpus, and a production pipeline
     would stage them to parquet between the LSH and verify phases
-    anyway."""
+    anyway. The pruned shingle set is likewise checkpointed — it feeds
+    THREE branches (sizes, the doc_a expansion, the doc_b probe), and
+    each would otherwise re-run the corpus-wide shingle explode +
+    DISTINCT."""
     cands = cands.localCheckpoint(eager=True)
     cand_docs = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh_df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh_cand = (
+        sh_df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     common = (
         cands.join(
@@ -678,7 +688,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the round-2 scale hazard — a high-document-frequency shingle made
     a quadratic bucket)."""
     aug = aug_docs(spark, sf_dir)
-    sh = shingles(aug, "text", "doc_id")
+    sh = shingles(aug, "text", "doc_id", distinct=False)
     cands = lsh_candidate_pairs(minhash_bands(aug, k=12, band_rows=3))
     return jaccard_verify(cands, sh, min_common=5, threshold=0.5).orderBy(
         "doc_a", "doc_b"
