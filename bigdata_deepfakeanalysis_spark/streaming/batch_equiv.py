@@ -466,3 +466,74 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_attribution(ev, ev).orderBy(
         "user_id", "click_id", "purchase_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch exactly-once sink: idempotent per-epoch partition
+# overwrite. Structured Streaming guarantees at-least-once foreachBatch
+# invocation; the sink makes replays no-ops by keying the write on the
+# epoch — each micro-batch dynamically overwrites ONLY its own
+# partition, so reprocessing after a checkpoint loss/rollback rewrites
+# identical data instead of appending duplicates. This is the standard
+# parquet/warehouse exactly-once recipe (the file-sink's own log gives
+# the same guarantee; foreachBatch is the shape that generalizes to
+# MERGE-style upserts).
+# ---------------------------------------------------------------------------
+
+def foreach_batch_idempotent_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain the events file-stream into ``out_dir`` via foreachBatch,
+    one dynamic partition per epoch. Safe to re-run with a fresh
+    checkpoint (full replay): every epoch overwrites its own partition."""
+    stream = stream_events(spark, sf_dir)
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_epoch")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "q_stream_exactly_once",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events_us
+    """,
+)
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once proof: drain the stream into the idempotent sink
+    TWICE — the second pass with a fresh checkpoint, i.e. a full replay
+    of every micro-batch — then count the sink. If replays appended
+    instead of overwriting their epoch partitions, n_rows would double;
+    the oracle counts the source table once."""
+    import shutil
+    from pathlib import Path
+
+    from ..catalog import staging_dir
+
+    tag = Path(sf_dir).name
+    out = staging_dir(f"stream_eo_out_{tag}")
+    for attempt in range(2):
+        ckpt = staging_dir(f"stream_eo_ckpt_{tag}_{attempt}")
+        # fresh checkpoint each attempt => attempt 2 replays everything
+        shutil.rmtree(ckpt, ignore_errors=True)
+        foreach_batch_idempotent_sink(spark, sf_dir, str(out), str(ckpt))
+    sunk = spark.read.parquet(str(out))
+    return sunk.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct"),
+    )

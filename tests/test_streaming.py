@@ -106,3 +106,30 @@ def test_stream_stream_join_matches_batch(spark):
     s = streamed.sort_values(key).reset_index(drop=True)
     assert len(b) == len(s) > 0
     assert (b[b.columns].values == s[b.columns].values).all()
+
+
+def test_foreach_batch_sink_is_replay_idempotent(spark):
+    """Drain, then fully replay with a fresh checkpoint: the sink must
+    contain each source event exactly once — epoch-keyed dynamic
+    partition overwrite makes the at-least-once foreachBatch contract
+    effectively exactly-once."""
+    import shutil
+    from pathlib import Path
+
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir, table
+
+    out = staging_dir("stream_eo_test_out")
+    shutil.rmtree(out, ignore_errors=True)
+    for attempt in range(2):
+        ckpt = staging_dir(f"stream_eo_test_ckpt_{attempt}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        BE.foreach_batch_idempotent_sink(
+            spark, SF_SMALL, str(out), str(ckpt)
+        )
+    sunk = sorted(
+        r.event_id for r in spark.read.parquet(str(out)).collect()
+    )
+    src = sorted(
+        r.event_id for r in table(spark, SF_SMALL, "events").collect()
+    )
+    assert sunk == src
