@@ -66,3 +66,64 @@ def test_connected_components_raises_on_non_convergence(spark):
     ok = connected_components(chain, max_iter=10)
     labels = {r.component for r in ok.collect()}
     assert labels == {0}
+
+
+def test_star_components_handle_deep_chains(spark):
+    """A path graph is the worst case for min-label propagation
+    (O(diameter) rounds — raises past max_iter); the large-star /
+    small-star alternation contracts it in O(log n) alternations."""
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 81
+    assert all(r.component == 0 for r in labels)
+
+
+def test_star_components_equal_label_propagation(spark):
+    """Both algorithms must produce identical (id, min-of-component)
+    labelings — checked on the LSH candidate graph and on a seeded
+    random graph with isolated self-pair nodes."""
+    import random
+
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        aug_docs,
+        connected_components,
+        connected_components_star,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    from .conftest import SF_DIR
+
+    pairs = lsh_candidate_pairs(minhash_bands(aug_docs(spark, SF_DIR)))
+    a = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    b = {
+        (r.id, r.component)
+        for r in connected_components_star(pairs).collect()
+    }
+    assert a == b and len(a) > 0
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+    ] + [(777, 777)]  # self-pair → isolated node keeps its own id
+    g = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # sparse random graphs have long paths: give propagation the
+    # rounds it needs (the star variant needs ~5 alternations)
+    a = {
+        (r.id, r.component)
+        for r in connected_components(g, max_iter=80).collect()
+    }
+    b = {(r.id, r.component) for r in connected_components_star(g).collect()}
+    assert a == b
+    assert (777, 777) in b
