@@ -64,6 +64,7 @@ HEADLINE = [
     "q_tfidf_topterms",              # per-lang TF-IDF top terms
     "q_cms_heavy_hitters",           # count-min-sketch frequency estimates
     "q_zorder_layout",               # Morton-key range split + file stats
+    "q_mixture_resample",            # equal-token mixture downsampling
 ]
 
 

@@ -919,3 +919,93 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tf", "df_docs", "score")
         .orderBy("lang", F.desc("score"), "term")
     )
+
+
+@query(
+    "q_mixture_resample",
+    f"""
+    WITH stats AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                   md5('42' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM stats),
+    cum AS (
+        SELECT lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM ranked),
+    totals AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+               FROM stats GROUP BY lang),
+    target AS (SELECT MIN(lang_tokens) AS budget FROM totals)
+    SELECT c.lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(c.n_tokens) AS BIGINT) * 1.0 / t.lang_tokens, 9)
+               AS keep_ratio
+    FROM cum c JOIN totals t ON c.lang = t.lang CROSS JOIN target
+    WHERE c.cum_tokens - c.n_tokens < budget
+    GROUP BY c.lang, t.lang_tokens
+    ORDER BY c.lang
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: downsample every language shard to the
+    smallest shard's token budget (the equal-token mixture used when
+    balancing a multilingual pretraining corpus). Documents are taken
+    in seeded md5-rank order (deterministic, engine-exact) until the
+    shard's cumulative token count crosses the budget; the report is
+    per-shard kept docs, kept tokens, and the realized keep ratio.
+
+    100 TB design: one zero-shuffle stats pass, a per-shard rank +
+    cumsum window (shard-parallel), and a broadcast scalar budget —
+    the same shape production mixture samplers use (rates derived
+    from shard totals, applied as a deterministic per-row hash
+    threshold; here the rank form keeps the token budget exact)."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    h = F.md5(
+        F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string"))
+    )
+    w_rank = Window.partitionBy("lang").orderBy(h, "doc_id")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        stats.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_cum).cast("bigint")
+        )
+    )
+    totals = stats.groupBy("lang").agg(
+        F.sum("n_tokens").cast("bigint").alias("lang_tokens")
+    )
+    target = totals.agg(F.min("lang_tokens").alias("budget"))
+    return (
+        cum.join(F.broadcast(target))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .join(totals, "lang")
+        .select(
+            "lang",
+            "n_docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept") * 1.0 / F.col("lang_tokens"), 9
+            ).alias("keep_ratio"),
+        )
+        .orderBy("lang")
+    )
