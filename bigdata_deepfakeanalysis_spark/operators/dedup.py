@@ -10,10 +10,11 @@ Five dedup families over the ``documents`` / ``embeddings`` tables:
 - n-gram Jaccard verification (exact set overlap on shared shingles)
 - embedding-cosine near-dup (blocked pair join + fixed-point int64 dot)
 
-Scale design (100 TB): every op is a shuffle-on-key pipeline — shingle
-explode is a flatMap (no shuffle), minhash is one groupBy(doc, hash_i),
-band bucketing is one groupBy(doc, band), and the candidate join keys on
-(band, signature) so only colliding docs meet. Nothing is pairwise over
+Scale design (100 TB): every op is a shuffle-on-key pipeline — MinHash
+signatures are fully row-local higher-order expressions (zero shuffle
+before the banded candidate join), SimHash is one groupBy(doc) of 64
+conditional sums, and the candidate join keys on (band, signature) so
+only colliding docs meet. Nothing is pairwise over
 the full corpus: the quadratic step is confined to LSH buckets (MinHash),
 SimHash fingerprint bands (2^16 values per band), or explicit blocks
 (cosine: the coarse-quantizer block key). Base hashes are md5 parsed to
@@ -120,10 +121,9 @@ def shingles(
 ) -> DataFrame:
     """Word n-gram shingles per doc: flatMap (no shuffle); the DISTINCT
     (one (doc, shingle) shuffle) only when the consumer needs set
-    semantics. MinHash does NOT — MIN over md5 hashes is insensitive to
-    duplicates — so the minhash pipeline passes distinct=False and its
-    only shuffle is the groupBy(doc) computing the K mins. Jaccard
-    (exact set overlap) keeps the DISTINCT."""
+    semantics. (MinHash no longer consumes this at all — its mins are
+    row-local array expressions in ``minhash_bands``; Jaccard verify
+    takes the raw stream and dedups after candidate pruning.)"""
     concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
     grams = F.expr(
         f"CASE WHEN size(_t) >= {n} THEN "
