@@ -41,3 +41,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"n_name", "revenue"}
+
+
+def test_curation_metrics_ride_the_same_job(spark):
+    """Observation metrics must equal independently computed counts —
+    and arrive from the one curation job, not a second scan."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.operators.text import (
+        curation_with_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_DIR
+
+    kept, obs = curation_with_metrics(spark, SF_DIR)
+    n_kept = kept.count()
+    docs = table(spark, SF_DIR, "documents")
+    expect = docs.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(F.length("text").cast("long")).alias("chars_in"),
+        F.approx_count_distinct("lang").alias("n_langs"),
+    ).collect()[0]
+    got = obs.get
+    assert got["n_in"] == expect["n_in"]
+    assert got["chars_in"] == expect["chars_in"]
+    assert got["n_langs"] == expect["n_langs"]
+    assert 0 < n_kept <= got["n_in"]

@@ -133,3 +133,36 @@ def test_foreach_batch_sink_is_replay_idempotent(spark):
         r.event_id for r in table(spark, SF_SMALL, "events").collect()
     )
     assert sunk == src
+
+
+def test_stateful_op_on_rocksdb_state_store(spark):
+    """The custom stateful operator must run unchanged on the RocksDB
+    state store provider — the production state backend for large
+    keyspaces (the default HDFS-backed store keeps state on the JVM
+    heap; RocksDB spills to local SSD and checkpoints incrementally)."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = BE.stream_events(spark, SF_SMALL)
+        BE.run_stream_once(
+            BE.record_breakers_stateful(stream), "rocksdb_sink", mode="append"
+        )
+        streamed = spark.table("rocksdb_sink").toPandas()
+        batch = BE.record_breakers(table(spark, SF_SMALL, "events")).toPandas()
+        k = ["user_id", "event_id"]
+        b = batch.sort_values(k).reset_index(drop=True)
+        s = streamed.sort_values(k).reset_index(drop=True)
+        assert len(b) == len(s) > 0
+        assert (b[b.columns].values == s[b.columns].values).all()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
