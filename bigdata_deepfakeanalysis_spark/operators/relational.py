@@ -1455,10 +1455,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_lines",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1887,4 +1887,70 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured VARIANT ingestion (Spark 4): parse JSON event payloads
+# once into the binary VARIANT encoding, then typed-path extraction.
+# At 100 TB this is the modern telemetry-ingest shape — VARIANT avoids
+# re-parsing JSON text per access and (with shredding) pushes typed
+# column reads down to storage, where from_json forces a rigid schema
+# and get_json_object re-parses per call.
+# --------------------------------------------------------------------------
+
+@query(
+    "q_variant_events",
+    f"""
+    WITH {EVENTS_US_CTE},
+    payloads AS (
+        SELECT '{{"u":' || CAST(user_id AS VARCHAR) || ',"t":"' ||
+               event_type || '","v":' ||
+               CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS VARCHAR) || '}}'
+               AS payload
+        FROM events_us),
+    extracted AS (
+        SELECT CAST(json_extract(payload, '$.u') AS BIGINT) AS u,
+               CAST(json_extract_string(payload, '$.t') AS VARCHAR) AS t,
+               CAST(json_extract(payload, '$.v') AS BIGINT) AS v
+        FROM payloads)
+    SELECT t, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+           COUNT(DISTINCT u) AS n_users
+    FROM extracted WHERE v > 0 GROUP BY t ORDER BY t
+    """,
+)
+def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingest: serialize events to JSON (fixed-point value so
+    the text is engine-identical), ``parse_json`` into VARIANT, extract
+    typed paths with ``variant_get``, filter + aggregate. The oracle
+    runs DuckDB's JSON path functions over the identical payloads —
+    the VARIANT binary round-trip must be value-transparent."""
+    ev = table(spark, sf_dir, "events")
+    payloads = ev.select(
+        F.concat(
+            F.lit('{"u":'),
+            F.col("user_id").cast("string"),
+            F.lit(',"t":"'),
+            F.col("event_type"),
+            F.lit('","v":'),
+            F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").cast("string"),
+            F.lit("}"),
+        ).alias("payload")
+    )
+    extracted = payloads.select(
+        F.parse_json(F.col("payload")).alias("var")
+    ).select(
+        F.expr("variant_get(var, '$.u', 'bigint')").alias("u"),
+        F.expr("variant_get(var, '$.t', 'string')").alias("t"),
+        F.expr("variant_get(var, '$.v', 'bigint')").alias("v"),
+    )
+    return (
+        extracted.where(F.col("v") > 0)
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+            F.count_distinct("u").alias("n_users"),
+        )
+        .orderBy("t")
     )
