@@ -75,6 +75,19 @@ def assert_matches_oracle(spark_df, duck_con, sql: str):
     assert len(spark_pd) == len(oracle_pd), (
         f"row count: spark={len(spark_pd)} oracle={len(oracle_pd)}"
     )
+    # one-sided float drift (e.g. a DuckDB HUGEINT sum surfacing as
+    # float64 against Spark's int64) survives the value-level compare
+    # here (413 == 413.0) but may hash-mismatch in the driver's
+    # canonicalization — fail loud so the oracle gets an explicit CAST
+    for c in spark_pd.columns:
+        if c in oracle_pd.columns:
+            sf = str(spark_pd[c].dtype).startswith("float")
+            of = str(oracle_pd[c].dtype).startswith("float")
+            assert sf == of, (
+                f"dtype drift on {c!r}: spark={spark_pd[c].dtype} "
+                f"oracle={oracle_pd[c].dtype} — CAST the integer "
+                f"aggregate in the oracle (HUGEINT→BIGINT?)"
+            )
     s_cols, s_rows = _rows(spark_pd)
     o_cols, o_rows = _rows(oracle_pd)
     assert s_cols == o_cols, f"columns: spark={s_cols} oracle={o_cols}"
