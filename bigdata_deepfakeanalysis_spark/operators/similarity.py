@@ -853,3 +853,73 @@ def q_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "q_arrow_quantize",
+    """
+    SELECT vec_id,
+           CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1048576) AS BIGINT)
+               AS q0,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)))
+               AS BIGINT) AS qsum
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def q_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native UDF surface (``mapInArrow``): fixed-point
+    quantization computed entirely in pyarrow.compute — list_flatten →
+    vectorized floor-multiply → parent-index segment sums — with zero
+    pandas materialization (mapInPandas would build Series objects per
+    batch just to hand them back; mapInArrow keeps the columnar
+    buffers). Multiplying by 2^20 is exact in IEEE double, so the
+    oracle's SQL floor reproduces every value bit-for-bit.
+
+    This is the UDF tier for batch-level columnar work that built-ins
+    can't express but that never needs pandas semantics — the cheapest
+    possible Python boundary (same Arrow stream the JVM already
+    speaks)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quantize_batches(it):
+        for batch in it:
+            vec_id = batch.column("vec_id")
+            embc = batch.column("embedding")
+            flat = pc.list_flatten(embc)
+            q = pc.cast(
+                pc.floor(
+                    pc.multiply(
+                        pc.cast(flat, pa.float64()), pa.scalar(1048576.0)
+                    )
+                ),
+                pa.int64(),
+            )
+            idx = pc.list_parent_indices(embc)
+            sums = (
+                pa.table({"i": idx, "q": q})
+                .group_by("i")
+                .aggregate([("q", "sum")])
+                .sort_by("i")
+            )
+            offsets = (
+                embc.combine_chunks().offsets
+                if hasattr(embc, "combine_chunks")
+                else embc.offsets
+            )
+            q0 = q.take(offsets.slice(0, len(vec_id)))
+            yield pa.record_batch(
+                {
+                    "vec_id": vec_id,
+                    "q0": pc.cast(q0, pa.int64()),
+                    "qsum": sums.column("q_sum").combine_chunks(),
+                }
+            )
+
+    out = emb.mapInArrow(
+        quantize_batches, "vec_id bigint, q0 bigint, qsum bigint"
+    )
+    return out.orderBy("vec_id")

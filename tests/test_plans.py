@@ -380,3 +380,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The full join-strategy surface: MERGE, SHUFFLE_HASH and
+    broadcast hints must each produce their physical join. At 100 TB
+    the shuffle-hash hint is the escape hatch when one side is too big
+    to broadcast but small enough to hash per-partition (SMJ's sort is
+    pure overhead there)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = table(spark, SF_DIR, "lineitem")
+        orders = table(spark, SF_DIR, "orders")
+        cond = F.col("l_orderkey") == F.col("o_orderkey")
+
+        smj = _plan(li.join(orders.hint("merge"), cond))
+        assert "SortMergeJoin" in smj
+
+        shj = _plan(li.join(orders.hint("shuffle_hash"), cond))
+        assert "ShuffledHashJoin" in shj
+
+        bhj = _plan(li.join(orders.hint("broadcast"), cond))
+        assert "BroadcastHashJoin" in bhj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
