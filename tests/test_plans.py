@@ -65,6 +65,9 @@ def test_python_udf_stages_are_arrow_vectorized(spark):
     cos_plan = _plan(all_queries()["q_cosine_near_dup"](spark, SF_DIR))
     assert "FlatMapGroupsInPandas" in cos_plan
     assert "BatchEvalPython" not in cos_plan
+    arrow_plan = _plan(all_queries()["q_arrow_quantize"](spark, SF_DIR))
+    assert "MapInArrow" in arrow_plan
+    assert "BatchEvalPython" not in arrow_plan
 
 
 def test_exact_dedup_single_shuffle(spark):
