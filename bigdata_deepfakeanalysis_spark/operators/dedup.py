@@ -350,15 +350,22 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Plan shape (the round-1 16-bit version exploded 16 rows per
     (doc, token) — 16× shuffle volume): the 64 votes are 64
     conditional-SUM aggregate columns in a SINGLE ``groupBy(doc_id)``
-    (the same pattern ``minhash_bands`` uses for its K mins) over raw
-    token occurrences — each occurrence votes ±1, which IS the
+    over raw token occurrences — each occurrence votes ±1, which IS the
     count-weighted vote, so the earlier (doc, token)→count pre-shuffle
     was a full extra pass of the token stream for nothing (tokens are
     mostly unique within a doc). ONE shuffle total, with map-side
     partial aggregation collapsing it to 64 ints per (doc, partition).
     Storing the fingerprint as four 16-bit bands (not one int64) keeps
     every expression engine-portable and feeds the banded pair join
-    directly."""
+    directly.
+
+    A fully row-local HOF formulation (the ``minhash_bands`` pattern:
+    aggregate+zip_with over a 64-wide vote array per doc) was measured
+    at 1.7 s vs this plan's 1.2 s at sf0.1 — the 64 conditional SUMs
+    stay inside whole-stage codegen while nested array lambdas fall to
+    interpreted evaluation, so here the aggregate form wins even
+    though it shuffles (the post-partial-agg shuffle is 64 ints per
+    (doc, partition))."""
     tok = (
         df.select(
             F.col(id_col).alias("doc_id"),
