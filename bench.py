@@ -65,6 +65,8 @@ HEADLINE = [
     "q_cms_heavy_hitters",           # count-min-sketch frequency estimates
     "q_zorder_layout",               # Morton-key range split + file stats
     "q_mixture_resample",            # equal-token mixture downsampling
+    "q_variant_events",              # VARIANT semi-structured ingest
+    "q_arrow_quantize",              # mapInArrow fixed-point quantization
 ]
 
 
