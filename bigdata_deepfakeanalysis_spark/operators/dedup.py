@@ -821,10 +821,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # seed labels with min(id, direct-neighbor min): the distinct the
+    # identity init needed is a groupBy anyway, and this folds the
+    # first propagation round into it — an LSH clique (diameter 1)
+    # then converges at round 1's changed==0 check instead of round 2
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nm"))
+        .select("id", F.least(F.col("id"), F.col("_nm")).alias("label"))
         .localCheckpoint(eager=True)
     )
     changed = -1
