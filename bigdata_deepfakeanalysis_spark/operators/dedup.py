@@ -1077,19 +1077,21 @@ def substring_span_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared_spans) for docs sharing >= min_anchors
     anchor spans, anchors with document frequency > max_df dropped."""
-    anchors = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
+    # per-doc anchor dedup is row-local (array_distinct before the
+    # explode) — a global DISTINCT here would shuffle the whole anchor
+    # stream for a per-document property
+    anchors = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     f"CASE WHEN length({text_col}) >= {gram} THEN "
                     f"transform(sequence(1, length({text_col}) - {gram} + 1,"
                     f" {stride}), p -> substr({text_col}, p, {gram}))"
                     f" ELSE array() END"
                 )
-            ).alias("a"),
-        )
-        .distinct()
+            )
+        ).alias("a"),
     )
     keep = (
         anchors.groupBy("a")
