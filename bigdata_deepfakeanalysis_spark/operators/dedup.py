@@ -1140,3 +1140,79 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_pairs(
         aug_docs(spark, sf_dir), "text", "doc_id"
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "q_incremental_dedup",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    existing AS (
+        SELECT DISTINCT md5(text) AS h FROM aug_docs WHERE doc_id < 250),
+    incoming AS (
+        SELECT doc_id, lang, md5(text) AS h FROM aug_docs
+        WHERE doc_id >= 250
+        UNION ALL
+        -- the re-crawl: 1 in 50 existing docs shows up again verbatim
+        SELECT doc_id + 2000000, lang, md5(text) AS h FROM documents
+        WHERE doc_id % 50 = 0 AND doc_id < 250)
+    SELECT i.lang,
+           COUNT(*) AS n_incoming,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dup_vs_existing
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    GROUP BY i.lang ORDER BY i.lang
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) dedup: an incoming crawl
+    batch is checked against the ALREADY-INGESTED corpus's content
+    hashes and only unseen documents survive — the CCNet/Dolma-style
+    cross-snapshot dedup that exact_dedup (within one corpus) doesn't
+    cover. Docs with id < 250 stand in for the existing corpus; the
+    incoming half re-offers 1 in 50 of them verbatim (a re-crawl) —
+    those are the duplicates to catch; the near-dup variants pass (by
+    design: exact incremental dedup is the cheap first gate, the LSH
+    family upstream handles near-dups).
+
+    100 TB design: the existing side is an md5-hash index (32 bytes a
+    doc — billions of docs fit a broadcast or a bucketed hash table),
+    so the incoming batch never shuffles its text; the left join is
+    hash-vs-hash. Reported per-lang so the rollup doubles as ingest
+    telemetry."""
+    docs = aug_docs(spark, sf_dir)
+    existing = (
+        docs.where(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    recrawl = (
+        table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 250))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            "lang",
+            F.md5("text").alias("h"),
+        )
+    )
+    incoming = (
+        docs.where(F.col("doc_id") >= 250)
+        .select("doc_id", "lang", F.md5("text").alias("h"))
+        .unionByName(recrawl)
+    )
+    return (
+        incoming.join(F.broadcast(existing), "h", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("seen").isNull(), 0).otherwise(1)
+            ).cast("bigint").alias("n_dup_vs_existing"),
+        )
+        .orderBy("lang")
+    )
