@@ -451,32 +451,23 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("signs", plane_signs("qq", n_all_planes))
     )
 
-    def lsh_top(probes: Column) -> DataFrame:
+    def cand_pairs(probes: Column) -> DataFrame:
+        """Distinct (query, cand) pairs colliding under this probe set —
+        narrow columns only, no vectors carried, no scoring."""
         qp = q.withColumn("tb", F.explode(probes)).select(
-            "query_id", "qq", "nq", "tb.tbl", "tb.bucket"
+            "query_id", "tb.tbl", "tb.bucket"
         )
-        scored = (
-            c_idx.join(F.broadcast(qp), ["tbl", "bucket"])
-            .where(F.col("cand_id") != F.col("query_id"))
-            .select("query_id", "cand_id", "qq", "cq", "nq", "nc")
-            .dropDuplicates(["query_id", "cand_id"])
-            .withColumn("dot", dot_fixed("qq", "cq"))
-            .select(
-                "query_id",
-                "cand_id",
-                cosine_fixed("dot", "nq", "nc").alias("cosine"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
         return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
+            c_idx.select("cand_id", "tbl", "bucket")
+            .join(F.broadcast(qp), ["tbl", "bucket"])
+            .where(F.col("cand_id") != F.col("query_id"))
             .select("query_id", "cand_id")
+            .distinct()
         )
 
     t0 = bucket_from_signs("signs", 0)
-    single = lsh_top(tbuckets([0]))
-    multi = lsh_top(
+    single_pairs = cand_pairs(tbuckets([0]))
+    multi_pairs = cand_pairs(
         F.array(
             F.struct(F.lit(0).alias("tbl"), t0.alias("bucket")),
             *[
@@ -488,7 +479,39 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    tables16 = lsh_top(tbuckets(list(range(_N_TABLES))))
+    tables16_pairs = cand_pairs(tbuckets(list(range(_N_TABLES))))
+
+    # score each unique (query, cand) pair ONCE across all strategies:
+    # single ⊆ tables16 and multiprobe1 overlaps heavily with both, so
+    # the per-strategy scoring of the previous shape computed ~3× the
+    # dot products for the same pairs. Checkpointed — all three top-k
+    # branches consume it.
+    scored = (
+        tables16_pairs.unionByName(multi_pairs)
+        .distinct()
+        .join(c.select("cand_id", "cq", "nc"), "cand_id")
+        .join(F.broadcast(q.select("query_id", "qq", "nq")), "query_id")
+        .withColumn("dot", dot_fixed("qq", "cq"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine_fixed("dot", "nq", "nc").alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def lsh_top(pairs: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+        return (
+            pairs.join(scored, ["query_id", "cand_id"])
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("query_id", "cand_id")
+        )
+
+    single = lsh_top(single_pairs)
+    multi = lsh_top(multi_pairs)
+    tables16 = lsh_top(tables16_pairs)
 
     def recall(found: DataFrame, strategy: str) -> DataFrame:
         return (
