@@ -67,6 +67,9 @@ HEADLINE = [
     "q_mixture_resample",            # equal-token mixture downsampling
     "q_variant_events",              # VARIANT semi-structured ingest
     "q_arrow_quantize",              # mapInArrow fixed-point quantization
+    "q_incremental_dedup",           # cross-snapshot hash-index dedup
+    "q_quality_dedup",               # argmax-quality dedup survivorship
+    "q_lm_quality_score",            # bigram-LM fluency quality filter
 ]
 
 

@@ -1216,3 +1216,77 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_quality_dedup",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    corpus AS (
+        SELECT doc_id, text FROM aug_docs
+        UNION ALL
+        -- a low-quality re-post: the same content, shouting-cased
+        SELECT doc_id + 3000000, upper(text) FROM documents
+        WHERE doc_id % 25 = 0),
+    scored AS (
+        SELECT doc_id, md5(lower(text)) AS h,
+               length(regexp_replace(text, '[^a-z]', '', 'g')) AS quality
+        FROM corpus),
+    ranked AS (
+        SELECT doc_id, quality,
+               ROW_NUMBER() OVER (PARTITION BY h
+                   ORDER BY quality DESC, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY h) AS n_copies
+        FROM scored)
+    SELECT doc_id AS survivor, CAST(quality AS BIGINT) AS quality, n_copies
+    FROM ranked WHERE rk = 1 AND n_copies > 1
+    ORDER BY survivor
+    """,
+)
+def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivorship: duplicates are detected under
+    a NORMALIZED key (md5 of lowercased text — the canonical-form
+    dedup real pipelines run) and the HIGHEST-QUALITY copy survives
+    (clean-case character count as the quality signal; ties → min doc
+    id) — the policy ``exact_dedup``'s arbitrary min-id cannot
+    express. The planted SHOUTY re-posts share their original's
+    normalized key but lose on quality, so every survivor is the
+    original (asserted in pytest).
+
+    Implemented as ONE hash aggregate with a struct-max — max of
+    (quality, -id) picks the argmax row in the same map-side-combining
+    pass; no window, no second shuffle. The oracle derives the
+    identical survivor with a rank window (independent formulation)."""
+    docs = aug_docs(spark, sf_dir).select("doc_id", "text")
+    shouty = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.upper("text").alias("text"),
+        )
+    )
+    corpus = docs.unionByName(shouty)
+    scored = corpus.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("h"),
+        F.length(F.regexp_replace("text", "[^a-z]", "")).alias("quality"),
+    )
+    best = scored.groupBy("h").agg(
+        F.max(
+            F.struct(
+                F.col("quality"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        best.where(F.col("n_copies") > 1)
+        .select(
+            (-F.col("best.neg_id")).cast("long").alias("survivor"),
+            F.col("best.quality").cast("bigint").alias("quality"),
+            "n_copies",
+        )
+        .orderBy("survivor")
+    )

@@ -1037,3 +1037,83 @@ def curation_with_metrics(spark: SparkSession, sf_dir: str):
         .select("doc_id", "lang", "text")
     )
     return kept, obs
+
+
+# word-bigram list from the token array (same let-binding discipline:
+# toks bound once)
+_BIGRAMS = (
+    "CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(1, size(toks) - 1),"
+    " i -> named_struct('w1', toks[i - 1], 'w2', toks[i])) "
+    "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+)
+_BIGRAMS_SQL = (
+    "list_transform(range(1, len(toks)),"
+    " i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))"
+)
+
+
+@query(
+    "q_lm_quality_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bigrams AS (
+        SELECT doc_id, UNNEST({_BIGRAMS_SQL}, recursive := true)
+        FROM toks),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+    scored AS (
+        SELECT b.doc_id,
+               (c2.n2 * 1048576) // c1.n1 AS fp
+        FROM bigrams b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(fp) AS BIGINT) * 1.0 / COUNT(*) / 1048576, 9)
+               AS lm_score
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (the CCNet-style LM quality filter,
+    linearized): every document is scored by the mean corpus
+    transition probability P(w2|w1) of its bigrams — text whose
+    transitions are common reads as fluent, rare-transition text as
+    noise. The probability ratio is computed in fixed point
+    (``n2·2^20 DIV n1`` — exact integer on both engines), so the
+    score is bit-stable; ln-perplexity is monotone in this for
+    fixed-length docs, and libm log differs across engines in the
+    last ulp, so the linear form is the oracle-exact choice.
+
+    Self-scoring (count table == scored corpus) keeps the fixture
+    closed; a production run reads the counts from a reference-corpus
+    table — identical plan shape. Scale: ONE fact-level shuffle (the
+    bigram count), a vocab²-sized counts table joined back (broadcast
+    here; shuffle join at web scale), and a per-doc rollup."""
+    docs = table(spark, sf_dir, "documents")
+    bigrams = docs.select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    ).select(
+        "doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").cast("bigint").alias("n1"))
+    counts = c2.join(c1, "w1")
+    return (
+        bigrams.join(F.broadcast(counts), ["w1", "w2"])
+        .select(
+            "doc_id",
+            F.expr("(n2 * 1048576) DIV n1").alias("fp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("fp").cast("bigint") * 1.0 / F.count(F.lit(1)) / 1048576,
+                9,
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
