@@ -127,3 +127,37 @@ def test_star_components_equal_label_propagation(spark):
     b = {(r.id, r.component) for r in connected_components_star(g).collect()}
     assert a == b
     assert (777, 777) in b
+
+
+def test_quality_dedup_prefers_clean_case_originals(spark):
+    """Every duplicate group's survivor must be the original (clean
+    case ⇒ higher quality), never the planted SHOUTY re-post."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_quality_dedup"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(r.survivor < 3000000 for r in rows)
+    assert all(r.n_copies >= 2 for r in rows)
+
+
+def test_lm_score_bounded_and_total(spark):
+    """Mean transition probability lies in (0, 1]; every multi-token
+    doc is scored."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    scored = all_queries()["q_lm_quality_score"](spark, SF_DIR)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lm_score").alias("lo"),
+        F.max("lm_score").alias("hi"),
+    ).collect()[0]
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert stats.n == n_docs  # every doc has >= 2 tokens in the fixture
+    assert 0 < stats.lo <= stats.hi <= 1.0
