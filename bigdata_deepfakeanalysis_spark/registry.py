@@ -128,15 +128,12 @@ _WINDOW: list[str] = [
     # advanced joins / guards (r1-green, fell out of the r2 window)
     "q_range_join",
     "q_asof_join",
-    "q_validity_filter",
     "q_embedding_json_source",
     # skew (r1-green, fell out)
     "q_salted_agg",
-    "q_salted_distinct",
     # disk-staging modules — late in the window by design
     "q_binaryfile_ingest",
     "q_partitioned_roundtrip",
-    "q_csv_json_roundtrip",
     "q_e2e_image_pipeline",
     "q_npz_roundtrip",
     "q_bucketed_join",
@@ -152,6 +149,13 @@ _WINDOW: list[str] = [
     # sketches / layout (round-3 scale extensions)
     "q_cms_heavy_hitters",
     "q_zorder_layout",
+    # LLM-pipeline flagships (round-3; their siblings
+    # q_tfidf_topterms / q_incremental_dedup / q_quality_dedup /
+    # q_lm_quality_score / q_variant_events / q_arrow_quantize ride
+    # after slot 50 on the pytest-only check)
+    "q_contamination_check",
+    "q_sequence_packing",
+    "q_mixture_resample",
 ]
 
 
