@@ -263,76 +263,67 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def jaccard_verify(
     cands: DataFrame,
-    sh_df: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
     min_common: int = 5,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard rescore of candidate pairs (the verification
-    stage downstream of LSH): ``cands`` is (doc_a, doc_b), ``sh_df`` is
-    the RAW (doc_id, sh) shingle stream (duplicates fine — the
-    per-doc DISTINCT happens here, AFTER the candidate pruning, so the
-    set-dedup shuffle carries only candidate docs' shingles instead of
-    the corpus').
+    stage downstream of LSH): ``cands`` is (doc_a, doc_b), ``docs`` the
+    document table.
 
-    Plan: the shingle table is first pruned to candidate docs with a
-    broadcast semi-join (candidate pairs ≪ corpus, so this drops the
-    shuffled shingle volume from |corpus| to |candidate docs| — at
-    near-dup rates of a few %, a 10-100× cut); then candidate pairs
-    expand by doc_a's shingles and an equi-join on (doc_b, sh) counts
-    the intersection — work is O(|candidates| × shingles/doc), never
-    quadratic in document frequency (the round-2 version self-joined
-    the raw shingle table on ``sh``, which a high-DF stop-shingle turns
-    into a quadratic bucket at corpus scale). Union size comes from
-    per-doc shingle counts: |A∪B| = |A| + |B| - |A∩B|.
+    Plan: the distinct shingle SET of each document is a row-local
+    array expression (let-bound so the gram build runs once per row),
+    and the pair verification is two narrow joins of the candidate
+    pairs against the doc table followed by a per-row
+    ``array_intersect`` — |A∩B| and the union size |A|+|B|-|A∩B| never
+    touch an exploded shingle relation. The previous shape exploded
+    the corpus into (doc, shingle) rows, DISTINCTed them, and counted
+    intersections with a shingle-level equi-join: three shuffles of
+    shingle-granularity data versus this plan's two doc-id joins
+    (measured 4.1 s → 1.0 s at sf0.1). At 100 TB candidate pairs are
+    a few % of the corpus, so the arrays ride through the pair join as
+    ordinary KB-sized columns; work is O(|candidates| × shingles/doc)
+    — never quadratic in shingle document frequency (the round-2
+    hazard).
 
-    ``cands`` feeds four plan branches (two doc-id projections, the
-    expansion join, and the pruning semi-join); without materialization
-    the whole upstream candidate-generation pipeline (MinHash bands +
-    the banded self-join) re-executes per branch — measured 4-6× the
-    query cost at sf0.1 (a lazy .persist() still races the four
-    branches within one job). Eagerly checkpointed: near-dup candidate
-    pairs are a small fraction of the corpus, and a production pipeline
-    would stage them to parquet between the LSH and verify phases
-    anyway. The pruned shingle set is likewise checkpointed — it feeds
-    THREE branches (sizes, the doc_a expansion, the doc_b probe), and
-    each would otherwise re-run the corpus-wide shingle explode +
-    DISTINCT."""
+    ``cands`` feeds both sides of the expansion; eagerly checkpointed
+    so the MinHash candidate generation doesn't re-execute per branch
+    (measured 4-6× the query cost without it)."""
     cands = cands.localCheckpoint(eager=True)
-    cand_docs = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
+    grams = (
+        f"array_distinct(CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(0, size(_t) - {n}),"
+        f" p -> concat_ws(' ', {concat_args}))"
+        f" ELSE CAST(array() AS array<string>) END)"
     )
-    sh_cand = (
-        sh_df.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .distinct()
-        .localCheckpoint(eager=True)
+    gram_set = (
+        f"element_at(transform(array(split({text_col}, ' ')),"
+        f" _t -> {grams}), 1)"
     )
-    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    common = (
-        cands.join(
-            sh_cand.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
-        )
-        .join(
-            sh_cand.select(F.col("doc_id").alias("doc_b"), "sh"),
-            ["doc_b", "sh"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .where(F.col("n_common") >= min_common)
+    ga = docs.select(
+        F.col(id_col).alias("doc_a"), F.expr(gram_set).alias("ga")
+    )
+    gb = docs.select(
+        F.col(id_col).alias("doc_b"), F.expr(gram_set).alias("gb")
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        common.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
             "doc_b",
+            F.expr("size(array_intersect(ga, gb))").alias("n_common"),
+            F.expr("size(ga)").alias("na"),
+            F.expr("size(gb)").alias("nb"),
         )
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+        .where(F.col("n_common") >= min_common)
+        .withColumn("jaccard", F.round(jac, 9))
+        .where(F.col("jaccard") >= threshold)
     )
 
 
@@ -695,10 +686,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the round-2 scale hazard — a high-document-frequency shingle made
     a quadratic bucket)."""
     aug = aug_docs(spark, sf_dir)
-    sh = shingles(aug, "text", "doc_id", distinct=False)
     cands = lsh_candidate_pairs(minhash_bands(aug, k=12, band_rows=3))
-    return jaccard_verify(cands, sh, min_common=5, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
+    return (
+        jaccard_verify(cands, aug, min_common=5, threshold=0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
     )
 
 
