@@ -115,28 +115,6 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3,
-    distinct: bool = True,
-) -> DataFrame:
-    """Word n-gram shingles per doc: flatMap (no shuffle); the DISTINCT
-    (one (doc, shingle) shuffle) only when the consumer needs set
-    semantics. (MinHash no longer consumes this at all — its mins are
-    row-local array expressions in ``minhash_bands``; Jaccard verify
-    takes the raw stream and dedups after candidate pruning.)"""
-    concat_args = ", ".join(f"_t[p + {j}]" for j in range(n))
-    grams = F.expr(
-        f"CASE WHEN size(_t) >= {n} THEN "
-        f"transform(sequence(0, size(_t) - {n}), "
-        f"p -> concat_ws(' ', {concat_args})) ELSE array() END"
-    )
-    out = (
-        df.withColumn("_t", F.split(F.col(text_col), " "))
-        .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("sh"))
-    )
-    return out.distinct() if distinct else out
-
-
 _MH_P = 2147483647  # Mersenne prime 2^31 - 1
 
 
