@@ -1117,3 +1117,159 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_training_pipeline",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        -- re-crawled exact re-posts: the dedup stage's catch
+        SELECT doc_id + 2000000, lang, text FROM documents
+        WHERE doc_id % 50 = 0 AND doc_id % 97 <> 0
+        UNION ALL
+        -- leaked near-copies of eval docs: the decontamination catch
+        SELECT doc_id + 1000000, lang, text || ' near dup tail'
+        FROM documents WHERE doc_id % 97 = 0),
+    bench AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+    bench_grams AS (
+        SELECT DISTINCT UNNEST({{g}}) AS gram
+        FROM (SELECT {{t}} AS toks FROM bench) s),
+    quality AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
+        FROM corpus),
+    q_pass AS (
+        SELECT * FROM quality
+        WHERE n_tokens BETWEEN 10 AND 1000
+          AND n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.5),
+    survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM q_pass GROUP BY md5(text)),
+    deduped AS (
+        SELECT q.* FROM q_pass q JOIN survivors s ON q.doc_id = s.doc_id),
+    clean AS (
+        SELECT d.* FROM deduped d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM (
+                SELECT doc_id, UNNEST({{g}}) AS gram
+                FROM (SELECT doc_id, {{t}} AS toks FROM deduped) x) dg
+            JOIN bench_grams b ON dg.gram = b.gram
+            WHERE dg.doc_id = d.doc_id)),
+    stages AS (
+        SELECT lang, COUNT(*) AS n_in, CAST(0 AS BIGINT) AS tokens_kept,
+               0 AS stage FROM corpus GROUP BY lang
+        UNION ALL
+        SELECT lang, COUNT(*), CAST(0 AS BIGINT), 1 FROM q_pass GROUP BY lang
+        UNION ALL
+        SELECT lang, COUNT(*), CAST(0 AS BIGINT), 2 FROM deduped GROUP BY lang
+        UNION ALL
+        SELECT lang, COUNT(*), CAST(SUM(n_tokens) AS BIGINT), 3
+        FROM clean GROUP BY lang)
+    SELECT lang,
+           MAX(CASE WHEN stage = 0 THEN n_in END) AS n_in,
+           MAX(CASE WHEN stage = 1 THEN n_in END) AS n_quality,
+           MAX(CASE WHEN stage = 2 THEN n_in END) AS n_unique,
+           MAX(CASE WHEN stage = 3 THEN n_in END) AS n_clean,
+           MAX(CASE WHEN stage = 3 THEN tokens_kept END) AS tokens_kept
+    FROM stages GROUP BY lang ORDER BY lang
+    """.format(t=_TOKS_SQL, g=_GRAMS8_SQL),
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-data pipeline — the flagship a
+    corpus team actually runs, as ONE declarative plan: quality gate
+    (length + stopword bands) → exact dedup (min-id survivor) →
+    benchmark decontamination (word-8-gram overlap with the held-out
+    eval split, broadcast) → per-language funnel report (docs surviving
+    each stage + final token yield). The fixture plants one failure
+    class per stage: re-crawled exact re-posts fall to dedup, leaked
+    near-copies of eval docs fall to decontamination (asserted in
+    pytest: every stage strictly shrinks).
+
+    Scale shape: the quality gate is zero-shuffle row arithmetic; the
+    dedup is one md5 hash-agg; decontamination joins the corpus gram
+    stream against a broadcast eval-gram set (never shuffles the
+    corpus); every stage count comes from ONE pass over each stage's
+    frame. Funnel columns are plain counts — engine-exact."""
+    from .dedup import exact_dedup
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", "lang", "text"
+    )
+    reposts = (
+        docs.where((F.col("doc_id") % 50 == 0) & (F.col("doc_id") % 97 != 0))
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "lang", "text")
+    )
+    leaked = docs.where(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat("text", F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = base.unionByName(reposts).unionByName(leaked)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    bench_grams = (
+        bench.select(F.expr(_TOKS).alias("toks"))
+        .select(F.explode(F.array_distinct(F.expr(_GRAMS8))).alias("gram"))
+        .distinct()
+    )
+    quality = corpus.withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    ).withColumn(
+        "n_stop",
+        F.expr(
+            "size(filter(split(text, ' '),"
+            " w -> w IN ('the', 'a', 'of', 'and', 'in')))"
+        ),
+    )
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    q_pass = quality.where(
+        F.col("n_tokens").between(10, 1000)
+        & (stop_ratio >= 0.01)
+        & (stop_ratio <= 0.5)
+    )
+    survivors = exact_dedup(q_pass, "text", "doc_id").select("doc_id")
+    deduped = q_pass.join(survivors, "doc_id")
+    contaminated = (
+        deduped.select("doc_id", F.expr(_TOKS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(_GRAMS8))).alias("gram"),
+        )
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, i: int, with_tokens: bool) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_in"),
+            (
+                F.sum("n_tokens").cast("bigint")
+                if with_tokens
+                else F.lit(0).cast("bigint")
+            ).alias("tokens_kept"),
+            F.lit(i).alias("stage"),
+        )
+
+    stages = (
+        stage(corpus.withColumn("n_tokens", F.lit(0)), 0, False)
+        .unionByName(stage(q_pass, 1, False))
+        .unionByName(stage(deduped, 2, False))
+        .unionByName(stage(clean, 3, True))
+    )
+    m = lambda i, c: F.max(F.when(F.col("stage") == i, F.col(c)))
+    return (
+        stages.groupBy("lang")
+        .agg(
+            m(0, "n_in").alias("n_in"),
+            m(1, "n_in").alias("n_quality"),
+            m(2, "n_in").alias("n_unique"),
+            m(3, "n_in").alias("n_clean"),
+            m(3, "tokens_kept").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -155,7 +155,7 @@ _WINDOW: list[str] = [
     # after slot 50 on the pytest-only check)
     "q_contamination_check",
     "q_sequence_packing",
-    "q_mixture_resample",
+    "q_training_pipeline",
 ]
 
 

@@ -67,3 +67,23 @@ def test_curation_metrics_ride_the_same_job(spark):
     assert got["chars_in"] == expect["chars_in"]
     assert got["n_langs"] == expect["n_langs"]
     assert 0 < n_kept <= got["n_in"]
+
+
+def test_training_pipeline_funnel_strictly_shrinks(spark):
+    """Every pipeline stage must catch its planted failure class:
+    quality < input, dedup < quality (re-posts), decontamination <
+    dedup (leaked eval copies), with positive final token yield."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_training_pipeline"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_in > r.n_quality, r
+        assert r.n_quality >= r.n_unique, r
+        assert r.n_unique >= r.n_clean, r
+        assert r.tokens_kept > 0, r
+    # at least one lang caught a re-post AND a leaked eval doc
+    assert any(r.n_quality > r.n_unique for r in rows)
+    assert any(r.n_unique > r.n_clean for r in rows)
