@@ -70,6 +70,7 @@ HEADLINE = [
     "q_incremental_dedup",           # cross-snapshot hash-index dedup
     "q_quality_dedup",               # argmax-quality dedup survivorship
     "q_lm_quality_score",            # bigram-LM fluency quality filter
+    "q_training_pipeline",           # composed quality->dedup->decontam funnel
 ]
 
 
