@@ -984,6 +984,41 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE {AUG_DOCS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    {_MINHASH_PAIRS_CTE.strip()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+    SELECT id AS doc_id, MIN(lbl) AS component FROM reach
+    GROUP BY id ORDER BY doc_id
+    """
+
+
+@query("q_dedup_components_star", _COMPONENTS_ORACLE)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup components computed by the alternating
+    large-star / small-star algorithm (O(log n) rounds — the scale
+    path when components can be deep chains), hash-checked against the
+    identical recursive-closure oracle as the min-label-propagation
+    form. Two independent distributed algorithms and one exact serial
+    closure all agreeing is the strongest correctness statement this
+    operator family can make."""
+    pairs = lsh_candidate_pairs(
+        minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
+    )
+    cc = connected_components_star(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"), "component"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style): coarse-quantize embeddings, find
 # near-identical pairs within each cell, cluster them, keep one
