@@ -111,15 +111,25 @@ def main() -> None:
     except Exception:
         pass
 
+    # Two timed runs per query, report the min: the container is a
+    # co-tenant VM and single runs show 2-5× outliers from host
+    # contention (measured q_ngram_jaccard 2.9 s vs 15.6 s back to
+    # back with identical plans). Min-of-N isolates the engine's cost
+    # from the neighbor's; the flag below records the policy.
     timings: dict[str, float] = {}
     for name in names:
-        # time plan build + execution: iterative operators (connected
-        # components, LSH-verify) run eager checkpoint actions during
-        # build, which a write-only timer would silently exclude
-        t0 = time.time()
-        df = queries[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            # time plan build + execution: iterative operators
+            # (connected components, LSH-verify) run eager checkpoint
+            # actions during build, which a write-only timer would
+            # silently exclude
+            t0 = time.time()
+            df = queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -137,6 +147,10 @@ def main() -> None:
         # run — operator cost, not scan setup). BENCH_r01 was cold;
         # r02+ are warm — compare rounds with the same flag only.
         "warm_cache": True,
+        # noisy-neighbor policy: each query timed twice, min reported
+        # (r03+; r01/r02 were single-run).
+        "runs_per_query": 2,
+        "agg": "min",
     }
     print(json.dumps(out))
 
