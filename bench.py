@@ -71,6 +71,7 @@ HEADLINE = [
     "q_quality_dedup",               # argmax-quality dedup survivorship
     "q_lm_quality_score",            # bigram-LM fluency quality filter
     "q_training_pipeline",           # composed quality->dedup->decontam funnel
+    "q_hll_distinct_merge",          # mergeable HLL cardinality sketches
 ]
 
 

@@ -134,6 +134,7 @@ def cv_separability(
     n_folds: int = 5,
     seed: int = 42,
     gbt_max_iter: int = 10,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """k-fold CV accuracy of label-from-embedding classification — the
     reference's separability score (M6/M7). Folds are assigned
@@ -147,7 +148,16 @@ def cv_separability(
     maxIter scaled to the capped fixture, max_depth=6 → maxDepth,
     learning_rate=.05 → stepSize, subsample=.9 → subsamplingRate;
     colsample has no MLlib equivalent → featureSubsetStrategy). MLlib
-    GBT is binary-only, so multiclass labels go One-vs-Rest."""
+    GBT is binary-only, so multiclass labels go One-vs-Rest.
+
+    ``n_partitions`` sizes the cached training set's partition count:
+    the fold-assignment window shuffles into
+    ``spark.sql.shuffle.partitions`` partitions, and every solver
+    iteration then schedules one task per partition — for a
+    fixture-sized fit that is 32 near-empty tasks per LBFGS/boosting
+    step, pure scheduler overhead (measured 20 s → 4.5 s for the
+    5-fold logreg at sf0.01 with 1 partition). At cluster scale leave
+    it None and size via shuffle.partitions as usual."""
     from pyspark.ml.classification import (
         GBTClassifier,
         LogisticRegression,
@@ -170,7 +180,10 @@ def cv_separability(
             )
             % n_folds
         ),
-    ).cache()
+    )
+    if n_partitions is not None:
+        data = data.coalesce(n_partitions)
+    data = data.cache()
 
     try:
         if estimator == "logreg":
@@ -210,7 +223,10 @@ def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 — 5-fold logistic-regression separability per fold + mean row.
     Invariant (tests): accuracy in [0,1]."""
     emb = table(spark, sf_dir, "embeddings")
-    folds = cv_separability(emb, "logreg")
+    # 1 partition: the sf-fixture is a few hundred rows — see the
+    # n_partitions note in cv_separability (a cluster-scale caller
+    # passes None and sizes via shuffle.partitions)
+    folds = cv_separability(emb, "logreg", n_partitions=1)
     mean_row = folds.groupBy("estimator").agg(
         F.lit(-1).alias("fold"), F.avg("accuracy").alias("accuracy")
     )
@@ -232,9 +248,9 @@ def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").where(
         (F.col("vec_id") < 200) & (F.col("label") < 3)
     )
-    return cv_separability(emb, "gbt", n_folds=2, gbt_max_iter=4).orderBy(
-        "fold"
-    )
+    return cv_separability(
+        emb, "gbt", n_folds=2, gbt_max_iter=4, n_partitions=1
+    ).orderBy("fold")
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,29 @@ def test_zorder_files_bound_both_dimensions(spark):
     for f in files:
         assert f.p_hi - f.p_lo <= p_dom / 4 + p_dom / 65535 + 1, f
         assert f.s_hi - f.s_lo <= s_dom / 4 + s_dom / 65535 + 1, f
+
+
+def test_hll_merge_is_lossless_and_tight(spark):
+    """HLL union of per-shard sketches estimates the same cardinality
+    as one sketch over the whole stream to within 1% (identical in
+    dense mode; the sparse→dense promotion inside the union gadget
+    costs a fraction of the configured error below the threshold),
+    and every estimate lands within 5% of exact at lgConfigK=12.
+    Also: the global exact must be < the sum of shard exacts
+    (customers span shards) — the reason a counter sum is the wrong
+    merge."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = {r.scope: r for r in
+            all_queries()["q_hll_distinct_merge"](spark, SF_DIR).collect()}
+    direct, union = rows["global_direct"], rows["global_union"]
+    assert abs(direct.hll_est - union.hll_est) <= 0.01 * direct.exact
+    assert direct.exact == union.exact
+    assert direct.rel_err <= 0.05
+    shard_sum = sum(r.exact for r in rows.values()
+                    if r.scope.startswith("shard:"))
+    assert shard_sum > direct.exact
+    for r in rows.values():
+        assert r.rel_err <= 0.05, r
