@@ -72,6 +72,7 @@ HEADLINE = [
     "q_lm_quality_score",            # bigram-LM fluency quality filter
     "q_training_pipeline",           # composed quality->dedup->decontam funnel
     "q_hll_distinct_merge",          # mergeable HLL cardinality sketches
+    "q_approx_quantile_profile",     # mergeable GK quantile sketch profile
 ]
 
 

@@ -188,3 +188,45 @@ def q_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+@query("q_approx_quantile_profile")  # rows-only: GK sketch is engine-local
+def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (``percentile_approx``,
+    Greenwald-Khanna sketch, accuracy=1000): per-returnflag p50/p95/p99
+    tail-latency-style profile next to the exact interpolated values.
+
+    The 100 TB story (same as CMS/HLL): the GK summary partial-
+    aggregates map-side and merges associatively, so a quantile profile
+    over an arbitrarily large column is ONE narrow shuffle of KB-sized
+    summaries — where the exact ``percentile`` must materialize and
+    sort every group's values. Guarantee: rank error ≤ n/accuracy
+    (asserted per group and per p in tests).
+
+    Rows-only by design: the sketch's retained-sample choice is
+    engine-local (DuckDB's approx_quantile is T-Digest — different
+    summary, different tie-breaks); the exact columns and the pytest
+    rank-error bound carry the check."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = "array(0.50D, 0.95D, 0.99D)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                f"percentile_approx(l_extendedprice, {ps}, 1000)"
+            ).alias("qa"),
+            F.expr(f"percentile(l_extendedprice, {ps})").alias("qe"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.element_at("qa", 1).alias("p50_approx"),
+            F.element_at("qa", 2).alias("p95_approx"),
+            F.element_at("qa", 3).alias("p99_approx"),
+            F.round(F.element_at("qe", 1), 9).alias("p50_exact"),
+            F.round(F.element_at("qe", 2), 9).alias("p95_exact"),
+            F.round(F.element_at("qe", 3), 9).alias("p99_exact"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -241,3 +241,32 @@ def test_hll_merge_is_lossless_and_tight(spark):
     assert shard_sum > direct.exact
     for r in rows.values():
         assert r.rel_err <= 0.05, r
+
+
+def test_approx_quantiles_respect_gk_rank_bound(spark):
+    """percentile_approx(accuracy=1000) guarantees rank error
+    ≤ n/1000: for every group and every p, the number of group values
+    ≤ the approx quantile must sit within n/1000 (+1 slack for ties)
+    of the target rank n*p."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    prof = {r.l_returnflag: r for r in
+            all_queries()["q_approx_quantile_profile"](spark, SF_DIR)
+            .collect()}
+    li = table(spark, SF_DIR, "lineitem")
+    for flag, r in prof.items():
+        for p, approx in [(0.50, r.p50_approx), (0.95, r.p95_approx),
+                          (0.99, r.p99_approx)]:
+            rank = (
+                li.where(
+                    (F.col("l_returnflag") == flag)
+                    & (F.col("l_extendedprice") <= approx)
+                ).count()
+            )
+            tol = r.n / 1000 + 1
+            assert abs(rank - r.n * p) <= tol, (flag, p, rank, r.n)
