@@ -73,6 +73,7 @@ HEADLINE = [
     "q_training_pipeline",           # composed quality->dedup->decontam funnel
     "q_hll_distinct_merge",          # mergeable HLL cardinality sketches
     "q_approx_quantile_profile",     # mergeable GK quantile sketch profile
+    "q_audio_chunk_rms",             # audio PCM chunk peak/RMS profile
 ]
 
 

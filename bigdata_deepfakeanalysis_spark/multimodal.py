@@ -353,3 +353,60 @@ def q_multistage_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.withColumn("feature", F.round("feature", 9)).orderBy(
         "media_id", "stage", "dim"
     )
+
+
+@query(
+    "q_audio_chunk_rms",
+    f"""
+    WITH {MEDIA_CTE.strip()},
+    aud AS (
+        SELECT media_id, hex_payload FROM media
+        WHERE kind = 'audio' AND media_id < 200),
+    samples AS (
+        SELECT media_id, x.i // 4 AS chunk,
+               (('0x' || substr(hex_payload, x.i * 4 + 1, 4))::BIGINT
+                - 32768) AS s
+        FROM aud, (SELECT UNNEST(range(0, 16)) AS i) x)
+    SELECT media_id, chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           ROUND(sqrt(AVG(s * s)), 9) AS rms
+    FROM samples GROUP BY media_id, chunk
+    ORDER BY media_id, chunk
+    """,
+)
+def q_audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing: decode each audio clip's payload into 16 signed
+    16-bit PCM samples (4 hex digits each — the deterministic stand-in
+    for a soundfile/ffmpeg decode, which would hang off the same scan
+    as a mapInPandas stage like ``resize_half``), frame into 4-sample
+    chunks, and aggregate per-chunk peak and RMS — the
+    loudness/VAD-style per-window profile an audio curation pipeline
+    filters on.
+
+    Fully codegen: sample extraction is a row-local
+    transform(sequence) over the hex payload (no Python), the chunk
+    rollup is one partial-aggregated groupBy. The integer sums make
+    RMS bit-identical across engines (sum of squares ≤ 4·32768² is
+    exact in double before the sqrt). Audio counterpart of
+    ``q_frame_sample`` (video) and ``q_resize_stub`` (image)."""
+    aud = media(spark, sf_dir).where(
+        (F.col("kind") == "audio") & (F.col("media_id") < 200)
+    )
+    samples = F.expr(
+        "transform(sequence(0, 15), i -> "
+        "CAST(conv(substr(hex_payload, i * 4 + 1, 4), 16, 10) AS BIGINT)"
+        " - 32768)"
+    )
+    return (
+        aud.select("media_id", F.posexplode(samples).alias("pos", "s"))
+        .groupBy(
+            "media_id", F.floor(F.col("pos") / 4).cast("long").alias("chunk")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max(F.abs("s")).alias("peak"),
+            F.round(F.sqrt(F.avg(F.col("s") * F.col("s"))), 9).alias("rms"),
+        )
+        .orderBy("media_id", "chunk")
+    )
