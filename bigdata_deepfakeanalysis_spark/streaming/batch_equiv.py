@@ -406,10 +406,17 @@ def stream_stream_attribution(
     clicks_src: DataFrame,
     purchases_src: DataFrame,
     within: str = "10 minutes",
+    join_type: str = "inner",
 ) -> DataFrame:
     """(click, purchase) pairs per user with the purchase in
     [click_ts, click_ts + within]; integer µs lag (exact on both
-    engines)."""
+    engines).
+
+    ``join_type="left_outer"`` adds the conversion-funnel rows: clicks
+    with NO purchase inside the window surface with null purchase
+    columns. In streaming form the outer row is emitted exactly when
+    the watermark passes ``click_ts + within`` (the click's state can
+    no longer match) — bounded state either way."""
     a = clicks_src.where(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("click_id"),
@@ -429,6 +436,7 @@ def stream_stream_attribution(
                 F.col("purchase_ts")
                 <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
             ),
+            join_type,
         )
         .select(
             "user_id",
@@ -464,6 +472,36 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream path is asserted batch≡stream in tests/test_streaming.py."""
     ev = table(spark, sf_dir, "events")
     return stream_stream_attribution(ev, ev).orderBy(
+        "user_id", "click_id", "purchase_id"
+    )
+
+
+@query(
+    "q_stream_stream_outer_join",
+    f"""
+    WITH {EVENTS_US_CTE},
+    a AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events_us WHERE event_type = 'click'),
+    b AS (SELECT user_id AS p_user_id, event_id AS purchase_id,
+                 ts AS purchase_ts
+          FROM events_us WHERE event_type = 'purchase')
+    SELECT a.user_id, click_id, purchase_id,
+           epoch_us(purchase_ts) - epoch_us(click_ts) AS lag_us
+    FROM a LEFT JOIN b ON a.user_id = p_user_id
+      AND purchase_ts >= click_ts
+      AND purchase_ts <= click_ts + INTERVAL '10 minutes'
+    ORDER BY user_id, click_id, purchase_id
+    """,
+)
+def q_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER event-time interval join — the conversion funnel with
+    unconverted clicks as null-purchase rows. Streaming semantics: the
+    outer row emits exactly when the watermark passes
+    click_ts + window (state expiry), asserted batch≡stream in
+    tests/test_streaming.py; this registered form is the identical
+    batch transformation."""
+    ev = table(spark, sf_dir, "events")
+    return stream_stream_attribution(ev, ev, join_type="left_outer").orderBy(
         "user_id", "click_id", "purchase_id"
     )
 

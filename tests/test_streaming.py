@@ -166,3 +166,65 @@ def test_stateful_op_on_rocksdb_state_store(spark):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def test_stream_stream_outer_join_matches_batch_up_to_watermark(spark):
+    """LEFT OUTER watermarked interval join: inner rows equal the batch
+    join exactly; outer (null-purchase) rows emit exactly for the
+    clicks whose attribution window CLOSED before the final global
+    watermark — and the final no-data micro-batch flushes that expired
+    state. The global watermark is the MIN across the two sides'
+    watermark nodes, and Catalyst pushes the event_type filter below
+    each watermark node, so each side's watermark is the max ts of its
+    OWN event type (observed: the max-ts click never expires because
+    min(max click ts, max purchase ts) = its own timestamp). A click
+    whose window is still open at that watermark must NOT have
+    emitted: streaming never declares "unconverted" while a purchase
+    could still arrive."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF_SMALL, "events")
+    batch = BE.stream_stream_attribution(
+        ev, ev, join_type="left_outer"
+    ).toPandas()
+    mx = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    deadline_closed = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            (
+                F.col("ts") + F.expr("INTERVAL 10 minutes") < F.lit(mx)
+            ).alias("closed"),
+        )
+        .toPandas()
+        .set_index("click_id")["closed"]
+    )
+    expected = batch[
+        batch["purchase_id"].notna()
+        | batch["click_id"].map(deadline_closed)
+    ]
+
+    sa = BE.stream_events(spark, SF_SMALL).withWatermark("ts", "0 seconds")
+    sb = BE.stream_events(spark, SF_SMALL).withWatermark("ts", "0 seconds")
+    BE.run_stream_once(
+        BE.stream_stream_attribution(sa, sb, join_type="left_outer"),
+        "ss_outer_sink",
+        mode="append",
+    )
+    streamed = spark.table("ss_outer_sink").toPandas()
+
+    key = ["user_id", "click_id", "purchase_id"]
+    b = expected.sort_values(key).reset_index(drop=True)
+    s = streamed.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    assert b["purchase_id"].isna().sum() > 0  # outer rows actually flushed
+    assert len(b) < len(batch)  # ...and the open-window tail click did not
+    bv, sv = b[b.columns].fillna(-1), s[b.columns].fillna(-1)
+    assert (bv.values == sv.values).all()
