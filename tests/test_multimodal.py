@@ -94,3 +94,22 @@ def test_rollout_math_matches_numpy_reference(spark):
         .heatmap
     )
     assert np.allclose(np.array(hm), expected, atol=1e-6)
+
+
+def test_torch_extras_gate_raises_cleanly_without_torch(spark):
+    """The optional torch path must fail eagerly on the driver with a
+    clear message when torch is absent — never mid-job on an executor."""
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark import torch_extras
+    from bigdata_deepfakeanalysis_spark.multimodal import media
+
+    from .conftest import SF_DIR
+
+    m = media(spark, SF_DIR).limit(2)
+    if torch_extras.HAS_TORCH:
+        pytest.skip("torch present: gate not exercisable")
+    with pytest.raises(NotImplementedError, match="torch optional extra"):
+        torch_extras.torch_featurize(m)
+    with pytest.raises(NotImplementedError, match="torch optional extra"):
+        torch_extras.torch_multistage(m)
