@@ -165,3 +165,144 @@ def torch_multistage(media_df: DataFrame, batch_size: int = 8) -> DataFrame:
     return media_df.select("media_id", "content").mapInPandas(
         run, _FMAP_SCHEMA
     )
+
+
+def torch_gradcam(media_df: DataFrame, batch_size: int = 8) -> DataFrame:
+    """M8 — real Grad-CAM: hooks on ResNet-50 layer4 capture activations
+    and gradients of the top-class score; downstream math (GAP of the
+    gradients → channel weights → relu(Σ w_c·A_c) → min-max normalize)
+    is IDENTICAL to ``explainability._heatmap_udf`` — this swaps only
+    the tensor source, as that module's contract promises.
+    ``/root/reference/src/gradcam_dynamic.py:132-180`` (hook capture
+    :138-150, backward on the argmax logit :158-166, normalize
+    :168-175)."""
+    _require_torch()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import torch as _torch
+        from torchvision.models import ResNet50_Weights, resnet50
+
+        model = resnet50(weights=ResNet50_Weights.IMAGENET1K_V2)
+        model.eval()
+        acts: list = []
+        grads: list = []
+        model.layer4.register_forward_hook(
+            lambda _m, _i, out: acts.append(out)
+        )
+        model.layer4.register_full_backward_hook(
+            lambda _m, _gin, gout: grads.append(gout[0])
+        )
+
+        for pdf in batches:
+            rows = []
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo : lo + batch_size]
+                x = _decode_batch(chunk["content"])
+                acts.clear(), grads.clear()
+                logits = model(x)
+                model.zero_grad()
+                logits.gather(
+                    1, logits.argmax(dim=1, keepdim=True)
+                ).sum().backward()
+                a = acts[-1].detach().cpu().numpy()     # [B, C, h, w]
+                g = grads[-1].detach().cpu().numpy()
+                for i, mid in enumerate(chunk["media_id"]):
+                    weights = g[i].mean(axis=(1, 2))    # GAP of gradients
+                    cam = np.einsum("c,chw->hw", weights, a[i])
+                    cam = np.maximum(cam, 0.0)          # relu
+                    lo_, hi = cam.min(), cam.max()
+                    norm = (cam - lo_) / (hi - lo_ + 1e-8)
+                    rows.append(
+                        (
+                            int(mid), "gradcam", norm.shape[0],
+                            norm.shape[1],
+                            norm.astype(float).ravel().tolist(), True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "method", "h", "w", "heatmap", "used_torch",
+                ],
+            )
+
+    schema = (
+        "media_id bigint, method string, h int, w int,"
+        " heatmap array<float>, used_torch boolean"
+    )
+    return media_df.select("media_id", "content").mapInPandas(run, schema)
+
+
+def torch_attention_rollout(
+    media_df: DataFrame, model_name: str = "vit_base_patch16_224",
+    batch_size: int = 8,
+) -> DataFrame:
+    """M9 — real attention rollout: hooks on every timm ViT block's
+    attention dropout capture the per-layer [B, heads, T, T] matrices;
+    the chain math (head mean → +I → row-normalize → product → CLS row
+    → min-max) is the same as the surrogate's.
+    ``/root/reference/src/gradcam_dynamic.py:213-316`` (attn capture
+    :224-246, rollout chain :262-300)."""
+    _require_torch()
+    try:
+        import timm  # noqa: F401
+    except Exception as e:  # pragma: no cover
+        raise NotImplementedError(
+            "torch optional extra: attention rollout needs timm"
+        ) from e
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import timm as _timm
+        import torch as _torch
+
+        model = _timm.create_model(model_name, pretrained=True)
+        model.eval()
+        captured: list = []
+        for blk in model.blocks:
+            # attn_drop sees the softmaxed [B, heads, T, T] matrix
+            blk.attn.attn_drop.register_forward_hook(
+                lambda _m, _i, out: captured.append(out.detach())
+            )
+
+        with _torch.no_grad():
+            for pdf in batches:
+                rows = []
+                for lo in range(0, len(pdf), batch_size):
+                    chunk = pdf.iloc[lo : lo + batch_size]
+                    x = _decode_batch(chunk["content"])
+                    captured.clear()
+                    model(x)
+                    layers = [c.cpu().numpy() for c in captured]
+                    t = layers[0].shape[-1]
+                    grid = int((t - 1) ** 0.5)
+                    for i, mid in enumerate(chunk["media_id"]):
+                        result = np.eye(t)
+                        for a_layer in layers:
+                            a = a_layer[i].mean(axis=0)   # head mean
+                            a = a + np.eye(t)             # + identity
+                            a = a / a.sum(axis=-1, keepdims=True)
+                            result = a @ result
+                        cls = result[0, 1:]
+                        lo_, hi = cls.min(), cls.max()
+                        norm = (cls - lo_) / (hi - lo_ + 1e-8)
+                        rows.append(
+                            (
+                                int(mid), "rollout", grid, grid,
+                                norm.astype(float).tolist(), True,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "method", "h", "w", "heatmap",
+                        "used_torch",
+                    ],
+                )
+
+    schema = (
+        "media_id bigint, method string, h int, w int,"
+        " heatmap array<float>, used_torch boolean"
+    )
+    return media_df.select("media_id", "content").mapInPandas(run, schema)

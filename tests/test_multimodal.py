@@ -113,3 +113,7 @@ def test_torch_extras_gate_raises_cleanly_without_torch(spark):
         torch_extras.torch_featurize(m)
     with pytest.raises(NotImplementedError, match="torch optional extra"):
         torch_extras.torch_multistage(m)
+    with pytest.raises(NotImplementedError, match="torch optional extra"):
+        torch_extras.torch_gradcam(m)
+    with pytest.raises(NotImplementedError, match="torch optional extra"):
+        torch_extras.torch_attention_rollout(m)
