@@ -120,6 +120,7 @@ def main() -> None:
     # contention (measured q_ngram_jaccard 2.9 s vs 15.6 s back to
     # back with identical plans). Min-of-N isolates the engine's cost
     # from the neighbor's; the flag below records the policy.
+    t_first_query = time.time()
     timings: dict[str, float] = {}
     for name in names:
         best = None
@@ -146,7 +147,9 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "skipped": missing,
-        "setup_sec": round(time.time() - t_setup - total, 1),
+        # startup + cache-fill + bucketed staging only; the discarded
+        # non-min runs are NOT in here (they'd read as setup bloat)
+        "setup_sec": round(t_first_query - t_setup, 1),
         # cache policy marker: tables are cached before timing (warm
         # run — operator cost, not scan setup). BENCH_r01 was cold;
         # r02+ are warm — compare rounds with the same flag only.

@@ -193,6 +193,47 @@ def plane_signs(qcol: str, n_planes_total: int) -> Column:
     )
 
 
+def index_signs_arrow(
+    df: DataFrame, n_planes_total: int, vec_col: str = "cq"
+) -> DataFrame:
+    """Append the 64-plane sign array via ONE Arrow-batched numpy
+    matmul — the vectorized offline index-build kernel.
+
+    The SQL formulation (``plane_signs``) is a transform-over-
+    aggregate-over-zip_with: nested lambdas fall to interpreted
+    evaluation, measured ~1.5 s for 2 000 × 64-dim × 64 planes (≈ 8 M
+    multiply-adds — milliseconds as a matmul). Index BUILD is the
+    batch/offline stage of an ANN system, where the vectorized-UDF
+    tier is the right engineering call (probing stays codegen:
+    ``bucket_from_signs`` / ``hyperplane_sign``). int64 matmul in
+    numpy is exact, so signs are bit-identical to the SQL form
+    (asserted in tests)."""
+    import numpy as np
+
+    w = np.array(
+        [_plane_weights(p) for p in range(n_planes_total)], dtype=np.int64
+    ).T  # [dim, planes]
+    dim = _DIM
+
+    def run(it):
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        for batch in it:
+            vecs = batch.column(vec_col)
+            flat = _pc.list_flatten(vecs).to_numpy(zero_copy_only=False)
+            signs = (flat.reshape(-1, dim) @ w > 0).astype(_np.int32)
+            yield batch.append_column(
+                "signs", _pa.array(signs.tolist(), type=_pa.list_(_pa.int32()))
+            )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", signs array<int>"
+    return df.mapInArrow(run, out_schema)
+
+
 def bucket_from_signs(signs_col: str, table: int, n_planes: int = _N_PLANES) -> Column:
     """Bucket id of LSH table ``table`` from the precomputed sign array
     (row-local integer arithmetic, no re-projection)."""
@@ -428,15 +469,13 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index is a row-local explode. Checkpointed: three probe strategies
     # reuse it (a production index is a materialized table; rebuilding
     # it per probe was ~3× the query's execution cost).
-    c = (
+    c = index_signs_arrow(
         emb.select(
             F.col("vec_id").alias("cand_id"),
             quantize("embedding").alias("cq"),
-        )
-        .withColumn("nc", dot_fixed("cq", "cq"))
-        .withColumn("signs", plane_signs("cq", n_all_planes))
-        .localCheckpoint(eager=True)
-    )
+        ).withColumn("nc", dot_fixed("cq", "cq")),
+        n_all_planes,
+    ).localCheckpoint(eager=True)
     c_idx = c.withColumn(
         "tb", F.explode(tbuckets(list(range(_N_TABLES))))
     ).select("cand_id", "cq", "nc", "tb.tbl", "tb.bucket")

@@ -125,3 +125,33 @@ def test_ann_sq8_rescore_overlap(spark):
     e = set(zip(exact.query_id, exact.cand_id))
     assert len(sq8) == len(exact) == 30
     assert len(s & e) >= 20  # mean overlap >= 2/3
+
+
+def test_index_signs_arrow_matches_sql_form(spark):
+    """The Arrow matmul index-build kernel must produce bit-identical
+    sign arrays to the SQL transform-over-aggregate form it replaced
+    (int64 arithmetic both sides — no tolerance)."""
+    from pyspark.sql import functions as F
+
+    import bigdata_deepfakeanalysis_spark.operators.similarity as S
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    from .conftest import SF_DIR
+
+    base = (
+        table(spark, SF_DIR, "embeddings")
+        .select(F.col("vec_id").alias("cand_id"),
+                S.quantize("embedding").alias("cq"))
+    )
+    sql_signs = {
+        r.cand_id: list(r.signs)
+        for r in base.withColumn("signs", S.plane_signs("cq", 64))
+        .select("cand_id", "signs").collect()
+    }
+    arrow_signs = {
+        r.cand_id: list(r.signs)
+        for r in S.index_signs_arrow(base, 64)
+        .select("cand_id", "signs").collect()
+    }
+    assert sql_signs == arrow_signs
+    assert len(sql_signs) > 0
