@@ -75,6 +75,7 @@ HEADLINE = [
     "q_approx_quantile_profile",     # mergeable GK quantile sketch profile
     "q_audio_chunk_rms",             # audio PCM chunk peak/RMS profile
     "q_stream_stream_outer_join",    # left-outer interval join (funnel)
+    "q_doc_chunking",                # RAG overlapping token windows
 ]
 
 

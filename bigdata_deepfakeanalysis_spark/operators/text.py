@@ -1273,3 +1273,81 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking: overlapping fixed-size token windows,
+# one row per chunk, stable fingerprints — the retrieval-index prep
+# stage (distinct from q_sequence_packing, which packs WHOLE documents
+# into non-overlapping cross-document training bins).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32   # tokens per chunk
+_STRIDE = 24  # chunk stride (8-token overlap)
+
+
+@query(
+    "q_doc_chunking",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents),
+    chunks AS (
+        SELECT doc_id, n, x.i AS chunk_idx,
+               x.i * {_STRIDE} AS start_tok,
+               LEAST(n - x.i * {_STRIDE}, {_CHUNK}) AS chunk_tokens,
+               md5(array_to_string(
+                   t[x.i * {_STRIDE} + 1 : x.i * {_STRIDE} + {_CHUNK}],
+                   ' ')) AS chunk_fp
+        FROM toks, (SELECT UNNEST(range(0, 1000)) AS i) x
+        WHERE x.i * {_STRIDE} < n AND (x.i = 0 OR n > {_CHUNK})
+          AND (x.i = 0 OR (x.i - 1) * {_STRIDE} + {_CHUNK} < n))
+    SELECT doc_id, chunk_idx, start_tok,
+           CAST(chunk_tokens AS BIGINT) AS chunk_tokens, chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({_CHUNK}-token chunks, stride
+    {_STRIDE}): the RAG/embedding-index prep op. Chunk count per doc is
+    the minimal cover — chunk i starts at i·stride; a new chunk starts
+    only while the previous one did NOT already reach the end of the
+    doc (so a 40-token doc gets chunks at 0 and 24, not a third at 48).
+    ``chunk_fp`` (md5 of the space-joined window) is the stable id an
+    index upsert keys on.
+
+    100 TB design: the chunk struct array is one row-local
+    transform(sequence) — a flatMap, no shuffle anywhere; the ORDER BY
+    exists only for the deterministic compare."""
+    docs = table(spark, sf_dir, "documents")
+    chunks = (
+        f"transform("
+        f" sequence(0, int(greatest(ceil((size(_t) - {_CHUNK})"
+        f"   / CAST({_STRIDE} AS DOUBLE)), 0))),"
+        f" i -> named_struct("
+        f"  'chunk_idx', i,"
+        f"  'start_tok', i * {_STRIDE},"
+        f"  'chunk_tokens', least(size(_t) - i * {_STRIDE}, {_CHUNK}),"
+        f"  'chunk_fp', md5(concat_ws(' ',"
+        f"      slice(_t, i * {_STRIDE} + 1, {_CHUNK})))))"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(array(split(text, ' ')), _t -> {chunks})[0]"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
+            F.col("c.chunk_fp").alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
