@@ -412,3 +412,43 @@ def test_join_strategy_hints_are_honored(spark):
         assert "BroadcastHashJoin" in bhj
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark):
+    """Dynamic partition pruning: joining a hive-partitioned fact on its
+    partition column against a selectively-filtered broadcast dim must
+    inject a `dynamicpruningexpression` partition filter on the fact
+    scan — whole partition directories are skipped at runtime, the
+    static analogue of the bloom test above and the core reason to
+    partition 100 TB fact tables by their hottest join key."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir, table
+
+    fact_dir = staging_dir("dpp_fact_orders")
+    dim_dir = staging_dir("dpp_dim_priority")
+    if not (fact_dir / "_SUCCESS").exists():
+        table(spark, SF_DIR, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(str(fact_dir))
+    if not (dim_dir / "_SUCCESS").exists():
+        spark.createDataFrame(
+            [
+                ("1-URGENT", "fast"),
+                ("2-HIGH", "fast"),
+                ("3-MEDIUM", "slow"),
+                ("4-NOT SPECIFIED", "slow"),
+                ("5-LOW", "slow"),
+            ],
+            "o_orderpriority string, speed string",
+        ).write.mode("overwrite").parquet(str(dim_dir))
+
+    fact = spark.read.parquet(str(fact_dir))
+    dim = spark.read.parquet(str(dim_dir)).where(F.col("speed") == "fast")
+    j = (
+        fact.join(dim, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
