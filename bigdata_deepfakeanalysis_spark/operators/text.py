@@ -1286,6 +1286,39 @@ _CHUNK = 32   # tokens per chunk
 _STRIDE = 24  # chunk stride (8-token overlap)
 
 
+def chunk_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Overlapping token-window chunking as a library transform: one
+    output row per ({_CHUNK}-token, stride-{_STRIDE}) window per doc —
+    minimal cover (chunk i exists only while chunk i-1 did not already
+    reach the doc's end). Row-local transform(sequence) + explode: a
+    flatMap, zero shuffles."""
+    chunks = (
+        f"transform("
+        f" sequence(0, int(greatest(ceil((size(_t) - {_CHUNK})"
+        f"   / CAST({_STRIDE} AS DOUBLE)), 0))),"
+        f" i -> named_struct("
+        f"  'chunk_idx', i,"
+        f"  'start_tok', i * {_STRIDE},"
+        f"  'chunk_tokens', least(size(_t) - i * {_STRIDE}, {_CHUNK}),"
+        f"  'chunk_fp', md5(concat_ws(' ',"
+        f"      slice(_t, i * {_STRIDE} + 1, {_CHUNK})))))"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"transform(array(split({text_col}, ' ')), _t -> {chunks})[0]")
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
+        F.col("c.chunk_fp").alias("chunk_fp"),
+    )
+
+
 @query(
     "q_doc_chunking",
     f"""
@@ -1321,33 +1354,6 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB design: the chunk struct array is one row-local
     transform(sequence) — a flatMap, no shuffle anywhere; the ORDER BY
     exists only for the deterministic compare."""
-    docs = table(spark, sf_dir, "documents")
-    chunks = (
-        f"transform("
-        f" sequence(0, int(greatest(ceil((size(_t) - {_CHUNK})"
-        f"   / CAST({_STRIDE} AS DOUBLE)), 0))),"
-        f" i -> named_struct("
-        f"  'chunk_idx', i,"
-        f"  'start_tok', i * {_STRIDE},"
-        f"  'chunk_tokens', least(size(_t) - i * {_STRIDE}, {_CHUNK}),"
-        f"  'chunk_fp', md5(concat_ws(' ',"
-        f"      slice(_t, i * {_STRIDE} + 1, {_CHUNK})))))"
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(array(split(text, ' ')), _t -> {chunks})[0]"
-                )
-            ).alias("c"),
-        )
-        .select(
-            "doc_id",
-            F.col("c.chunk_idx").alias("chunk_idx"),
-            F.col("c.start_tok").alias("start_tok"),
-            F.col("c.chunk_tokens").cast("long").alias("chunk_tokens"),
-            F.col("c.chunk_fp").alias("chunk_fp"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+    return chunk_docs(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_idx"
     )

@@ -270,3 +270,52 @@ def test_approx_quantiles_respect_gk_rank_bound(spark):
             )
             tol = r.n / 1000 + 1
             assert abs(rank - r.n * p) <= tol, (flag, p, rank, r.n)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus)
+def test_doc_chunking_is_minimal_cover(spark, docs):
+    """Chunking property vs a direct Python reference: chunks start at
+    i·stride, every token is covered, consecutive chunks overlap by
+    chunk-stride, and no chunk is redundant (the previous chunk did
+    not already reach the end) — for any corpus."""
+    import hashlib
+    import math
+
+    from bigdata_deepfakeanalysis_spark.operators.text import (
+        _CHUNK,
+        _STRIDE,
+        chunk_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = chunk_docs(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        want_n = max(math.ceil((n - _CHUNK) / _STRIDE), 0) + 1
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        assert len(rows) == want_n
+        for r in rows:
+            start = r.chunk_idx * _STRIDE
+            window = toks[start : start + _CHUNK]
+            assert r.start_tok == start
+            assert r.chunk_tokens == len(window)
+            assert r.chunk_fp == hashlib.md5(
+                " ".join(window).encode()
+            ).hexdigest()
+        # cover: last chunk reaches the end; no redundant chunk
+        last = rows[-1]
+        assert last.start_tok + last.chunk_tokens == n
+        if len(rows) > 1:
+            prev = rows[-2]
+            assert prev.start_tok + _CHUNK < n
