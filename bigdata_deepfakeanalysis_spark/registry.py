@@ -109,18 +109,22 @@ _WINDOW: list[str] = [
     "q_logreg_cv_separability",
     "q_tree_cv_separability",
     "q_kmeans_clusters",
-    # streaming (never driver-verified)
+    # streaming (never driver-verified; sliding rides after slot 50 —
+    # it is the tumbling shape with k=2 starts, while the left-outer
+    # stream-stream join is a distinct operator class)
     "q_stream_tumbling_window",
-    "q_stream_sliding_window",
+    "q_stream_stream_outer_join",
     "q_stream_session_window",
     "q_stream_dedup_watermark",
     "q_stream_late_drop",
     "q_stream_record_breakers",
     "q_stream_static_join",
-    # multimodal (never driver-verified)
+    # multimodal (never driver-verified; frame sampling rides after
+    # slot 50 — audio chunk/RMS exercises the same explode-over-media
+    # shape plus the PCM decode surrogate)
     "q_multimodal_metadata",
     "q_surrogate_features",
-    "q_frame_sample",
+    "q_audio_chunk_rms",
     "q_multistage_features",
     # explainability (never driver-verified; one slot covers the module
     # — its sibling q_attention_rollout_surrogate rides after 50)
@@ -139,8 +143,9 @@ _WINDOW: list[str] = [
     "q_bucketed_join",
     # banked-family flagships (fresh r3 rows for r1/r2-green families —
     # one per remaining module: text, relational, arrays, grouping,
-    # sampling, joins)
-    "q_corpus_curation",
+    # sampling, joins; corpus_curation banked its r2 row, so its slot
+    # goes to the new RAG chunking op)
+    "q_doc_chunking",
     "q5_regional_revenue",
     "q_gap_per_channel",
     "q_prefix_demux",
