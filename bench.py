@@ -76,6 +76,7 @@ HEADLINE = [
     "q_audio_chunk_rms",             # audio PCM chunk peak/RMS profile
     "q_stream_stream_outer_join",    # left-outer interval join (funnel)
     "q_doc_chunking",                # RAG overlapping token windows
+    "q_bm25_topdocs",                # BM25 retrieval top-20
 ]
 
 

@@ -1357,3 +1357,106 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(table(spark, sf_dir, "documents")).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring — the ranking half of the RAG story
+# (chunk_docs prepares the index units; this scores them for a query).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "spark", "data")  # the fixed probe query
+_BM25_K1 = "1.2"
+# (k1 + 1) and (1 - b) pre-folded as literals so both engines run the
+# IDENTICAL IEEE operation sequence (b = 0.75)
+_BM25_K1P1 = "2.2"
+_BM25_1MB = "0.25"
+_BM25_B = "0.75"
+
+
+@query(
+    "q_bm25_topdocs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks,
+               len({_TOKS_SQL}) AS dl
+        FROM documents),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM toks),
+    hits AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(toks) AS term FROM toks)
+        WHERE term IN {str(tuple(_BM25_TERMS))}
+        GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM hits GROUP BY term),
+    scored AS (
+        SELECT h.doc_id,
+               ((n_docs - df + 0.5) / (df + 0.5))
+               * ((tf * {_BM25_K1P1}) / (tf + {_BM25_K1} *
+                   ({_BM25_1MB} + {_BM25_B} * (t.dl / avgdl)))) AS s
+        FROM hits h
+        JOIN toks t ON h.doc_id = t.doc_id
+        JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+           ROUND(SUM(s), 9) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed probe query (k1=1.2, b=0.75;
+    Robertson-Spärck Jones with LINEAR idf (N-df+0.5)/(df+0.5) — the ln
+    is dropped for the same cross-engine bit-exactness reason as
+    q_tfidf_topterms; per-term score ordering is unchanged, summed
+    scores skew toward rarer terms, documented).
+
+    100 TB design: the query-term filter lands INSIDE the explode
+    stage, so the only fact-level aggregate runs over matching
+    (doc, term) occurrences — a vanishing fraction of the corpus; df
+    (3 rows) and the corpus stats (1 row) broadcast; doc length joins
+    from the doc-level relation; final top-20 is TakeOrdered. At index
+    scale the same expression scores chunk_docs output instead of
+    whole documents."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(_TOKS).alias("toks"),
+        F.expr(f"size({_TOKS})").alias("dl"),
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        hits.join(toks.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.expr(
+                f"((n_docs - df + 0.5) / (df + 0.5))"
+                f" * ((tf * {_BM25_K1P1}) / (tf + {_BM25_K1} *"
+                f" ({_BM25_1MB} + {_BM25_B} * (dl / avgdl))))"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+            F.round(F.sum("s"), 9).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
