@@ -452,3 +452,55 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark):
     )
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_lsh_index_probe_prunes_partitions(spark):
+    """Substantiates the ANN serving claim ("bucket = partition key,
+    probing is partition pruning"): persist the multi-table LSH index
+    partitioned by (tbl, bucket); a probe of one table's bucket must
+    reach the scan as PartitionFilters — the reader lists ONE bucket
+    directory instead of the corpus."""
+    from pyspark.sql import functions as F
+
+    import bigdata_deepfakeanalysis_spark.operators.similarity as S
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir, table
+
+    idx_dir = staging_dir("lsh_index_partitioned")
+    if not (idx_dir / "_SUCCESS").exists():
+        emb = table(spark, SF_DIR, "embeddings")
+        c = S.index_signs_arrow(
+            emb.select(
+                F.col("vec_id").alias("cand_id"),
+                S.quantize("embedding").alias("cq"),
+            ),
+            16,  # 4 tables x 4 planes is enough to exercise the layout
+        )
+        c_idx = c.withColumn(
+            "tb",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            S.bucket_from_signs("signs", t).alias("bucket"),
+                        )
+                        for t in range(4)
+                    ]
+                )
+            ),
+        ).select("cand_id", "cq", F.col("tb.tbl").alias("tbl"),
+                 F.col("tb.bucket").alias("bucket"))
+        c_idx.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(
+            str(idx_dir)
+        )
+
+    idx = spark.read.parquet(str(idx_dir))
+    probe = idx.where((F.col("tbl") == 2) & (F.col("bucket") == 5))
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan
+    # both partition predicates reach the scan's partition filters —
+    # nothing of the corpus outside tbl=2/bucket=5 is even listed
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "tbl" in pf and "bucket" in pf
+    # and they are NOT data filters re-evaluated per row
+    assert "PushedFilters: []" in plan or "PushedFilters" not in plan
