@@ -77,6 +77,7 @@ HEADLINE = [
     "q_stream_stream_outer_join",    # left-outer interval join (funnel)
     "q_doc_chunking",                # RAG overlapping token windows
     "q_bm25_topdocs",                # BM25 retrieval top-20
+    "q_ts_correlation_search",       # time-series correlation search
 ]
 
 

@@ -238,3 +238,103 @@ def q_embedding_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (cf. "Time Series Similarity Search for
+# Streaming Data in Distributed Systems", EDBT 2019 — the distributed
+# correlate-against-a-reference-series shape): bucket each user's event
+# stream into a daily value series, then rank users by Pearson
+# correlation with a reference user's series over their overlapping
+# buckets. No reference-repo counterpart (image-only); north-star
+# events-table extension.
+# ---------------------------------------------------------------------------
+
+_TS_BUCKET_US = 86400000000  # 1 day in microseconds
+_TS_REF_USER = 1
+_TS_MIN_OVERLAP = 15        # >= half the 29-day fixture span
+
+
+@query(
+    "q_ts_correlation_search",
+    f"""
+    WITH {EVENTS_US_CTE},
+    series AS (
+        SELECT user_id,
+               epoch_us(ts) // {_TS_BUCKET_US} AS bucket,
+               SUM(CAST(value AS DECIMAL(18,6))) AS v
+        FROM events_us GROUP BY user_id, bucket),
+    ref AS (SELECT bucket, v AS rv FROM series
+            WHERE user_id = {_TS_REF_USER}),
+    joined AS (
+        SELECT s.user_id, s.v AS x, r.rv AS y
+        FROM series s JOIN ref r USING (bucket)
+        WHERE s.user_id <> {_TS_REF_USER}),
+    agg AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM joined GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND((sxy * n - sx * sy)
+                 / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy)),
+                 9) AS corr
+    FROM agg WHERE n >= {_TS_MIN_OVERLAP}
+    ORDER BY corr DESC, user_id LIMIT 10
+    """,
+)
+def q_ts_correlation_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users whose daily activity series correlates most with
+    user {_TS_REF_USER}'s, over ≥ {_TS_MIN_OVERLAP} co-observed days.
+
+    Cross-engine exactness: bucket values are DECIMAL sums (exact,
+    order-free), the five correlation sufficient statistics are DECIMAL
+    products summed exactly, and only the final Pearson formula — one
+    identical IEEE expression on both engines — runs in double.
+
+    100 TB design: one bucket-level shuffle builds every user's series;
+    the reference series (≤ hours-in-retention rows) broadcasts; the
+    per-user sufficient statistics partial-aggregate map-side. The same
+    skeleton scores ANY reference pattern — swap ``ref`` for a literal
+    pattern relation to search for a shape instead of a user."""
+    ev = table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / _TS_BUCKET_US)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("v"))
+    ref = series.where(F.col("user_id") == _TS_REF_USER).select(
+        "bucket", F.col("v").alias("rv")
+    )
+    joined = (
+        series.where(F.col("user_id") != _TS_REF_USER)
+        .join(F.broadcast(ref), "bucket")
+        .select("user_id", F.col("v").alias("x"), F.col("rv").alias("y"))
+    )
+    agg = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(x * y) AS DOUBLE)").alias("sxy"),
+        F.expr("CAST(SUM(x * x) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(y * y) AS DOUBLE)").alias("syy"),
+    )
+    return (
+        agg.where(F.col("n") >= _TS_MIN_OVERLAP)
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.expr(
+                    "(sxy * n - sx * sy)"
+                    " / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy))"
+                ),
+                9,
+            ).alias("corr"),
+        )
+        .orderBy(F.desc("corr"), "user_id")
+        .limit(10)
+    )
