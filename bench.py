@@ -78,6 +78,7 @@ HEADLINE = [
     "q_doc_chunking",                # RAG overlapping token windows
     "q_bm25_topdocs",                # BM25 retrieval top-20
     "q_ts_correlation_search",       # time-series correlation search
+    "q_ts_pattern_match",            # sliding-window subsequence match
 ]
 
 

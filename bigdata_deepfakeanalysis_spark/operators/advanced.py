@@ -338,3 +338,98 @@ def q_ts_correlation_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "user_id")
         .limit(10)
     )
+
+
+_TS_M = 7  # pattern length: one week of daily buckets
+
+# rising-trend probe pattern (1..7); Pearson against it scores how
+# monotonically a user's activity week rises, scale/shift-free
+_TS_PATTERN = list(range(1, _TS_M + 1))
+
+
+def _ts_corr_terms(xs: list[str], ys: list[float]) -> str:
+    """Pearson r of a FIXED-LENGTH window vs literal pattern as one
+    deterministic left-associated double expression (identical text on
+    both engines ⇒ identical IEEE evaluation order)."""
+    n = len(xs)
+    sx = " + ".join(xs)
+    sy = repr(float(sum(ys)))
+    sxy = " + ".join(f"{x} * {y!r}" for x, y in zip(xs, map(float, ys)))
+    sxx = " + ".join(f"{x} * {x}" for x in xs)
+    syy = repr(float(sum(y * y for y in ys)))
+    return (
+        f"(({sxy}) * {n} - ({sx}) * {sy})"
+        f" / sqrt((({sxx}) * {n} - ({sx}) * ({sx}))"
+        f" * ({syy} * {n} - {sy} * {sy}))"
+    )
+
+
+@query(
+    "q_ts_pattern_match",
+    f"""
+    WITH {EVENTS_US_CTE},
+    series AS (
+        SELECT user_id,
+               epoch_us(ts) // {_TS_BUCKET_US} AS bucket,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM events_us GROUP BY user_id, bucket),
+    win AS (
+        SELECT user_id, bucket AS start_bucket,
+               {", ".join(
+                   f"LEAD(v, {j}) OVER (PARTITION BY user_id ORDER BY bucket)"
+                   f" AS x{j}" for j in range(_TS_M))},
+               LEAD(bucket, {_TS_M - 1})
+                   OVER (PARTITION BY user_id ORDER BY bucket) AS end_bucket
+        FROM series),
+    scored AS (
+        SELECT user_id, start_bucket,
+               ROUND({_ts_corr_terms([f"x{j}" for j in range(_TS_M)],
+                                     _TS_PATTERN)}, 9) AS corr
+        FROM win
+        WHERE end_bucket = start_bucket + {_TS_M - 1})
+    SELECT user_id, CAST(start_bucket AS BIGINT) AS start_bucket, corr
+    FROM scored WHERE corr IS NOT NULL
+    ORDER BY corr DESC, user_id, start_bucket LIMIT 10
+    """,
+)
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window subsequence matching: score every CONTIGUOUS
+    7-day window of every user's daily series against a rising-trend
+    pattern (Pearson r vs 1..7 — shift/scale-free, so it is the
+    z-normalized subsequence match of the time-series-similarity
+    literature), return the strongest matches corpus-wide. Windows with
+    gaps (a missing day) are excluded by the end_bucket identity —
+    LEAD counts rows, not days.
+
+    100 TB design: one bucket-level shuffle builds the series, one
+    user-partitioned window sort forms every subsequence WITHOUT
+    materializing m-fold copies (LEAD reads forward in the sorted
+    partition), and the scoring is row-local arithmetic. Top-10 is
+    TakeOrdered. The pattern is a literal; searching for another shape
+    recompiles the expression, not the pipeline."""
+    ev = table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "user_id",
+        (F.unix_micros("ts") / _TS_BUCKET_US).cast("long").alias("bucket"),
+    ).agg(
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("bucket")
+    win = series.select(
+        "user_id",
+        F.col("bucket").alias("start_bucket"),
+        *[F.lead("v", j).over(w).alias(f"x{j}") for j in range(_TS_M)],
+        F.lead("bucket", _TS_M - 1).over(w).alias("end_bucket"),
+    )
+    corr = _ts_corr_terms([f"x{j}" for j in range(_TS_M)], _TS_PATTERN)
+    return (
+        win.where(F.col("end_bucket") == F.col("start_bucket") + (_TS_M - 1))
+        .select(
+            "user_id",
+            F.col("start_bucket").cast("bigint").alias("start_bucket"),
+            F.round(F.expr(corr), 9).alias("corr"),
+        )
+        .where(F.col("corr").isNotNull())
+        .orderBy(F.desc("corr"), "user_id", "start_bucket")
+        .limit(10)
+    )
