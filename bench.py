@@ -79,6 +79,7 @@ HEADLINE = [
     "q_bm25_topdocs",                # BM25 retrieval top-20
     "q_ts_correlation_search",       # time-series correlation search
     "q_ts_pattern_match",            # sliding-window subsequence match
+    "q_snm_dedup",                   # sorted-neighborhood near-dup pairs
 ]
 
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
@@ -1302,4 +1303,97 @@ def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_copies",
         )
         .orderBy("survivor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernández & Stolfo) — the classic
+# linear-scan alternative to LSH: sort the corpus on a blocking key,
+# compare each record only with its w-1 sorted neighbors. Completes the
+# dedup family's algorithm coverage (hash-exact, MinHash-LSH, SimHash,
+# substring-anchor, cosine, SNM).
+# ---------------------------------------------------------------------------
+
+_SNM_W = 3          # window: compare with the next w-1 sorted neighbors
+_SNM_KEYLEN = 40    # blocking sort key: text prefix
+_SNM_CMPLEN = 80    # capped comparison prefix for the edit distance
+_SNM_MAXDIST = 14   # " near dup tail" suffix = 14 edits worst-case
+
+
+@query(
+    "q_snm_dedup",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    ordered AS (
+        SELECT doc_id, text, lang,
+               {" ,".join(
+                   f"LEAD(doc_id, {j}) OVER w AS nid{j},"
+                   f" LEAD(text, {j}) OVER w AS ntext{j}"
+                   for j in range(1, _SNM_W))}
+        FROM aug_docs
+        WINDOW w AS (PARTITION BY lang
+                     ORDER BY substr(text, 1, {_SNM_KEYLEN}), doc_id)),
+    cand AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, nid{j} AS nbr,"
+            f" levenshtein(substr(text, 1, {_SNM_CMPLEN}),"
+            f" substr(ntext{j}, 1, {_SNM_CMPLEN})) AS dist"
+            f" FROM ordered WHERE nid{j} IS NOT NULL"
+            for j in range(1, _SNM_W))})
+    SELECT LEAST(doc_id, nbr) AS doc_a, GREATEST(doc_id, nbr) AS doc_b,
+           CAST(dist AS BIGINT) AS dist
+    FROM cand WHERE dist <= {_SNM_MAXDIST}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: block by lang, sort each
+    block on a {_SNM_KEYLEN}-char prefix key, compare every record with
+    its next {_SNM_W - 1} neighbors by capped Levenshtein distance
+    (exact integers — identical in both engines). The planted
+    suffix-variant near-dups sort adjacent to their originals and land
+    within {_SNM_MAXDIST} edits.
+
+    100 TB design: ONE sort shuffle on (block, key), then the window
+    LEADs make each comparison row-local — O(n·w) total comparisons,
+    the linear-cost counterpoint to the shingle/banding family (SNM
+    finds prefix-stable duplicates; LSH finds reordered ones — real
+    pipelines run both). The block key bounds sort skew the same way
+    the LSH band key bounds bucket skew."""
+    docs = aug_docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(f"substr(text, 1, {_SNM_KEYLEN})"), "doc_id"
+    )
+    ordered = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        *[
+            c
+            for j in range(1, _SNM_W)
+            for c in (
+                F.lead("doc_id", j).over(w).alias(f"nid{j}"),
+                F.lead("text", j).over(w).alias(f"ntext{j}"),
+            )
+        ],
+    )
+    cands = None
+    for j in range(1, _SNM_W):
+        part = ordered.where(F.col(f"nid{j}").isNotNull()).select(
+            "doc_id",
+            F.col(f"nid{j}").alias("nbr"),
+            F.levenshtein(
+                F.expr(f"substr(text, 1, {_SNM_CMPLEN})"),
+                F.expr(f"substr(ntext{j}, 1, {_SNM_CMPLEN})"),
+            ).alias("dist"),
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    return (
+        cands.where(F.col("dist") <= _SNM_MAXDIST)
+        .select(
+            F.least("doc_id", "nbr").alias("doc_a"),
+            F.greatest("doc_id", "nbr").alias("doc_b"),
+            F.col("dist").cast("bigint").alias("dist"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

@@ -161,3 +161,29 @@ def test_lm_score_bounded_and_total(spark):
     n_docs = table(spark, SF_DIR, "documents").count()
     assert stats.n == n_docs  # every doc has >= 2 tokens in the fixture
     assert 0 < stats.lo <= stats.hi <= 1.0
+
+
+def test_snm_catches_every_planted_suffix_dup(spark):
+    """Sorted-neighborhood recall on the planted suffix variants must
+    be 100%: the variant shares its original's 40-char sort prefix, so
+    they sort adjacent (doc_id tiebreak) and the capped edit distance
+    is <= 14."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["q_snm_dedup"](spark, SF_DIR).collect()
+    }
+    planted = [
+        r.doc_id
+        for r in table(spark, SF_DIR, "documents")
+        .where("doc_id % 5 = 0")
+        .select("doc_id")
+        .collect()
+    ]
+    assert planted
+    missing = [d for d in planted if (d, d + 1000000) not in pairs]
+    assert not missing, missing
