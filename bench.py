@@ -80,6 +80,7 @@ HEADLINE = [
     "q_ts_correlation_search",       # time-series correlation search
     "q_ts_pattern_match",            # sliding-window subsequence match
     "q_snm_dedup",                   # sorted-neighborhood near-dup pairs
+    "q_bpe_merges",                  # BPE tokenizer-merge induction
 ]
 
 

@@ -1460,3 +1460,128 @@ def q_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction — the tokenizer-training shape: iteratively count
+# corpus-wide adjacent symbol pairs, merge the most frequent, recount.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 2
+
+# adjacent-pair list from a space-delimited symbol string `s`
+_PAIRS = (
+    "transform(array(filter(split(trim(s), ' '), w -> w != '')), _t -> "
+    "CASE WHEN size(_t) >= 2 THEN transform(sequence(1, size(_t) - 1), "
+    "i -> named_struct('a', _t[i - 1], 'b', _t[i])) "
+    "ELSE CAST(array() AS array<struct<a:string,b:string>>) END)[0]"
+)
+_PAIRS_SQL = (
+    "list_transform(range(1, len(toks) - 0), "
+    "i -> {'a': toks[i], 'b': toks[i + 1]})"
+)
+
+
+@query(
+    "q_bpe_merges",
+    f"""
+    WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+    {"".join(f'''
+    p{k} AS (
+        SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(list_filter({_PAIRS_SQL}, x -> x.b IS NOT NULL)) AS pr
+              FROM (SELECT list_filter(string_split(trim(s), ' '),
+                                       w -> w <> '') AS toks FROM t{k - 1}))
+        GROUP BY pr.a, pr.b),
+    m{k} AS (SELECT a, b, cnt FROM p{k}
+             ORDER BY cnt DESC, a, b LIMIT 1),
+    t{k} AS (
+        SELECT doc_id,
+               replace(s, ' ' || (SELECT a FROM m{k}) || ' '
+                           || (SELECT b FROM m{k}) || ' ',
+                       ' ' || (SELECT a FROM m{k}) || '_'
+                           || (SELECT b FROM m{k}) || ' ') AS s
+        FROM t{k - 1}),'''
+        for k in range(1, _BPE_STEPS + 1))}
+    final AS (
+        SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(list_filter({_PAIRS_SQL}, x -> x.b IS NOT NULL)) AS pr
+              FROM (SELECT list_filter(string_split(trim(s), ' '),
+                                       w -> w <> '') AS toks
+                    FROM t{_BPE_STEPS}))
+        GROUP BY pr.a, pr.b)
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT {k} AS step, a AS sym_a, b AS sym_b,"
+            f" CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+            for k in range(1, _BPE_STEPS + 1))}
+        UNION ALL
+        SELECT {_BPE_STEPS + 1} AS step, a, b, CAST(cnt AS BIGINT)
+        FROM (SELECT * FROM final ORDER BY cnt DESC, a, b LIMIT 10))
+    ORDER BY step, cnt DESC, sym_a, sym_b
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction over the corpus: {_BPE_STEPS} iterations of
+    (count adjacent symbol pairs corpus-wide) → (merge the most
+    frequent pair, ties lexicographic) → recount, then the post-merge
+    top-10 pair table. The tokenizer-training shape of an LLM pipeline
+    — word-level symbols here; byte-level is the same loop with a
+    bigger initial alphabet.
+
+    Per-iteration cost is ONE pair-explode + groupBy over the corpus
+    plus a 1-row argmax collect (the merge decision is a global scalar
+    — same bounded-driver-action class as connected_components'
+    convergence count). The merge application is a row-local
+    replace(); BOTH engines use leftmost-non-overlapping substring
+    replace, so consecutive overlapping occurrences ('a b a b')
+    resolve identically — part of the contract, asserted by the
+    oracle hash."""
+    docs = table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", F.concat(F.lit(" "), "text", F.lit(" ")).alias("s")
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(F.expr(_PAIRS)).alias("pr"))
+            .groupBy(
+                F.col("pr.a").alias("a"), F.col("pr.b").alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    out = None
+    for step in range(1, _BPE_STEPS + 1):
+        counts = pair_counts(cur)
+        top = counts.orderBy(
+            F.desc("cnt"), "a", "b"
+        ).limit(1).collect()[0]
+        row = spark.createDataFrame(
+            [(step, top.a, top.b, int(top.cnt))],
+            "step int, sym_a string, sym_b string, cnt bigint",
+        )
+        out = row if out is None else out.unionByName(row)
+        cur = cur.select(
+            "doc_id",
+            F.expr(
+                "replace(s, ' ' || {a} || ' ' || {b} || ' ', "
+                "' ' || {a} || '_' || {b} || ' ')".format(
+                    a=f"'{top.a}'", b=f"'{top.b}'"
+                )
+            ).alias("s"),
+        )
+    final = (
+        pair_counts(cur)
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(10)
+        .select(
+            F.lit(_BPE_STEPS + 1).alias("step"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
+    return out.unionByName(final).orderBy(
+        "step", F.desc("cnt"), "sym_a", "sym_b"
+    )
