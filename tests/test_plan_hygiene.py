@@ -31,6 +31,7 @@ EAGER_BUILD = {
     "q_ann_ivf_recall",
     "q_ann_sq8_rescore",
     "q_cosine_near_dup_ivf",
+    "q_bpe_merges",
 }
 
 # The one sanctioned BatchEvalPython: the @udtf + LATERAL demo is
