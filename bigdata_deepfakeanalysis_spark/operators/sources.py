@@ -412,3 +412,61 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q_schema_evolution_scan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+               AS n_custkey,
+           CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+               AS n_totalprice,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+               AS sum_totalprice,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                      THEN o_orderpriority END) AS BIGINT) AS n_priorities
+    FROM orders
+    """,
+)
+def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: two parquet batches with DIFFERENT column sets
+    appended to one table directory (an early-era file with
+    (orderkey, custkey), a later one adding (totalprice, priority) and
+    dropping custkey), read back with ``mergeSchema`` — the union
+    schema must surface with nulls where a batch lacked the column,
+    and aggregate identically to the source-table recomputation the
+    oracle runs. The lakehouse reality of 100 TB tables: columns
+    arrive and retire mid-history; readers must not need a rewrite.
+
+    Scale note: mergeSchema reconciles footers at LISTING time (a
+    driver-side merge over file metadata, not a data pass) — pin the
+    canonical schema in a metastore for hot paths and keep mergeSchema
+    for exploratory scans."""
+    orders = table(spark, sf_dir, "orders")
+    out = str(staging_dir("schema_evolution") / "orders_evolving")
+    (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    (
+        orders.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append")
+        .parquet(out)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("o_custkey").cast("bigint").alias("n_custkey"),
+        F.count("o_totalprice").cast("bigint").alias("n_totalprice"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+        ).alias("sum_totalprice"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias(
+            "n_priorities"
+        ),
+    )

@@ -32,6 +32,8 @@ EAGER_BUILD = {
     "q_ann_sq8_rescore",
     "q_cosine_near_dup_ivf",
     "q_bpe_merges",
+    # staged-write builds (write during DataFrame construction)
+    "q_schema_evolution_scan",
 }
 
 # The one sanctioned BatchEvalPython: the @udtf + LATERAL demo is
