@@ -94,8 +94,9 @@ _WINDOW: list[str] = [
     "q_embedding_sq8",
     "q_ann_lsh_recall",
     "q_ann_ivf_recall",
-    # dedup family
-    "q_exact_dedup",
+    # dedup family (exact dedup banked its r1-green row; its slot goes
+    # to the round-3 sorted-neighborhood algorithm)
+    "q_snm_dedup",
     "q_minhash_near_dup",
     "q_simhash_hamming",
     "q_ngram_jaccard",
