@@ -81,6 +81,8 @@ HEADLINE = [
     "q_ts_pattern_match",            # sliding-window subsequence match
     "q_snm_dedup",                   # sorted-neighborhood near-dup pairs
     "q_bpe_merges",                  # BPE tokenizer-merge induction
+    "q_cohort_retention",            # first-seen cohort retention matrix
+    "q_event_funnel",                # ordered conversion funnel
 ]
 
 

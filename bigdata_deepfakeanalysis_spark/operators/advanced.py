@@ -433,3 +433,158 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("corr"), "user_id", "start_bucket")
         .limit(10)
     )
+
+
+@query(
+    "q_cohort_retention",
+    f"""
+    WITH {EVENTS_US_CTE},
+    firsts AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // {7 * 86400000000}) AS cohort_week
+        FROM events_us GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               (epoch_us(e.ts) // {7 * 86400000000}) - f.cohort_week
+                   AS week_offset
+        FROM events_us e JOIN firsts f USING (user_id)),
+    cohort_sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_n FROM firsts
+        GROUP BY cohort_week)
+    SELECT CAST(a.cohort_week AS BIGINT) AS cohort_week,
+           CAST(a.week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(s.cohort_n AS BIGINT) AS cohort_n,
+           ROUND(COUNT(*) * 1.0 / s.cohort_n, 9) AS retention
+    FROM activity a JOIN cohort_sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_n
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, each
+    cohort's share of users still active N weeks later — the standard
+    product-analytics rollup over the event stream.
+
+    100 TB design: the first-seen table is ONE user-level aggregate
+    (broadcastable — users ≪ events), activity dedup is per
+    (user, week) BEFORE the cohort rollup so the wide table never
+    carries event-grain rows past the first shuffle, and cohort sizes
+    broadcast back onto the matrix."""
+    ev = table(spark, sf_dir, "events")
+    week = (F.unix_micros("ts") / (7 * 86400000000)).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.select("user_id", week.alias("week"))
+        .join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_n").cast("bigint").alias("cohort_n"),
+            F.round(
+                F.col("active_users") * 1.0 / F.col("cohort_n"), 9
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "q_event_funnel",
+    f"""
+    WITH {EVENTS_US_CTE},
+    s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events_us
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events_us e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events_us e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+           GROUP BY e.user_id),
+    counts AS (
+        SELECT 1 AS step, 'signup' AS step_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click_after_signup', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM s3)
+    SELECT step, step_name, n_users,
+           ROUND(n_users * 1.0
+                 / FIRST_VALUE(n_users) OVER (ORDER BY step), 9)
+               AS conv_from_start
+    FROM counts ORDER BY step
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then clicked at
+    or after their first signup, then purchased at or after that first
+    qualifying click — per-step user counts and conversion from the
+    funnel top. Order-dependence is the point: a click BEFORE signup
+    does not advance the funnel (plain per-type counts would).
+
+    100 TB design: each stage is one conditional aggregate joined to
+    the previous stage's user-level (small) output — the event table
+    is scanned per stage with a pushed event_type filter and never
+    shuffled at event grain; stage outputs are user-level and
+    broadcastable."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .where(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .where(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = None
+    for step, name, df in (
+        (1, "signup", s1),
+        (2, "click_after_signup", s2),
+        (3, "purchase_after_click", s3),
+    ):
+        row = df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step")
+    return (
+        counts.withColumn(
+            "conv_from_start",
+            F.round(
+                F.col("n_users") * 1.0 / F.first("n_users").over(w), 9
+            ),
+        )
+        .orderBy("step")
+    )
