@@ -1142,39 +1142,31 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_filter(string_split(text, ' '),
                    w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop
         FROM corpus),
-    q_pass AS (
-        SELECT * FROM quality
-        WHERE n_tokens BETWEEN 10 AND 1000
-          AND n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.5),
-    survivors AS (
-        SELECT MIN(doc_id) AS doc_id FROM q_pass GROUP BY md5(text)),
-    deduped AS (
-        SELECT q.* FROM q_pass q JOIN survivors s ON q.doc_id = s.doc_id),
-    clean AS (
-        SELECT d.* FROM deduped d
-        WHERE NOT EXISTS (
-            SELECT 1 FROM (
-                SELECT doc_id, UNNEST({{g}}) AS gram
-                FROM (SELECT doc_id, {{t}} AS toks FROM deduped) x) dg
-            JOIN bench_grams b ON dg.gram = b.gram
-            WHERE dg.doc_id = d.doc_id)),
-    stages AS (
-        SELECT lang, COUNT(*) AS n_in, CAST(0 AS BIGINT) AS tokens_kept,
-               0 AS stage FROM corpus GROUP BY lang
-        UNION ALL
-        SELECT lang, COUNT(*), CAST(0 AS BIGINT), 1 FROM q_pass GROUP BY lang
-        UNION ALL
-        SELECT lang, COUNT(*), CAST(0 AS BIGINT), 2 FROM deduped GROUP BY lang
-        UNION ALL
-        SELECT lang, COUNT(*), CAST(SUM(n_tokens) AS BIGINT), 3
-        FROM clean GROUP BY lang)
-    SELECT lang,
-           MAX(CASE WHEN stage = 0 THEN n_in END) AS n_in,
-           MAX(CASE WHEN stage = 1 THEN n_in END) AS n_quality,
-           MAX(CASE WHEN stage = 2 THEN n_in END) AS n_unique,
-           MAX(CASE WHEN stage = 3 THEN n_in END) AS n_clean,
-           MAX(CASE WHEN stage = 3 THEN tokens_kept END) AS tokens_kept
-    FROM stages GROUP BY lang ORDER BY lang
+    flagged AS (
+        SELECT *,
+               (n_tokens BETWEEN 10 AND 1000
+                AND n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.5) AS q_ok
+        FROM quality),
+    ann AS (
+        SELECT *,
+               (q_ok AND doc_id = MIN(CASE WHEN q_ok THEN doc_id END)
+                   OVER (PARTITION BY md5(text))) AS is_surv
+        FROM flagged),
+    contaminated AS (
+        SELECT DISTINCT dg.doc_id FROM (
+            SELECT doc_id, UNNEST({{g}}) AS gram
+            FROM (SELECT doc_id, {{t}} AS toks FROM ann WHERE is_surv) x) dg
+        JOIN bench_grams b ON dg.gram = b.gram)
+    SELECT a.lang,
+           COUNT(*) AS n_in,
+           COUNT(CASE WHEN a.q_ok THEN 1 END) AS n_quality,
+           COUNT(CASE WHEN a.is_surv THEN 1 END) AS n_unique,
+           COUNT(CASE WHEN a.is_surv AND c.doc_id IS NULL THEN 1 END)
+               AS n_clean,
+           CAST(SUM(CASE WHEN a.is_surv AND c.doc_id IS NULL
+                    THEN a.n_tokens END) AS BIGINT) AS tokens_kept
+    FROM ann a LEFT JOIN contaminated c ON a.doc_id = c.doc_id
+    GROUP BY a.lang ORDER BY a.lang
     """.format(t=_TOKS_SQL, g=_GRAMS8_SQL),
 )
 def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,13 +1180,15 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-copies of eval docs fall to decontamination (asserted in
     pytest: every stage strictly shrinks).
 
-    Scale shape: the quality gate is zero-shuffle row arithmetic; the
-    dedup is one md5 hash-agg; decontamination joins the corpus gram
-    stream against a broadcast eval-gram set (never shuffles the
-    corpus); every stage count comes from ONE pass over each stage's
-    frame. Funnel columns are plain counts — engine-exact."""
-    from .dedup import exact_dedup
-
+    Scale shape — single annotated corpus pass: every stage is a FLAG
+    column (``q_ok`` row arithmetic; ``is_surv`` a min-id window over
+    md5(text) — the dedup shuffle; contamination a broadcast anti
+    against the small hit set), and the whole funnel report is ONE
+    conditional aggregation. The stage-per-branch form would re-scan a
+    100 TB corpus once per funnel row; this form reads it once (the
+    contamination branch re-derives only survivor grams — at scale
+    you'd checkpoint the annotated frame between the two consumers).
+    Funnel columns are plain counts — engine-exact."""
     docs = table(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 97 != 0).select(
         "doc_id", "lang", "text"
@@ -1225,15 +1219,26 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     stop_ratio = F.col("n_stop") / F.col("n_tokens")
-    q_pass = quality.where(
+    flagged = quality.withColumn(
+        "q_ok",
         F.col("n_tokens").between(10, 1000)
         & (stop_ratio >= 0.01)
-        & (stop_ratio <= 0.5)
+        & (stop_ratio <= 0.5),
     )
-    survivors = exact_dedup(q_pass, "text", "doc_id").select("doc_id")
-    deduped = q_pass.join(survivors, "doc_id")
+    # dedup survivor flag: min quality-passing doc_id per identical
+    # text — the single corpus-wide shuffle (partition by md5(text))
+    w = Window.partitionBy(F.md5("text"))
+    ann = flagged.withColumn(
+        "is_surv",
+        F.col("q_ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(w)
+        ),
+    )
     contaminated = (
-        deduped.select("doc_id", F.expr(_TOKS).alias("toks"))
+        ann.where("is_surv")
+        .select("doc_id", F.expr(_TOKS).alias("toks"))
         .select(
             "doc_id",
             F.explode(F.array_distinct(F.expr(_GRAMS8))).alias("gram"),
@@ -1241,35 +1246,20 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select("doc_id")
         .distinct()
+        .withColumn("is_cont", F.lit(True))
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
-
-    def stage(df: DataFrame, i: int, with_tokens: bool) -> DataFrame:
-        return df.groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_in"),
-            (
-                F.sum("n_tokens").cast("bigint")
-                if with_tokens
-                else F.lit(0).cast("bigint")
-            ).alias("tokens_kept"),
-            F.lit(i).alias("stage"),
-        )
-
-    stages = (
-        stage(corpus.withColumn("n_tokens", F.lit(0)), 0, False)
-        .unionByName(stage(q_pass, 1, False))
-        .unionByName(stage(deduped, 2, False))
-        .unionByName(stage(clean, 3, True))
-    )
-    m = lambda i, c: F.max(F.when(F.col("stage") == i, F.col(c)))
+    is_clean = F.col("is_surv") & F.col("is_cont").isNull()
     return (
-        stages.groupBy("lang")
+        ann.join(F.broadcast(contaminated), "doc_id", "left")
+        .groupBy("lang")
         .agg(
-            m(0, "n_in").alias("n_in"),
-            m(1, "n_in").alias("n_quality"),
-            m(2, "n_in").alias("n_unique"),
-            m(3, "n_in").alias("n_clean"),
-            m(3, "tokens_kept").alias("tokens_kept"),
+            F.count(F.lit(1)).alias("n_in"),
+            F.count(F.when(F.col("q_ok"), 1)).alias("n_quality"),
+            F.count(F.when(F.col("is_surv"), 1)).alias("n_unique"),
+            F.count(F.when(is_clean, 1)).alias("n_clean"),
+            F.sum(F.when(is_clean, F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_kept"),
         )
         .orderBy("lang")
     )
