@@ -83,6 +83,7 @@ HEADLINE = [
     "q_bpe_merges",                  # BPE tokenizer-merge induction
     "q_cohort_retention",            # first-seen cohort retention matrix
     "q_event_funnel",                # ordered conversion funnel
+    "q_cdc_upsert",                  # MERGE-shaped latest-wins snapshot upsert
 ]
 
 

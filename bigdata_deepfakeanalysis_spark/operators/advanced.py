@@ -588,3 +588,122 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert (MERGE INTO shape): apply a change batch (insert / update /
+# delete ops with per-key sequence numbers) to a snapshot — the
+# lakehouse incremental-maintenance primitive behind Delta/Iceberg
+# MERGE and every periodically re-crawled corpus. Latest-wins within
+# the batch (a key can carry several changes; the highest seq applies).
+#
+# Scale shape: the change batch is orders of magnitude smaller than the
+# snapshot, so the merge is latest-wins window over the CHANGES only
+# (tiny shuffle) → broadcast anti-join to drop superseded snapshot rows
+# (the 100 TB snapshot scan stays shuffle-free) → union the applied
+# upserts. Never a full-outer join — Spark cannot broadcast full-outer,
+# so the naive MERGE formulation forces a sort-merge shuffle of the
+# whole snapshot.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_upsert",
+    """
+    WITH changes AS (
+        SELECT doc_id AS key, lang, text || ' [rev2]' AS text,
+               'U' AS op, 1 AS seq
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, lang, text || ' [rev3]', 'U', 2
+        FROM documents WHERE doc_id % 20 = 0
+        UNION ALL
+        SELECT doc_id, lang, CAST(NULL AS VARCHAR), 'D', 1
+        FROM documents WHERE doc_id % 10 = 1
+        UNION ALL
+        SELECT doc_id + 100000, lang, 'new ' || text, 'I', 1
+        FROM documents WHERE doc_id % 25 = 0),
+    latest AS (
+        SELECT key, lang, text, op FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                         ORDER BY seq DESC) AS rk
+            FROM changes) s
+        WHERE rk = 1),
+    kept AS (
+        SELECT d.doc_id, d.lang, len(d.text) AS n_chars,
+               'kept' AS status
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.key = d.doc_id)),
+    applied AS (
+        SELECT key AS doc_id, lang, len(text) AS n_chars,
+               CASE WHEN op = 'I' THEN 'inserted'
+                    ELSE 'updated' END AS status
+        FROM latest WHERE op <> 'D')
+    SELECT doc_id, lang, n_chars, status FROM kept
+    UNION ALL
+    SELECT doc_id, lang, n_chars, status FROM applied
+    ORDER BY doc_id
+    """,
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a deterministic CDC batch to the documents snapshot:
+    every %10 key gets an update (a %20 subset gets a SECOND update —
+    latest-wins must pick seq 2), every %10+1 key is deleted, and %25
+    keys re-arrive as inserts under new ids. Emits the next snapshot
+    (doc_id, lang, n_chars, status ∈ kept/updated/inserted); deletes
+    and superseded revisions appear nowhere."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def ch(cond, key, text, op, seq):
+        return docs.where(cond).select(
+            key.alias("key"),
+            "lang",
+            text.alias("text"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    changes = (
+        ch(did % 10 == 0, did, F.concat("text", F.lit(" [rev2]")), "U", 1)
+        .unionByName(
+            ch(did % 20 == 0, did, F.concat("text", F.lit(" [rev3]")), "U", 2)
+        )
+        .unionByName(
+            ch(did % 10 == 1, did, F.lit(None).cast("string"), "D", 1)
+        )
+        .unionByName(
+            ch(
+                did % 25 == 0,
+                did + 100000,
+                F.concat(F.lit("new "), "text"),
+                "I",
+                1,
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "seq")
+    )
+    kept = docs.join(
+        F.broadcast(latest.select("key")),
+        docs.doc_id == F.col("key"),
+        "left_anti",
+    ).select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.lit("kept").alias("status"),
+    )
+    applied = latest.where(F.col("op") != "D").select(
+        F.col("key").alias("doc_id"),
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(F.col("op") == "I", "inserted")
+        .otherwise("updated")
+        .alias("status"),
+    )
+    return kept.unionByName(applied).orderBy("doc_id")

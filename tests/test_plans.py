@@ -504,3 +504,12 @@ def test_lsh_index_probe_prunes_partitions(spark):
     assert "tbl" in pf and "bucket" in pf
     # and they are NOT data filters re-evaluated per row
     assert "PushedFilters: []" in plan or "PushedFilters" not in plan
+
+
+def test_cdc_upsert_snapshot_side_never_shuffles(spark):
+    """MERGE shape: latest-wins window shuffles only the change batch;
+    the snapshot is pruned via a broadcast anti join (a full-outer
+    formulation would sort-merge-shuffle the whole snapshot)."""
+    plan = _plan(all_queries()["q_cdc_upsert"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
