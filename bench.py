@@ -84,6 +84,7 @@ HEADLINE = [
     "q_cohort_retention",            # first-seen cohort retention matrix
     "q_event_funnel",                # ordered conversion funnel
     "q_cdc_upsert",                  # MERGE-shaped latest-wins snapshot upsert
+    "q_pagerank_copurchase",         # fixed-point Pregel-style PageRank
 ]
 
 

@@ -69,6 +69,7 @@ def _load_all() -> None:
     from .operators import bucketing  # noqa: F401
     from .operators import sketches  # noqa: F401
     from .operators import layout  # noqa: F401
+    from .operators import graph  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -88,12 +89,15 @@ def _load_all() -> None:
 # ---------------------------------------------------------------------------
 
 _WINDOW: list[str] = [
-    # similarity / ANN (never driver-verified in r2)
+    # similarity / ANN (never driver-verified in r2; the IVF recall
+    # ladder rides after slot 50 — it is the second rows-only recall
+    # diagnostic, and its slot buys the hash-oracled PageRank below)
     "q_ann_cosine_topk",
     "q_ann_lsh_bucketed",
     "q_embedding_sq8",
     "q_ann_lsh_recall",
-    "q_ann_ivf_recall",
+    # graph analytics (round-3: fixed-point PageRank, hash-oracled)
+    "q_pagerank_copurchase",
     # dedup family (exact dedup banked its r1-green row; its slot goes
     # to the round-3 sorted-neighborhood algorithm)
     "q_snm_dedup",
