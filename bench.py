@@ -85,6 +85,7 @@ HEADLINE = [
     "q_event_funnel",                # ordered conversion funnel
     "q_cdc_upsert",                  # MERGE-shaped latest-wins snapshot upsert
     "q_pagerank_copurchase",         # fixed-point Pregel-style PageRank
+    "q_pmi_cooccurrence",            # skip-gram PMI association lift
 ]
 
 

@@ -1575,3 +1575,103 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(final).orderBy(
         "step", F.desc("cnt"), "sym_a", "sym_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram co-occurrence + PMI-style association lift: the statistics
+# behind word-embedding training data (word2vec negative-sampling
+# tables, GloVe co-occurrence matrices) and collocation discovery.
+# Pair generation is ROW-LOCAL (a flatten/transform HOF over the token
+# array — zero shuffle, same idiom as chunking/grams); only the
+# (w1, w2) count aggregation shuffles, and it partial-aggregates
+# map-side. The oracle regenerates pairs via a positional self-join —
+# same pair set, clearer SQL.
+#
+# Cross-engine exactness: lift = (n_ab/P) / ((n_a/T)(n_b/T)) is
+# evaluated as ONE identically-parenthesized double expression over
+# exact integer counts (IEEE ops are deterministic given operand
+# order), rounded to 6 — the same contract cosine_fixed uses.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pmi_cooccurrence",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    pos AS (
+        SELECT doc_id,
+               UNNEST(range(0, len(toks))) AS pos,
+               toks
+        FROM toks),
+    words AS (SELECT doc_id, pos, toks[pos + 1] AS w FROM pos),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2
+        FROM words a JOIN words b
+          ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM words) AS t,
+               (SELECT COUNT(*) FROM pairs) AS p),
+    uni AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    co AS (SELECT w1, w2, COUNT(*) AS n_ab FROM pairs GROUP BY w1, w2)
+    SELECT co.w1, co.w2, co.n_ab,
+           ROUND(CAST(co.n_ab AS DOUBLE) * tot.t * tot.t
+                 / (CAST(tot.p AS DOUBLE) * u1.n * u2.n), 6) AS lift
+    FROM co
+    JOIN uni u1 ON co.w1 = u1.w
+    JOIN uni u2 ON co.w2 = u2.w
+    CROSS JOIN tot
+    WHERE co.n_ab >= 5
+    ORDER BY lift DESC, co.w1, co.w2 LIMIT 20
+    """,
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (w1, w2) skip-gram pairs (forward window ±2) by PMI-style
+    association lift, minimum pair count 5. Rare-pair bias is PMI's
+    documented behavior — the count floor is the standard guard."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    # sequence(0, n) DESCENDS for n < 0, hence the >= 2 guard — on the
+    # pair stage ONLY (unigram/total counts still see 1-token docs)
+    pair_expr = (
+        "flatten(transform(sequence(0, size(toks) - 2), i -> "
+        "transform(sequence(1, least(2, size(toks) - 1 - i)), d -> "
+        "struct(toks[i] AS w1, toks[i + d] AS w2))))"
+    )
+    pairs = (
+        toks.where(F.size("toks") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .select("pr.w1", "pr.w2")
+    )
+    words = toks.select(F.explode("toks").alias("w"))
+    tot = words.agg(F.count(F.lit(1)).alias("t")).crossJoin(
+        pairs.agg(F.count(F.lit(1)).alias("p"))
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    co = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    return (
+        co.where(F.col("n_ab") >= 5)
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("n", "n1")),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "n2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.expr(
+                    "CAST(n_ab AS DOUBLE) * t * t"
+                    " / (CAST(p AS DOUBLE) * n1 * n2)"
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
