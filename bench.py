@@ -86,6 +86,7 @@ HEADLINE = [
     "q_cdc_upsert",                  # MERGE-shaped latest-wins snapshot upsert
     "q_pagerank_copurchase",         # fixed-point Pregel-style PageRank
     "q_pmi_cooccurrence",            # skip-gram PMI association lift
+    "q_url_canonicalize",            # crawl URL canonical dedup rollup
 ]
 
 

@@ -1675,3 +1675,140 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup rollup: the crawl-frontier primitive —
+# re-crawls of the same resource arrive under syntactic variants
+# (scheme/host case, default ports, www/m subdomains, trailing slash,
+# index.html, param order, utm_* tracking noise). Canonicalize, then
+# group: one row per resource with its variant count. All row-local
+# string expressions (zero shuffle until the final rollup), whole-stage
+# codegen on the Spark side.
+# ---------------------------------------------------------------------------
+
+_RAW_URLS = """
+    CASE CAST({id} % 4 AS INT)
+      WHEN 0 THEN 'HTTP://WWW.Site' || CAST({id} % 7 AS {ity})
+                  || '.COM:80/a/b/?z=1&a=2#sec'
+      WHEN 1 THEN 'https://site' || CAST({id} % 7 AS {ity})
+                  || '.com/a/b?a=2&z=1'
+      WHEN 2 THEN 'http://Site' || CAST({id} % 7 AS {ity})
+                  || '.Com/a/b/index.html?z=1&a=2&utm_source=x'
+      ELSE 'https://m.site' || CAST({id} % 7 AS {ity}) || '.com:443/a/b'
+    END
+"""
+
+
+@query(
+    "q_url_canonicalize",
+    f"""
+    WITH raws AS (
+        SELECT doc_id,
+               {_RAW_URLS.format(id="doc_id", ity="VARCHAR")} AS raw
+        FROM documents),
+    parts AS (
+        SELECT doc_id, raw,
+               split_part(raw, '#', 1) AS nofrag
+        FROM raws),
+    hp AS (
+        SELECT doc_id, raw,
+               split_part(nofrag, '://', 2) AS rest
+        FROM parts),
+    split3 AS (
+        SELECT doc_id, raw, rest,
+               split_part(rest, '/', 1) AS hostport,
+               substr(rest, len(split_part(rest, '/', 1)) + 1) AS pathq
+        FROM hp),
+    fields AS (
+        SELECT doc_id, raw,
+               regexp_replace(lower(split_part(hostport, ':', 1)),
+                              '^(www|m)\\.', '') AS host,
+               regexp_replace(regexp_replace(
+                   split_part(pathq, '?', 1),
+                   '/index\\.html$', ''), '/$', '') AS path,
+               CASE WHEN contains(pathq, '?')
+                    THEN substr(pathq, strpos(pathq, '?') + 1)
+                    ELSE '' END AS query
+        FROM split3),
+    sorted_params AS (
+        -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+        -- array_join([]) is '' — normalize to ''
+        SELECT doc_id, raw, host, path,
+               COALESCE(array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+                   '&'), '') AS params
+        FROM fields),
+    canon AS (
+        SELECT doc_id, raw,
+               'https://' || host || path ||
+               CASE WHEN params = '' THEN ''
+                    ELSE '?' || params END AS canonical_url
+        FROM sorted_params)
+    SELECT canonical_url,
+           COUNT(*) AS n_raw,
+           COUNT(DISTINCT raw) AS n_variants,
+           MIN(doc_id) AS min_doc_id
+    FROM canon GROUP BY canonical_url ORDER BY canonical_url
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup rollup over deterministically synthesized
+    crawl variants (4 syntactic forms × 7 hosts): lowercase host, fold
+    scheme to https, strip default ports / www. / m. / trailing slash /
+    index.html / #fragment / utm_* params, sort the query string."""
+    docs = table(spark, sf_dir, "documents")
+    raw = F.expr(_RAW_URLS.format(id="doc_id", ity="STRING"))
+    d = docs.select("doc_id", raw.alias("raw"))
+    d = d.withColumn("nofrag", F.substring_index("raw", "#", 1))
+    d = d.withColumn("rest", F.substring_index("nofrag", "://", -1))
+    d = d.withColumn("hostport", F.substring_index("rest", "/", 1))
+    d = d.withColumn(
+        "pathq", F.expr("substr(rest, length(hostport) + 1)")
+    )
+    d = d.select(
+        "doc_id",
+        "raw",
+        F.regexp_replace(
+            F.lower(F.substring_index("hostport", ":", 1)),
+            r"^(www|m)\.",
+            "",
+        ).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring_index("pathq", "?", 1), r"/index\.html$", ""
+            ),
+            "/$",
+            "",
+        ).alias("path"),
+        F.expr(
+            "CASE WHEN instr(pathq, '?') > 0"
+            " THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END"
+        ).alias("query"),
+    )
+    params = (
+        "array_join(array_sort(filter(split(query, '&'),"
+        " p -> p != '' AND p NOT LIKE 'utm_%')), '&')"
+    )
+    d = d.withColumn(
+        "canonical_url",
+        F.concat(
+            F.lit("https://"),
+            "host",
+            "path",
+            F.expr(
+                f"CASE WHEN {params} = '' THEN ''"
+                f" ELSE concat('?', {params}) END"
+            ),
+        ),
+    )
+    return (
+        d.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("raw").alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )
