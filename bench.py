@@ -87,6 +87,7 @@ HEADLINE = [
     "q_pagerank_copurchase",         # fixed-point Pregel-style PageRank
     "q_pmi_cooccurrence",            # skip-gram PMI association lift
     "q_url_canonicalize",            # crawl URL canonical dedup rollup
+    "q_phash_near_dup",              # aHash image near-dup band join
 ]
 
 

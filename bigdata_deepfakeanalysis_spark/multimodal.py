@@ -410,3 +410,115 @@ def q_audio_chunk_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "chunk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (aHash): the image-side dedup stage of
+# LAION-style multimodal pipelines. The surrogate "decode" treats the
+# 64-byte payload as an 8×8 grayscale image (same stance as the
+# featurizer surrogates: torch/PIL absent, Spark-side plumbing real);
+# average-hash = one bit per pixel vs the image mean — 64-bit
+# fingerprint in 4×16-bit bands, then the SAME pigeonhole band join /
+# Hamming verify as text SimHash (``dedup.simhash_band_pairs``). All
+# integer arithmetic: bit-identical across engines. Planted near-dups
+# swap two payload bytes — mean-invariant, so the copy's hash differs
+# in ≤2 bit positions by construction.
+#
+# Scale shape: hashing is row-local codegen over the binary column
+# (never shuffles pixels); the band join shuffles 4 narrow rows per
+# image; the oracle brute-forces all pairs — the band join must find
+# the identical set (pigeonhole: Hamming ≤2 ⇒ ≥2 of 4 bands equal).
+# ---------------------------------------------------------------------------
+
+_PX = (
+    "transform(sequence(0, 63), i -> CAST("
+    "(instr('0123456789abcdef', substr(hex_payload, 2 * i + 1, 1)) - 1)"
+    " * 16 + (instr('0123456789abcdef',"
+    " substr(hex_payload, 2 * i + 2, 1)) - 1) AS INT))"
+)
+
+
+@query(
+    "q_phash_near_dup",
+    """
+    WITH imgs AS (
+        SELECT vec_id AS media_id,
+               md5('m' || CAST(vec_id AS VARCHAR))
+                   || md5('n' || CAST(vec_id AS VARCHAR)) AS hex_payload
+        FROM embeddings WHERE vec_id % 3 = 0),
+    corp AS (
+        SELECT media_id, hex_payload FROM imgs
+        UNION ALL
+        SELECT media_id + 100000,
+               substr(hex_payload, 5, 2) || substr(hex_payload, 3, 2)
+                   || substr(hex_payload, 1, 2) || substr(hex_payload, 7)
+        FROM imgs WHERE media_id < 60),
+    pxl AS (
+        SELECT media_id,
+               list_transform(range(0, 64), i ->
+                   (instr('0123456789abcdef',
+                          substr(hex_payload, 2 * i + 1, 1)) - 1) * 16
+                   + (instr('0123456789abcdef',
+                            substr(hex_payload, 2 * i + 2, 1)) - 1)) AS px
+        FROM corp),
+    withm AS (SELECT media_id, px, list_sum(px) // 64 AS m FROM pxl),
+    sim AS (
+        SELECT media_id,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN px[j + 1] > m THEN (1 << j) ELSE 0 END))
+                   AS INTEGER) AS b0,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN px[16 + j + 1] > m THEN (1 << j) ELSE 0 END))
+                   AS INTEGER) AS b1,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN px[32 + j + 1] > m THEN (1 << j) ELSE 0 END))
+                   AS INTEGER) AS b2,
+               CAST(list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN px[48 + j + 1] > m THEN (1 << j) ELSE 0 END))
+                   AS INTEGER) AS b3
+        FROM withm)
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+           + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+               AS hamming
+    FROM sim a JOIN sim b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-dup pairs (Hamming ≤ 2) over the image subset
+    plus byte-swapped planted copies; band join vs the oracle's
+    brute-force — identical pair sets or the pigeonhole argument is
+    wrong (pytest additionally asserts every planted copy is found)."""
+    from .operators.dedup import simhash_band_pairs
+
+    imgs = media(spark, sf_dir).where(F.col("kind") == "image").select(
+        "media_id", "hex_payload"
+    )
+    copies = imgs.where(F.col("media_id") < 60).select(
+        (F.col("media_id") + 100000).alias("media_id"),
+        F.expr(
+            "concat(substr(hex_payload, 5, 2), substr(hex_payload, 3, 2),"
+            " substr(hex_payload, 1, 2), substr(hex_payload, 7))"
+        ).alias("hex_payload"),
+    )
+    corp = (
+        imgs.unionByName(copies)
+        .withColumn("px", F.expr(_PX))
+        .withColumn(
+            "m", F.expr("aggregate(px, 0, (a, x) -> a + x) DIV 64")
+        )
+    )
+    for k in range(4):
+        corp = corp.withColumn(
+            f"b{k}",
+            F.expr(
+                f"CAST(aggregate(sequence(0, 15), 0, (a, j) -> a +"
+                f" IF(element_at(px, {16 * k} + j + 1) > m,"
+                f" CAST(shiftleft(1, j) AS INT), 0)) AS INT)"
+            ),
+        )
+    sim = corp.select(F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3")
+    return simhash_band_pairs(sim, ham_max=2).orderBy("doc_a", "doc_b")

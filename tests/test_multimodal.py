@@ -117,3 +117,18 @@ def test_torch_extras_gate_raises_cleanly_without_torch(spark):
         torch_extras.torch_gradcam(m)
     with pytest.raises(NotImplementedError, match="torch optional extra"):
         torch_extras.torch_attention_rollout(m)
+
+
+def test_phash_finds_every_planted_image_copy(spark):
+    """Byte-swapped copies are mean-invariant, so each planted pair is
+    within Hamming 2 by construction — the band join must find all."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_phash_near_dup"](spark, SF_DIR).collect()
+    found = {(r.doc_a, r.doc_b) for r in rows}
+    planted = {(m, m + 100000) for m in range(0, 60, 3)}
+    missing = planted - found
+    assert not missing, f"planted copies not recovered: {sorted(missing)}"
+    assert all(r.hamming <= 2 for r in rows)
