@@ -88,6 +88,7 @@ HEADLINE = [
     "q_pmi_cooccurrence",            # skip-gram PMI association lift
     "q_url_canonicalize",            # crawl URL canonical dedup rollup
     "q_phash_near_dup",              # aHash image near-dup band join
+    "q_dq_constraints",              # one-pass Deequ-style table health
 ]
 
 

@@ -1954,3 +1954,182 @@ def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite (Deequ-style): the table-health gate a
+# production pipeline runs before publishing a snapshot — completeness,
+# value-range, set-membership, pattern, key-uniqueness, and referential
+# integrity, each with planted violations to catch. ALL row-level
+# metrics come from ONE aggregate over the fact (violation counts are
+# conditional SUMs — map-side partial agg; uniqueness rides the same
+# pass as a COUNT DISTINCT), reshaped row-locally into the long report;
+# only the referential check is a second, broadcast-anti pass. At
+# 100 TB this is one fact scan + one tiny dim broadcast — never a
+# metric-per-pass loop.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_constraints",
+    """
+    WITH corrupted AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders
+        UNION ALL   -- duplicate business keys (uniqueness catch)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL   -- orphan customer refs (referential catch)
+        SELECT o_orderkey + 10000000, o_custkey + 9000000, o_orderstatus,
+               o_totalprice, o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 103 = 0
+        UNION ALL   -- null comments (completeness catch)
+        SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
+               o_totalprice, o_orderpriority, CAST(NULL AS DATE)
+        FROM orders WHERE o_orderkey % 107 = 0
+        UNION ALL   -- negative prices (range catch)
+        SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+               -o_totalprice, o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 109 = 0
+        UNION ALL   -- unknown status codes (membership catch)
+        SELECT o_orderkey + 40000000, o_custkey, 'X', o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 113 = 0),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT) AS bad_null,
+               CAST(SUM(CASE WHEN o_totalprice <= 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_range,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_set,
+               CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '%-%'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_pat,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS bad_uniq
+        FROM corrupted),
+    orphans AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS bad_ref
+        FROM corrupted o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+    long AS (
+        SELECT 'completeness:o_orderdate' AS check_name, n_rows,
+               bad_null AS n_bad FROM m
+        UNION ALL
+        SELECT 'range:o_totalprice>0', n_rows, bad_range FROM m
+        UNION ALL
+        SELECT 'set:o_orderstatus', n_rows, bad_set FROM m
+        UNION ALL
+        SELECT 'pattern:o_orderpriority', n_rows, bad_pat FROM m
+        UNION ALL
+        SELECT 'unique:o_orderkey', n_rows, bad_uniq FROM m
+        UNION ALL
+        SELECT 'ref:o_custkey->customer', m.n_rows, o.bad_ref
+        FROM m CROSS JOIN orphans o)
+    SELECT check_name, n_rows, n_bad,
+           ROUND(CAST(n_rows - n_bad AS DOUBLE) / n_rows, 9) AS pass_ratio
+    FROM long ORDER BY check_name
+    """,
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six constraint metrics over the orders fact with one planted
+    violation class each; row-level checks in ONE aggregate, referential
+    integrity via broadcast anti-join against customer."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderdate",
+    )
+    k = F.col("o_orderkey")
+
+    def corrupt(cond, **mut):
+        d = o.where(cond)
+        for c, e in mut.items():
+            d = d.withColumn(c, e)
+        return d.select(*o.columns)
+
+    corrupted = (
+        o.unionByName(o.where(k % 101 == 0))
+        .unionByName(
+            corrupt(
+                k % 103 == 0,
+                o_orderkey=k + 10000000,
+                o_custkey=F.col("o_custkey") + 9000000,
+            )
+        )
+        .unionByName(
+            corrupt(
+                k % 107 == 0,
+                o_orderkey=k + 20000000,
+                o_orderdate=F.lit(None).cast("date"),
+            )
+        )
+        .unionByName(
+            corrupt(
+                k % 109 == 0,
+                o_orderkey=k + 30000000,
+                o_totalprice=-F.col("o_totalprice"),
+            )
+        )
+        .unionByName(
+            corrupt(
+                k % 113 == 0,
+                o_orderkey=k + 40000000,
+                o_orderstatus=F.lit("X"),
+            )
+        )
+    )
+    m = corrupted.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("bad_null"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_set"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").like("%-%"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_pat"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "bad_uniq"
+        ),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    bad_ref = (
+        corrupted.join(
+            F.broadcast(cust), corrupted.o_custkey == cust.c_custkey, "left_anti"
+        )
+        .agg(F.count(F.lit(1)).alias("bad_ref"))
+    )
+    checks = (
+        "array("
+        "struct('completeness:o_orderdate' AS check_name, bad_null AS n_bad),"
+        "struct('range:o_totalprice>0' AS check_name, bad_range AS n_bad),"
+        "struct('set:o_orderstatus' AS check_name, bad_set AS n_bad),"
+        "struct('pattern:o_orderpriority' AS check_name, bad_pat AS n_bad),"
+        "struct('unique:o_orderkey' AS check_name, bad_uniq AS n_bad),"
+        "struct('ref:o_custkey->customer' AS check_name, bad_ref AS n_bad))"
+    )
+    return (
+        m.crossJoin(F.broadcast(bad_ref))
+        .select("n_rows", F.explode(F.expr(checks)).alias("c"))
+        .select(
+            F.col("c.check_name").alias("check_name"),
+            "n_rows",
+            F.col("c.n_bad").alias("n_bad"),
+            F.round(
+                F.expr("CAST(n_rows - c.n_bad AS DOUBLE) / n_rows"), 9
+            ).alias("pass_ratio"),
+        )
+        .orderBy("check_name")
+    )
