@@ -89,6 +89,8 @@ HEADLINE = [
     "q_url_canonicalize",            # crawl URL canonical dedup rollup
     "q_phash_near_dup",              # aHash image near-dup band join
     "q_dq_constraints",              # one-pass Deequ-style table health
+    "q_feature_hashing",             # signed hashing-trick featurizer
+    "q_inverted_index",              # posting-list index build
 ]
 
 

@@ -1812,3 +1812,107 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick): fixed-width signed hashed
+# token-count vectors — the unbounded-vocabulary featurizer (HashingTF
+# with a sign hash to unbias collisions, per Weinberger et al.). The
+# Spark side hashes each token ONCE into (bucket, sign) structs, then
+# folds the 16-dim vector row-locally — zero shuffle, no vocabulary
+# broadcast, the property that makes the trick the scale featurizer.
+# The oracle recomputes the bucket per (token, dim) — clearer SQL,
+# identical md5-derived hash function.
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 16
+
+
+@query(
+    "q_feature_hashing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        WHERE doc_id < 40),
+    vecs AS (
+        SELECT doc_id,
+               list_transform(range(0, {_FH_DIMS}), b ->
+                   CAST(COALESCE(list_sum(list_transform(toks, w ->
+                       CASE WHEN CAST('0x' || substr(md5(w), 1, 15)
+                                      AS BIGINT) % {_FH_DIMS} = b
+                            THEN (CASE WHEN instr('02468ace',
+                                           substr(md5(w), 16, 1)) > 0
+                                       THEN 1 ELSE -1 END)
+                            ELSE 0 END)), 0) AS BIGINT)) AS vec
+        FROM toks)
+    SELECT doc_id, vec FROM vecs ORDER BY doc_id
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed 16-bucket hashed token-count vector per document (first
+    40 docs). bucket = md5-prefix mod dims; sign = parity of the 16th
+    hex digit — both engine-agnostic derivations."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    hashed = (
+        "transform(" + _TOKS + ", w -> named_struct("
+        "'b', CAST(pmod(CAST(conv(substr(md5(w), 1, 15), 16, 10)"
+        f" AS BIGINT), {_FH_DIMS}) AS INT),"
+        " 's', IF(instr('02468ace', substr(md5(w), 16, 1)) > 0,"
+        " CAST(1 AS BIGINT), CAST(-1 AS BIGINT))))"
+    )
+    vec = (
+        f"transform(sequence(0, {_FH_DIMS - 1}), b -> "
+        "aggregate(hs, CAST(0 AS BIGINT),"
+        " (acc, t) -> acc + IF(t.b = b, t.s, CAST(0 AS BIGINT))))"
+    )
+    return (
+        docs.select("doc_id", F.expr(hashed).alias("hs"))
+        .select("doc_id", F.expr(vec).alias("vec"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index build: term → (document frequency, sorted posting
+# list) — the index-construction half of the retrieval stack (BM25
+# above is the scoring half). One explode + one (term) shuffle with
+# map-side distinct; posting lists are capped, ordered arrays so the
+# output is deterministic and driver-safe. At scale the term key IS
+# the index partition key (co-located with the BM25 probe).
+# ---------------------------------------------------------------------------
+
+_IDX_TERMS = "('the', 'a', 'of', 'and', 'in', 'zzzunseen')"
+
+
+@query(
+    "q_inverted_index",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    posting AS (
+        SELECT DISTINCT doc_id, UNNEST(toks) AS term FROM toks),
+    hits AS (SELECT term, doc_id FROM posting
+             WHERE term IN {_IDX_TERMS})
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           (list(doc_id ORDER BY doc_id))[1:10] AS postings
+    FROM hits GROUP BY term ORDER BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists for a fixed probe-term set: df + first-10 sorted
+    doc ids per term (absent terms produce no row)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+        .where(F.expr(f"term IN {_IDX_TERMS}"))
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
+                "postings"
+            ),
+        )
+        .orderBy("term")
+    )
