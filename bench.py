@@ -91,6 +91,7 @@ HEADLINE = [
     "q_dq_constraints",              # one-pass Deequ-style table health
     "q_feature_hashing",             # signed hashing-trick featurizer
     "q_inverted_index",              # posting-list index build
+    "q_histogram_profile",           # equi-width distribution profile
 ]
 
 

@@ -2133,3 +2133,66 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram profile: the data-profiling primitive (column
+# distribution at a glance). Two passes by necessity — global [min,max]
+# (a scalar broadcast), then one bucket-assign + count shuffle. All
+# arithmetic in integer cents with truncating DIV so bucket edges are
+# bit-identical across engines (double width division would not be).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_histogram_profile",
+    """
+    WITH cents AS (
+        SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS xi
+        FROM orders),
+    bounds AS (
+        SELECT MIN(xi) AS mn, MAX(xi) AS mx FROM cents),
+    bucketed AS (
+        SELECT LEAST(9, ((c.xi - b.mn) * 10) // (b.mx - b.mn + 1))
+                   AS bucket,
+               b.mn, b.mx
+        FROM cents c CROSS JOIN bounds b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(mn + (bucket * (mx - mn + 1)) // 10 AS BIGINT)
+               AS lo_cents,
+           CAST(mn + ((bucket + 1) * (mx - mn + 1)) // 10 - 1 AS BIGINT)
+               AS hi_cents,
+           COUNT(*) AS n
+    FROM bucketed GROUP BY bucket, mn, mx ORDER BY bucket
+    """,
+)
+def q_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of o_totalprice (integer-cents
+    edges; LEAST(9, ...) folds the max value into the last bucket)."""
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("xi")
+    )
+    bounds = o.agg(F.min("xi").alias("mn"), F.max("xi").alias("mx"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("LEAST(9, ((xi - mn) * 10) DIV (mx - mn + 1))").alias(
+                "bucket"
+            ),
+            "mn",
+            "mx",
+        )
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("CAST(mn + (bucket * (mx - mn + 1)) DIV 10 AS BIGINT)")
+            .alias("lo_cents"),
+            F.expr(
+                "CAST(mn + ((bucket + 1) * (mx - mn + 1)) DIV 10 - 1"
+                " AS BIGINT)"
+            ).alias("hi_cents"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
