@@ -92,6 +92,7 @@ HEADLINE = [
     "q_feature_hashing",             # signed hashing-trick featurizer
     "q_inverted_index",              # posting-list index build
     "q_histogram_profile",           # equi-width distribution profile
+    "q_temperature_mixture",         # sqrt-weighted language budgets
 ]
 
 

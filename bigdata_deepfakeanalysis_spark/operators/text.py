@@ -1916,3 +1916,113 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted multilingual mixture (UniMax / mT5-style):
+# per-language sampling budget ∝ tokens^(1/T) — upweights low-resource
+# languages relative to natural (T=1) sampling without the equal-token
+# extreme (T=∞; that's q_mixture_resample). T=2 here: weights are
+# integer sqrt (FLOOR over one IEEE sqrt of an exact int — drift-free),
+# budgets integer DIV shares of a fixed global token budget, and the
+# per-language selection is the same seeded md5-rank cumsum window as
+# the equal-token op. Same 100 TB shape: one stats pass, one scalar
+# broadcast of per-lang budgets, one lang-partitioned window.
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 20000  # global token budget across all languages
+
+
+@query(
+    "q_temperature_mixture",
+    f"""
+    WITH stats AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    totals AS (
+        SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens,
+               CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT)
+                   AS w
+        FROM stats GROUP BY lang),
+    quota AS (
+        SELECT lang, lang_tokens,
+               CAST(({_MIX_BUDGET} * w) // (SELECT SUM(w) FROM totals)
+                    AS BIGINT) AS budget
+        FROM totals),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                   md5('42' || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM stats),
+    cum AS (
+        SELECT lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY rk
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM ranked)
+    SELECT c.lang, q.budget,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(c.n_tokens) AS BIGINT) * 1.0 / q.lang_tokens, 9)
+               AS keep_ratio
+    FROM cum c JOIN quota q ON c.lang = q.lang
+    WHERE c.cum_tokens - c.n_tokens < q.budget
+    GROUP BY c.lang, q.budget, q.lang_tokens
+    ORDER BY c.lang
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc selection under a sqrt-weighted (T=2) token
+    budget: low-resource languages keep a higher fraction of their
+    tokens than high-resource ones (keep_ratio strictly reflects the
+    temperature reweighting)."""
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    totals = stats.groupBy("lang").agg(
+        F.sum("n_tokens").cast("long").alias("lang_tokens"),
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS DOUBLE))) AS BIGINT)"
+        ).alias("w"),
+    )
+    wsum = totals.agg(F.sum("w").alias("wsum"))
+    quota = totals.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "lang_tokens",
+        F.expr(f"CAST(({_MIX_BUDGET} * w) DIV wsum AS BIGINT)").alias(
+            "budget"
+        ),
+    )
+    wrk = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", F.lit("42"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        stats.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wcum).cast("long"))
+    )
+    return (
+        cum.join(F.broadcast(quota), "lang")
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.col("budget"))
+        .groupBy("lang", "budget", "lang_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        )
+        .select(
+            "lang",
+            "budget",
+            "n_docs_kept",
+            "tokens_kept",
+            F.round(
+                F.col("tokens_kept") * 1.0 / F.col("lang_tokens"), 9
+            ).alias("keep_ratio"),
+        )
+        .orderBy("lang")
+    )
