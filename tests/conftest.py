@@ -53,6 +53,8 @@ def _canon_cell(v):
     if hasattr(v, "isoformat"):  # datetime/date: date == midnight-timestamp
         s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
         return s.removesuffix(" 00:00:00")
+    if getattr(v, "ndim", 0) >= 1:  # numpy array (DuckDB list column)
+        return tuple(_canon_cell(x) for x in v.tolist())
     if hasattr(v, "item"):  # numpy scalar
         return _canon_cell(v.item())
     return v
