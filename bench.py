@@ -93,6 +93,8 @@ HEADLINE = [
     "q_inverted_index",              # posting-list index build
     "q_histogram_profile",           # equi-width distribution profile
     "q_temperature_mixture",         # sqrt-weighted language budgets
+    "q_salted_join",                 # salt+replicate hot-key join
+    "q_sessionize_events",           # gaps-and-islands session ids
 ]
 
 

@@ -707,3 +707,68 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return kept.unionByName(applied).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands with explicit session ids):
+# the batch twin of the streaming session_window — assigns a stable
+# per-user session id via "new-session flag → running sum", then rolls
+# sessions up. One shuffle (partition by user), two window passes over
+# it (LAG then cumulative SUM share the same partitioning — Spark
+# plans them in a single Window stage pair without a second Exchange).
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1000000  # 30-minute inactivity gap
+
+
+@query(
+    "q_sessionize_events",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, epoch_ns(ts)//1000 AS us
+        FROM events_us WHERE user_id < 50),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER w > {_GAP_US}
+                    OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) event counts and durations under a 30-minute
+    inactivity gap, session ids from the gaps-and-islands running sum
+    (users < 50 to bound the report)."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.where(F.col("user_id") < 50).select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag = F.lag("us").over(w)
+    flagged = seq.withColumn(
+        "new_s",
+        F.when(lag.isNull() | (F.col("us") - lag > _GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(wcum).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

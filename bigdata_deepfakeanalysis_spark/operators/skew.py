@@ -109,3 +109,78 @@ def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(ev, "event_type", "user_id").orderBy(
         "event_type"
     )
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Salt-and-replicate join for hot keys: fact rows get a row-unique
+    salt in [0, S); the (small) build side is replicated S× carrying
+    every salt; the join key becomes (key, salt), spreading one hot
+    key's probe rows over S reducers. Result ≡ the plain join.
+
+    This is the MANUAL form of what AQE skew-splitting does to a
+    sort-merge join (plan-tested elsewhere) — still needed when the
+    skewed join feeds a same-key aggregation AQE cannot split, or when
+    the engine must pre-partition by (key, salt) for a downstream
+    stage. Build-side replication cost is S× a small dim — the standard
+    trade."""
+    salted = fact.withColumn(
+        "_salt",
+        (
+            F.crc32(
+                F.concat_ws(
+                    "|",
+                    F.spark_partition_id(),
+                    F.monotonically_increasing_id(),
+                )
+            )
+            % n_salts
+        ).cast("int"),
+    )
+    rep = dim.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted.hint("shuffle_hash").join(rep, [key, "_salt"]).drop("_salt")
+
+
+@query(
+    "q_salted_join",
+    f"""
+    WITH {EVENTS_US_CTE},
+    dim AS (
+        SELECT event_type, CAST(len(event_type) AS BIGINT) AS weight
+        FROM (SELECT DISTINCT event_type FROM events_us) d)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 1000) AS BIGINT) * d.weight)
+                AS BIGINT) AS weighted_sum
+    FROM events_us e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join of the event fact (hot event_type keys) against a
+    per-type weight dim, then a weighted rollup — must equal the plain
+    join+aggregate exactly (fixed-point value milli-units; any
+    salting/replication bug shows as a count or sum mismatch)."""
+    ev = table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("long"))
+    )
+    joined = salted_join(ev, dim, "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.expr("CAST(FLOOR(value * 1000) AS BIGINT)")
+                * F.col("weight")
+            )
+            .cast("long")
+            .alias("weighted_sum"),
+        )
+        .orderBy("event_type")
+    )
