@@ -520,5 +520,17 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" CAST(shiftleft(1, j) AS INT), 0)) AS INT)"
             ),
         )
-    sim = corp.select(F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3")
+    # Materialize the four band ints BEFORE the band join: there is no
+    # shuffle boundary here (unlike text SimHash, whose vote groupBy
+    # pins its fingerprints), so Catalyst's CollapseProject would
+    # inline the nested-lambda hash expressions into every downstream
+    # stage — the explode, both join sides, the join keys, and the
+    # distinct each re-evaluate px AND the per-element mean, an
+    # interpreted ~40× blowup (measured 27 s vs 0.6 s for one pass at
+    # sf0.1). The checkpoint pins 687 rows × 4 ints; at scale this is
+    # the persisted fingerprint table an image-dedup pipeline keeps
+    # anyway.
+    sim = corp.select(
+        F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3"
+    ).localCheckpoint(eager=True)
     return simhash_band_pairs(sim, ham_max=2).orderBy("doc_a", "doc_b")
