@@ -95,6 +95,7 @@ HEADLINE = [
     "q_temperature_mixture",         # sqrt-weighted language budgets
     "q_salted_join",                 # salt+replicate hot-key join
     "q_sessionize_events",           # gaps-and-islands session ids
+    "q_python_datasource",           # Spark 4 pluggable Python source
 ]
 
 

@@ -470,3 +470,128 @@ def q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_priorities"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: the reference's embedding-JSON map format
+# (one ``{image_key: [float × D]}`` object per (dataset, backbone) file,
+# ``src/extract_embedding.py:134-138``) as a FIRST-CLASS pluggable
+# source — ``spark.read.format("embjson").load(dir)`` — instead of the
+# text+from_json detour (`q_embedding_json_source` keeps that path for
+# comparison). One InputPartition per file: file-level parallelism is
+# exactly the reference's per-project loop, distributed. The reader
+# runs on executors (Arrow-batched by the DataSource framework); keys
+# are emitted in sorted order per file so output is deterministic.
+# ---------------------------------------------------------------------------
+
+def make_embjson_datasource():
+    """Build the ``embjson`` DataSource class.
+
+    Defined inside a factory so cloudpickle serializes the class BY
+    VALUE: the reader executes on Python workers that do not have this
+    package on their import path (the driver may be launched from
+    anywhere), and a module-level class would pickle as a module
+    reference and fail to import there. Self-contained closures are the
+    deployment-free way to ship a Python DataSource."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _EmbJsonReader(DataSourceReader):
+        def __init__(self, options):
+            self._dir = options.get("path")
+
+        def partitions(self):
+            from pathlib import Path as _P
+
+            return [
+                InputPartition(str(p))
+                for p in sorted(_P(self._dir).glob("*.json"))
+            ]
+
+        def read(self, partition):
+            import json as _json
+            from pathlib import Path as _P
+
+            p = _P(partition.value)
+            obj = _json.loads(p.read_text())
+            for key in sorted(obj):
+                yield (p.name, key, [float(x) for x in obj[key]])
+
+    class EmbeddingJsonDataSource(DataSource):
+        """``format("embjson")`` — directory of embedding-JSON maps."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "embjson"
+
+        def schema(self) -> str:
+            return "file string, image_key string, vector array<double>"
+
+        def reader(self, schema):
+            return _EmbJsonReader(self.options)
+
+    return EmbeddingJsonDataSource
+
+
+def _stage_embjson_dir(spark: SparkSession, sf_dir: str) -> Path:
+    """Two backbone files over disjoint vec_id ranges (deterministic)."""
+    import json as _json
+
+    out = staging_dir("embjson_ds")
+    ranges = {"emb_resnet50.json": (0, 20), "emb_xception.json": (20, 40)}
+    for fname, (lo, hi) in ranges.items():
+        dst = out / fname
+        rows = (
+            table(spark, sf_dir, "embeddings")
+            .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("v")
+            )
+            .collect()
+        )
+        obj = {f"img_{r.vec_id}.png": list(r.v) for r in sorted(rows)}
+        dst.write_text(_json.dumps(obj, sort_keys=True))
+    return out
+
+
+@query(
+    "q_python_datasource",
+    """
+    WITH tagged AS (
+        SELECT CASE WHEN vec_id < 20 THEN 'emb_resnet50.json'
+                    ELSE 'emb_xception.json' END AS file,
+               vec_id, embedding
+        FROM embeddings WHERE vec_id < 40)
+    SELECT file,
+           COUNT(DISTINCT vec_id) AS n_keys,
+           CAST(SUM(CAST(len(embedding) AS BIGINT)) AS BIGINT) AS n_values,
+           CAST(SUM((SELECT SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,9)))
+                     FROM UNNEST(embedding) AS t(v))) AS DOUBLE) AS vec_sum
+    FROM tagged GROUP BY file ORDER BY file
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file rollup read through the registered ``embjson`` Python
+    DataSource; the oracle recomputes key counts, value counts and the
+    decimal-exact value sum from the parquet source, so a reader bug
+    (dropped file, mangled key, float corruption) is a mismatch."""
+    spark.dataSource.register(make_embjson_datasource())
+    path = _stage_embjson_dir(spark, sf_dir)
+    df = spark.read.format("embjson").load(str(path))
+    return (
+        df.select(
+            "file", "image_key", F.explode("vector").alias("v")
+        )
+        .groupBy("file")
+        .agg(
+            F.countDistinct("image_key").alias("n_keys"),
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.expr("CAST(SUM(CAST(v AS DECIMAL(12,9))) AS DOUBLE)").alias(
+                "vec_sum"
+            ),
+        )
+        .orderBy("file")
+    )

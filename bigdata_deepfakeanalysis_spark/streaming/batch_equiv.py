@@ -575,3 +575,62 @@ def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("event_id").alias("n_distinct"),
     )
+
+
+def record_breakers_tws(stream: DataFrame) -> DataFrame:
+    """The record-breaker operator on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: typed per-key state handles
+    (ValueState/ListState/MapState), timers, and state TTL behind a
+    ``StatefulProcessor`` interface. State contract is identical to
+    ``record_breakers_stateful`` (one double per key, O(1)); requires
+    the RocksDB state store provider (the production backend — the TWS
+    operator does not run on the default HDFS-heap store)."""
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Breakers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState(
+                "max_value", "max_value double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            cur = self._max.get()[0] if self._max.exists() else None
+            ids, tss, vals = [], [], []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, eid, val in zip(
+                    pdf["ts"], pdf["event_id"], pdf["value"]
+                ):
+                    if cur is None or val > cur:
+                        ids.append(eid)
+                        tss.append(ts.strftime("%Y-%m-%d %H:%M:%S"))
+                        vals.append(val)
+                        cur = val
+            if cur is not None:
+                self._max.update((float(cur),))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ids),
+                    "ts": tss,
+                    "event_id": ids,
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Breakers(),
+        outputStructType=(
+            "user_id bigint, ts string, event_id bigint, value double"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -228,3 +228,59 @@ def test_stream_stream_outer_join_matches_batch_up_to_watermark(spark):
     assert len(b) < len(batch)  # ...and the open-window tail click did not
     bv, sv = b[b.columns].fillna(-1), s[b.columns].fillna(-1)
     assert (bv.values == sv.values).all()
+
+
+def test_tws_record_breakers_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 typed-state API) must emit
+    the same record-breaker rows as the batch window form; TWS only
+    runs on the RocksDB state store, so the provider is set for the
+    run. The TWS runtime speaks protobuf to its state server —
+    environment-gated like torch (the operator itself is importable
+    and plan-buildable either way)."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs the protobuf runtime",
+    )
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = BE.stream_events(spark, SF_SMALL)
+        BE.run_stream_once(
+            BE.record_breakers_tws(stream), "tws_sink", mode="append"
+        )
+        streamed = spark.table("tws_sink").toPandas()
+        batch = BE.record_breakers(table(spark, SF_SMALL, "events")).toPandas()
+        k = ["user_id", "event_id"]
+        b = batch.sort_values(k).reset_index(drop=True)
+        s = streamed.sort_values(k).reset_index(drop=True)
+        assert len(b) == len(s) > 0
+        assert (b[b.columns].values == s[b.columns].values).all()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
+def test_tws_operator_builds_without_protobuf(spark):
+    """Plan construction for the TWS op must not need the protobuf
+    runtime — only execution does — so the operator stays importable
+    and schema-checkable in minimal environments."""
+    stream = BE.stream_events(spark, SF_SMALL)
+    df = BE.record_breakers_tws(stream)
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+    ]
+    assert df.isStreaming
