@@ -96,6 +96,7 @@ HEADLINE = [
     "q_salted_join",                 # salt+replicate hot-key join
     "q_sessionize_events",           # gaps-and-islands session ids
     "q_python_datasource",           # Spark 4 pluggable Python source
+    "q_corrupt_json_permissive",     # PERMISSIVE corrupt-row quarantine
 ]
 
 

@@ -595,3 +595,60 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record ingestion (PERMISSIVE mode): real crawl/ETL feeds are
+# never clean — the engine must quarantine malformed records without
+# failing the scan (the reference handles decode failures with
+# ``__SKIP__::`` sentinel keys, ``src/extract_embedding.py:43-45``;
+# the relational equivalent is the _corrupt_record column). Planted:
+# every 11th line is truncated JSON. The oracle never reads the file —
+# it recomputes both populations from the generation rule, so a parser
+# that silently drops or mis-shreds rows is a mismatch.
+# ---------------------------------------------------------------------------
+
+_JSONL_N = 400
+
+
+def _stage_jsonl(spark: SparkSession) -> Path:
+    out = staging_dir("jsonl_corrupt") / "feed.jsonl"
+    lines = []
+    for i in range(_JSONL_N):
+        if i % 11 == 0:
+            lines.append('{"id":')  # truncated — unparseable
+        else:
+            lines.append('{"id": %d, "v": %d}' % (i, i * 3))
+    out.write_text("\n".join(lines))
+    return out
+
+
+@query(
+    "q_corrupt_json_permissive",
+    f"""
+    WITH ids AS (SELECT UNNEST(range(0, {_JSONL_N})) AS i)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(SUM(CASE WHEN i % 11 <> 0 THEN i * 3 END) AS BIGINT)
+               AS sum_v
+    FROM ids
+    """,
+)
+def q_corrupt_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE scan of a JSONL feed with planted malformed lines:
+    good rows parse, bad rows land whole in _corrupt_record (nulls
+    elsewhere), and the totals must reconcile exactly against the
+    generation rule."""
+    path = _stage_jsonl(spark)
+    df = (
+        spark.read.schema("id bigint, v bigint, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(path))
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt_record").alias("n_corrupt"),
+        F.sum("v").cast("long").alias("sum_v"),
+    )
