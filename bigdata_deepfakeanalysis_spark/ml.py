@@ -564,3 +564,69 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering profile (k=8). Invariants (tests): k rows,
     sizes sum to corpus size, deterministic across runs (same seed)."""
     return kmeans_profile(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Composed MLlib Pipeline (the reference's analysis chain as ONE
+# estimator graph): StandardScaler → PCA(8) → LogisticRegression,
+# fitted via the Pipeline API so the whole chain serializes, refits,
+# and cross-validates as a unit — the production packaging of the
+# separate M4-M6 stages (`src/analyze_embedding_with_pca.py:74-97`
+# scales-then-projects-then-scores the same way, eagerly).
+# ---------------------------------------------------------------------------
+
+
+@query("q_ml_pipeline")  # rows-only: iterative solvers are engine-local
+def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit the scaler→PCA→logreg Pipeline on a deterministic split,
+    score the held-out rows; emits per-label accuracy + support.
+    Invariants (tests): accuracy ∈ [0,1] per label, support sums to
+    the holdout size, every fixture label appears. (The synthetic
+    labels are only weakly predictable from the embeddings — the
+    contract here is the Pipeline packaging, not fixture accuracy.)"""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import PCA as MLPca
+    from pyspark.ml.feature import StandardScaler
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 400)
+        .select(
+            "vec_id",
+            F.col("label").cast("double").alias("label"),
+            array_to_vector(F.col("embedding")).alias("raw"),
+        )
+        # fixture-sized fit: one partition, same rationale as the
+        # n_partitions note in cv_separability
+        .repartition(1)
+    )
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    test = emb.where(F.col("vec_id") % 5 == 0)
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(
+                inputCol="raw", outputCol="scaled", withMean=True
+            ),
+            MLPca(k=8, inputCol="scaled", outputCol="pcs"),
+            LogisticRegression(
+                featuresCol="pcs", labelCol="label", maxIter=25
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    return (
+        pred.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.round(
+                F.avg(
+                    (F.col("prediction") == F.col("label")).cast("double")
+                ),
+                9,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -155,3 +155,17 @@ def test_index_signs_arrow_matches_sql_form(spark):
     }
     assert sql_signs == arrow_signs
     assert len(sql_signs) > 0
+
+
+def test_ml_pipeline_invariants(spark):
+    """Composed Pipeline (scaler→PCA→logreg): per-label accuracies in
+    [0,1]; support covers the whole deterministic holdout."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_ml_pipeline"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r.accuracy <= 1.0 for r in rows)
+    # deterministic holdout: vec_id < 400 AND vec_id % 5 == 0
+    assert sum(r.support for r in rows) == 80
