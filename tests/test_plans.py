@@ -513,3 +513,29 @@ def test_cdc_upsert_snapshot_side_never_shuffles(spark):
     plan = _plan(all_queries()["q_cdc_upsert"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pmi_pair_generation_is_shuffle_free_until_counts(spark):
+    """Skip-gram pairs come from a row-local HOF explode — the only
+    shuffles are the count aggregations; unigram/total joins broadcast."""
+    plan = _plan(all_queries()["q_pmi_cooccurrence"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_shuffle_hash_not_broadcast(spark):
+    """The salted join must exercise the shuffle path it exists for —
+    a broadcast would make the salt dead weight."""
+    plan = _plan(all_queries()["q_salted_join"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_phash_hash_columns_materialized_before_band_join(spark):
+    """The aHash band join must read pinned fingerprints (a checkpoint
+    scan), not re-evaluate the interpreted hash lambdas per stage."""
+    plan = _plan(all_queries()["q_phash_near_dup"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint boundary
+    # no higher-order aggregate expression may survive into the join
+    join_part = plan[plan.index("Join") :]
+    assert "aggregate(" not in join_part
