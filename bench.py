@@ -97,6 +97,7 @@ HEADLINE = [
     "q_sessionize_events",           # gaps-and-islands session ids
     "q_python_datasource",           # Spark 4 pluggable Python source
     "q_corrupt_json_permissive",     # PERMISSIVE corrupt-row quarantine
+    "q_negative_sampling",           # unigram^0.75 sampling table
 ]
 
 

@@ -2026,3 +2026,64 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec negative-sampling table: unigram distribution raised to the
+# 3/4 power (Mikolov et al.) — the canonical smoothing that upweights
+# rare words. Exactly cross-engine: weight = floor((n³)^(1/4)) via two
+# FLOOR(SQRT(·)) steps (floor-sqrt of floor-sqrt IS the integer fourth
+# root), probabilities as fixed-point DIV shares. Valid while n³ stays
+# exactly representable in a double (n < ~2×10⁵ — true for the bench
+# corpus; at web scale switch the weight to a 128-bit integer nroot).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_negative_sampling",
+    f"""
+    WITH words AS (
+        SELECT UNNEST({_TOKS_SQL}) AS w FROM documents),
+    counts AS (SELECT w, COUNT(*) AS n FROM words GROUP BY w),
+    weighted AS (
+        SELECT w, n,
+               CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(n * n * n AS DOUBLE)))))
+                    AS BIGINT) AS wt
+        FROM counts),
+    tot AS (SELECT SUM(wt) AS tw FROM weighted)
+    SELECT w, CAST(n AS BIGINT) AS n, wt,
+           CAST((wt * 1048576) // tot.tw AS BIGINT) AS prob_fp
+    FROM weighted CROSS JOIN tot
+    ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 negative-sampling table rows: unigram count, ¾-power
+    weight, fixed-point sampling probability."""
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    weighted = counts.withColumn(
+        "wt",
+        F.expr(
+            "CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(n * n * n AS DOUBLE)))))"
+            " AS BIGINT)"
+        ),
+    )
+    tot = weighted.agg(F.sum("wt").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.col("n").cast("long").alias("n"),
+            "wt",
+            F.expr("CAST((wt * 1048576) DIV tw AS BIGINT)").alias(
+                "prob_fp"
+            ),
+        )
+        .orderBy(F.desc("n"), "w")
+        .limit(20)
+    )
