@@ -98,6 +98,7 @@ HEADLINE = [
     "q_python_datasource",           # Spark 4 pluggable Python source
     "q_corrupt_json_permissive",     # PERMISSIVE corrupt-row quarantine
     "q_negative_sampling",           # unigram^0.75 sampling table
+    "q_window_range_frame",          # trailing-interval RANGE window
 ]
 
 

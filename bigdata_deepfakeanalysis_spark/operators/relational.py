@@ -2196,3 +2196,64 @@ def q_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (§2.5 completion): a trailing time-interval frame
+# — RANGE BETWEEN 30 PRECEDING AND CURRENT ROW over an integer day
+# key — is semantically different from every ROWS frame above: the
+# frame is value-bounded (all orders in the last 30 days, however
+# many) and same-day orders are PEERS (each sees the full day's
+# total). Decimal-exact window sum for cross-engine parity.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_range_frame",
+    """
+    WITH days AS (
+        SELECT o_custkey, o_orderkey,
+               datediff('day', DATE '1990-01-01', o_orderdate) AS day,
+               o_totalprice
+        FROM orders WHERE o_custkey < 100)
+    SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing_30d_spend,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_orders_30d
+    FROM days ORDER BY o_custkey, day, o_orderkey
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day spend per customer via a value-bounded RANGE
+    frame (same-day orders are peers and each sees the day's total —
+    a ROWS frame cannot express this)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    days = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        "o_totalprice",
+    )
+    win = (
+        "PARTITION BY o_custkey ORDER BY day"
+        " RANGE BETWEEN 30 PRECEDING AND CURRENT ROW"
+    )
+    return days.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))"
+            f" OVER ({win}) AS DOUBLE)"
+        ).alias("trailing_30d_spend"),
+        F.expr(f"CAST(COUNT(*) OVER ({win}) AS BIGINT)").alias(
+            "n_orders_30d"
+        ),
+    ).orderBy("o_custkey", "day", "o_orderkey")
