@@ -99,6 +99,7 @@ HEADLINE = [
     "q_corrupt_json_permissive",     # PERMISSIVE corrupt-row quarantine
     "q_negative_sampling",           # unigram^0.75 sampling table
     "q_window_range_frame",          # trailing-interval RANGE window
+    "q_unpivot_metrics",             # wide-to-long melt reshaping
 ]
 
 

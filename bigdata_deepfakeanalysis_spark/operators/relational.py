@@ -2257,3 +2257,49 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders_30d"
         ),
     ).orderBy("o_custkey", "day", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (the inverse of q_pivot): wide per-column metrics →
+# long (metric, value) rows — the reshaping step feeding generic
+# metric stores and plotting clients. Row-local (zero shuffle until
+# the final sort); Spark's native ``unpivot`` keeps it codegen.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unpivot_metrics",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_price,
+               CAST(COUNT(*) AS DOUBLE) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag metric table melted to long form via the native
+    ``unpivot`` (decimal-exact sums first, so the doubles match)."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_qty"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "metric")
