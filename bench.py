@@ -100,6 +100,7 @@ HEADLINE = [
     "q_negative_sampling",           # unigram^0.75 sampling table
     "q_window_range_frame",          # trailing-interval RANGE window
     "q_unpivot_metrics",             # wide-to-long melt reshaping
+    "q_null_safe_join",              # NULL-safe equality join
 ]
 
 

@@ -2303,3 +2303,68 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("l_returnflag", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other — required when the join key is a derived, legitimately
+# absent attribute (an ordinary equi-join silently drops every NULL
+# pair, a classic correctness trap in curation joins).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_null_safe_join",
+    """
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderkey % 5 END AS k
+        FROM orders WHERE o_orderkey < 2000),
+    b AS (
+        SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                    ELSE n_nationkey % 5 END AS k,
+               n_nationkey
+        FROM nation)
+    SELECT COALESCE(CAST(a.k AS VARCHAR), 'NULL') AS k,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(a.o_orderkey) AS BIGINT) AS min_order,
+           CAST(COUNT(DISTINCT b.n_nationkey) AS BIGINT) AS n_nations
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k ORDER BY k
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe (<=>) join over derived nullable keys: the NULL group
+    must join (and report) like any other key value."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    a = o.select(
+        "o_orderkey",
+        F.expr(
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL"
+            " ELSE o_orderkey % 5 END"
+        ).alias("k"),
+    )
+    b = table(spark, sf_dir, "nation").select(
+        F.expr(
+            "CASE WHEN n_nationkey % 3 = 0 THEN NULL"
+            " ELSE n_nationkey % 5 END"
+        ).alias("k"),
+        "n_nationkey",
+    )
+    return (
+        a.join(F.broadcast(b), a.k.eqNullSafe(b.k))
+        .groupBy(a.k.alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("o_orderkey").cast("long").alias("min_order"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+        .select(
+            F.coalesce(F.col("k").cast("string"), F.lit("NULL")).alias("k"),
+            "n_pairs",
+            "min_order",
+            "n_nations",
+        )
+        .orderBy("k")
+    )
