@@ -520,9 +520,10 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" CAST(shiftleft(1, j) AS INT), 0)) AS INT)"
             ),
         )
-    # Materialize the four band ints BEFORE the band join: there is no
-    # shuffle boundary here (unlike text SimHash, whose vote groupBy
-    # pins its fingerprints), so Catalyst's CollapseProject would
+    # Materialize the four band ints BEFORE the band join (text SimHash
+    # pins for the same reason — its vote groupBy is NOT enough, since
+    # the join sides' Exchanges never canonicalize equal and
+    # ReusedExchange does not fire): Catalyst's CollapseProject would
     # inline the nested-lambda hash expressions into every downstream
     # stage — the explode, both join sides, the join keys, and the
     # distinct each re-evaluate px AND the per-element mean, an

@@ -636,8 +636,17 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit fingerprints, banded pair join (exact by
     pigeonhole — see ``simhash_band_pairs``), Hamming distance <= 3.
     The oracle brute-forces all pairs; the engine's band join must find
-    the identical set."""
+    the identical set.
+
+    The fingerprints are pinned (localCheckpoint) before the band
+    self-join: the two join sides project different columns, so their
+    Exchanges never canonicalize equal and ReusedExchange does not
+    fire — unpinned, the 64-conditional-SUM vote aggregate over the
+    full token stream executes once per side (the same trap the aHash
+    pipeline pins away — multimodal.q_phash_near_dup). At scale this
+    is the persisted fingerprint table a dedup pipeline keeps anyway."""
     sim = simhash64(aug_docs(spark, sf_dir), "text", "doc_id")
+    sim = sim.localCheckpoint(eager=True)
     return simhash_band_pairs(sim, ham_max=3).orderBy("doc_a", "doc_b")
 
 

@@ -1985,7 +1985,7 @@ def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey + 10000000, o_custkey + 9000000, o_orderstatus,
                o_totalprice, o_orderpriority, o_orderdate
         FROM orders WHERE o_orderkey % 103 = 0
-        UNION ALL   -- null comments (completeness catch)
+        UNION ALL   -- null order dates (completeness catch)
         SELECT o_orderkey + 20000000, o_custkey, o_orderstatus,
                o_totalprice, o_orderpriority, CAST(NULL AS DATE)
         FROM orders WHERE o_orderkey % 107 = 0

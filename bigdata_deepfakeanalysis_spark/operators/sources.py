@@ -541,6 +541,10 @@ def _stage_embjson_dir(spark: SparkSession, sf_dir: str) -> Path:
     import json as _json
 
     out = staging_dir("embjson_ds")
+    # the reader globs *.json — clear stale/foreign files from older
+    # revisions so the staging dir holds exactly the two written below
+    for old in out.glob("*.json"):
+        old.unlink()
     ranges = {"emb_resnet50.json": (0, 20), "emb_xception.json": (20, 40)}
     for fname, (lo, hi) in ranges.items():
         dst = out / fname

@@ -1472,10 +1472,19 @@ _PAIRS_SQL = (
 )
 
 
-@query(
-    "q_bpe_merges",
-    f"""
-    WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
+def bpe_oracle_sql(steps: int) -> str:
+    """DuckDB oracle for ``bpe_merges`` at the given merge count —
+    factored so tests can oracle-check deeper loops than the
+    registered {_BPE_STEPS}-step query.
+
+    The t/m CTEs are MATERIALIZED: t{{k}} references m{{k}} three times
+    plus t{{k-1}}, so DuckDB's default CTE inlining expands ~4^steps
+    scans of the corpus (8 steps exhausts the fd limit before it
+    finishes) — the materialization is the oracle-side analogue of the
+    engine's per-step localCheckpoint."""
+    return f"""
+    WITH t0 AS MATERIALIZED (
+        SELECT doc_id, ' ' || text || ' ' AS s FROM documents),
     {"".join(f'''
     p{k} AS (
         SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
@@ -1483,36 +1492,37 @@ _PAIRS_SQL = (
               FROM (SELECT list_filter(string_split(trim(s), ' '),
                                        w -> w <> '') AS toks FROM t{k - 1}))
         GROUP BY pr.a, pr.b),
-    m{k} AS (SELECT a, b, cnt FROM p{k}
+    m{k} AS MATERIALIZED (SELECT a, b, cnt FROM p{k}
              ORDER BY cnt DESC, a, b LIMIT 1),
-    t{k} AS (
+    t{k} AS MATERIALIZED (
         SELECT doc_id,
                replace(s, ' ' || (SELECT a FROM m{k}) || ' '
                            || (SELECT b FROM m{k}) || ' ',
                        ' ' || (SELECT a FROM m{k}) || '_'
                            || (SELECT b FROM m{k}) || ' ') AS s
         FROM t{k - 1}),'''
-        for k in range(1, _BPE_STEPS + 1))}
+        for k in range(1, steps + 1))}
     final AS (
         SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cnt
         FROM (SELECT UNNEST(list_filter({_PAIRS_SQL}, x -> x.b IS NOT NULL)) AS pr
               FROM (SELECT list_filter(string_split(trim(s), ' '),
                                        w -> w <> '') AS toks
-                    FROM t{_BPE_STEPS}))
+                    FROM t{steps}))
         GROUP BY pr.a, pr.b)
     SELECT * FROM (
         {" UNION ALL ".join(
             f"SELECT {k} AS step, a AS sym_a, b AS sym_b,"
             f" CAST(cnt AS BIGINT) AS cnt FROM m{k}"
-            for k in range(1, _BPE_STEPS + 1))}
+            for k in range(1, steps + 1))}
         UNION ALL
-        SELECT {_BPE_STEPS + 1} AS step, a, b, CAST(cnt AS BIGINT)
+        SELECT {steps + 1} AS step, a, b, CAST(cnt AS BIGINT)
         FROM (SELECT * FROM final ORDER BY cnt DESC, a, b LIMIT 10))
     ORDER BY step, cnt DESC, sym_a, sym_b
-    """,
-)
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE merge induction over the corpus: {_BPE_STEPS} iterations of
+    """
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str, steps: int) -> DataFrame:
+    """BPE merge induction over the corpus: ``steps`` iterations of
     (count adjacent symbol pairs corpus-wide) → (merge the most
     frequent pair, ties lexicographic) → recount, then the post-merge
     top-10 pair table. The tokenizer-training shape of an LLM pipeline
@@ -1526,7 +1536,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace(); BOTH engines use leftmost-non-overlapping substring
     replace, so consecutive overlapping occurrences ('a b a b')
     resolve identically — part of the contract, asserted by the
-    oracle hash."""
+    oracle hash.
+
+    The rebound corpus is ``localCheckpoint``-pinned each iteration:
+    unpinned, step k's plan stacks all k prior replace() expressions,
+    so every pair count re-executes the whole merge history — O(steps²)
+    corpus scans, a scale-killer at a real tokenizer's 30k merges. The
+    pin makes each step O(1) scans over the previous step's output (at
+    cluster scale the same role is played by writing the merged corpus
+    back to storage per checkpoint interval; production-scale BPE would
+    additionally count pairs per-partition and merge count tables on
+    the driver)."""
     docs = table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id", F.concat(F.lit(" "), "text", F.lit(" ")).alias("s")
@@ -1542,7 +1562,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = None
-    for step in range(1, _BPE_STEPS + 1):
+    for step in range(1, steps + 1):
         counts = pair_counts(cur)
         top = counts.orderBy(
             F.desc("cnt"), "a", "b"
@@ -1560,13 +1580,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a=f"'{top.a}'", b=f"'{top.b}'"
                 )
             ).alias("s"),
-        )
+        ).localCheckpoint(eager=False)
     final = (
         pair_counts(cur)
         .orderBy(F.desc("cnt"), "a", "b")
         .limit(10)
         .select(
-            F.lit(_BPE_STEPS + 1).alias("step"),
+            F.lit(steps + 1).alias("step"),
             F.col("a").alias("sym_a"),
             F.col("b").alias("sym_b"),
             F.col("cnt").cast("bigint").alias("cnt"),
@@ -1575,6 +1595,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(final).orderBy(
         "step", F.desc("cnt"), "sym_a", "sym_b"
     )
+
+
+@query("q_bpe_merges", bpe_oracle_sql(_BPE_STEPS))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered {_BPE_STEPS}-step BPE merge induction (see
+    ``bpe_merges``); tests additionally oracle-check an 8-step run to
+    prove the per-step checkpoint keeps plan depth — and step time —
+    flat."""
+    return bpe_merges(spark, sf_dir, _BPE_STEPS)
 
 
 # ---------------------------------------------------------------------------
@@ -1756,7 +1785,8 @@ _RAW_URLS = """
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup rollup over deterministically synthesized
     crawl variants (4 syntactic forms × 7 hosts): lowercase host, fold
-    scheme to https, strip default ports / www. / m. / trailing slash /
+    scheme to https, strip ALL ports (host keeps text left of ':' —
+    non-default ports fold too) / www. / m. / trailing slash /
     index.html / #fragment / utm_* params, sort the query string."""
     docs = table(spark, sf_dir, "documents")
     raw = F.expr(_RAW_URLS.format(id="doc_id", ity="STRING"))
@@ -1787,9 +1817,12 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END"
         ).alias("query"),
     )
+    # startswith (not LIKE 'utm_%'): LIKE's `_` is a single-char
+    # wildcard, which would also drop e.g. 'utmost=1' — the oracle's
+    # starts_with(p, 'utm_') is a literal prefix test.
     params = (
         "array_join(array_sort(filter(split(query, '&'),"
-        " p -> p != '' AND p NOT LIKE 'utm_%')), '&')"
+        " p -> p != '' AND NOT startswith(p, 'utm_'))), '&')"
     )
     d = d.withColumn(
         "canonical_url",

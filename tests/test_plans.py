@@ -537,5 +537,20 @@ def test_phash_hash_columns_materialized_before_band_join(spark):
     plan = _plan(all_queries()["q_phash_near_dup"](spark, SF_DIR))
     assert "Scan ExistingRDD" in plan  # the localCheckpoint boundary
     # no higher-order aggregate expression may survive into the join
-    join_part = plan[plan.index("Join") :]
-    assert "aggregate(" not in join_part
+    idx = plan.find("Join")
+    assert idx != -1, plan
+    assert "aggregate(" not in plan[idx:]
+
+
+def test_simhash_fingerprints_pinned_before_band_join(spark):
+    """The text-SimHash band self-join must read pinned fingerprints:
+    the two join sides project different columns, so their Exchanges
+    never canonicalize equal and ReusedExchange does NOT fire — without
+    the checkpoint the 64-conditional-SUM vote aggregate over the full
+    token stream runs once per side."""
+    plan = _plan(all_queries()["q_simhash_hamming"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in plan  # the localCheckpoint boundary
+    # the vote aggregate ran once at pin time: no tokenization (md5,
+    # explode-of-split) may appear anywhere in the executed plan
+    assert "md5(" not in plan, plan
+    assert plan.find("Join") != -1, plan

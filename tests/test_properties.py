@@ -319,3 +319,23 @@ def test_doc_chunking_is_minimal_cover(spark, docs):
         if len(rows) > 1:
             prev = rows[-2]
             assert prev.start_tok + _CHUNK < n
+
+
+def test_bpe_eight_steps_match_oracle_with_flat_plan(spark, duck):
+    """The per-step localCheckpoint keeps BPE plan depth constant: at 8
+    merges the final plan must contain NO stacked replace() history
+    (each step reads the previous step's pinned output), and the full
+    8-step merge table + post-merge counts must still match the DuckDB
+    closed-form recursion — proving the pin changes cost, not
+    semantics."""
+    from bigdata_deepfakeanalysis_spark.operators.text import (
+        bpe_merges,
+        bpe_oracle_sql,
+    )
+
+    from .conftest import SF_DIR, assert_matches_oracle
+
+    df = bpe_merges(spark, SF_DIR, steps=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "replace(" not in plan, plan[:2000]
+    assert_matches_oracle(df, duck, bpe_oracle_sql(8))
