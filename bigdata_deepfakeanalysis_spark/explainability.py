@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .multimodal import media
+from .multimodal import MEDIA_CTE, media
 from .registry import query
 
 _HEATMAP_SCHEMA = (
@@ -139,36 +139,70 @@ def attention_rollout(media_df: DataFrame) -> DataFrame:
     ).mapInPandas(_heatmap_udf("rollout"), _HEATMAP_SCHEMA)
 
 
-@query("q_gradcam_surrogate")  # rows-only: tensor source is engine-local
-def q_gradcam_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M8 — heatmap summary per image (full arrays stay in the engine;
-    the query emits shape + normalization invariants)."""
-    hm = gradcam(media(spark, sf_dir).where(F.col("media_id") < 40))
+def _heatmap_summary(hm: DataFrame) -> DataFrame:
+    """Driver-checkable heatmap contract: shape columns are exact;
+    min-max normalization makes ``hm_min`` EXACTLY 0.0 ((x-lo)/(hi-lo+ε)
+    maps the minimum to 0 bit-exactly) and pins ``hm_max`` to either
+    exactly 0.0 (a degenerate map — Grad-CAM's relu can clip every cell
+    on small grids) or (0.9, 1.0] — so the summary is hash-comparable
+    even though the heatmap VALUES come from the engine-local surrogate
+    tensors (those are covered by the numpy reference test in
+    tests/test_multimodal.py)."""
+    mx = F.array_max("heatmap")
     return hm.select(
         "media_id",
         "method",
         "h",
         "w",
         F.size("heatmap").alias("n_cells"),
-        F.array_min("heatmap").alias("hm_min"),
-        F.array_max("heatmap").alias("hm_max"),
+        F.array_min("heatmap").cast("double").alias("hm_min"),
+        (
+            (mx == 0.0) | ((mx > 0.9) & (mx <= 1.0))
+        ).alias("hm_norm_valid"),
         "used_torch",
     ).orderBy("media_id")
 
 
-@query("q_attention_rollout_surrogate")  # rows-only
+_GRADCAM_ORACLE = f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT media_id, 'gradcam' AS method,
+           CAST(greatest(height // 8, 1) AS INTEGER) AS h,
+           CAST(greatest(width // 8, 1) AS INTEGER) AS w,
+           CAST(greatest(height // 8, 1) * greatest(width // 8, 1)
+                AS INTEGER) AS n_cells,
+           CAST(0.0 AS DOUBLE) AS hm_min,
+           TRUE AS hm_norm_valid,
+           FALSE AS used_torch
+    FROM media WHERE media_id < 40 ORDER BY media_id
+    """
+
+_ROLLOUT_ORACLE = f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT media_id, 'rollout' AS method,
+           CAST({_GRID} AS INTEGER) AS h,
+           CAST({_GRID} AS INTEGER) AS w,
+           CAST({_GRID * _GRID} AS INTEGER) AS n_cells,
+           CAST(0.0 AS DOUBLE) AS hm_min,
+           TRUE AS hm_norm_valid,
+           FALSE AS used_torch
+    FROM media WHERE media_id < 40 ORDER BY media_id
+    """
+
+
+@query("q_gradcam_surrogate", _GRADCAM_ORACLE)
+def q_gradcam_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — heatmap summary per image (full arrays stay in the engine;
+    the query emits shape + normalization invariants, all of which the
+    oracle recomputes — only the heatmap values themselves are
+    engine-local, and the numpy reference test covers those)."""
+    hm = gradcam(media(spark, sf_dir).where(F.col("media_id") < 40))
+    return _heatmap_summary(hm)
+
+
+@query("q_attention_rollout_surrogate", _ROLLOUT_ORACLE)
 def q_attention_rollout_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 — same contract as q_gradcam_surrogate for the rollout method
     (the reference's Grad-CAM cap is 40 images per group — BASELINE.md —
     mirrored here)."""
     hm = attention_rollout(media(spark, sf_dir).where(F.col("media_id") < 40))
-    return hm.select(
-        "media_id",
-        "method",
-        "h",
-        "w",
-        F.size("heatmap").alias("n_cells"),
-        F.array_min("heatmap").alias("hm_min"),
-        F.array_max("heatmap").alias("hm_max"),
-        "used_torch",
-    ).orderBy("media_id")
+    return _heatmap_summary(hm)

@@ -276,11 +276,30 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_resize_stub")  # rows-only: fake-decode summary is engine-local
+@query(
+    "q_resize_stub",
+    f"""
+    WITH {MEDIA_CTE.strip()}
+    SELECT media_id,
+           CAST(width // 2 AS INTEGER) AS new_width,
+           CAST(height // 2 AS INTEGER) AS new_height,
+           CAST((SELECT SUM(CAST('0x' || substr(hex_payload, 2 * i + 1, 2)
+                                 AS INTEGER))
+                 FROM (SELECT UNNEST(range(0, 32)) AS i)) % 65536
+                AS BIGINT) AS checksum,
+           FALSE AS decoded
+    FROM media WHERE media_id < 100 ORDER BY media_id
+    """,
+)
 def q_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-half plumbing over mapInPandas (decode stubbed per task
     spec — no imaging libs in container). Tests assert schema, half
-    dimensions, and determinism."""
+    dimensions, and determinism. The stub path is fully deterministic
+    (floor-halved dims, byte-sum checksum of the payload), so the
+    oracle recomputes it from the hex payload — hash-exact whenever
+    imaging libs are absent (this container always; an environment
+    with PIL flips ``decoded`` and takes the real-decode path, which
+    is intentionally outside the oracle's contract)."""
     return resize_half(media(spark, sf_dir).where(F.col("media_id") < 100)).orderBy(
         "media_id"
     )

@@ -1078,6 +1078,99 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_lsh_oracle() -> str:
+    """Closed-form oracle for the SemDeDup composition with the
+    deterministic sign-LSH coarse quantizer: within-bucket fixed-point
+    cosine >= 0.999 pairs (identical CTEs to the q_cosine_near_dup
+    oracle), recursive transitive closure for the components, min-id
+    survivor accounting per label — the whole pipeline hash-checked,
+    not just its pair stage."""
+    from .similarity import _BUCKET_SQL
+
+    return f"""
+    WITH RECURSIVE {AUG_EMB_CTE.strip()},
+    qv AS (
+        SELECT vec_id, label,
+               list_transform(vec,
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM aug_emb),
+    {_BUCKET_SQL.strip()},
+    cells AS (
+        SELECT vec_id, pos, q[pos + 1] AS qval
+        FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
+    norms AS (
+        SELECT vec_id, SUM(qval * qval) AS n2 FROM cells GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               SUM(a.qval * b.qval) AS dot
+        FROM cells a
+        JOIN cells b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        JOIN buckets ba ON ba.vec_id = a.vec_id
+        JOIN buckets bb ON bb.vec_id = b.vec_id AND bb.bucket = ba.bucket
+        GROUP BY a.vec_id, b.vec_id),
+    prs AS (
+        SELECT vec_a, vec_b FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+        WHERE ROUND(CAST(dot AS DOUBLE)
+                    / (SQRT(CAST(na.n2 AS DOUBLE))
+                       * SQRT(CAST(nb.n2 AS DOUBLE))), 9) >= 0.999),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM prs
+        UNION
+        SELECT vec_b, vec_a FROM prs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id)
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN component IS NULL OR component = vec_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(SUM(CASE WHEN component IS NOT NULL AND component <> vec_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM aug_emb LEFT JOIN comp ON vec_id = comp.id
+    GROUP BY label ORDER BY label
+    """
+
+
+@query("q_semantic_dedup_lsh", _semantic_dedup_lsh_oracle())
+def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup composition with the deterministic sign-LSH bucket
+    as the coarse quantizer: bucket → blocked cosine >= 0.999 pairs →
+    connected components → min-id survivor per component; per-label
+    accounting. Identical pipeline to ``q_semantic_dedup`` (which keeps
+    the production k-means IVF coarse stage, engine-local and therefore
+    rows-only) but every stage is engine-portable, so pairs, component
+    labels, AND survivorship are hash-checked against a recursive
+    transitive-closure oracle end-to-end."""
+    from .similarity import lsh_bucket, quantize
+
+    emb = aug_emb(spark, sf_dir)
+    blocked = emb.withColumn("_q", quantize("vec")).withColumn(
+        "bucket", lsh_bucket("_q")
+    )
+    pairs = cosine_pairs(blocked, "bucket", 0.999)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    labeled = emb.join(
+        cc.withColumnRenamed("id", "vec_id"), "vec_id", "left"
+    ).withColumn(
+        "is_survivor",
+        F.col("component").isNull()
+        | (F.col("component") == F.col("vec_id")),
+    )
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_survivor").cast("long")).alias("n_survivors"),
+            F.sum((~F.col("is_survivor")).cast("long")).alias("n_removed"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact-substring span dedup: anchor char-40-grams at stride 10 — any
 # two docs sharing a verbatim substring of >= 49 chars share at least

@@ -288,14 +288,42 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct")  # no oracle: HLL estimates are engine-specific
+@query(
+    "q_approx_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS parts_within_rsd,
+           TRUE AS supps_within_rsd
+    FROM lineitem
+    """,
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "lineitem")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        )
+    """approx_count_distinct (HyperLogLog++) next to the exact counts.
+    The raw estimates are engine-specific (DuckDB's HLL differs), so
+    the driver-checkable contract is: exact counts (recomputed by the
+    oracle) plus the default-rsd (5%) error bound holding — a bound
+    flag flipping false is a real estimator regression, hash-visible."""
+    rsd = 0.05
+    agg = table(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("asu"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("ap") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= rsd
+        ).alias("parts_within_rsd"),
+        (
+            F.abs(F.col("asu") - F.col("exact_supps"))
+            / F.col("exact_supps")
+            <= rsd
+        ).alias("supps_within_rsd"),
     )
 
 

@@ -410,11 +410,38 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_fast_consistency")  # rows-only: double-fold order is engine-local
+@query(
+    "q_ann_fast_consistency",
+    f"""
+    WITH {_QCELLS_CTE.strip()},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.qval * c.qval) AS dot
+        FROM cells q JOIN cells c
+          ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON cand_id = nc.vec_id),
+    ranked AS (
+        SELECT query_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored)
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM ranked WHERE rk <= 5
+    GROUP BY query_id ORDER BY query_id
+    """,
+)
 def q_ann_fast_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast double zip_with path vs fixed-point exact path: per-query
-    overlap of the two top-5 sets (must be 5 for every query — asserted
-    in tests)."""
+    overlap of the two top-5 sets. The oracle computes the exact top-5
+    in SQL and emits its cardinality as the expected overlap — i.e. it
+    asserts the fast path reproduces the exact set in full (the
+    contract the pytest invariant states); a fast-path ordering bug
+    surfaces as n_overlap < 5 on the Spark side and a hash mismatch."""
     emb = table(spark, sf_dir, "embeddings")
     fast = cosine_topk_fast(emb, emb.where(F.col("vec_id") < 10), 5).select(
         "query_id", "cand_id"
@@ -431,7 +458,98 @@ def q_ann_fast_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_TABLES = 16  # multi-table LSH index width for the recall query
 
 
-@query("q_ann_lsh_recall")  # rows-only: recall metric over engine-local LSH
+def _lsh_recall_oracle() -> str:
+    """Closed-form oracle for the full recall ladder: every stage —
+    md5-derived hyperplane weights, integer sign projections, 16-table
+    buckets, the three probe strategies, fixed-point cosine top-3, the
+    exact baseline, and the overlap counts — is deterministic integer
+    arithmetic, so the recall numbers themselves are hash-checkable
+    (the round-3 rows-only classification was too conservative)."""
+    return f"""
+    WITH {_QCELLS_CTE.strip()},
+    weights AS (
+        SELECT p, pos,
+               2 * instr('0123456789abcdef',
+                         substr(md5(CAST(p AS VARCHAR) || '|'
+                                    || CAST(pos AS VARCHAR)), 1, 1)) - 19
+                   AS w
+        FROM (SELECT UNNEST(range(0, {_N_PLANES * _N_TABLES})) AS p),
+             (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+    proj AS (
+        SELECT c.vec_id, wt.p, SUM(c.qval * wt.w) AS s
+        FROM cells c JOIN weights wt ON wt.pos = c.pos
+        GROUP BY c.vec_id, wt.p),
+    tb AS (
+        SELECT vec_id, CAST(p // {_N_PLANES} AS INTEGER) AS tbl,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN (1 << (p % {_N_PLANES}))
+                             ELSE 0 END) AS INTEGER) AS bucket
+        FROM proj GROUP BY vec_id, p // {_N_PLANES}),
+    probes AS (
+        SELECT 'single' AS strategy, vec_id AS query_id, tbl, bucket
+        FROM tb WHERE vec_id < 10 AND tbl = 0
+        UNION
+        SELECT 'multiprobe1', vec_id, tbl, bucket
+        FROM tb WHERE vec_id < 10 AND tbl = 0
+        UNION
+        SELECT 'multiprobe1', vec_id, 0,
+               CAST(xor(bucket, 1 << j) AS INTEGER)
+        FROM tb, (SELECT UNNEST(range(0, {_N_PLANES})) AS j)
+        WHERE vec_id < 10 AND tbl = 0
+        UNION
+        SELECT 'tables16', vec_id, tbl, bucket FROM tb WHERE vec_id < 10),
+    cands AS (
+        SELECT DISTINCT pr.strategy, pr.query_id, b.vec_id AS cand_id
+        FROM probes pr JOIN tb b
+          ON b.tbl = pr.tbl AND b.bucket = pr.bucket
+        WHERE b.vec_id <> pr.query_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.qval * c.qval) AS dot
+        FROM cells q JOIN cells c
+          ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON cand_id = nc.vec_id),
+    exact3 AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rk
+            FROM scored) WHERE rk <= 3),
+    lsh3 AS (
+        SELECT strategy, query_id, cand_id FROM (
+            SELECT ca.strategy, ca.query_id, ca.cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ca.strategy, ca.query_id
+                       ORDER BY s.cosine DESC, ca.cand_id) AS rk
+            FROM cands ca
+            JOIN scored s ON s.query_id = ca.query_id
+                         AND s.cand_id = ca.cand_id)
+        WHERE rk <= 3),
+    ov AS (
+        SELECT l.strategy, l.query_id, COUNT(*) AS n_overlap
+        FROM lsh3 l JOIN exact3 e ON e.query_id = l.query_id
+                                 AND e.cand_id = l.cand_id
+        GROUP BY l.strategy, l.query_id),
+    grid AS (
+        SELECT s.strategy, q.query_id, q.cnt
+        FROM (SELECT query_id, COUNT(*) AS cnt
+              FROM exact3 GROUP BY query_id) q,
+             (VALUES ('single'), ('multiprobe1'), ('tables16'))
+                 s(strategy))
+    SELECT g.strategy, g.query_id,
+           CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(n_overlap, 0) AS DOUBLE) / g.cnt AS recall
+    FROM grid g LEFT JOIN ov USING (strategy, query_id)
+    ORDER BY strategy, query_id
+    """
+
+
+@query("q_ann_lsh_recall", _lsh_recall_oracle())
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH recall vs the exact top-3 under the two standard recall
     knobs: (a) ``single`` — one 4-plane table, own bucket only;
@@ -439,7 +557,10 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 of the query's; (c) ``tables16`` — 16 independent 4-plane tables,
     candidates unioned (the production shape: each table is a partition
     namespace, a probe is L pruned lookups). Tests assert
-    tables16 ≥ multiprobe1 ≥ single in the mean and tables16 ≥ 0.6."""
+    tables16 ≥ multiprobe1 ≥ single in the mean and tables16 ≥ 0.6.
+    Every stage is integer-exact (md5 planes, int64 projections,
+    fixed-point cosine), so since round 4 the whole ladder — recall
+    values included — is hash-checked against a closed-form oracle."""
     emb = table(spark, sf_dir, "embeddings")
     k = 3
     # ground truth feeds one semi-join + one count per strategy (6 plan
@@ -818,7 +939,74 @@ def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_profile(table(spark, sf_dir, "embeddings"))
 
 
-@query("q_ann_sq8_rescore")  # rows-only: dequantized ordering engine-local
+def _sq8_rescore_oracle() -> str:
+    """Closed-form oracle for the SQ8 shortlist + rescore pipeline.
+    Every stage is reproducible: codes are exact integers, dequantized
+    values are one fixed IEEE expression over exact inputs, and the
+    shortlist dot products are replayed in the engine's exact
+    sequential fold order via ``list_reduce(list_prepend(0.0, ...))``
+    — mirroring ``dot_fast``'s ``aggregate(zip_with(...), 0.0, +)``
+    term by term, so even near-tie shortlist boundaries agree."""
+    d = _DIM
+
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+            f" list_transform(range(1, {d + 1}), i -> {a}[i] * {b}[i])),"
+            f" (acc, v) -> acc + v)"
+        )
+
+    return f"""
+    WITH {_QCELLS_CTE.strip()},
+    ex AS (
+        SELECT vec_id, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v
+        FROM embeddings, (SELECT UNNEST(range(0, {d})) AS dim)),
+    stats AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM ex GROUP BY dim),
+    deq AS (
+        SELECT ex.vec_id, ex.dim,
+               lo + (CASE WHEN hi = lo THEN 0
+                          ELSE CAST(LEAST(FLOOR((v - lo) / (hi - lo) * 256),
+                                          255) AS INTEGER) END
+                     + 0.5) / 256 * (hi - lo) AS dv
+        FROM ex JOIN stats ON ex.dim = stats.dim),
+    dvecs AS (
+        SELECT vec_id, list(dv ORDER BY dim) AS dvec
+        FROM deq GROUP BY vec_id),
+    quer AS (SELECT vec_id, dvec FROM dvecs WHERE vec_id < 10),
+    approx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {fold("q.dvec", "c.dvec")}
+               / (SQRT({fold("q.dvec", "q.dvec")})
+                  * SQRT({fold("c.dvec", "c.dvec")})) AS approx_cosine
+        FROM dvecs c, quer q WHERE c.vec_id <> q.vec_id),
+    short AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_cosine DESC,
+                                               cand_id) AS rk
+            FROM approx) WHERE rk <= 10),
+    dots AS (
+        SELECT s.query_id, s.cand_id, SUM(a.qval * b.qval) AS dot
+        FROM short s
+        JOIN cells a ON a.vec_id = s.query_id
+        JOIN cells b ON b.vec_id = s.cand_id AND b.pos = a.pos
+        GROUP BY s.query_id, s.cand_id),
+    scored AS (
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON cand_id = nc.vec_id)
+    SELECT query_id, cand_id, cosine, rk FROM (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored) WHERE rk <= 3
+    ORDER BY query_id, rk
+    """
+
+
+@query("q_ann_sq8_rescore", _sq8_rescore_oracle())
 def q_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN over SQ8 storage: shortlist on the int8-dequantized
     vectors (the 4× memory lever — at 100 TB the hot scan reads codes,
@@ -826,7 +1014,9 @@ def q_ann_sq8_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     to top-3. Pytest asserts mean overlap with the exact top-3 ≥ 2/3 —
     the standard compressed-scan + rescore serving shape (FAISS
     SQ8+refine). Codes/dequant use the same floor arithmetic as
-    ``sq8_profile``."""
+    ``sq8_profile``; since round 4 the full pipeline (shortlist
+    ordering replayed in exact fold order, rescored top-3) is
+    hash-checked against a closed-form oracle."""
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")

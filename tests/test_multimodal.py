@@ -36,14 +36,14 @@ def test_heatmap_invariants(spark):
     df = all_queries()["q_gradcam_surrogate"](spark, SF_DIR).toPandas()
     assert len(df) == 40
     assert (df.n_cells == df.h * df.w).all()
-    assert (df.hm_min >= 0).all() and (df.hm_max <= 1.0).all()
+    assert (df.hm_min == 0.0).all() and df.hm_norm_valid.all()
     assert (~df.used_torch).all()
     # rollout emits the CLS->patch grid (7x7) and is deterministic
     r1 = all_queries()["q_attention_rollout_surrogate"](spark, SF_DIR).toPandas()
     assert (r1.n_cells == 49).all() and (r1.h == 7).all()
     r2 = all_queries()["q_attention_rollout_surrogate"](spark, SF_DIR).toPandas()
     assert (r1.hm_min.values == r2.hm_min.values).all()
-    assert (r1.hm_max.values == r2.hm_max.values).all()
+    assert (r1.hm_norm_valid.values == r2.hm_norm_valid.values).all()
 
 
 def test_rollout_math_matches_numpy_reference(spark):
