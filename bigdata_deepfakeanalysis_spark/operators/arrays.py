@@ -280,3 +280,75 @@ def q_gap_hof_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group", "stem")
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-local channel top-k: per-tensor strongest channels WITHOUT a
+# shuffle — array_sort over (gap, channel) structs inside the row.
+# ---------------------------------------------------------------------------
+
+_TOPK_CH = 3
+
+
+@query(
+    "q_channel_topk_rowlocal",
+    f"""
+    WITH {FEATUREMAPS_CTE.strip()},
+    gaps AS (
+        SELECT "group", stem, ch,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(ch * {_HW} + 1, ch * {_HW} + {_HW} + 1),
+                                  i -> CAST(data[i] AS DOUBLE))),
+                   (acc, v) -> acc + v) / {_HW} AS gap
+        FROM featuremaps, (SELECT UNNEST(range(0, {FM_C})) AS ch)
+        WHERE stage = 'stage2' AND vec_id < 60),
+    ranked AS (
+        SELECT "group", stem, ch, gap,
+               ROW_NUMBER() OVER (PARTITION BY "group", stem
+                                  ORDER BY gap DESC, ch) AS rk
+        FROM gaps)
+    SELECT "group", stem, CAST(rk AS INTEGER) AS rk,
+           CAST(ch AS INTEGER) AS ch, ROUND(gap, 9) AS gap
+    FROM ranked WHERE rk <= {_TOPK_CH}
+    ORDER BY "group", stem, rk
+    """,
+)
+def q_channel_topk_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 variant with ZERO shuffle for the ranking step: per-tensor
+    top-{_TOPK_CH} channels by GAP, computed entirely inside the row —
+    GAP per channel via a sequential double fold (transform over
+    channels, aggregate over the channel slice), ranking via
+    ``array_sort`` on (-gap, ch) structs, top-k via ``slice`` +
+    ``posexplode``. The oracle replays the identical left-to-right
+    fold with ``list_reduce(list_prepend(0.0, ...))`` and ranks with a
+    window — same numbers, so the HOF path is hash-verified against
+    the relational formulation.
+
+    At 100 TB this is the difference between a per-tensor explode +
+    window (shuffle of C rows per tensor on the tensor key) and a
+    row-local expression pipeline that never leaves the scan stage —
+    the ONLY shuffle in this plan is the final presentation sort."""
+    fm = featuremaps(spark, sf_dir).where(
+        (F.col("stage") == "stage2") & (F.col("vec_id") < 60)
+    )
+    gap_struct = F.expr(
+        f"""transform(sequence(0, {FM_C - 1}), ch -> named_struct(
+            'neg_gap', -(aggregate(slice(data, ch * {_HW} + 1, {_HW}),
+                         CAST(0 AS DOUBLE),
+                         (acc, x) -> acc + CAST(x AS DOUBLE)) / {_HW}),
+            'ch', ch))"""
+    )
+    topk = fm.select(
+        "group",
+        "stem",
+        F.posexplode(
+            F.slice(F.array_sort(gap_struct), 1, _TOPK_CH)
+        ).alias("pos", "s"),
+    )
+    return topk.select(
+        "group",
+        "stem",
+        (F.col("pos") + 1).cast("int").alias("rk"),
+        F.col("s.ch").cast("int").alias("ch"),
+        F.round(-F.col("s.neg_gap"), 9).alias("gap"),
+    ).orderBy("group", "stem", "rk")

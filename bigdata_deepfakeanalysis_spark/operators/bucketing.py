@@ -107,3 +107,50 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the identical join over the plain parquet (bucketing is a
     physical property — results must be identical)."""
     return bucketed_order_revenue(spark, sf_dir)
+
+
+@query(
+    "q_bucketed_agg",
+    f"""
+    WITH per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               {dmul2_sum_sql("l_extendedprice", "1 - l_discount",
+                              "order_revenue")}
+        FROM lineitem GROUP BY l_orderkey)
+    SELECT n_items,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(order_revenue AS DECIMAL(21,6))) AS DOUBLE)
+               AS total_revenue
+    FROM per_order GROUP BY n_items ORDER BY n_items
+    """,
+)
+def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation on the bucket key: lineitem is stored
+    bucketed by l_orderkey, so the per-order rollup needs NO Exchange —
+    the scan's HashPartitioning(l_orderkey, 8) already satisfies the
+    aggregation's distribution requirement, and (with sortBy at write)
+    a sort-aggregate can stream each bucket. Only the second, tiny
+    rollup (per-order rows -> order-size histogram) shuffles. At 100 TB
+    this is the difference between re-shuffling the fact table on every
+    per-key rollup and reading pre-clustered buckets; the plan test
+    asserts no Exchange below the first aggregate.
+
+    Both engines aggregate the per-order revenue through DECIMAL twice
+    (items -> order, orders -> size class), so the doubles hash-match
+    regardless of partial-aggregation order."""
+    _, lineitem_t = stage_bucketed(spark, sf_dir)
+    li = spark.table(lineitem_t)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dmul2_sum("l_extendedprice", "1 - l_discount", "order_revenue"),
+    )
+    return (
+        per_order.groupBy("n_items")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(order_revenue AS DECIMAL(21,6))) AS DOUBLE)"
+            ).alias("total_revenue"),
+        )
+        .orderBy("n_items")
+    )

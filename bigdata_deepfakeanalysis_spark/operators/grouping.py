@@ -171,3 +171,67 @@ def q_safe_title(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", safe_title(F.col("label")).alias("title"), "n")
         .orderBy("label")
     )
+
+
+@query(
+    "q_path_rollup",
+    """
+    WITH keyed AS (
+        SELECT 'proj_' || CAST(vec_id % 3 AS VARCHAR) || '/' ||
+               CASE WHEN vec_id % 10 < 8 THEN 'train' ELSE 'val' END || '/' ||
+               CASE WHEN vec_id % 2 = 0 THEN 'REAL' ELSE 'FAKE' END || '/' ||
+               'img_' || CAST(vec_id AS VARCHAR) || '.png' AS path,
+               vec_id
+        FROM embeddings),
+    parsed AS (
+        SELECT split_part(path, '/', 1) AS project,
+               split_part(path, '/', 2) AS split,
+               split_part(path, '/', 3) AS label,
+               vec_id
+        FROM keyed)
+    SELECT project, split, label,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM parsed
+    GROUP BY ROLLUP (project, split, label)
+    ORDER BY project NULLS FIRST, split NULLS FIRST, label NULLS FIRST
+    """,
+)
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup over parsed storage paths: split each key into
+    its (project, split, label) directory levels — the same codegen
+    string parses as P3-P5 — then one ROLLUP aggregation produces the
+    per-label, per-split, per-project, and grand-total file counts in
+    a single pass (the dataset-inventory report the reference builds
+    with nested Python loops over directory listings, as one shuffle).
+
+    Scale shape: level parsing is row-local ``split_part``; ROLLUP
+    expands each row into its 4 grouping sets BEFORE the exchange, so
+    partial aggregation still collapses map-side — one shuffle of
+    (distinct-groups × 4) rows regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    path = F.concat(
+        F.lit("proj_"), (vid % 3).cast("string"), F.lit("/"),
+        F.when(vid % 10 < 8, "train").otherwise("val"), F.lit("/"),
+        F.when(vid % 2 == 0, "REAL").otherwise("FAKE"), F.lit("/"),
+        F.lit("img_"), vid.cast("string"), F.lit(".png"),
+    )
+    parsed = emb.select(path.alias("path"), "vec_id").select(
+        F.split_part(F.col("path"), F.lit("/"), F.lit(1)).alias("project"),
+        F.split_part(F.col("path"), F.lit("/"), F.lit(2)).alias("split"),
+        F.split_part(F.col("path"), F.lit("/"), F.lit(3)).alias("label"),
+        "vec_id",
+    )
+    return (
+        parsed.rollup("project", "split", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy(
+            F.asc_nulls_first("project"),
+            F.asc_nulls_first("split"),
+            F.asc_nulls_first("label"),
+        )
+    )

@@ -267,3 +267,75 @@ def q_intersect_stems(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.where(F.col("vec_id") % 2 == 0).select("stem")
     b = base.where(F.col("vec_id") % 3 == 0).select("stem")
     return a.intersect(b).orderBy("stem")
+
+
+# ---------------------------------------------------------------------------
+# Null-aware anti join: NOT IN's three-valued logic vs NOT EXISTS —
+# the correctness trap (one NULL in the subquery empties a NOT IN
+# result) AND a distinct physical operator (Spark's null-aware anti
+# join carries the isnull disjunct ordinary LeftAnti lacks).
+# ---------------------------------------------------------------------------
+
+_NAAJ_SQL = """
+    WITH returned AS (
+        SELECT DISTINCT l_partkey FROM {lineitem}
+        WHERE l_returnflag = 'R'),
+    poisoned AS (
+        SELECT l_partkey FROM returned
+        UNION ALL SELECT CAST(NULL AS BIGINT)),
+    base AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM {part} GROUP BY p_brand),
+    not_in AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_not_in
+        FROM {part}
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM returned)
+        GROUP BY p_brand),
+    not_exists AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_not_exists
+        FROM {part} p
+        WHERE NOT EXISTS (SELECT 1 FROM returned r
+                          WHERE r.l_partkey = p.p_partkey)
+        GROUP BY p_brand),
+    poisoned_cnt AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_not_in_poisoned
+        FROM {part}
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM poisoned)
+        GROUP BY p_brand)
+    SELECT b.p_brand, b.n_parts,
+           CAST(COALESCE(ni.n_not_in, 0) AS BIGINT) AS n_not_in,
+           CAST(COALESCE(ne.n_not_exists, 0) AS BIGINT) AS n_not_exists,
+           CAST(COALESCE(pc.n_not_in_poisoned, 0) AS BIGINT)
+               AS n_not_in_poisoned
+    FROM base b
+    LEFT JOIN not_in ni ON b.p_brand = ni.p_brand
+    LEFT JOIN not_exists ne ON b.p_brand = ne.p_brand
+    LEFT JOIN poisoned_cnt pc ON b.p_brand = pc.p_brand
+    ORDER BY b.p_brand
+    """
+
+
+@query(
+    "q_not_in_anti_join",
+    _NAAJ_SQL.format(part="part", lineitem="lineitem"),
+)
+def q_not_in_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand counts of parts never returned, computed three ways:
+    ``NOT IN`` over a null-free subquery (Spark plans the null-aware
+    anti join — LeftAnti whose condition keeps the ``OR isnull``
+    disjunct), ``NOT EXISTS`` (plain LeftAnti; must agree exactly when
+    the subquery is null-free), and ``NOT IN`` over the same subquery
+    poisoned with one NULL — which by SQL three-valued logic yields
+    ZERO rows for every brand. Both engines implement the standard, so
+    all three columns hash-match; the poisoned column documents the
+    trap that silently empties production backfills.
+
+    Scale shape: the subquery side is DISTINCT-collapsed before the
+    anti joins (broadcast at this cardinality); NOT EXISTS is the form
+    to prefer at scale — null-aware anti join degenerates to a
+    broadcast nested loop when the build side cannot broadcast."""
+    from ..catalog import table
+
+    table(spark, sf_dir, "part").createOrReplaceTempView("nj_part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("nj_lineitem")
+    return spark.sql(_NAAJ_SQL.format(part="nj_part", lineitem="nj_lineitem"))

@@ -31,6 +31,8 @@ EAGER_BUILD = {
     "q_ann_ivf_recall",
     "q_ann_sq8_rescore",
     "q_cosine_near_dup_ivf",
+    "q_semantic_dedup_lsh",
+    "q_triangle_count",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",

@@ -112,6 +112,33 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_agg_has_no_exchange_below_first_aggregate(spark):
+    """The per-order rollup's distribution requirement is satisfied by
+    the bucketed scan's HashPartitioning(l_orderkey, 8) — no Exchange
+    may appear between the scan and the l_orderkey aggregate; the only
+    shuffles are the tiny second rollup and the final sort."""
+    plan = _plan(all_queries()["q_bucketed_agg"](spark, SF_DIR))
+    assert "Bucketed: true" in plan
+    scan_idx = plan.find("FileScan")
+    agg_idx = plan.find("HashAggregate(keys=[l_orderkey")
+    assert agg_idx != -1 and scan_idx > agg_idx, plan
+    # nothing between the first (final) orderkey aggregate and the
+    # bucketed scan may be an Exchange
+    assert "Exchange" not in plan[agg_idx:scan_idx], plan[agg_idx:scan_idx]
+    assert plan.count("Exchange") <= 2
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """The two NOT IN branches must plan Spark's null-aware anti join
+    (the trailing `true` on the BroadcastHashJoin LeftAnti line is the
+    isNullAwareAntiJoin flag); the NOT EXISTS branch plans the plain
+    LeftAnti (flag false) — physically distinct operators, identical
+    results on the null-free subquery."""
+    plan = _plan(all_queries()["q_not_in_anti_join"](spark, SF_DIR))
+    assert plan.count("LeftAnti, BuildRight, true") == 2, plan
+    assert plan.count("LeftAnti, BuildRight, false") == 1, plan
+
+
 def test_stream_static_join_broadcasts_dimension(spark):
     """The static side must broadcast so the stream never shuffles."""
     plan = _plan(all_queries()["q_stream_static_join"](spark, SF_DIR))
