@@ -76,96 +76,93 @@ def _load_all() -> None:
 # Driver coverage window.
 #
 # The driver hash-checks exactly the FIRST 50 queries in ``queries()``
-# iteration order (both round-1 and round-2 CORRECTNESS files prove the
-# hard 50-entry budget). ``_WINDOW`` is therefore the contract surface:
-# exactly 50 names, at least one from EVERY operator module, with the
-# never-yet-driver-verified families (similarity/dedup/ml/streaming/
-# multimodal/explainability/advanced/skew) first, the disk-staging
-# modules (sources/bucketing) at slots ~41-47 so a staging-restricted
-# run still verifies the pure-compute surface, and three flagships from
-# the round-1/2-banked relational/text/arrays families closing the
-# window. Queries not listed ride after slot 50 (pytest runs the same
-# oracle compare on all of them — see tests/conftest.py).
+# iteration order (rounds 1-3 CORRECTNESS files prove the hard 50-entry
+# budget). ``_WINDOW`` is therefore the contract surface: exactly 50
+# names, at least one from EVERY operator module, with disk-staging
+# modules (sources/bucketing/streaming-sink) late so a
+# staging-restricted run still verifies the pure-compute surface.
+# Queries not listed ride after slot 50 (pytest runs the same oracle
+# compare on all of them — see tests/conftest.py).
 # ---------------------------------------------------------------------------
 
 _WINDOW: list[str] = [
-    # similarity / ANN (never driver-verified in r2; the IVF recall
-    # ladder rides after slot 50 — it is the second rows-only recall
-    # diagnostic, and its slot buys the hash-oracled PageRank below)
-    "q_ann_cosine_topk",
-    "q_ann_lsh_bucketed",
-    "q_embedding_sq8",
+    # ------------------------------------------------------------------
+    # Round-4 rotation: EVERY slot is a never-driver-verified query
+    # (rounds 1-3 banked 99 distinct green rows; this window lifts the
+    # union to 149). All 19 operator modules keep >= 1 slot — six of
+    # them via the round-4 operators written for exactly that purpose
+    # (triangle count, Z-order pruning, bucketed agg, row-local top-k,
+    # path rollup, null-aware anti join). Riding after slot 50 (all
+    # pytest-oracled every run): banked r1-r3 families plus the
+    # lower-priority never-verified names (q_ts_correlation_search,
+    # q_ts_pattern_match, q_lm_quality_score, q_orc_roundtrip,
+    # q_arrow_quantize, q_histogram_profile, q_approx_distinct,
+    # q_unpivot_metrics, q_resize_stub, sketch diagnostics).
+    # ------------------------------------------------------------------
+    # TPC-H breadth suite (the whole remaining set, per r3 VERDICT)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # relational extensions (round-3 additions, never driver-checked)
+    "q_variant_events",
+    "q_dq_constraints",
+    "q_window_range_frame",
+    "q_null_safe_join",
+    # dedup: the O(log n) components algorithm (promoted per VERDICT
+    # item 3), survivorship, incremental, and the round-4 fully-oracled
+    # SemDeDup composition
+    "q_dedup_components_star",
+    "q_quality_dedup",
+    "q_incremental_dedup",
+    "q_semantic_dedup_lsh",
+    # similarity: the recall ladder, hash-oracled as of round 4
     "q_ann_lsh_recall",
-    # graph analytics (round-3: fixed-point PageRank, hash-oracled)
-    "q_pagerank_copurchase",
-    # dedup family (exact dedup banked its r1-green row; its slot goes
-    # to the round-3 sorted-neighborhood algorithm)
-    "q_snm_dedup",
-    "q_minhash_near_dup",
-    "q_simhash_hamming",
-    "q_ngram_jaccard",
-    "q_cosine_near_dup",
-    "q_dedup_components",
-    # ml (never driver-verified)
-    "q_standardize",
-    "q_cka_pairs",
-    "q_pair_selection",
-    "q_pca_explained_variance",
-    "q_logreg_cv_separability",
-    "q_tree_cv_separability",
-    "q_kmeans_clusters",
-    # streaming (never driver-verified; sliding rides after slot 50 —
-    # it is the tumbling shape with k=2 starts, while the left-outer
-    # stream-stream join is a distinct operator class)
-    "q_stream_tumbling_window",
-    "q_stream_stream_outer_join",
-    "q_stream_session_window",
-    "q_stream_dedup_watermark",
-    "q_stream_late_drop",
-    "q_stream_record_breakers",
-    "q_stream_static_join",
-    # multimodal (never driver-verified; frame sampling rides after
-    # slot 50 — audio chunk/RMS exercises the same explode-over-media
-    # shape plus the PCM decode surrogate)
-    "q_multimodal_metadata",
-    "q_surrogate_features",
-    "q_audio_chunk_rms",
-    "q_multistage_features",
-    # explainability (never driver-verified; one slot covers the module
-    # — its sibling q_attention_rollout_surrogate rides after 50)
-    "q_gradcam_surrogate",
-    # advanced joins / guards (r1-green, fell out of the r2 window)
-    "q_range_join",
-    "q_asof_join",
-    "q_embedding_json_source",
-    # skew (r1-green, fell out)
-    "q_salted_agg",
-    # disk-staging modules — late in the window by design
-    "q_binaryfile_ingest",
-    "q_partitioned_roundtrip",
-    "q_e2e_image_pipeline",
-    "q_npz_roundtrip",
-    "q_bucketed_join",
-    # banked-family flagships (fresh r3 rows for r1/r2-green families —
-    # one per remaining module: text, relational, arrays, grouping,
-    # sampling, joins; corpus_curation banked its r2 row, so its slot
-    # goes to the new RAG chunking op)
-    "q_doc_chunking",
-    "q5_regional_revenue",
-    "q_gap_per_channel",
-    "q_prefix_demux",
-    "q_seeded_cap_sample",
-    "q_stem_join_concat",
-    # sketches / layout (round-3 scale extensions)
-    "q_cms_heavy_hitters",
-    "q_zorder_layout",
-    # LLM-pipeline flagships (round-3; their siblings
-    # q_tfidf_topterms / q_incremental_dedup / q_quality_dedup /
-    # q_lm_quality_score / q_variant_events / q_arrow_quantize ride
-    # after slot 50 on the pytest-only check)
-    "q_contamination_check",
-    "q_sequence_packing",
-    "q_training_pipeline",
+    # text / LLM-pipeline
+    "q_tfidf_topterms",
+    "q_bm25_topdocs",
+    "q_bpe_merges",
+    "q_pmi_cooccurrence",
+    "q_url_canonicalize",
+    # advanced analytics
+    "q_cdc_upsert",
+    "q_cohort_retention",
+    "q_event_funnel",
+    "q_sessionize_events",
+    # skew / sampling
+    "q_salted_join",
+    "q_stratified_split",
+    # round-4 module-coverage operators (one per previously-banked-only
+    # module: graph, layout, bucketing, arrays, grouping, joins)
+    "q_triangle_count",
+    "q_zorder_pruning",
+    "q_bucketed_agg",
+    "q_channel_topk_rowlocal",
+    "q_path_rollup",
+    "q_not_in_anti_join",
+    # ml / multimodal / explainability
+    "q_ml_pipeline",
+    "q_phash_near_dup",
+    "q_attention_rollout_surrogate",
+    # sketches
+    "q_hll_distinct_merge",
+    # streaming + disk-staging sources — late in the window by design
+    "q_stream_sliding_window",
+    "q_stream_stream_join",
+    "q_stream_exactly_once",
+    "q_python_datasource",
+    "q_corrupt_json_permissive",
 ]
 
 
