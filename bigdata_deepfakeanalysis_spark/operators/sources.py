@@ -656,3 +656,109 @@ def q_corrupt_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt_record").alias("n_corrupt"),
         F.sum("v").cast("long").alias("sum_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JDBC source/sink (SURVEY S9): a REAL JDBC round-trip through the
+# embedded Derby engine Spark already bundles (no external database in
+# the sandbox; spark-avro/Kafka remain unavailable — see COVERAGE.md).
+# ---------------------------------------------------------------------------
+
+def _derby_url(spark: SparkSession) -> str:
+    """jdbc:derby URL under the staging root; pins derby.system.home
+    BEFORE first Derby load so derby.log lands in staging, not the
+    driver's cwd (which may be read-only or outside the repo)."""
+    home = staging_dir("derby")
+    try:
+        spark._jvm.System.setProperty("derby.system.home", str(home))
+    except Exception:
+        pass  # JVM bridge unavailable only in spark-connect; best-effort
+    return f"jdbc:derby:{home}/enginedb;create=true"
+
+
+@query(
+    "q_jdbc_roundtrip",
+    """
+    WITH nat AS (
+        SELECT n_nationkey, n_name, n_regionkey,
+               CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_acctbal
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name, n_regionkey)
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n_customers) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(total_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_acctbal
+    FROM nat
+    WHERE n_customers > 0
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 JDBC: write a per-nation rollup to an embedded Derby table
+    (``DataFrameWriter.jdbc``, overwrite), read it back as a
+    PARTITIONED JDBC scan (``partitionColumn=n_nationkey`` with
+    bounds + 4 partitions — the parallel-ingest shape: each partition
+    issues its own bounded WHERE query, which is how a 100 TB pipeline
+    drains an operational store without a single-connection
+    bottleneck), with a pushed predicate (``n_customers > 0`` reaches
+    the remote engine as a WHERE clause), then aggregates per region.
+    The oracle recomputes the whole round-trip from parquet — any
+    type mangling or row loss across the JDBC boundary is a hash
+    mismatch.
+
+    DECIMAL discipline: acctbal sums go through DECIMAL(18,2) on both
+    engines before the final DOUBLE, so partial-aggregation order
+    cannot skew the doubles."""
+    url = _derby_url(spark)
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nat = (
+        table(spark, sf_dir, "nation")
+        .join(
+            table(spark, sf_dir, "customer"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(18,2)))"
+                " AS DOUBLE)"
+            ).alias("total_acctbal"),
+        )
+    )
+    (
+        nat.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rollup")
+        .option("driver", driver)
+        .save()
+    )
+    lo, hi = 0, 30
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_rollup")
+        .option("driver", driver)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi))
+        .option("numPartitions", "4")
+        .load()
+        .where(F.col("n_customers") > 0)
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_customers").cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CAST(total_acctbal AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_acctbal"),
+        )
+        .orderBy("n_regionkey")
+    )
