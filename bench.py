@@ -101,6 +101,16 @@ HEADLINE = [
     "q_window_range_frame",          # trailing-interval RANGE window
     "q_unpivot_metrics",             # wide-to-long melt reshaping
     "q_null_safe_join",              # NULL-safe equality join
+    # round-4 additions
+    "q_triangle_count",              # sparsified co-customer triangles
+    "q_zorder_pruning",              # min/max file-skipping audit
+    "q_bucketed_agg",                # zero-Exchange keyed rollup
+    "q_channel_topk_rowlocal",       # row-local array_sort top-k
+    "q_path_rollup",                 # parsed-path hierarchy ROLLUP
+    "q_not_in_anti_join",            # null-aware anti join trio
+    "q_semantic_dedup_lsh",          # fully-oracled SemDeDup composition
+    "q_dedup_components_star",       # O(log n) large/small-star components
+    "q_jdbc_roundtrip",              # embedded-Derby JDBC round-trip
 ]
 
 
@@ -185,6 +195,41 @@ def main() -> None:
         "runs_per_query": 2,
         "agg": "min",
     }
+
+    # ---- sf1 section (round-3 VERDICT stretch item) -----------------
+    # Runs ONLY if tools/stage_sf1.py already staged the 10x fact
+    # workload (~170 MB): TPC-H-shaped joins at ~6M lineitem rows, with
+    # AQE skew handling + runtime filters active (session confs). Kept
+    # out of the headline total so rounds stay comparable.
+    try:
+        from tools.stage_sf1 import sf1_dir
+
+        sf1 = sf1_dir()
+        if (sf1 / ".complete").exists():
+            sf1_names = [
+                "q5_regional_revenue", "q1_pricing_summary", "q3_top_orders",
+            ]
+            sf1_timings = {}
+            for name in sf1_names:
+                best = None
+                for _ in range(2):
+                    t0 = time.time()
+                    queries[name](spark, str(sf1)).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                sf1_timings[name] = round(best, 3)
+            out["sf1"] = {
+                "queries": sf1_timings,
+                "note": (
+                    "10x key-shifted sf0.1 facts (tools/stage_sf1.py),"
+                    " dims as-is; cold table cache; perf evidence only"
+                ),
+            }
+    except Exception:
+        pass
+
     print(json.dumps(out))
 
 

@@ -667,13 +667,20 @@ def q_corrupt_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _derby_url(spark: SparkSession) -> str:
     """jdbc:derby URL under the staging root; pins derby.system.home
     BEFORE first Derby load so derby.log lands in staging, not the
-    driver's cwd (which may be read-only or outside the repo)."""
+    driver's cwd (which may be read-only or outside the repo).
+
+    The database directory is per-process: embedded Derby allows ONE
+    booting JVM per database, so a shared path would make concurrent
+    engine processes (pytest + bench, two drivers) fail with
+    'another instance of Derby may have already booted'."""
+    import os as _os
+
     home = staging_dir("derby")
     try:
         spark._jvm.System.setProperty("derby.system.home", str(home))
     except Exception:
         pass  # JVM bridge unavailable only in spark-connect; best-effort
-    return f"jdbc:derby:{home}/enginedb;create=true"
+    return f"jdbc:derby:{home}/enginedb_{_os.getpid()};create=true"
 
 
 @query(

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Stage an sf1-scale fact workload for the bench's large-scale section.
+
+The driver ships parquet at sf0.001/0.01/0.1 only (TESTDATA.md). For
+the perf-only sf1 evidence (round-3 VERDICT stretch item: "exercise AQE
+skew-join + bloom pruning at sf1"), this script scales the FACT tables
+10x by unioning key-shifted copies of sf0.1 — orderkeys offset per copy
+so lineitem keeps joining orders 1:N exactly as before, customer keys
+left untouched so dimension joins stay valid — and copies the dimension
+tables as-is. ~170 MB on disk; used by bench.py's sf1 section ONLY (the
+correctness gate never reads it: oracle inputs stay the driver's own
+parquet, per the task spec).
+
+Usage: python tools/stage_sf1.py  (idempotent; writes under
+$SPARK_GRAFT_STAGING_DIR/sf1_bench, default /tmp/bigdata_dfa_staging)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+COPIES = 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# keys in sf0.1 are < ~6e6; a 100M stride keeps every copy disjoint
+STRIDE = 100_000_000
+
+FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+DIMS = ("customer", "supplier", "part", "nation", "region")
+
+
+def sf1_dir() -> Path:
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir
+
+    return staging_dir("sf1_bench")
+
+
+def stage(spark) -> Path:
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    out = sf1_dir()
+    marker = out / ".complete"
+    if marker.exists():
+        return out
+    for tbl, key in FACTS.items():
+        src = table(spark, SRC, tbl)
+        scaled = None
+        for i in range(COPIES):
+            c = src.withColumn(key, F.col(key) + F.lit(i * STRIDE))
+            scaled = c if scaled is None else scaled.unionByName(c)
+        scaled.write.mode("overwrite").parquet(str(out / f"{tbl}.parquet"))
+    for tbl in DIMS:
+        table(spark, SRC, tbl).write.mode("overwrite").parquet(
+            str(out / f"{tbl}.parquet")
+        )
+    marker.write_bytes(b"")
+    return out
+
+
+if __name__ == "__main__":
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    from bigdata_deepfakeanalysis_spark.session import get_spark
+
+    path = stage(get_spark("stage-sf1"))
+    print(f"staged: {path}")
