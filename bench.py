@@ -111,6 +111,8 @@ HEADLINE = [
     "q_semantic_dedup_lsh",          # fully-oracled SemDeDup composition
     "q_dedup_components_star",       # O(log n) large/small-star components
     "q_jdbc_roundtrip",              # embedded-Derby JDBC round-trip
+    "q_edit_distance_join",          # Ed-Join prefix-filter similarity join
+    "q_snapshot_time_travel",        # MVCC manifest snapshot reads
 ]
 
 

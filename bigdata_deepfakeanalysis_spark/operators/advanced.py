@@ -772,3 +772,93 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot time travel — lakehouse MVCC reads from a file manifest.
+# A table format (Delta/Iceberg/Hudi) is at heart a manifest of
+# (file, added_snapshot, removed_snapshot) rows; "read table AS OF S"
+# is a manifest filter, never a data rewrite. This operator derives a
+# 4-snapshot history over the orders table and reconstructs every
+# snapshot's state from one manifest join.
+# ---------------------------------------------------------------------------
+
+_TT_FILES = 12
+_TT_SNAPSHOTS = 4
+
+
+@query(
+    "q_snapshot_time_travel",
+    f"""
+    WITH data AS (
+        SELECT o_orderkey % {_TT_FILES} AS file_id, o_totalprice
+        FROM orders),
+    manifest AS (
+        SELECT file_id,
+               (file_id % 3) + 1 AS added_snap,
+               CASE WHEN file_id % 4 = 0 THEN 3 ELSE NULL END
+                   AS removed_snap
+        FROM (SELECT UNNEST(range(0, {_TT_FILES})) AS file_id)),
+    snaps AS (SELECT UNNEST(range(1, {_TT_SNAPSHOTS} + 1)) AS snapshot),
+    visible AS (
+        SELECT s.snapshot, m.file_id
+        FROM snaps s JOIN manifest m
+          ON m.added_snap <= s.snapshot
+         AND (m.removed_snap IS NULL OR m.removed_snap > s.snapshot))
+    SELECT v.snapshot,
+           CAST(COUNT(DISTINCT v.file_id) AS BIGINT) AS n_files,
+           CAST(COUNT(d.o_totalprice) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(d.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM visible v JOIN data d ON d.file_id = v.file_id
+    GROUP BY v.snapshot ORDER BY v.snapshot
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct the orders table's state AS OF each of 4 snapshots
+    from an MVCC file manifest (files added across snapshots 1-3, a
+    delete at snapshot 3 retires every 4th file): per-snapshot visible
+    file count, row count, decimal-exact revenue. Snapshot semantics —
+    a later snapshot sees adds and deletes, an earlier one sees
+    neither — fall out of the (added, removed] interval filter, the
+    exact mechanism behind Delta/Iceberg time travel.
+
+    100 TB design: the manifest is KB-sized and broadcasts; the data
+    scan reads each live file ONCE per snapshot it serves via the
+    manifest join (in a real table format the join is file PRUNING at
+    planning time — the engine never opens dead files; here file_id is
+    the partition-key analog)."""
+    orders = table(spark, sf_dir, "orders")
+    data = orders.select(
+        (F.col("o_orderkey") % _TT_FILES).alias("file_id"), "o_totalprice"
+    )
+    manifest = spark.range(_TT_FILES).select(
+        F.col("id").alias("file_id"),
+        ((F.col("id") % 3) + 1).alias("added_snap"),
+        F.when(F.col("id") % 4 == 0, F.lit(3))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("removed_snap"),
+    )
+    snaps = spark.range(1, _TT_SNAPSHOTS + 1).select(
+        F.col("id").alias("snapshot")
+    )
+    visible = snaps.join(
+        manifest,
+        (F.col("added_snap") <= F.col("snapshot"))
+        & (
+            F.col("removed_snap").isNull()
+            | (F.col("removed_snap") > F.col("snapshot"))
+        ),
+    ).select("snapshot", "file_id")
+    return (
+        data.join(F.broadcast(visible), "file_id")
+        .groupBy("snapshot")
+        .agg(
+            F.countDistinct("file_id").alias("n_files"),
+            F.count("o_totalprice").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_price"),
+        )
+        .orderBy("snapshot")
+    )

@@ -1499,3 +1499,135 @@ def q_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join-style prefix filtering): the
+# canonical string similarity-join algorithm — index only each string's
+# rarest (k·q + 1) q-grams; any two strings within edit distance k must
+# share at least one indexed gram, so the gram join finds every
+# qualifying pair while indexing a constant number of grams per string.
+# Completes the dedup family: hash-exact, MinHash-LSH (set sim),
+# SimHash (Hamming), anchors (substring), cosine (vector), SNM
+# (neighborhood), and now bounded edit distance (Xiao et al., Ed-Join).
+# ---------------------------------------------------------------------------
+
+_EDJ_K = 2    # edit-distance threshold
+_EDJ_Q = 2    # gram length
+_EDJ_PREFIX = _EDJ_K * _EDJ_Q + 1  # grams indexed per string
+_EDJ_TLEN = 30  # title length
+
+
+_EDJ_TITLES_CTE = f"""
+titles AS (
+    SELECT doc_id, substr(text, 1, {_EDJ_TLEN}) AS s FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000,
+           substr(substr(text, 1, (doc_id % 20) + 3) ||
+                  substr(text, (doc_id % 20) + 5), 1, {_EDJ_TLEN}) AS s
+    FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+@query(
+    "q_edit_distance_join",
+    f"""
+    WITH {_EDJ_TITLES_CTE.strip()},
+    grams AS (
+        SELECT DISTINCT doc_id, s, substr(s, CAST(i AS INTEGER), {_EDJ_Q}) AS g
+        FROM (SELECT doc_id, s,
+                     UNNEST(range(1, greatest(len(s) - {_EDJ_Q - 1}, 1) + 1))
+                         AS i
+              FROM titles)
+        WHERE len(s) >= {_EDJ_Q}),
+    df AS (SELECT g, COUNT(*) AS gdf FROM grams GROUP BY g),
+    prefix AS (
+        SELECT doc_id, s, g FROM (
+            SELECT grams.doc_id, grams.s, grams.g,
+                   ROW_NUMBER() OVER (PARTITION BY grams.doc_id
+                                      ORDER BY gdf, grams.g) AS rk
+            FROM grams JOIN df ON grams.g = df.g)
+        WHERE rk <= {_EDJ_PREFIX}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa,
+                        b.doc_id AS doc_b, b.s AS sb
+        FROM prefix a JOIN prefix b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE abs(len(a.s) - len(b.s)) <= {_EDJ_K})
+    SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(sa, sb) <= {_EDJ_K}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance self-join (ed <= {_EDJ_K}) over document
+    title prefixes, with planted single-char-deletion variants. The
+    prefix filter indexes only each title's {_EDJ_PREFIX} globally
+    rarest {_EDJ_Q}-grams (rarest-first canonical order makes the
+    candidate buckets the SMALLEST possible ones — the same
+    frequency-ordering trick as the substring-anchor DF cutoff, but
+    lossless); a length filter (|len_a - len_b| <= k) prunes before
+    verification, and surviving candidates get one exact Levenshtein.
+
+    100 TB design: the index is O({_EDJ_PREFIX}) rows per string
+    regardless of string length; the join key is a rare gram, so
+    bucket sizes are bounded by construction (a common gram never
+    reaches the index unless a string has nothing rarer). The exact
+    verify touches candidates only — the shape of every
+    filter-verification similarity join."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(f"substr(text, 1, {_EDJ_TLEN})").alias("s"))
+    typo = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.expr(
+            f"substr(substr(text, 1, (doc_id % 20) + 3) ||"
+            f" substr(text, (doc_id % 20) + 5), 1, {_EDJ_TLEN})"
+        ).alias("s"),
+    )
+    titles = base.unionByName(typo)
+    grams = (
+        titles.where(F.length("s") >= _EDJ_Q)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(s) - {_EDJ_Q - 1}, 1)),"
+                        f" i -> substr(s, i, {_EDJ_Q}))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy("gdf", "g")
+    prefix = (
+        grams.join(df_counts, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _EDJ_PREFIX)
+        .select("doc_id", "s", "g")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "g"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.length("sa") - F.length("sb")) <= _EDJ_K
+            )
+        )
+        .select("doc_a", "sa", "doc_b", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb"))
+        .where(F.col("dist") <= _EDJ_K)
+        .select("doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -187,3 +187,25 @@ def test_snm_catches_every_planted_suffix_dup(spark):
     assert planted
     missing = [d for d in planted if (d, d + 1000000) not in pairs]
     assert not missing, missing
+
+
+def test_edit_distance_join_finds_every_planted_deletion(spark):
+    """The prefix filter is lossless for ed <= k: every planted
+    single-char-deletion variant must pair with its original."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["q_edit_distance_join"](spark, SF_DIR).collect()
+    }
+    planted = {
+        (r.doc_id, r.doc_id + 5000000)
+        for r in table(spark, SF_DIR, "documents")
+        .where((F.col("doc_id") % 7 == 0) & (F.length("text") >= 2))
+        .select("doc_id")
+        .collect()
+    }
+    missing = planted - got
+    assert not missing, f"planted pairs missed: {sorted(missing)[:5]}"

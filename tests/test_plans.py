@@ -128,6 +128,23 @@ def test_bucketed_agg_has_no_exchange_below_first_aggregate(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_window_topk_uses_two_phase_group_limit(spark):
+    """rank<=k over a window must plan WindowGroupLimit Partial BEFORE
+    the hash Exchange (each mapper forwards at most k rows per group —
+    the two-phase top-k that makes per-group ranking affordable at
+    scale) and Final after it."""
+    plan = _plan(all_queries()["q_window_topk_per_group"](spark, SF_DIR))
+    partial = plan.find("WindowGroupLimit")
+    assert partial != -1, plan
+    assert ", Partial" in plan and ", Final" in plan, plan
+    # Partial phase sits below the Exchange in the printed tree
+    # (appears AFTER it textually); Final above it
+    final_idx = plan.find(", Final")
+    partial_idx = plan.find(", Partial")
+    exch_idx = plan.find("Exchange hashpartitioning", final_idx)
+    assert final_idx < exch_idx < partial_idx, plan
+
+
 def test_not_in_plans_null_aware_anti_join(spark):
     """The two NOT IN branches must plan Spark's null-aware anti join
     (the trailing `true` on the BroadcastHashJoin LeftAnti line is the
