@@ -113,6 +113,9 @@ HEADLINE = [
     "q_jdbc_roundtrip",              # embedded-Derby JDBC round-trip
     "q_edit_distance_join",          # Ed-Join prefix-filter similarity join
     "q_snapshot_time_travel",        # MVCC manifest snapshot reads
+    "q_skew_diagnosis",              # exact-ppm hot-key report
+    "q_equidepth_histogram",         # NTILE equi-depth profile
+    "q_drift_psi",                   # population-stability drift
 ]
 
 
@@ -210,6 +213,7 @@ def main() -> None:
         if (sf1 / ".complete").exists():
             sf1_names = [
                 "q5_regional_revenue", "q1_pricing_summary", "q3_top_orders",
+                "q_window_topk_per_group",  # two-phase WindowGroupLimit at 10x
             ]
             sf1_timings = {}
             for name in sf1_names:

@@ -2396,3 +2396,176 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — NTILE bucketing (complement of the equi-width
+# q_histogram_profile): every bucket holds the same row count, bucket
+# BOUNDARIES carry the distribution shape. The profile a cost-based
+# optimizer or drift monitor actually stores.
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+@query(
+    "q_equidepth_histogram",
+    f"""
+    WITH tiled AS (
+        SELECT l_extendedprice AS v,
+               NTILE({_EQD_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                   AS bucket
+        FROM lineitem)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo, MAX(v) AS hi,
+           {dsum_sql("v", "bucket_sum", 2)}
+    FROM tiled GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price histogram: NTILE({_EQD_BUCKETS}) over a
+    deterministic total order (price, orderkey, linenumber — the key
+    suffix makes tile assignment engine-exact), per-bucket count,
+    boundaries, and decimal-exact sum.
+
+    The global NTILE sort is the documented cost (one range-partition
+    sort — same class as any global ORDER BY); at 100 TB the
+    production form samples or uses the GK sketch
+    (q_approx_quantile_profile) for boundaries and assigns buckets by
+    range comparison instead — this operator is the exact reference
+    those approximations are validated against."""
+    li = table(spark, sf_dir, "lineitem")
+    tiled = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.expr(
+            f"NTILE({_EQD_BUCKETS}) OVER (ORDER BY l_extendedprice,"
+            f" l_orderkey, l_linenumber)"
+        ).alias("bucket"),
+    )
+    return (
+        tiled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            dsum("v", "bucket_sum", 2),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) — the population-stability report between a
+# reference and a current period: the monitor a training-data pipeline
+# runs before each ingest wave to catch upstream distribution shifts.
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 8
+# the synthetic orders span 1995..2001 — split mid-range so both
+# periods are populated (the TPC-H-canonical 1995 split would leave
+# the reference side EMPTY on this data and PSI undefined)
+_PSI_SPLIT = "1998-01-01"
+
+
+@query(
+    "q_drift_psi",
+    f"""
+    WITH split AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+                    THEN 'ref' ELSE 'cur' END AS period
+        FROM orders),
+    bounds AS (
+        SELECT MIN(v) AS lo, MAX(v) AS hi FROM split WHERE period = 'ref'),
+    bucketed AS (
+        SELECT period,
+               LEAST(GREATEST(CAST(FLOOR((v - lo) * {_PSI_BUCKETS}
+                                          / (hi - lo)) AS INTEGER), 0),
+                     {_PSI_BUCKETS - 1}) AS bucket
+        FROM split CROSS JOIN bounds),
+    counts AS (
+        SELECT bucket,
+               COUNT(*) FILTER (period = 'ref') AS n_ref,
+               COUNT(*) FILTER (period = 'cur') AS n_cur
+        FROM bucketed GROUP BY bucket),
+    tot AS (
+        SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts),
+    contrib AS (
+        SELECT bucket, n_ref, n_cur,
+               ROUND(((CAST(n_cur AS DOUBLE) / t_cur)
+                      - (CAST(n_ref AS DOUBLE) / t_ref))
+                     * LN((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)
+                          / (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref)),
+                     9) AS psi_contrib
+        FROM counts CROSS JOIN tot)
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur, psi_contrib,
+           CAST(SUM(CAST(psi_contrib AS DECIMAL(18,9))) OVER ()
+                AS DOUBLE) AS psi_total
+    FROM contrib ORDER BY bucket
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report: bucket the reference
+    period's order values into {_PSI_BUCKETS} equi-width bins (bounds
+    from the reference, current clamped into them — the standard PSI
+    recipe), per-bucket (share_cur - share_ref)·ln(share_cur/share_ref)
+    contribution, and the total.
+
+    Cross-engine exactness: each contribution is ONE fixed IEEE
+    expression over exact integer counts, rounded to 1e-9; the TOTAL
+    is then summed through DECIMAL(18,9) over the rounded values —
+    so no cross-bucket double-summation order can skew it. Zero
+    buckets take the standard GREATEST(n,1) smoothing."""
+    orders = table(spark, sf_dir, "orders")
+    split = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_PSI_SPLIT).cast("timestamp_ntz"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    bounds = split.where(F.col("period") == "ref").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    bucketed = split.crossJoin(F.broadcast(bounds)).select(
+        "period",
+        F.expr(
+            f"LEAST(GREATEST(CAST(FLOOR((v - lo) * {_PSI_BUCKETS}"
+            f" / (hi - lo)) AS INT), 0), {_PSI_BUCKETS - 1})"
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.when(F.col("period") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("period") == "cur", 1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(
+            F.expr(
+                "((CAST(n_cur AS DOUBLE) / t_cur)"
+                " - (CAST(n_ref AS DOUBLE) / t_ref))"
+                " * LN((CAST(GREATEST(n_cur, 1) AS DOUBLE) / t_cur)"
+                "      / (CAST(GREATEST(n_ref, 1) AS DOUBLE) / t_ref))"
+            ),
+            9,
+        ).alias("psi_contrib"),
+    )
+    return contrib.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        "psi_contrib",
+        F.expr(
+            "CAST(SUM(CAST(psi_contrib AS DECIMAL(18,9))) OVER ()"
+            " AS DOUBLE)"
+        ).alias("psi_total"),
+    ).orderBy("bucket")

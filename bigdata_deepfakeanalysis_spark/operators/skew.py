@@ -184,3 +184,73 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnosis — the report that DECIDES when the salting operators
+# above are worth their cost: per-key row shares and top-k
+# concentration over the hot-keyed event stream, in exact ppm integer
+# arithmetic so the report is engine-portable.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_skew_diagnosis",
+    f"""
+    WITH {EVENTS_US_CTE},
+    counts AS (
+        SELECT event_type, COUNT(*) AS n FROM events_us GROUP BY event_type),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts),
+    ranked AS (
+        SELECT event_type, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, event_type) AS rk
+        FROM counts)
+    SELECT rk, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+           CAST(SUM(n) OVER (ORDER BY rk) * 1000000 // total AS BIGINT)
+               AS cum_share_ppm,
+           CAST(n * n_keys * 100 // total AS BIGINT) AS x_mean_pct
+    FROM ranked CROSS JOIN tot
+    ORDER BY rk
+    """,
+)
+def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key report over the event stream: per-key row count, share
+    (ppm), cumulative share by rank, and count-vs-mean ratio (100 =
+    perfectly uniform) — the diagnosis that justifies salting/AQE skew
+    handling before paying for it. Integer ppm/DIV arithmetic keeps
+    every figure engine-exact.
+
+    100 TB shape: one partial-aggregated groupBy over the keys, a
+    broadcast scalar total, and a window over the (tiny) distinct-key
+    table — the corpus is scanned once, the analysis runs on key
+    cardinality."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = counts.withColumn(
+        "rk",
+        F.expr("ROW_NUMBER() OVER (ORDER BY n DESC, event_type)"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(n * 1000000 DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            # integer DIV end-to-end: a double division truncated to
+            # bigint can land one off the oracle's exact // result
+            F.expr(
+                "CAST(SUM(n) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED"
+                " PRECEDING AND CURRENT ROW) * 1000000 DIV total AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr("CAST(n * n_keys * 100 DIV total AS BIGINT)").alias(
+                "x_mean_pct"
+            ),
+        )
+        .orderBy("rk")
+    )
