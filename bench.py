@@ -116,6 +116,8 @@ HEADLINE = [
     "q_skew_diagnosis",              # exact-ppm hot-key report
     "q_equidepth_histogram",         # NTILE equi-depth profile
     "q_drift_psi",                   # population-stability drift
+    "q_scd2_join",                   # SCD2 temporal dimension join
+    "q_global_rownum",               # two-pass global row numbering
 ]
 
 

@@ -862,3 +862,183 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("snapshot")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 temporal dimension join — enrich facts with the dimension
+# VERSION that was valid at event time. The classic warehouse join
+# (distinct from q_asof_join's forward-fill: here the dimension carries
+# explicit [valid_from, valid_to) intervals and a fact outside every
+# interval gets NULL, not the last value).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_scd2_join",
+    """
+    WITH dim AS (
+        SELECT c_custkey AS key, v AS version,
+               DATE '1995-01-01' + INTERVAL ((v - 1) * 730) DAY AS valid_from,
+               CASE WHEN v < ((c_custkey % 3) + 1)
+                    THEN DATE '1995-01-01' + INTERVAL (v * 730) DAY
+                    ELSE DATE '9999-01-01' END AS valid_to,
+               c_mktsegment || '_v' || CAST(v AS VARCHAR) AS segment
+        FROM customer,
+             (SELECT UNNEST(range(1, 4)) AS v)
+        WHERE v <= (c_custkey % 3) + 1),
+    facts AS (
+        SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0)
+    SELECT f.o_orderkey, f.o_custkey,
+           strftime(f.d, '%Y-%m-%d') AS order_date,
+           d.version, d.segment,
+           f.o_totalprice AS price
+    FROM facts f LEFT JOIN dim d
+      ON d.key = f.o_custkey
+     AND f.d >= d.valid_from AND f.d < d.valid_to
+    ORDER BY o_orderkey
+    """,
+)
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 join: each customer carries
+    1-3 historical versions with [valid_from, valid_to) intervals
+    (730-day epochs from 1995, last version open-ended); every sampled
+    order picks up the version valid on its order date via
+    key-equality + interval containment. LEFT so a fact predating
+    every version surfaces as NULL rather than vanishing — the
+    auditability property warehouse pipelines rely on.
+
+    100 TB shape: equi-join on the customer key does the heavy
+    lifting (hash join, dimension broadcast here); the interval
+    predicate is a residual filter on the matched pairs — never a
+    range cross-join, because SCD2 guarantees at most a handful of
+    versions per key."""
+    cust = table(spark, sf_dir, "customer")
+    dim = (
+        cust.select(
+            F.col("c_custkey").alias("key"),
+            "c_mktsegment",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("c_custkey") % 3 + 1).cast("int"))
+            ).alias("version"),
+        )
+        .select(
+            "key",
+            "version",
+            F.expr(
+                "date_add(DATE '1995-01-01', (version - 1) * 730)"
+            ).alias("valid_from"),
+            F.expr(
+                "CASE WHEN version < (key % 3) + 1"
+                " THEN date_add(DATE '1995-01-01', version * 730)"
+                " ELSE DATE '9999-01-01' END"
+            ).alias("valid_to"),
+            F.concat(
+                "c_mktsegment", F.lit("_v"), F.col("version").cast("string")
+            ).alias("segment"),
+        )
+    )
+    facts = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_totalprice",
+        )
+    )
+    return (
+        facts.join(
+            F.broadcast(dim),
+            (F.col("key") == F.col("o_custkey"))
+            & (F.col("d") >= F.col("valid_from"))
+            & (F.col("d") < F.col("valid_to")),
+            "left",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            "version",
+            "segment",
+            F.col("o_totalprice").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global row numbering WITHOUT a single-partition window — the
+# two-pass offset idiom: a naive ROW_NUMBER() OVER (ORDER BY ...)
+# funnels the entire table through ONE partition; the scalable form
+# range-partitions on the sort key, ranks locally, and adds broadcast
+# per-partition offsets. Output is identical; the plan never
+# serializes the corpus through one task.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_global_rownum",
+    """
+    WITH numbered AS (
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem)
+    SELECT CAST(rn % 5000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(rn) AS BIGINT) AS rn_sum,
+           CAST(MIN(rn) AS BIGINT) AS rn_min,
+           CAST(MAX(rn) AS BIGINT) AS rn_max,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+    FROM numbered GROUP BY bucket ORDER BY bucket LIMIT 40
+    """,
+)
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row numbers over (l_orderkey, l_linenumber) order,
+    computed scalably: range-repartition on the sort key, rank WITHIN
+    each partition (window partitioned by spark_partition_id — never a
+    global single-partition window), then add each partition's
+    broadcast cumulative offset. The rollup checksums (per rn%5000
+    bucket) are order-derived, so any numbering error — a gap, a
+    duplicate, a misordered partition boundary — breaks the hash.
+
+    The oracle computes the same numbers with the naive global window;
+    at 100 TB only the two-pass form survives (the per-partition
+    counts are a few KB driver-side; everything else stays
+    distributed)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    parted = li.repartitionByRange(16, "l_orderkey", "l_linenumber")
+    with_pid = parted.withColumn("_pid", F.spark_partition_id())
+    # per-partition counts -> cumulative offsets (tiny, one narrow agg)
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.expr(
+                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("l_orderkey", "l_linenumber")
+    numbered = (
+        with_pid.withColumn("_local_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", F.col("_local_rn") + F.col("_offset"))
+    )
+    return (
+        numbered.groupBy((F.col("rn") % 5000).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("rn").cast("bigint").alias("rn_sum"),
+            F.min("rn").cast("bigint").alias("rn_min"),
+            F.max("rn").cast("bigint").alias("rn_max"),
+            F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("bucket")
+        .limit(40)
+    )

@@ -598,3 +598,14 @@ def test_simhash_fingerprints_pinned_before_band_join(spark):
     # explode-of-split) may appear anywhere in the executed plan
     assert "md5(" not in plan, plan
     assert plan.find("Join") != -1, plan
+
+
+def test_global_rownum_never_windows_the_corpus_on_one_partition(spark):
+    """The corpus-wide ranking window must be partitioned by the range
+    partition id (local rank + broadcast offsets); only the 16-row
+    offsets table may use an unpartitioned window."""
+    plan = _plan(all_queries()["q_global_rownum"](spark, SF_DIR))
+    idx = plan.find("row_number()")
+    assert idx != -1, plan
+    spec = plan[idx : idx + 300]
+    assert "_pid" in spec, spec
