@@ -118,6 +118,9 @@ HEADLINE = [
     "q_drift_psi",                   # population-stability drift
     "q_scd2_join",                   # SCD2 temporal dimension join
     "q_global_rownum",               # two-pass global row numbering
+    "q_scene_cuts",                  # video scene-cut detection
+    "q_mad_outliers",                # median/MAD robust outliers
+    "q_compaction_plan",             # small-file merge planning
 ]
 
 

@@ -554,3 +554,98 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "b0", "b1", "b2", "b3"
     ).localCheckpoint(eager=True)
     return simhash_band_pairs(sim, ham_max=2).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection — frame-to-frame signature deltas over the video
+# assets: the shot-segmentation pass a video curation pipeline runs
+# before sampling keyframes. Signatures are md5-derived (deterministic
+# per frame, SQL-recomputable), the detector itself — per-video lag +
+# threshold — is the real operator shape a perceptual feature would
+# plug into.
+# ---------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 96  # |sig delta| above this = cut (sig in 0..255)
+
+
+@query(
+    "q_scene_cuts",
+    f"""
+    WITH {MEDIA_CTE.strip()},
+    frames AS (
+        SELECT media_id, n_frames, frame_idx,
+               CAST('0x' || substr(md5(hex_payload || '|f'
+                                       || CAST(frame_idx AS VARCHAR)), 1, 2)
+                    AS INTEGER) AS sig
+        FROM media, (SELECT UNNEST(range(0, 24)) AS frame_idx)
+        WHERE kind = 'video' AND media_id < 200
+          AND frame_idx < n_frames),
+    deltas AS (
+        SELECT media_id, n_frames, frame_idx, sig,
+               abs(sig - LAG(sig) OVER (PARTITION BY media_id
+                                        ORDER BY frame_idx)) AS d
+        FROM frames)
+    SELECT media_id,
+           CAST(MAX(n_frames) AS INTEGER) AS n_frames,
+           CAST(COUNT(*) FILTER (d > {_CUT_THRESHOLD}) AS BIGINT)
+               AS n_cuts,
+           CAST(MIN(CASE WHEN d > {_CUT_THRESHOLD} THEN frame_idx END)
+                AS BIGINT) AS first_cut
+    FROM deltas GROUP BY media_id ORDER BY media_id
+    """,
+)
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over every video asset: per-frame signature
+    (md5-derived int 0-255 standing in for a perceptual frame hash —
+    swapping in a real decoder changes only the signature expression),
+    frame-to-frame absolute delta via a per-video LAG window, cut
+    where the delta exceeds {_CUT_THRESHOLD}; per video: frame count,
+    cut count, first cut index (NULL when no cut).
+
+    100 TB shape: the explode is a flatMap (no shuffle), the LAG
+    window shuffles once on media_id with frames arriving sorted per
+    video, the rollup rides the same partitioning — one shuffle
+    end-to-end."""
+    vids = media(spark, sf_dir).where(
+        (F.col("kind") == "video") & (F.col("media_id") < 200)
+    )
+    frames = (
+        vids.select(
+            "media_id",
+            "n_frames",
+            "hex_payload",
+            F.explode(
+                F.sequence(F.lit(0), F.least(F.col("n_frames") - 1, F.lit(23)))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            F.expr(
+                "CAST(conv(substr(md5(concat(hex_payload, '|f',"
+                " CAST(frame_idx AS STRING))), 1, 2), 16, 10) AS INT)"
+            ).alias("sig"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("media_id").orderBy("frame_idx")
+    deltas = frames.withColumn(
+        "d", F.abs(F.col("sig") - F.lag("sig").over(w))
+    )
+    return (
+        deltas.groupBy("media_id")
+        .agg(
+            F.max("n_frames").cast("int").alias("n_frames"),
+            F.count(F.when(F.col("d") > _CUT_THRESHOLD, 1))
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.min(
+                F.when(F.col("d") > _CUT_THRESHOLD, F.col("frame_idx"))
+            )
+            .cast("bigint")
+            .alias("first_cut"),
+        )
+        .orderBy("media_id")
+    )

@@ -256,3 +256,90 @@ def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning — the OPTIMIZE step's decision logic:
+# group a partition's undersized files into target-sized merge bins so
+# a rewrite pass can fix the small-files problem without touching
+# already-right-sized files.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 64_000  # target bytes per output file (fixture scale)
+
+
+@query(
+    "q_compaction_plan",
+    f"""
+    WITH files AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS part,
+               CAST(o_orderkey % 40 AS BIGINT) AS file_id,
+               CAST(COUNT(*) * 120 AS BIGINT) AS bytes
+        FROM orders GROUP BY part, o_orderkey % 40),
+    planned AS (
+        SELECT part, file_id, bytes,
+               CAST((SUM(bytes) OVER (PARTITION BY part
+                                      ORDER BY file_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - bytes)
+                    // {_COMPACT_TARGET} AS BIGINT) AS bin
+        FROM files WHERE bytes < {_COMPACT_TARGET})
+    SELECT part, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files_in,
+           CAST(SUM(bytes) AS BIGINT) AS bytes_in,
+           CAST(MIN(file_id) AS BIGINT) AS first_file,
+           CAST(MAX(file_id) AS BIGINT) AS last_file
+    FROM planned GROUP BY part, bin
+    ORDER BY part, bin
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over a simulated per-partition file inventory
+    (year partitions × 40 files, bytes from row counts): undersized
+    files (< {_COMPACT_TARGET} B) are assigned to merge bins by the
+    cumulative-sum trick — bin = floor(running_bytes_before / target)
+    within each partition — so every bin lands within one file of the
+    target size and right-sized files are never rewritten. Per
+    (partition, bin): file count, byte total, file-id range — the work
+    list an OPTIMIZE job executes.
+
+    100 TB shape: the inventory is metadata (one row per file — a few
+    million rows for a petabyte table); the plan is one window + one
+    rollup over it. The same cumulative-sum binning packs token
+    sequences (q_sequence_packing) — it is THE deterministic
+    first-fit-shaped assignment that needs no driver loop."""
+    orders = table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.expr("CAST(date_format(o_orderdate, 'yyyy') AS INT)").alias(
+            "part"
+        ),
+        (F.col("o_orderkey") % 40).alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 120).cast("bigint").alias("bytes"))
+    from pyspark.sql.window import Window as _W
+
+    w = (
+        _W.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    planned = (
+        files.where(F.col("bytes") < _COMPACT_TARGET)
+        .withColumn(
+            "bin",
+            F.expr(
+                f"CAST((SUM(bytes) OVER (PARTITION BY part ORDER BY file_id"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f" - bytes) DIV {_COMPACT_TARGET} AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        planned.groupBy("part", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files_in"),
+            F.sum("bytes").cast("bigint").alias("bytes_in"),
+            F.min("file_id").cast("bigint").alias("first_file"),
+            F.max("file_id").cast("bigint").alias("last_file"),
+        )
+        .orderBy("part", "bin")
+    )

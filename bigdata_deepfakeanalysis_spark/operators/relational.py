@@ -2569,3 +2569,79 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DOUBLE)"
         ).alias("psi_total"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier profile (median / MAD) — the robust-statistics
+# counterpart of q_stats_agg's mean/stddev: medians don't move for
+# heavy tails, so MAD-based outlier counts are the table-health check
+# that survives skewed value distributions.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (
+        SELECT l_returnflag AS flag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 9) AS median
+        FROM lineitem GROUP BY l_returnflag),
+    dev AS (
+        SELECT flag, median,
+               ROUND(quantile_cont(abs(l_extendedprice - median), 0.5), 9)
+                   AS mad
+        FROM lineitem JOIN med ON l_returnflag = flag
+        GROUP BY flag, median)
+    SELECT l_returnflag, d.median, d.mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (abs(l_extendedprice - d.median)
+                                 > 3 * d.mad) AS BIGINT) AS n_outliers
+    FROM lineitem JOIN dev d ON l_returnflag = d.flag
+    GROUP BY l_returnflag, d.median, d.mad
+    ORDER BY l_returnflag
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust outlier profile: exact interpolated median
+    (R-7 rule, bit-identical across engines — q_percentiles proves it),
+    MAD (median absolute deviation from it), and the count of values
+    beyond 3 MADs. Both medians are ROUNDed to 1e-9 before reuse so
+    the downstream comparisons see identical constants in both
+    engines.
+
+    100 TB note: exact medians need a per-group sort — this is the
+    validation reference; the production path swaps ``percentile`` for
+    the mergeable GK sketch (q_approx_quantile_profile) with the same
+    downstream arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 9).alias(
+            "median"
+        )
+    )
+    dev = (
+        li.join(F.broadcast(med), F.col("l_returnflag") == F.col("flag"))
+        .groupBy("flag", "median")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - median), 0.5)"), 9
+            ).alias("mad")
+        )
+    )
+    return (
+        li.join(F.broadcast(dev), F.col("l_returnflag") == F.col("flag"))
+        .groupBy("l_returnflag", "median", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    F.abs(F.col("l_extendedprice") - F.col("median"))
+                    > 3 * F.col("mad"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("l_returnflag", "median", "mad", "n", "n_outliers")
+        .orderBy("l_returnflag")
+    )
