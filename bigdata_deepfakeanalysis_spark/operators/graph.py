@@ -172,34 +172,66 @@ _TRI_EDGES = 200  # top edges kept by (shared-customer count, s1, s2)
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle participation over undirected (s1 < s2)
-    edges: enumerate each triangle once in canonical a < b < c
-    orientation via two joins (e1=(a,b) ⋈ e2=(b,c) ⋈ closing edge
-    (a,c)), then explode the three corners and count per node.
+    """Per-node triangle participation over undirected (s1, s2) edges,
+    enumerated with DEGREE-ORDERED orientation (Suri & Vassilvitskii's
+    MapReduce triangle counting): each edge is directed from its
+    lower-(degree, id) endpoint to the higher; a triangle is a wedge
+    u→v, u→w (with v before w in the same order) closed by the
+    oriented edge v→w. Every wedge join key is a node's OUT-degree,
+    which the orientation bounds by O(sqrt(|E|)) even when raw degrees
+    are power-law skewed — the property that makes this the production
+    formulation (the oracle enumerates via the naive id-canonical
+    triple join; per-node counts are orientation-invariant, so the two
+    independent formulations must agree exactly).
 
-    Scale shape: the id-ordered orientation halves the join fan-out vs
-    undirected enumeration; the production refinement is DEGREE-ordered
-    orientation (orient each edge toward the higher-degree endpoint),
-    which bounds per-key fan-out by O(sqrt(|E|)) on skewed graphs —
-    same plan, different orientation key. Returns (id, n_triangles)
-    for every node in the edge set, zeros included."""
+    Returns (id, n_triangles) for every node in the edge set, zeros
+    included."""
     e = edges.select("s1", "s2").localCheckpoint(eager=True)
-    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = e.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
-    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # total degree per node (undirected)
+    deg = (
+        e.select(F.col("s1").alias("id"))
+        .unionAll(e.select(F.col("s2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(F.broadcast(deg.withColumnRenamed("id", "s1")
+                           .withColumnRenamed("deg", "d1")), "s1")
+        .join(F.broadcast(deg.withColumnRenamed("id", "s2")
+                          .withColumnRenamed("deg", "d2")), "s2")
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(lower_first, F.col("d1")).otherwise(F.col("d2")).alias("du"),
+        F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+        F.when(lower_first, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select("u", F.col("v").alias("v"), F.col("dv").alias("odv"))
+    e2 = oriented.select("u", F.col("v").alias("w"), F.col("dv").alias("odw"))
+    wedges = (
+        e1.join(e2, "u")
+        # v strictly before w in the (deg, id) order: each unordered
+        # wedge once, matching the closing edge's orientation
+        .where(
+            (F.col("odv") < F.col("odw"))
+            | ((F.col("odv") == F.col("odw")) & (F.col("v") < F.col("w")))
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
     corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+        tri.select(F.col("u").alias("id"))
+        .unionAll(tri.select(F.col("v").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    nodes = (
-        e.select(F.col("s1").alias("id"))
-        .unionByName(e.select(F.col("s2").alias("id")))
-        .distinct()
-    )
+    nodes = deg.select("id")
     return nodes.join(corners, "id", "left").select(
         "id", F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles")
     )
@@ -245,9 +277,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     community-tightness signal (clustering coefficient numerator).
 
     The top-E sparsification is a TakeOrdered top-k (no global sort);
-    the kept edge set is tiny and localCheckpoint-pinned before the
-    triple self-join, whose canonical a<b<c orientation enumerates
-    each triangle exactly once."""
+    the kept edge set is localCheckpoint-pinned, then enumerated with
+    degree-ordered orientation (see ``triangle_counts`` — wedge
+    fan-out bounded O(sqrt(|E|)) on skewed graphs) while the oracle
+    uses the naive id-canonical triple join: two independent
+    formulations, one exact answer."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     cs = (

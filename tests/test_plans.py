@@ -609,3 +609,21 @@ def test_global_rownum_never_windows_the_corpus_on_one_partition(spark):
     assert idx != -1, plan
     spec = plan[idx : idx + 300]
     assert "_pid" in spec, spec
+
+
+def test_scene_cuts_single_data_shuffle(spark):
+    """The LAG window shuffles once on media_id; the rollup reuses that
+    partitioning — the only other Exchange is the presentation sort."""
+    plan = _plan(all_queries()["q_scene_cuts"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scd2_join_broadcasts_versioned_dimension(spark):
+    """The versioned dimension must broadcast; the interval predicate
+    rides as a residual on the hash join, never a range cross-join."""
+    plan = _plan(all_queries()["q_scd2_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
