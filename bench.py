@@ -121,6 +121,9 @@ HEADLINE = [
     "q_scene_cuts",                  # video scene-cut detection
     "q_mad_outliers",                # median/MAD robust outliers
     "q_compaction_plan",             # small-file merge planning
+    "q_recursive_cte_chain",         # WITH RECURSIVE hierarchy walk
+    "q_lateral_topn",                # LATERAL correlated top-n
+    "q_session_window_native",       # native session-merge aggregate
 ]
 
 

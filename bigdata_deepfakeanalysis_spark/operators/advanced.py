@@ -1042,3 +1042,74 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Native batch session_window — the same 30-minute sessionization as
+# q_sessionize_events, but through Spark's built-in session_window
+# aggregation (the operator Structured Streaming shares) instead of
+# the hand-rolled gaps-and-islands window. The oracle still computes
+# sessions by gaps-and-islands — two different algorithms, one answer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_session_window_native",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, epoch_ns(ts)//1000 AS us
+        FROM events_us WHERE user_id < 40),
+    flagged AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id
+                                            ORDER BY us) > {_GAP_US}
+                    OR LAG(us) OVER (PARTITION BY user_id
+                                     ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM seq),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id,
+           strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S')
+               AS session_start,
+           strftime(make_timestamp(MAX(us) + {_GAP_US}),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the NATIVE ``session_window`` aggregate
+    (dynamic-gap session merging inside the engine — the exact
+    operator Structured Streaming's session windows use, exercised
+    here in batch): per (user, session) start, end (last event +
+    30-min gap, Spark's session_window.end convention, which the
+    oracle mirrors), and event count. The oracle derives the identical
+    sessions by gaps-and-islands — two algorithms, one answer.
+
+    100 TB shape: one shuffle on user_id; session merging is local to
+    each key's sorted run, no self-join."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    # the catalog already normalizes the INT64-nanos column to a
+    # microsecond TIMESTAMP named ts
+    return (
+        ev.select("user_id", F.col("ts").alias("t"))
+        .groupBy(
+            "user_id",
+            F.session_window("t", f"{_GAP_US // 1000000} seconds"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

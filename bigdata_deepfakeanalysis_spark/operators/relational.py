@@ -2645,3 +2645,91 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "median", "mad", "n", "n_outliers")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy traversal through
+# the SQL front-end's UnionLoop operator, the declarative counterpart
+# of the DataFrame-loop iteration dedup.connected_components /
+# graph.pagerank_fixed hand-roll.
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(suppkey, root, depth) AS (
+        SELECT s_suppkey, s_suppkey, 0
+        FROM {supplier} WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT s.s_suppkey, c.root, c.depth + 1
+        FROM {supplier} s JOIN chain c
+          ON s.s_suppkey = c.suppkey * 3 + 1
+        WHERE c.depth < 8)
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(root) AS BIGINT) AS max_root,
+           CAST(SUM(suppkey) AS BIGINT) AS supp_sum
+    FROM chain GROUP BY depth ORDER BY depth
+    """
+
+
+@query(
+    "q_recursive_cte_chain",
+    _RECURSIVE_SQL.format(supplier="supplier"),
+)
+def q_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy traversal (Spark 4's recursive CTE /
+    UnionLoop): seed every 7th supplier as a root, follow the
+    deterministic referral edge suppkey -> suppkey*3+1 while it exists,
+    depth-capped at 8; rollup per depth. Exercises the SQL front-end's
+    native recursion — the declarative sibling of the engine's
+    DataFrame-loop iteration (connected components, PageRank), which
+    remains the right tool when each round needs checkpointing or a
+    convergence decision.
+
+    100 TB note: each recursion step is one join against the previous
+    frontier — the same per-round cost shape as the Pregel loop, with
+    the plan depth managed by the engine instead of localCheckpoint."""
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("rc_supplier")
+    return spark.sql(_RECURSIVE_SQL.format(supplier="rc_supplier"))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery join — per-row dependent subqueries
+# (top-n per outer row) through the SQL front-end.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n_name,
+           t.c_custkey AS cust,
+           t.c_acctbal AS acctbal,
+           t.rk
+    FROM {nation},
+         LATERAL (
+             SELECT c_custkey, c_acctbal,
+                    ROW_NUMBER() OVER (ORDER BY c_acctbal DESC,
+                                       c_custkey) AS rk
+             FROM {customer}
+             WHERE c_nationkey = n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             LIMIT 2) t
+    ORDER BY n_name, t.rk
+    """
+
+
+@query(
+    "q_lateral_topn",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 customers by account balance via a LATERAL
+    correlated subquery — the SQL front-end's dependent-join surface.
+    Catalyst decorrelates the lateral into a ranked window join (the
+    same physical shape as q_window_topk_per_group, WindowGroupLimit
+    included), so the declarative form costs what the hand-written
+    window costs — asserted by the plan hygiene suite (no nested-loop
+    per-row execution)."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("lt_nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lt_customer")
+    return spark.sql(
+        _LATERAL_SQL.format(nation="lt_nation", customer="lt_customer")
+    )

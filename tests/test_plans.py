@@ -627,3 +627,20 @@ def test_scd2_join_broadcasts_versioned_dimension(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL correlated top-2 must decorrelate to the ranked
+    window join with WindowGroupLimit — never a per-outer-row
+    nested-loop execution."""
+    plan = _plan(all_queries()["q_lateral_topn"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recursive_cte_plans_union_loop(spark):
+    """WITH RECURSIVE must execute through the engine's UnionLoop
+    operator (one frontier join per step), not an unrolled union."""
+    plan = _plan(all_queries()["q_recursive_cte_chain"](spark, SF_DIR))
+    assert "UnionLoop" in plan, plan
