@@ -124,6 +124,7 @@ HEADLINE = [
     "q_recursive_cte_chain",         # WITH RECURSIVE hierarchy walk
     "q_lateral_topn",                # LATERAL correlated top-n
     "q_session_window_native",       # native session-merge aggregate
+    "q_map_metrics",                 # map HOF algebra rollup
 ]
 
 

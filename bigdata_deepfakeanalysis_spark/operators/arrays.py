@@ -352,3 +352,95 @@ def q_channel_topk_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.ch").cast("int").alias("ch"),
         F.round(-F.col("s.neg_gap"), 9).alias("gap"),
     ).orderBy("group", "stem", "rk")
+
+
+# ---------------------------------------------------------------------------
+# Map-typed collection functions — the HOF family the array operators
+# above don't touch: map_zip_with (keyed union-merge), map_filter,
+# transform_keys / transform_values, all row-local codegen. The map is
+# the natural carrier for per-document metric bundles (sparse, keyed,
+# schema-free), and these four verbs are its whole algebra.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_map_metrics",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               n_chars AS chars,
+               len(list_filter(string_split(text, ' '), w -> w <> ''))
+                   AS words,
+               length(text) - length(regexp_replace(text, '[aeiou]', '',
+                                                    'g')) AS vowels
+        FROM documents),
+    metrics AS (
+        -- the engine's map algebra, replayed as plain arithmetic:
+        -- m1 = {chars, words}, m2 = {words, vowels};
+        -- map_zip_with(+) unions keys summing overlaps (words doubles),
+        -- map_filter keeps v > 0, transform_values scales by 3,
+        -- transform_keys uppercases
+        SELECT doc_id, 'CHARS' AS metric, chars * 3 AS val
+        FROM base WHERE chars > 0
+        UNION ALL
+        SELECT doc_id, 'WORDS', (words + words) * 3
+        FROM base WHERE words + words > 0
+        UNION ALL
+        SELECT doc_id, 'VOWELS', vowels * 3
+        FROM base WHERE vowels > 0)
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(val) AS BIGINT) AS total,
+           CAST(MIN(val) AS BIGINT) AS min_val
+    FROM metrics GROUP BY metric ORDER BY metric
+    """,
+)
+def q_map_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document metric bundles as map columns, processed entirely
+    with the map HOF algebra: two metric maps merged by
+    ``map_zip_with`` (key union, overlapping 'words' sums), zero
+    entries dropped by ``map_filter``, values scaled by
+    ``transform_values``, keys canonicalized by ``transform_keys``,
+    then one explode + rollup per metric. Everything row-local codegen
+    until the final tiny aggregate; the oracle replays the algebra as
+    flat arithmetic — a divergence in any HOF's union/filter/transform
+    semantics breaks the hash."""
+    from ..catalog import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("chars"),
+        F.expr(
+            "size(filter(split(text, ' '), w -> w != ''))"
+        ).alias("words"),
+        F.expr(
+            "length(text) - length(regexp_replace(text, '[aeiou]', ''))"
+        ).alias("vowels"),
+    )
+    m = base.select(
+        "doc_id",
+        F.expr(
+            """transform_keys(
+                 transform_values(
+                   map_filter(
+                     map_zip_with(
+                       map('chars', chars, 'words', words),
+                       map('words', words, 'vowels', vowels),
+                       (k, a, b) -> coalesce(a, 0) + coalesce(b, 0)),
+                     (k, v) -> v > 0),
+                   (k, v) -> v * 3),
+                 (k, v) -> upper(k))"""
+        ).alias("metrics"),
+    )
+    exploded = m.select(
+        "doc_id", F.explode("metrics").alias("metric", "val")
+    )
+    return (
+        exploded.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("val").cast("bigint").alias("total"),
+            F.min("val").cast("bigint").alias("min_val"),
+        )
+        .orderBy("metric")
+    )
