@@ -946,9 +946,17 @@ def connected_components_star(
         prev = edges
         after_ls = large_star(edges).localCheckpoint(eager=True)
         new_edges = small_star(after_ls).localCheckpoint(eager=True)
-        changed = new_edges.join(
-            prev, ["u", "v"], "left_anti"
-        ).count() + prev.join(new_edges, ["u", "v"], "left_anti").count()
+        # symmetric difference in ONE action (both edge sets are
+        # distinct, so an edge appearing once in the union is in
+        # exactly one side) — the two-anti-join form cost two jobs
+        # per alternation for the same scalar
+        changed = (
+            new_edges.unionAll(prev)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .where(F.col("_c") == 1)
+            .count()
+        )
         edges = new_edges
         if changed == 0:
             break
