@@ -339,3 +339,46 @@ def test_bpe_eight_steps_match_oracle_with_flat_plan(spark, duck):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "replace(" not in plan, plan[:2000]
     assert_matches_oracle(df, duck, bpe_oracle_sql(8))
+
+
+def test_zorder_pruning_skips_most_files(spark):
+    """The Z-order span guarantee (every file covers <= ~1/4 of each
+    domain) implies a 1/8-domain probe scans at most ~(1/4 + 1/8) of
+    the files — i.e. prunes at least half of them on both dims."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r.probe: r
+        for r in all_queries()["q_zorder_pruning"](spark, SF_DIR).collect()
+    }
+    for probe, r in rows.items():
+        assert r.files_scanned * 2 <= r.files_total, (probe, r)
+        assert r.rows_matched <= r.rows_scanned, (probe, r)
+
+
+def test_compaction_bins_stay_near_target(spark):
+    """Cumulative-sum binning: every merge bin holds at least target
+    bytes minus one file (no underfull bin except a partition's last)
+    and at most target plus one file (no overshoot beyond the
+    straddling file)."""
+    from bigdata_deepfakeanalysis_spark.operators.layout import (
+        _COMPACT_TARGET,
+    )
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_compaction_plan"](spark, SF_DIR).collect()
+    assert rows, "no undersized files planned — fixture broke"
+    bins_by_part: dict = {}
+    for r in rows:
+        bins_by_part.setdefault(r.part, []).append(r.bin)
+        # every input file is undersized, so a bin never overshoots
+        # the target by more than one (undersized) file
+        assert r.bytes_in < 2 * _COMPACT_TARGET, r
+    for part, bins in bins_by_part.items():
+        # cumulative-sum binning yields contiguous bin ids 0..max
+        # (a gap would mean bytes were skipped or double-counted)
+        assert sorted(bins) == list(range(max(bins) + 1)), (part, bins)
