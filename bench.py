@@ -125,6 +125,7 @@ HEADLINE = [
     "q_lateral_topn",                # LATERAL correlated top-n
     "q_session_window_native",       # native session-merge aggregate
     "q_map_metrics",                 # map HOF algebra rollup
+    "q_file_metadata",               # hidden _metadata provenance
 ]
 
 

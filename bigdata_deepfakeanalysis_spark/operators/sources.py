@@ -769,3 +769,75 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# File-provenance metadata — Spark's hidden ``_metadata`` struct
+# (file_path/file_name/file_size/row_index): the lineage surface a
+# pipeline uses to trace any row back to its physical file without
+# paying for a provenance column at write time.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_file_metadata",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    expected AS (
+        SELECT "group", COUNT(*) AS n_rows,
+               CAST(SUM(vec_id) AS BIGINT) AS vec_sum
+        FROM grouped_embeddings GROUP BY "group")
+    SELECT "group",
+           CAST(n_rows AS BIGINT) AS n_rows,
+           vec_sum,
+           n_rows > 0 AS file_names_consistent,
+           n_rows > 0 AS sizes_positive
+    FROM expected ORDER BY "group"
+    """,
+)
+def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level file provenance via the hidden ``_metadata`` column
+    over the partitioned tensor store: per group, the row count and
+    vec_id checksum (oracle-recomputed from the logical table) plus
+    two provenance invariants read from the physical layer — every
+    row's ``_metadata.file_path`` must contain its OWN group's
+    partition directory (a mismatch would mean rows attributed to the
+    wrong file), and every file size must be positive. The oracle pins
+    the data columns exactly and the invariant flags as constants.
+
+    At 100 TB this is how incident response works: no provenance
+    column was ever written, yet any suspect row names its source
+    file, size, and row index for free at scan time."""
+    out = str(staging_dir("roundtrip") / "grouped_embeddings")
+    (
+        grouped_embeddings(spark, sf_dir)
+        .write.mode("overwrite")
+        .partitionBy("group")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "group",
+        "vec_id",
+        F.col("_metadata.file_path").alias("fpath"),
+        F.col("_metadata.file_size").alias("fsize"),
+        F.col("_metadata.row_index").alias("ridx"),
+    )
+    return (
+        back.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").cast("bigint").alias("vec_sum"),
+            (
+                F.count(
+                    F.when(
+                        F.col("fpath").contains(
+                            F.concat(F.lit("group="), F.col("group"))
+                        ),
+                        1,
+                    )
+                )
+                == F.count(F.lit(1))
+            ).alias("file_names_consistent"),
+            (F.min("fsize") > 0).alias("sizes_positive"),
+        )
+        .orderBy("group")
+    )
