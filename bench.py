@@ -126,6 +126,7 @@ HEADLINE = [
     "q_session_window_native",       # native session-merge aggregate
     "q_map_metrics",                 # map HOF algebra rollup
     "q_file_metadata",               # hidden _metadata provenance
+    "q_hilbert_layout",              # Hilbert-curve range split
 ]
 
 

@@ -343,3 +343,149 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve layout — the locality-stronger alternative to Morton:
+# every Hilbert-contiguous range is a connected (near-square) region,
+# so range-splitting the key gives files with tighter per-dimension
+# spans than Z-order's worst case. Computed by the classic xy->d bit
+# loop (8 levels for 8-bit coordinates), unrolled into pure integer
+# column expressions — one Python loop EMITS the expressions; nothing
+# iterative runs per row.
+# ---------------------------------------------------------------------------
+
+_H_BITS = 8  # 8-bit normalized coordinates -> 16-bit Hilbert key
+_H_PREFIX = 4  # top bits of the key -> 16 files
+_H_NORM = "CAST((({col} - {lo}) * 255) DIV GREATEST({hi} - {lo}, 1) AS BIGINT)"
+_H_NORM_DUCK = (
+    "CAST((({col} - {lo}) * 255) // GREATEST({hi} - {lo}, 1) AS BIGINT)"
+)
+
+
+def _hilbert_steps(dialect: str) -> list[tuple[str, str, str]]:
+    """Per-level (d, x, y) update expressions for the standard xy->d
+    Hilbert walk, highest bit first: rx=(x&s)>0, ry=(y&s)>0,
+    d += s*s*((3*rx) XOR ry), then the (ry==0) rotation+swap. Returns
+    one (d_expr, x_expr, y_expr) triple per level, each reading the
+    previous level's columns hx/hy/hd."""
+    xor = "xor({a}, {b})" if dialect == "duck" else "({a} ^ {b})"
+    steps = []
+    for lvl in range(_H_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        d_expr = (
+            f"hd + {s * s} * " + xor.format(a=f"(3 * {rx})", b=ry)
+        )
+        # rot: if ry==0 { if rx==1 { x = s-1-x; y = s-1-y }; swap(x,y) }
+        x_expr = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s} - 1 - hy ELSE hy END) "
+            f"ELSE hx END"
+        )
+        y_expr = (
+            f"CASE WHEN {ry} = 0 THEN "
+            f"(CASE WHEN {rx} = 1 THEN {s} - 1 - hx ELSE hx END) "
+            f"ELSE hy END"
+        )
+        steps.append((d_expr, x_expr, y_expr))
+    return steps
+
+
+def _hilbert_oracle() -> str:
+    ctes = [
+        "stats AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,"
+        " MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem)",
+        "h0 AS (SELECT "
+        + _H_NORM_DUCK.format(col="l_partkey", lo="pmin", hi="pmax")
+        + " AS hx, "
+        + _H_NORM_DUCK.format(col="l_suppkey", lo="smin", hi="smax")
+        + " AS hy, CAST(0 AS BIGINT) AS hd, l_partkey, l_suppkey"
+        " FROM lineitem CROSS JOIN stats)",
+    ]
+    for i, (d, x, y) in enumerate(_hilbert_steps("duck"), start=1):
+        ctes.append(
+            f"h{i} AS (SELECT {d} AS hd, {x} AS hx, {y} AS hy,"
+            f" l_partkey, l_suppkey FROM h{i - 1})"
+        )
+    last = f"h{_H_BITS}"
+    shift = 2 * _H_BITS - _H_PREFIX
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(hd >> {shift} AS BIGINT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS p_lo, MAX(l_partkey) AS p_hi,
+           MIN(l_suppkey) AS s_lo, MAX(l_suppkey) AS s_hi
+    FROM {last}
+    GROUP BY file_id ORDER BY file_id
+    """
+
+
+@query("q_hilbert_layout", _hilbert_oracle())
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve range split of lineitem on (l_partkey, l_suppkey):
+    per-file row counts and min/max spans of both dimensions — the
+    same report as ``q_zorder_layout``, under the curve with the
+    stronger locality guarantee (every contiguous key range is a
+    connected region, so no file suffers Morton's seam-jump worst
+    case). The 8-level xy→d walk is unrolled into pure integer CASE
+    expressions (whole-stage codegen; the Python loop only EMITS
+    them), and the oracle unrolls the identical levels as chained
+    CTEs — bit-exact in both engines.
+
+    Same scale shape as Z-order: one stats pass, broadcast scalars,
+    row-local key computation, one groupBy on the 4-bit prefix."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    cur = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(stats))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                _H_NORM.format(col="l_partkey", lo="pmin", hi="pmax")
+            ).alias("hx"),
+            F.expr(
+                _H_NORM.format(col="l_suppkey", lo="smin", hi="smax")
+            ).alias("hy"),
+            F.lit(0).cast("bigint").alias("hd"),
+        )
+    )
+    for d, x, y in _hilbert_steps("spark"):
+        cur = cur.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(d).alias("_hd"),
+            F.expr(x).alias("_hx"),
+            F.expr(y).alias("_hy"),
+        ).select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("_hx").alias("hx"),
+            F.col("_hy").alias("hy"),
+            F.col("_hd").alias("hd"),
+        )
+    shift = 2 * _H_BITS - _H_PREFIX
+    return (
+        cur.select(
+            F.expr(f"CAST(hd >> {shift} AS BIGINT)").alias("file_id"),
+            "l_partkey",
+            "l_suppkey",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("p_lo"),
+            F.max("l_partkey").alias("p_hi"),
+            F.min("l_suppkey").alias("s_lo"),
+            F.max("l_suppkey").alias("s_hi"),
+        )
+        .orderBy("file_id")
+    )

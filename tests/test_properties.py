@@ -382,3 +382,21 @@ def test_compaction_bins_stay_near_target(spark):
         # cumulative-sum binning yields contiguous bin ids 0..max
         # (a gap would mean bytes were skipped or double-counted)
         assert sorted(bins) == list(range(max(bins) + 1)), (part, bins)
+
+
+def test_hilbert_files_bound_both_dimensions(spark):
+    """Each Hilbert file (4-bit prefix = 16 contiguous curve segments)
+    must be a connected region spanning <= ~1/4 of BOTH key domains —
+    the same data-skipping guarantee as Z-order, without Morton's
+    seam-jump worst case."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_hilbert_layout"](spark, SF_DIR).collect()
+    assert len(rows) == 16
+    p_dom = max(r.p_hi for r in rows) - min(r.p_lo for r in rows)
+    s_dom = max(r.s_hi for r in rows) - min(r.s_lo for r in rows)
+    for r in rows:
+        assert (r.p_hi - r.p_lo) <= 0.27 * p_dom, r
+        assert (r.s_hi - r.s_lo) <= 0.27 * s_dom, r
