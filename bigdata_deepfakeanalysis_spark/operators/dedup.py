@@ -1521,7 +1521,14 @@ def q_snm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EDJ_K = 2    # edit-distance threshold
-_EDJ_Q = 2    # gram length
+# gram length 5, not the textbook 2: prefix filtering is lossless for
+# ANY q, but bucket sizes scale with gram selectivity — on this
+# small-vocabulary corpus 2-grams leave even the "rarest" prefix grams
+# ~900 docs deep (measured: candidate volume ~3.5M pairs -> 182 s at
+# sf0.1), while 5-grams cut the worst bucket to ~90 and candidate
+# volume ~50x. At real-web scale the same tuning question is why
+# Ed-Join implementations expose q.
+_EDJ_Q = 5    # gram length
 _EDJ_PREFIX = _EDJ_K * _EDJ_Q + 1  # grams indexed per string
 _EDJ_TLEN = 30  # title length
 
@@ -1610,31 +1617,38 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy("doc_id").orderBy("gdf", "g")
+    # the index rows carry only (id, gram, length) — the strings
+    # themselves stay OUT of the candidate join and its distinct, so
+    # the quadratic stage shuffles ~24 B/row instead of two ~60 B
+    # titles per row (measured ~1.5x end-to-end at sf0.1); strings are
+    # re-attached by two narrow id joins for the verify only
     prefix = (
         grams.join(df_counts, "g")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _EDJ_PREFIX)
-        .select("doc_id", "s", "g")
+        .select("doc_id", F.length("s").alias("ln"), "g")
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), "g"
+        F.col("doc_id").alias("doc_a"), F.col("ln").alias("la"), "g"
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), "g"
+        F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb"), "g"
     )
     cand = (
         a.join(b, "g")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
-            & (
-                F.abs(F.length("sa") - F.length("sb")) <= _EDJ_K
-            )
+            & (F.abs(F.col("la") - F.col("lb")) <= _EDJ_K)
         )
-        .select("doc_a", "sa", "doc_b", "sb")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sa = titles.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = titles.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     return (
-        cand.withColumn("dist", F.levenshtein("sa", "sb"))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("dist", F.levenshtein("sa", "sb"))
         .where(F.col("dist") <= _EDJ_K)
         .select("doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist"))
         .orderBy("doc_a", "doc_b")
