@@ -127,6 +127,7 @@ HEADLINE = [
     "q_map_metrics",                 # map HOF algebra rollup
     "q_file_metadata",               # hidden _metadata provenance
     "q_hilbert_layout",              # Hilbert-curve range split
+    "q_auc_evaluation",              # exact rank-sum AUC metrics
 ]
 
 

@@ -630,3 +630,148 @@ def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed model evaluation — exact AUC (Mann-Whitney rank-sum form)
+# and threshold confusion metrics over scored rows. The ml family's
+# first fully hash-oracled query: the "model" is a fixed md5-derived
+# linear probe over quantized embeddings, so scores are exact integers
+# and the entire evaluation — average ranks, ties, AUC, confusion —
+# replays bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+def _auc_probe_weights() -> list[int]:
+    """w_i = 2*digit - 17, digit = first hex digit of md5('auc|<i>') —
+    the q_ann hyperplane derivation under its own seed."""
+    import hashlib
+
+    return [
+        2 * int(hashlib.md5(f"auc|{i}".encode()).hexdigest()[0], 16) - 17
+        for i in range(64)
+    ]
+
+
+_AUC_ORACLE = f"""
+    WITH scored AS (
+        SELECT vec_id % 3 AS fold,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               (SELECT SUM(CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                                      * 1048576.0) AS BIGINT)
+                           * (2 * instr('0123456789abcdef',
+                                substr(md5('auc|' || CAST(pos_i AS VARCHAR)),
+                                       1, 1)) - 19))
+                FROM (SELECT UNNEST(range(0, 64)) AS pos_i)) AS score
+        FROM embeddings),
+    per_score AS (
+        SELECT fold, score, COUNT(*) AS n, SUM(pos) AS n_pos
+        FROM scored GROUP BY fold, score),
+    ranked AS (
+        SELECT fold, score, n, n_pos,
+               COALESCE(SUM(n) OVER (PARTITION BY fold ORDER BY score
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before
+        FROM per_score),
+    agg AS (
+        SELECT fold,
+               SUM(n_pos) AS np,
+               SUM(n) - SUM(n_pos) AS nn,
+               SUM(n_pos * (2 * cum_before + n + 1)) AS two_rpos,
+               SUM(CASE WHEN score >= 0 THEN n_pos ELSE 0 END) AS tp,
+               SUM(CASE WHEN score >= 0 THEN n - n_pos ELSE 0 END) AS fp
+        FROM ranked GROUP BY fold)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND(CAST(two_rpos - np * (np + 1) AS DOUBLE)
+                 / (2.0 * np * nn), 9) AS auc,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(np - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+           ROUND(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 9)
+               AS precision_at0,
+           ROUND(CAST(tp AS DOUBLE) / np, 9) AS recall_at0
+    FROM agg ORDER BY fold
+    """
+
+
+@query("q_auc_evaluation", _AUC_ORACLE)
+def q_auc_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold exact AUC + threshold-0 confusion metrics for a fixed
+    linear probe scoring labels<5 as positive. AUC is computed in the
+    Mann-Whitney rank-sum form with AVERAGE ranks for ties, kept in
+    integer arithmetic until the single final division
+    (2·R_pos = Σ n_pos·(2·cum_before + n + 1) over per-score groups) —
+    the distributed-evaluation shape: one groupBy per (fold, score),
+    one tiny window over distinct scores, never a global per-row sort.
+
+    At 100 TB this is how AUC is actually computed on a cluster:
+    histogram the scores (or score buckets), then rank arithmetic on
+    the (small) distinct-score table — the per-row sort a naive
+    sklearn-style implementation needs never happens."""
+    import hashlib as _h  # noqa: F401  (derivation documented above)
+
+    from .operators.similarity import quantize
+
+    w = _auc_probe_weights()
+    weights_arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("vec_id") % 3).alias("fold"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        quantize("embedding").alias("q"),
+    ).select(
+        "fold",
+        "pos",
+        F.expr(
+            f"aggregate(zip_with(q, {weights_arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    per_score = scored.groupBy("fold", "score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    ranked = per_score.withColumn(
+        "cum_before",
+        F.expr(
+            "COALESCE(SUM(n) OVER (PARTITION BY fold ORDER BY score"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ),
+    )
+    agg = ranked.groupBy("fold").agg(
+        F.sum("n_pos").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).alias("nn"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).alias("two_rpos"),
+        F.sum(F.when(F.col("score") >= 0, F.col("n_pos")).otherwise(0)).alias(
+            "tp"
+        ),
+        F.sum(
+            F.when(F.col("score") >= 0, F.col("n") - F.col("n_pos")).otherwise(
+                0
+            )
+        ).alias("fp"),
+    )
+    return agg.select(
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("two_rpos") - F.col("np") * (F.col("np") + 1)).cast(
+                "double"
+            )
+            / (2.0 * F.col("np") * F.col("nn")),
+            9,
+        ).alias("auc"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        (F.col("np") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("nn") - F.col("fp")).cast("bigint").alias("tn"),
+        F.round(
+            F.col("tp").cast("double")
+            / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            9,
+        ).alias("precision_at0"),
+        F.round(F.col("tp").cast("double") / F.col("np"), 9).alias(
+            "recall_at0"
+        ),
+    ).orderBy("fold")
