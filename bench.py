@@ -128,6 +128,7 @@ HEADLINE = [
     "q_file_metadata",               # hidden _metadata provenance
     "q_hilbert_layout",              # Hilbert-curve range split
     "q_auc_evaluation",              # exact rank-sum AUC metrics
+    "q_calibration_bins",            # score-decile reliability
 ]
 
 
@@ -226,6 +227,8 @@ def main() -> None:
             sf1_names = [
                 "q5_regional_revenue", "q1_pricing_summary", "q3_top_orders",
                 "q_window_topk_per_group",  # two-phase WindowGroupLimit at 10x
+                "q_mad_outliers",           # exact medians at 10x facts
+                "q_equidepth_histogram",    # global NTILE sort at 10x facts
             ]
             sf1_timings = {}
             for name in sf1_names:

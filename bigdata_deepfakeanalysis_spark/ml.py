@@ -775,3 +775,76 @@ def q_auc_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at0"
         ),
     ).orderBy("fold")
+
+
+_CAL_BINS = 10
+
+
+@query(
+    "q_calibration_bins",
+    f"""
+    WITH scored AS (
+        SELECT vec_id,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               (SELECT SUM(CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                                      * 1048576.0) AS BIGINT)
+                           * (2 * instr('0123456789abcdef',
+                                substr(md5('auc|' || CAST(pos_i AS VARCHAR)),
+                                       1, 1)) - 19))
+                FROM (SELECT UNNEST(range(0, 64)) AS pos_i)) AS score
+        FROM embeddings),
+    binned AS (
+        SELECT pos, score,
+               NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id) AS bin
+        FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(MIN(score) AS BIGINT) AS score_lo,
+           CAST(MAX(score) AS BIGINT) AS score_hi,
+           ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 9) AS pos_rate
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the same fixed probe as
+    ``q_auc_evaluation``: score deciles (NTILE over the deterministic
+    (score, vec_id) order), per-bin counts, score range, and positive
+    rate — AUC measures ranking quality, this measures whether score
+    MAGNITUDE tracks outcome frequency, and together they are the
+    standard model-evaluation pair. Integer scores end-to-end; the one
+    double (pos_rate) is a single exact division."""
+    from .operators.similarity import quantize
+
+    w = _auc_probe_weights()
+    weights_arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        quantize("embedding").alias("q"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr(
+            f"aggregate(zip_with(q, {weights_arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    binned = scored.withColumn(
+        "bin",
+        F.expr(f"NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id)"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.min("score").cast("bigint").alias("score_lo"),
+            F.max("score").cast("bigint").alias("score_hi"),
+            F.round(
+                F.sum("pos").cast("double") / F.count(F.lit(1)), 9
+            ).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
