@@ -129,6 +129,7 @@ HEADLINE = [
     "q_hilbert_layout",              # Hilbert-curve range split
     "q_auc_evaluation",              # exact rank-sum AUC metrics
     "q_calibration_bins",            # score-decile reliability
+    "q_stream_jdbc_exactly_once",    # epoch-txn JDBC stream sink
 ]
 
 

@@ -634,3 +634,124 @@ def record_breakers_tws(stream: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once into a TRANSACTIONAL store: foreachBatch → JDBC (the
+# bundled embedded Derby), idempotent by epoch-scoped DELETE+INSERT.
+# The parquet sink above gets idempotence from dynamic partition
+# overwrite; an operational database gets it from replayable epoch
+# transactions — the other half of the production exactly-once story.
+# ---------------------------------------------------------------------------
+
+def foreach_batch_jdbc_sink(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str, table_name: str
+) -> str:
+    """Drain the events stream into a Derby table via foreachBatch:
+    each epoch DELETEs its own rows then INSERTs the batch (append),
+    so any replayed micro-batch converges to the same table state.
+    Returns the JDBC url."""
+    from ..operators.sources import _derby_url
+
+    url = _derby_url(spark)
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    # create-if-absent via a bounded JDBC DDL round-trip
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData().getTables(
+            None, None, table_name.upper(), None
+        )
+        exists = meta.next()
+        if not exists:
+            st = conn.createStatement()
+            st.execute(
+                f"CREATE TABLE {table_name} (epoch BIGINT, event_id BIGINT,"
+                f" user_id BIGINT, value DOUBLE)"
+            )
+            st.close()
+    finally:
+        conn.close()
+
+    stream = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        # epoch transaction: delete any half/previous attempt of THIS
+        # epoch, then append — replay-idempotent
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            s = c.createStatement()
+            s.execute(
+                f"DELETE FROM {table_name} WHERE epoch = {int(epoch_id)}"
+            )
+            s.close()
+        finally:
+            c.close()
+        (
+            df.withColumn("epoch", F.lit(int(epoch_id)))
+            .select("epoch", "event_id", "user_id", "value")
+            .write.mode("append")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", table_name)
+            .option("driver", driver)
+            .save()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return url
+
+
+@query(
+    "q_stream_jdbc_exactly_once",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+               AS value_fp_sum
+    FROM events_us
+    """,
+)
+def q_stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once into the JDBC store, proven by full replay: drain
+    the stream twice (second pass with a fresh checkpoint replays
+    every micro-batch) into a Derby table whose epochs are
+    DELETE+INSERT transactions, then count the table. Appending
+    replays would double n_rows; losing an epoch would drop the
+    fixed-point value checksum; the oracle computes all three numbers
+    from the source table read once."""
+    import shutil
+    from pathlib import Path
+
+    from ..catalog import staging_dir
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    table_name = f"eo_events_{tag}"
+    url = None
+    for attempt in range(2):
+        ckpt = staging_dir(f"stream_eo_jdbc_ckpt_{tag}_{attempt}")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        url = foreach_batch_jdbc_sink(spark, sf_dir, str(ckpt), table_name)
+    sunk = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table_name)
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    return sunk.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct"),
+        F.sum(F.expr("CAST(FLOOR(value * 1000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("value_fp_sum"),
+    )
