@@ -36,6 +36,8 @@ EAGER_BUILD = {
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
+    "q_jdbc_roundtrip",
+    "q_stream_jdbc_exactly_once",
 }
 
 # The one sanctioned BatchEvalPython: the @udtf + LATERAL demo is
