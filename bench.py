@@ -130,6 +130,8 @@ HEADLINE = [
     "q_auc_evaluation",              # exact rank-sum AUC metrics
     "q_calibration_bins",            # score-decile reliability
     "q_stream_jdbc_exactly_once",    # epoch-txn JDBC stream sink
+    "q_grouping_id_rollup",          # subtotal-vs-NULL disambiguation
+    "q_try_arithmetic",              # ANSI-safe dirty-data math
 ]
 
 

@@ -2733,3 +2733,150 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(nation="lt_nation", customer="lt_customer")
     )
+
+
+# ---------------------------------------------------------------------------
+# grouping_id — the subtotal-disambiguation column: a ROLLUP NULL can
+# mean "subtotal row" or "the key was genuinely NULL"; grouping_id is
+# the bitmask that tells them apart, and every real OLAP report needs
+# it the moment nullable keys meet grouping sets.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_grouping_id_rollup",
+    """
+    WITH src AS (
+        SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE o_orderpriority END AS priority,
+               o_orderstatus AS status,
+               o_totalprice
+        FROM orders),
+    g AS (
+        SELECT priority, status,
+               GROUPING(priority) * 2 + GROUPING(status) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total
+        FROM src GROUP BY ROLLUP (priority, status))
+    SELECT priority, status, CAST(gid AS BIGINT) AS gid,
+           CASE WHEN gid = 3 THEN 'grand_total'
+                WHEN gid = 1 THEN 'priority_subtotal'
+                WHEN priority IS NULL THEN 'null_priority_detail'
+                ELSE 'detail' END AS row_kind,
+           n, total
+    FROM g
+    ORDER BY gid, priority NULLS FIRST, status NULLS FIRST
+    """,
+)
+def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over a key with REAL NULLs (every 13th order's priority
+    nulled): ``grouping_id`` distinguishes genuine NULL-key detail
+    rows from subtotal rows — without it the two are
+    indistinguishable, the classic silent-wrong-report bug. Row kinds
+    are derived from the bitmask on both engines; sums ride DECIMAL."""
+    orders = table(spark, sf_dir, "orders")
+    src = orders.select(
+        F.when(F.col("o_orderkey") % 13 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+        "o_totalprice",
+    )
+    g = (
+        src.rollup("priority", "status")
+        .agg(
+            F.expr("GROUPING(priority) * 2 + GROUPING(status)").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total"),
+        )
+    )
+    return (
+        g.select(
+            "priority",
+            "status",
+            F.col("gid").cast("bigint").alias("gid"),
+            F.when(F.col("gid") == 3, "grand_total")
+            .when(F.col("gid") == 1, "priority_subtotal")
+            .when(F.col("priority").isNull(), "null_priority_detail")
+            .otherwise("detail")
+            .alias("row_kind"),
+            "n",
+            "total",
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("priority"),
+            F.asc_nulls_first("status"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-safe arithmetic — Spark 4 runs ANSI mode by default, so
+# a single bad row (divide-by-zero, unparsable cast, overflow) kills
+# the whole job unless the pipeline uses the try_ family. This is the
+# dirty-data survival surface.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_try_arithmetic",
+    """
+    WITH dirty AS (
+        SELECT o_orderkey,
+               o_totalprice,
+               CASE WHEN o_orderkey % 11 = 0 THEN 0
+                    ELSE CAST(o_orderkey % 7 AS INTEGER) END AS divisor,
+               CASE WHEN o_orderkey % 5 = 0 THEN 'n/a'
+                    ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS code_str
+        FROM orders),
+    safe AS (
+        SELECT o_totalprice / NULLIF(divisor, 0) AS per_unit,
+               TRY_CAST(code_str AS INTEGER) AS code
+        FROM dirty)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(per_unit) AS BIGINT) AS n_divisible,
+           CAST(COUNT(*) - COUNT(per_unit) AS BIGINT) AS n_div_by_zero,
+           CAST(COUNT(code) AS BIGINT) AS n_parsed,
+           CAST(COUNT(*) - COUNT(code) AS BIGINT) AS n_unparsable,
+           CAST(SUM(CAST(code AS BIGINT)) AS BIGINT) AS code_sum,
+           CAST(SUM(CAST(per_unit AS DECIMAL(24,6))) AS DOUBLE)
+               AS per_unit_sum
+    FROM safe
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data survival under ANSI mode: every 11th row divides by
+    zero, every 5th carries an unparsable code. ``try_divide`` /
+    ``try_cast`` turn both into NULLs instead of job-killing
+    exceptions (Spark 4 is ANSI by default — plain ``/`` and CAST
+    would abort); the rollup counts the quarantined rows and
+    decimal-sums the surviving values. The oracle expresses the same
+    semantics with NULLIF/TRY_CAST."""
+    orders = table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, 0)
+        .otherwise((F.col("o_orderkey") % 7).cast("int"))
+        .alias("divisor"),
+        F.when(F.col("o_orderkey") % 5 == 0, "n/a")
+        .otherwise((F.col("o_orderkey") % 100).cast("string"))
+        .alias("code_str"),
+    )
+    safe = dirty.select(
+        F.expr("try_divide(o_totalprice, divisor)").alias("per_unit"),
+        F.expr("try_cast(code_str AS INT)").alias("code"),
+    )
+    return safe.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("per_unit").alias("n_divisible"),
+        (F.count(F.lit(1)) - F.count("per_unit")).alias("n_div_by_zero"),
+        F.count("code").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("code")).alias("n_unparsable"),
+        F.sum(F.col("code").cast("bigint")).cast("bigint").alias("code_sum"),
+        F.expr(
+            "CAST(SUM(CAST(per_unit AS DECIMAL(24,6))) AS DOUBLE)"
+        ).alias("per_unit_sum"),
+    )
