@@ -132,6 +132,7 @@ HEADLINE = [
     "q_stream_jdbc_exactly_once",    # epoch-txn JDBC stream sink
     "q_grouping_id_rollup",          # subtotal-vs-NULL disambiguation
     "q_try_arithmetic",              # ANSI-safe dirty-data math
+    "q_pandas_udaf",                 # Series->scalar Arrow UDAF
 ]
 
 

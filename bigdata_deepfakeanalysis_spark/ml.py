@@ -848,3 +848,93 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF (§2.9) — the Series→scalar Arrow UDF
+# tier, the one UDF shape the engine had not yet exercised: a custom
+# aggregate usable in BOTH groupBy and window contexts. Integer
+# arithmetic end-to-end, so even the Python aggregation is hash-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pandas_udaf",
+    """
+    WITH q AS (
+        SELECT label, vec_id,
+               CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576.0)
+                    AS BIGINT) AS q0
+        FROM embeddings),
+    grouped AS (
+        SELECT label,
+               CAST(SUM(q0) AS BIGINT) AS q0_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY label),
+    windowed AS (
+        SELECT label, vec_id,
+               CAST(SUM(q0) OVER (PARTITION BY label ORDER BY vec_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS roll3
+        FROM q),
+    wtop AS (
+        SELECT label, CAST(MAX(roll3) AS BIGINT) AS max_roll3
+        FROM windowed GROUP BY label)
+    SELECT g.label, g.n, g.q0_sum, w.max_roll3
+    FROM grouped g JOIN wtop w ON g.label = w.label
+    ORDER BY g.label
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a GROUPED_AGG pandas UDF (Series→scalar,
+    Arrow-batched) applied in BOTH supported contexts: a groupBy
+    aggregation (per-label sum of fixed-point first components) and a
+    bounded window frame (rolling 3-row sum per label, max taken per
+    label). int64 arithmetic makes the Python aggregation order-free
+    and hash-exact against plain SQL — the point is the API surface:
+    a user-defined aggregate that drops into groupBy AND over(window)
+    like any built-in. (For additive ints the built-in SUM is the
+    production choice; the UDAF tier exists for aggregates Spark
+    lacks — this query keeps its semantics verifiable.)"""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # the explicit GROUPED_AGG functionType (not type-hint inference):
+    # this module uses `from __future__ import annotations`, so hints
+    # are strings pyspark cannot resolve against a locally-imported pd
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def int_sum(v):
+        return int(v.sum())
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        "vec_id",
+        # Spark [] is 0-based, DuckDB's 1-based: both mean element ONE
+        F.expr(
+            "CAST(floor(CAST(embedding[0] AS DOUBLE) * 1048576.0) AS BIGINT)"
+        ).alias("q0"),
+    )
+    # Spark disallows mixing pandas and JVM aggregates in one agg — the
+    # row count rides the same UDAF over a ones column
+    grouped = q.withColumn("one", F.lit(1).cast("long")).groupBy("label").agg(
+        int_sum("one").alias("n"),
+        int_sum("q0").alias("q0_sum"),
+    )
+    w = (
+        Window.partitionBy("label")
+        .orderBy("vec_id")
+        .rowsBetween(-2, 0)
+    )
+    windowed = q.withColumn("roll3", int_sum("q0").over(w))
+    wtop = windowed.groupBy("label").agg(
+        F.max("roll3").cast("bigint").alias("max_roll3")
+    )
+    return (
+        grouped.join(wtop, "label")
+        .select(
+            "label",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("q0_sum").cast("bigint").alias("q0_sum"),
+            "max_roll3",
+        )
+        .orderBy("label")
+    )
