@@ -133,6 +133,7 @@ HEADLINE = [
     "q_grouping_id_rollup",          # subtotal-vs-NULL disambiguation
     "q_try_arithmetic",              # ANSI-safe dirty-data math
     "q_pandas_udaf",                 # Series->scalar Arrow UDAF
+    "q_pandas_scalar_udf",           # Series->Series Arrow UDF
 ]
 
 

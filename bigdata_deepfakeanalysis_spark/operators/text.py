@@ -2120,3 +2120,54 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "w")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar pandas UDF (§2.9) — the Series→Series Arrow tier: the most
+# common custom-function shape (per-row Python logic, Arrow-batched).
+# md5 keeps it verifiable: Python hashlib and SQL md5 agree, so even a
+# Python-defined column hash-checks.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_pandas_scalar_udf",
+    """
+    SELECT substr(md5(text), 1, 1) AS nibble,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents GROUP BY nibble ORDER BY nibble
+    """,
+)
+def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprint nibble computed by a SCALAR pandas UDF
+    (Series→Series, Arrow-batched — the workhorse custom-function
+    tier), rolled up per nibble. The UDF body is Python hashlib md5,
+    the oracle is SQL md5: identical by the md5 spec, so the
+    Python-produced column hash-checks exactly. In production this
+    tier carries logic built-ins can't express (tokenizers, model
+    featurizers); here the verifiable stand-in proves the plumbing —
+    Arrow batch transfer, null handling, codegen boundary — at the
+    cost profile the plan-hygiene suite tracks (ArrowEvalPython, never
+    row-pickling BatchEvalPython)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR functionType: string annotations under
+    # `from __future__ import annotations` defeat hint inference
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def md5_nibble(texts):
+        import hashlib as _h
+
+        return texts.map(
+            lambda t: _h.md5(t.encode("utf-8")).hexdigest()[0]
+        )
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", md5_nibble("text").alias("nibble"))
+        .groupBy("nibble")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+        )
+        .orderBy("nibble")
+    )
