@@ -134,6 +134,7 @@ HEADLINE = [
     "q_try_arithmetic",              # ANSI-safe dirty-data math
     "q_pandas_udaf",                 # Series->scalar Arrow UDAF
     "q_pandas_scalar_udf",           # Series->Series Arrow UDF
+    "q_xml_roundtrip",               # Spark 4 built-in XML format
 ]
 
 

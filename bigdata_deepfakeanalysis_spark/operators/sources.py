@@ -841,3 +841,58 @@ def q_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group")
     )
+
+
+@query(
+    "q_xml_roundtrip",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           CAST(FLOOR(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — XML round-trip through Spark 4's built-in XML source
+    (the spark-xml package folded into core): supplier → XML rows →
+    read back with an explicit schema, join nation, emit a fixed-point
+    balance. The oracle recomputes from parquet, so any value mangled
+    by XML serialization (escaping, numeric text forms, field order)
+    is a hash mismatch. Schema-on-read is explicit — XML inference
+    samples types and must never be load-bearing in a pipeline."""
+    rt = staging_dir("roundtrip")
+    xml_dir = str(rt / "supplier_xml")
+    (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .format("xml")
+        .save(xml_dir)
+    )
+    back = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey bigint,"
+            " s_acctbal double"
+        )
+        .option("rowTag", "supplier")
+        .format("xml")
+        .load(xml_dir)
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.expr("CAST(FLOOR(s_acctbal * 100) AS BIGINT)").alias(
+                "acctbal_cents"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
