@@ -644,3 +644,58 @@ def test_recursive_cte_plans_union_loop(spark):
     operator (one frontier join per step), not an unrolled union."""
     plan = _plan(all_queries()["q_recursive_cte_chain"](spark, SF_DIR))
     assert "UnionLoop" in plan, plan
+
+
+def test_cbo_reorders_join_by_statistics(spark):
+    """With ANALYZE statistics + CBO join reordering, the optimizer
+    must join the SELECTIVE (filtered) orders relation against
+    lineitem first and leave the unfiltered orders for the outer join
+    — reversing the SQL text order; with CBO off, text order stands.
+    This is the optimizer surface bucketing/broadcast tests don't
+    cover: costed join reordering from table/column statistics."""
+    from bigdata_deepfakeanalysis_spark.operators.bucketing import (
+        stage_bucketed,
+    )
+
+    ot, lt = stage_bucketed(spark, SF_DIR)
+    spark.sql(f"ANALYZE TABLE {ot} COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql(f"ANALYZE TABLE {lt} COMPUTE STATISTICS FOR ALL COLUMNS")
+    sql = f"""
+        SELECT COUNT(*) FROM {lt} l
+        JOIN {ot} o ON l.l_orderkey = o.o_orderkey
+        JOIN {ot} o2 ON l.l_orderkey = o2.o_orderkey
+                    AND o2.o_orderpriority = '1-URGENT'
+    """
+
+    def branch_order(plan: str) -> tuple[int, int]:
+        """(index of the selective orders branch, index of the plain
+        one) — the tree prints the inner join's children before the
+        outer join's second child, so whichever orders branch joins
+        first appears first."""
+        lines = plan.splitlines()
+        sel = plain = -1
+        for i, ln in enumerate(lines):
+            if "Filter" in ln and "o_orderkey" in ln:
+                if "o_orderpriority" in ln:
+                    sel = i
+                elif "l_orderkey" not in ln:
+                    plain = i
+        assert sel != -1 and plain != -1, plan
+        return sel, plain
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        plan_on = (
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    plan_off = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+    sel_on, plain_on = branch_order(plan_on)
+    sel_off, plain_off = branch_order(plan_off)
+    # CBO: the selective branch joins first (prints before the plain)
+    assert sel_on < plain_on, plan_on
+    # no CBO: SQL text order — the plain orders branch joins first
+    assert plain_off < sel_off, plan_off
