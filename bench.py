@@ -135,6 +135,7 @@ HEADLINE = [
     "q_pandas_udaf",                 # Series->scalar Arrow UDAF
     "q_pandas_scalar_udf",           # Series->Series Arrow UDF
     "q_xml_roundtrip",               # Spark 4 built-in XML format
+    "q_frequent_pairs",              # market-basket support/lift
 ]
 
 

@@ -1113,3 +1113,107 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent co-ordered pairs (market-basket support/lift) — the
+# association-rules primitive over order baskets. Baskets are small
+# (TPC-H orders hold <= 7 lines), so pair GENERATION is row-local
+# (combinations inside the collected basket array — no self-join of
+# the item stream); only the support counts shuffle.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_SUPPORT = 3
+
+
+@query(
+    "q_frequent_pairs",
+    f"""
+    WITH baskets AS (
+        SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+        FROM lineitem GROUP BY l_orderkey),
+    n_baskets AS (SELECT COUNT(*) AS nb FROM baskets),
+    pairs AS (
+        SELECT items[i] AS part_a, items[j] AS part_b
+        FROM baskets,
+             UNNEST(range(1, len(items) + 1)) AS t1(i),
+             UNNEST(range(1, len(items) + 1)) AS t2(j)
+        WHERE i < j),
+    pair_support AS (
+        SELECT part_a, part_b, COUNT(*) AS support
+        FROM pairs GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {_MB_MIN_SUPPORT}),
+    item_support AS (
+        SELECT part, COUNT(*) AS item_sup FROM (
+            SELECT l_orderkey, l_partkey AS part FROM lineitem
+            GROUP BY l_orderkey, l_partkey)
+        GROUP BY part)
+    SELECT p.part_a, p.part_b, CAST(p.support AS BIGINT) AS support,
+           ROUND(CAST(p.support AS DOUBLE) * nb
+                 / (CAST(sa.item_sup AS DOUBLE) * sb.item_sup), 9) AS lift
+    FROM pair_support p
+    JOIN item_support sa ON p.part_a = sa.part
+    JOIN item_support sb ON p.part_b = sb.part
+    CROSS JOIN n_baskets
+    ORDER BY support DESC, part_a, part_b LIMIT 30
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-ordered part pairs with support >= {_MB_MIN_SUPPORT} and
+    exact lift (support·N / (sup_a·sup_b)) — the association-rules
+    primitive. Pair generation is ROW-LOCAL: each order's distinct
+    sorted part list expands to its own combinations inside the row (a
+    flatten/transform HOF over the basket array), so the quadratic
+    step is bounded by basket size squared, never a self-join of the
+    item stream; the only shuffles are the basket collect and the
+    support counts (both partial-aggregated). Lift is one fixed IEEE
+    expression over exact integer counts, rounded 1e-9."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("nb"))
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                """flatten(transform(items, (x, i) ->
+                     transform(slice(items, i + 2, size(items)),
+                               y -> struct(x AS part_a, y AS part_b))))"""
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pair_support = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _MB_MIN_SUPPORT)
+    )
+    item_support = (
+        li.select("l_orderkey", F.col("l_partkey").alias("part"))
+        .distinct()
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("item_sup"))
+    )
+    sa = item_support.select(
+        F.col("part").alias("part_a"), F.col("item_sup").alias("sup_a")
+    )
+    sb = item_support.select(
+        F.col("part").alias("part_b"), F.col("item_sup").alias("sup_b")
+    )
+    return (
+        pair_support.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("support").cast("bigint").alias("support"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("nb")
+                / (F.col("sup_a").cast("double") * F.col("sup_b")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(30)
+    )
