@@ -136,6 +136,8 @@ HEADLINE = [
     "q_pandas_scalar_udf",           # Series->Series Arrow UDF
     "q_xml_roundtrip",               # Spark 4 built-in XML format
     "q_frequent_pairs",              # market-basket support/lift
+    "q_dictionary_encode",           # dense-id vocabulary build
+    "q_lpa_communities",             # deterministic LPA communities
 ]
 
 

@@ -1217,3 +1217,82 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Global dictionary encoding — dense integer ids for a string column,
+# built WITHOUT a single-partition window (the q_global_rownum two-pass
+# idiom over the distinct-value table) and applied back to the corpus.
+# The column-store/feature-store primitive: orderable, joinable,
+# shuffle-narrow codes instead of strings.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dictionary_encode",
+    """
+    WITH dict AS (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS code
+        FROM (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 200)),
+    encoded AS (
+        SELECT doc_id, code
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+              FROM documents WHERE doc_id < 200) t
+        JOIN dict USING (term))
+    SELECT CAST(doc_id % 20 AS BIGINT) AS doc_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           CAST(MIN(code) AS BIGINT) AS code_min,
+           CAST(MAX(code) AS BIGINT) AS code_max
+    FROM encoded GROUP BY doc_bucket ORDER BY doc_bucket
+    """,
+)
+def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global dense-id dictionary over the token vocabulary (ids 0..V-1
+    in lexicographic order), built with the scalable two-pass idiom —
+    range-partition the distinct terms, rank locally by partition id,
+    add broadcast cumulative offsets (never ROW_NUMBER over one
+    partition) — then applied back to the token stream by a dictionary
+    join. Checksums over the encoded stream (sum/min/max of codes per
+    doc bucket) pin both the id assignment AND the application join;
+    the oracle builds the same dictionary with the naive global
+    window."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    terms = tokens.select("term").distinct()
+    parted = terms.repartitionByRange(8, "term").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.expr(
+                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("term")
+    dictionary = (
+        parted.withColumn("_rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            "term", (F.col("_rn") - 1 + F.col("_offset")).alias("code")
+        )
+    )
+    encoded = tokens.join(dictionary, "term")
+    return (
+        encoded.groupBy((F.col("doc_id") % 20).alias("doc_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("code").cast("bigint").alias("code_sum"),
+            F.min("code").cast("bigint").alias("code_min"),
+            F.max("code").cast("bigint").alias("code_max"),
+        )
+        .orderBy("doc_bucket")
+    )

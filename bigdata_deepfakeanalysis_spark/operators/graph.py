@@ -306,3 +306,131 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (synchronous LPA, fixed rounds) — the
+# community-detection counterpart of connected components: where
+# components answer "is there ANY path", LPA's majority vote finds
+# densely-linked clusters inside one component. Deterministic variant:
+# argmax neighbor-label count with smallest-label tie-break, a FIXED
+# round count as part of the operator contract (the oracle unrolls the
+# identical rounds).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+        SELECT n.id,
+               COALESCE((
+                   SELECT lbl FROM (
+                       SELECT l.label AS lbl, COUNT(*) AS c
+                       FROM edges e JOIN {prev} l ON e.dst = l.id
+                       WHERE e.src = n.id
+                       GROUP BY l.label
+                       ORDER BY c DESC, lbl LIMIT 1)), n.id) AS label
+        FROM nodes n)"""
+
+
+@query(
+    "q_lpa_communities",
+    f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    top_e AS (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    edges AS (
+        SELECT s1 AS src, s2 AS dst FROM top_e
+        UNION ALL SELECT s2, s1 FROM top_e),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS label FROM nodes),
+    {", ".join(_lpa_round_sql(f"l{r}", f"l{r + 1}")
+               for r in range(_LPA_ROUNDS))}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MIN(id) AS BIGINT) AS min_member
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label ORDER BY n_members DESC, community LIMIT 20
+    """,
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the top-{_TRI_EDGES}-edge
+    co-customer supplier graph: {_LPA_ROUNDS} fixed rounds of "adopt
+    the most frequent neighbor label, smallest label on ties", then
+    community sizes. Deterministic end-to-end, so the driver
+    hash-checks community structure — most LPA implementations give up
+    determinism for speed; fixing round count and tie order keeps both.
+
+    Scale shape per round: one shuffle-join of edges against labels,
+    one (node, label) count, one per-node argmax via max_by — the same
+    per-superstep cost as PageRank, with localCheckpoint truncating
+    lineage between rounds."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select("c", F.col("s").alias("s1"))
+    b = cs.select("c", F.col("s").alias("s2"))
+    top_e = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+    )
+    edges = (
+        top_e.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionAll(top_e.select(F.col("s2").alias("src"),
+                               F.col("s1").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # per-node argmax with smallest-label tie-break: max_by over a
+        # (count, -label) struct — one aggregate, no window
+        labels = (
+            votes.groupBy("id")
+            .agg(
+                F.expr(
+                    "max_by(label, struct(c, -label))"
+                ).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").cast("bigint").alias("min_member"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

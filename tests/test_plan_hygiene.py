@@ -33,6 +33,7 @@ EAGER_BUILD = {
     "q_cosine_near_dup_ivf",
     "q_semantic_dedup_lsh",
     "q_triangle_count",
+    "q_lpa_communities",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
