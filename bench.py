@@ -138,6 +138,8 @@ HEADLINE = [
     "q_frequent_pairs",              # market-basket support/lift
     "q_dictionary_encode",           # dense-id vocabulary build
     "q_lpa_communities",             # deterministic LPA communities
+    "q_sequence_gaps",               # id-space hole audit
+    "q_snapshot_diff",               # full-outer reconciliation
 ]
 
 

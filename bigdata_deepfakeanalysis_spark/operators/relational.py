@@ -2880,3 +2880,190 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(per_unit AS DECIMAL(24,6))) AS DOUBLE)"
         ).alias("per_unit_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence gap detection — find the holes in an id sequence (lost
+# batches, failed writes): gaps-and-islands over the sorted key space.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sequence_gaps",
+    """
+    WITH keys AS (
+        SELECT o_orderkey AS k FROM orders),
+    islands AS (
+        SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp
+        FROM keys),
+    spans AS (
+        SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+               COUNT(*) AS island_len
+        FROM islands GROUP BY grp),
+    gaps AS (
+        SELECT island_end + 1 AS gap_start,
+               LEAD(island_start) OVER (ORDER BY island_start) - 1
+                   AS gap_end
+        FROM spans)
+    SELECT CAST(gap_start AS BIGINT) AS gap_start,
+           CAST(gap_end AS BIGINT) AS gap_end,
+           CAST(gap_end - gap_start + 1 AS BIGINT) AS missing
+    FROM gaps WHERE gap_end IS NOT NULL
+    ORDER BY missing DESC, gap_start LIMIT 20
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 largest holes in the orderkey sequence (TPC-H orderkeys
+    are deliberately sparse — 8 of every 32 — so the fixture has real
+    gaps): gaps-and-islands via the k - ROW_NUMBER() trick, island
+    spans, then LEAD to read each hole's bounds. The everyday
+    did-we-lose-a-batch audit.
+
+    Scale note: the global ROW_NUMBER here funnels one partition —
+    the production form runs the same arithmetic per range-partition
+    and stitches boundaries (the q_global_rownum two-pass idiom);
+    this registered form is the validation reference for it."""
+    orders = table(spark, sf_dir, "orders")
+    islands = orders.select(F.col("o_orderkey").alias("k")).withColumn(
+        "grp", F.expr("k - ROW_NUMBER() OVER (ORDER BY k)")
+    )
+    spans = islands.groupBy("grp").agg(
+        F.min("k").alias("island_start"),
+        F.max("k").alias("island_end"),
+        F.count(F.lit(1)).alias("island_len"),
+    )
+    gaps = spans.select(
+        (F.col("island_end") + 1).alias("gap_start"),
+        (
+            F.expr("LEAD(island_start) OVER (ORDER BY island_start)") - 1
+        ).alias("gap_end"),
+    )
+    return (
+        gaps.where(F.col("gap_end").isNotNull())
+        .select(
+            F.col("gap_start").cast("bigint"),
+            F.col("gap_end").cast("bigint"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("bigint")
+            .alias("missing"),
+        )
+        .orderBy(F.desc("missing"), "gap_start")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — full reconciliation report between two table
+# versions: rows added / removed / changed, and WHICH columns changed.
+# The migration-validation and replication-audit primitive.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_snapshot_diff",
+    """
+    WITH v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 31 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 37 = 0
+                    THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 41 <> 0
+        UNION ALL
+        SELECT o_orderkey + 90000000, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 43 = 0),
+    joined AS (
+        SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+               a.o_orderkey IS NULL AS added,
+               b.o_orderkey IS NULL AS removed,
+               a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                   AND a.o_orderstatus <> b.o_orderstatus AS status_chg,
+               a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                   AND a.o_totalprice <> b.o_totalprice AS price_chg
+        FROM orders a FULL OUTER JOIN v2 b
+          ON a.o_orderkey = b.o_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN added THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN status_chg THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_status_changed,
+           CAST(SUM(CASE WHEN price_chg THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_price_changed,
+           CAST(SUM(CASE WHEN NOT added AND NOT removed
+                          AND NOT status_chg AND NOT price_chg
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_identical
+    FROM joined
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation between two snapshot versions (v2 derived
+    deterministically: every 41st row dropped, every 43rd re-keyed as
+    an add, every 31st status mutated, every 37th price shifted): one
+    FULL OUTER join on the key, per-column change flags, one rollup —
+    added / removed / changed-by-column / identical counts. The report
+    every migration cutover and replication audit runs; at 100 TB the
+    join shuffles both snapshots once on the key (or rides bucketed
+    layouts for free)."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    v2 = (
+        base.where(F.col("o_orderkey") % 41 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 31 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 37 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionAll(
+            base.where(F.col("o_orderkey") % 43 == 0).select(
+                (F.col("o_orderkey") + 90000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderstatus").alias("sa"),
+        F.col("o_totalprice").alias("pa"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_orderstatus").alias("sb"),
+        F.col("o_totalprice").alias("pb"),
+    )
+    joined = a.join(b, F.col("ka") == F.col("kb"), "full_outer").select(
+        F.col("ka").isNull().alias("added"),
+        F.col("kb").isNull().alias("removed"),
+        (
+            F.col("ka").isNotNull()
+            & F.col("kb").isNotNull()
+            & (F.col("sa") != F.col("sb"))
+        ).alias("status_chg"),
+        (
+            F.col("ka").isNotNull()
+            & F.col("kb").isNotNull()
+            & (F.col("pa") != F.col("pb"))
+        ).alias("price_chg"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("added").cast("long")).alias("n_added"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.sum(F.col("status_chg").cast("long")).alias("n_status_changed"),
+        F.sum(F.col("price_chg").cast("long")).alias("n_price_changed"),
+        F.sum(
+            (
+                ~F.col("added")
+                & ~F.col("removed")
+                & ~F.col("status_chg")
+                & ~F.col("price_chg")
+            ).cast("long")
+        ).alias("n_identical"),
+    )
