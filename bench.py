@@ -140,6 +140,8 @@ HEADLINE = [
     "q_lpa_communities",             # deterministic LPA communities
     "q_sequence_gaps",               # id-space hole audit
     "q_snapshot_diff",               # full-outer reconciliation
+    "q_benford_audit",               # first-digit chi-square audit
+    "q_entropy_profile",             # per-column Shannon entropy
 ]
 
 

@@ -3067,3 +3067,186 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("n_identical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the fraud/synthetic-data smell test:
+# naturally-occurring multiplicative quantities follow P(d)=log10(1+1/d);
+# fabricated or truncated columns don't. Expectations are PRECOMPUTED
+# literals (no cross-engine transcendental risk); observed counts are
+# exact; the chi-square statistic sums rounded per-digit contributions
+# through DECIMAL (the q_drift_psi totalization trick).
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = [
+    0.301029996, 0.176091259, 0.124938737, 0.096910013, 0.079181246,
+    0.06694679, 0.057991947, 0.051152522, 0.045757491,
+]
+_BENFORD_VALUES = ", ".join(
+    f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_P)
+)
+
+
+@query(
+    "q_benford_audit",
+    f"""
+    WITH digits AS (
+        -- FLOOR before the BIGINT cast: Spark CAST truncates where
+        -- DuckDB rounds, so 8999.6 would land on different digits
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1),
+    expected(d, p) AS (VALUES {_BENFORD_VALUES}),
+    counts AS (
+        SELECT e.d, e.p, COUNT(g.d) AS n
+        FROM expected e LEFT JOIN digits g ON g.d = e.d
+        GROUP BY e.d, e.p),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    contrib AS (
+        SELECT d, p, n,
+               ROUND((CAST(n AS DOUBLE) - p * t) * (CAST(n AS DOUBLE) - p * t)
+                     / (p * t), 9) AS chi2_part,
+               ROUND(CAST(n AS DOUBLE) / t, 9) AS observed_p
+        FROM counts CROSS JOIN tot)
+    SELECT CAST(d AS INTEGER) AS digit, CAST(n AS BIGINT) AS n,
+           observed_p, p AS benford_p, chi2_part,
+           CAST(SUM(CAST(chi2_part AS DECIMAL(18,9))) OVER ()
+                AS DOUBLE) AS chi2_total
+    FROM contrib ORDER BY digit
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law:
+    per-digit observed share, expected share, chi-square contribution,
+    and the DECIMAL-summed total. The synthetic fixture's totals are
+    NOT Benford-distributed — a large chi2 here is the correct answer,
+    and exactly what this audit exists to surface on fabricated data.
+    Expectations are precomputed literals; every other number is exact
+    integer arithmetic plus one fixed IEEE expression per digit."""
+    orders = table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("d")
+    )
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "d int, p double"
+    )
+    counts = (
+        expected.join(digits.withColumnRenamed("d", "g"),
+                      F.col("g") == F.col("d"), "left")
+        .groupBy("d", "p")
+        .agg(F.count("g").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "p",
+        "n",
+        F.round(
+            F.expr(
+                "(CAST(n AS DOUBLE) - p * t) * (CAST(n AS DOUBLE) - p * t)"
+                " / (p * t)"
+            ),
+            9,
+        ).alias("chi2_part"),
+        F.round(F.expr("CAST(n AS DOUBLE) / t"), 9).alias("observed_p"),
+    )
+    return contrib.select(
+        F.col("d").cast("int").alias("digit"),
+        F.col("n").cast("bigint").alias("n"),
+        "observed_p",
+        F.col("p").alias("benford_p"),
+        "chi2_part",
+        F.expr(
+            "CAST(SUM(CAST(chi2_part AS DECIMAL(18,9))) OVER () AS DOUBLE)"
+        ).alias("chi2_total"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Shannon-entropy column profile — how informative is each column?
+# Near-zero entropy flags constants/defaults, max entropy flags ids;
+# the profile schema-inference and anomaly tools actually compute.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_entropy_profile",
+    """
+    WITH cols AS (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_shippriority_mod',
+               CAST(o_orderkey % 3 AS VARCHAR) FROM orders),
+    counts AS (
+        SELECT col, v, COUNT(*) AS n FROM cols GROUP BY col, v),
+    tot AS (SELECT col, SUM(n) AS t, COUNT(*) AS n_distinct
+            FROM counts GROUP BY col),
+    contrib AS (
+        SELECT c.col,
+               ROUND(-(CAST(n AS DOUBLE) / t)
+                     * LN(CAST(n AS DOUBLE) / t) / LN(2.0), 9) AS h_part
+        FROM counts c JOIN tot USING (col))
+    SELECT col,
+           CAST(MAX(t.n_distinct) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(h_part AS DECIMAL(18,9))) AS DOUBLE)
+               AS entropy_bits
+    FROM contrib JOIN tot t USING (col)
+    GROUP BY col ORDER BY col
+    """,
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) per categorical column over orders: the
+    informativeness profile — near-zero flags constant/default
+    columns, log2(n_distinct) flags uniform keys. Per-value
+    contributions are one fixed IEEE expression over exact counts
+    (LN has matched bit-for-bit across engines here — q_drift_psi),
+    rounded to 1e-9, summed through DECIMAL; one value-histogram
+    shuffle per column, unioned into a single pass."""
+    orders = table(spark, sf_dir, "orders")
+    cols = (
+        orders.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("v"),
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+        .unionAll(
+            orders.select(
+                F.lit("o_shippriority_mod").alias("col"),
+                (F.col("o_orderkey") % 3).cast("string").alias("v"),
+            )
+        )
+    )
+    counts = cols.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("col").agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    contrib = counts.join(tot, "col").select(
+        "col",
+        "n_distinct",
+        F.round(
+            F.expr(
+                "-(CAST(n AS DOUBLE) / t) * LN(CAST(n AS DOUBLE) / t)"
+                " / LN(2.0)"
+            ),
+            9,
+        ).alias("h_part"),
+    )
+    return (
+        contrib.groupBy("col")
+        .agg(
+            F.max("n_distinct").cast("bigint").alias("n_distinct"),
+            F.expr(
+                "CAST(SUM(CAST(h_part AS DECIMAL(18,9))) AS DOUBLE)"
+            ).alias("entropy_bits"),
+        )
+        .orderBy("col")
+    )
