@@ -142,6 +142,9 @@ HEADLINE = [
     "q_snapshot_diff",               # full-outer reconciliation
     "q_benford_audit",               # first-digit chi-square audit
     "q_entropy_profile",             # per-column Shannon entropy
+    "q_contribution_share",          # ratio-to-report window
+    "q_yoy_growth",                  # trend LAG over year series
+    "q_touch_attribution",           # first/last-touch matrix
 ]
 
 

@@ -1296,3 +1296,82 @@ def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch attribution — which channel opened and which closed
+# each converting journey: first_value/last_value over the pre-purchase
+# event window, the marketing-attribution primitive.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_touch_attribution",
+    f"""
+    WITH {EVENTS_US_CTE},
+    purchases AS (
+        SELECT user_id, MIN(epoch_ns(ts)//1000) AS first_purchase_us
+        FROM events_us WHERE event_type = 'purchase'
+        GROUP BY user_id),
+    pre AS (
+        SELECT e.user_id, e.event_type, epoch_ns(e.ts)//1000 AS us,
+               e.event_id
+        FROM events_us e JOIN purchases p ON e.user_id = p.user_id
+        WHERE epoch_ns(e.ts)//1000 < p.first_purchase_us
+          AND e.event_type IN ('click', 'view', 'signup')),
+    touched AS (
+        SELECT user_id,
+               first_value(event_type)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id)
+                   AS first_touch,
+               last_value(event_type)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS last_touch
+        FROM pre)
+    SELECT first_touch, last_touch,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM touched
+    GROUP BY first_touch, last_touch
+    ORDER BY first_touch, last_touch
+    """,
+)
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch x last-touch attribution matrix over converting
+    users: for each user with a purchase, the earliest and latest
+    engagement channel (click/view/signup) strictly before their first
+    purchase, then user counts per (opener, closer) pair. One shuffle
+    on user_id; both touches come from the same sorted window pass."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", "event_id",
+        F.col("ts_ns").alias("ns"),
+    ).withColumn("us", F.expr("CAST(ns DIV 1000 AS BIGINT)"))
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    pre = (
+        base.join(purchases, "user_id")
+        .where(
+            (F.col("us") < F.col("first_purchase_us"))
+            & F.col("event_type").isin("click", "view", "signup")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    touched = pre.select(
+        "user_id",
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("first_touch"),
+        F.last("event_type").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("last_touch"),
+    )
+    return (
+        touched.groupBy("first_touch", "last_touch")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )

@@ -3250,3 +3250,109 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# BI window idioms — contribution share (ratio-to-report) and
+# year-over-year growth: the two window shapes every reporting layer
+# reimplements, done decimal-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_contribution_share",
+    """
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name)
+    SELECT region, nation,
+           CAST(bal AS DOUBLE) AS acctbal,
+           ROUND(CAST(bal AS DOUBLE)
+                 / CAST(SUM(bal) OVER (PARTITION BY region) AS DOUBLE),
+                 9) AS share_of_region,
+           CAST(RANK() OVER (PARTITION BY region ORDER BY bal DESC, nation)
+                AS INTEGER) AS rank_in_region
+    FROM nat ORDER BY region, rank_in_region
+    """,
+)
+def q_contribution_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's customer
+    balance plus its in-region rank — the contribution-analysis window
+    every BI layer ships. Both the numerator and the window total stay
+    DECIMAL until the single share division, so partial-aggregation
+    order cannot skew the doubles."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.expr("SUM(CAST(c_acctbal AS DECIMAL(18,2)))").alias("bal")
+        )
+    )
+    return nat.select(
+        "region",
+        "nation",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.round(
+            F.expr(
+                "CAST(bal AS DOUBLE)"
+                " / CAST(SUM(bal) OVER (PARTITION BY region) AS DOUBLE)"
+            ),
+            9,
+        ).alias("share_of_region"),
+        F.expr(
+            "CAST(RANK() OVER (PARTITION BY region"
+            " ORDER BY bal DESC, nation) AS INT)"
+        ).alias("rank_in_region"),
+    ).orderBy("region", "rank_in_region")
+
+
+@query(
+    "q_yoy_growth",
+    """
+    WITH yearly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY yr)
+    SELECT CAST(yr AS INTEGER) AS yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE) - 1.0,
+                 9) AS yoy_growth
+    FROM yearly ORDER BY yr
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: decimal-exact yearly totals, LAG
+    over the (tiny) year series, one exact division per row (NULL for
+    the first year). The standard trend report; the only shuffle is
+    the year rollup — the window runs over a handful of rows."""
+    orders = table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.expr("CAST(date_format(o_orderdate, 'yyyy') AS INT)").alias("yr")
+    ).agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return yearly.select(
+        F.col("yr").cast("int"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("n_orders").cast("bigint"),
+        F.round(
+            F.expr(
+                "CAST(rev AS DOUBLE)"
+                " / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE) - 1.0"
+            ),
+            9,
+        ).alias("yoy_growth"),
+    ).orderBy("yr")
