@@ -1558,11 +1558,11 @@ titles AS (
     df AS (SELECT g, COUNT(*) AS gdf FROM grams GROUP BY g),
     prefix AS (
         SELECT doc_id, s, g FROM (
-            SELECT grams.doc_id, grams.s, grams.g,
+            SELECT grams.doc_id, grams.s, grams.g, gdf,
                    ROW_NUMBER() OVER (PARTITION BY grams.doc_id
                                       ORDER BY gdf, grams.g) AS rk
             FROM grams JOIN df ON grams.g = df.g)
-        WHERE rk <= {_EDJ_PREFIX}),
+        WHERE rk <= {_EDJ_PREFIX} AND gdf >= 2),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, a.s AS sa,
                         b.doc_id AS doc_b, b.s AS sb
@@ -1599,7 +1599,10 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" substr(text, (doc_id % 20) + 5), 1, {_EDJ_TLEN})"
         ).alias("s"),
     )
-    titles = base.unionByName(typo)
+    # titles feed four consumers (gram build, df counts, both verify
+    # sides) and grams feed two (df aggregate, prefix join) — pin both
+    # so the documents scan + gram explode run once, not per consumer
+    titles = base.unionByName(typo).localCheckpoint(eager=True)
     grams = (
         titles.where(F.length("s") >= _EDJ_Q)
         .select(
@@ -1614,7 +1617,7 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-    )
+    ).localCheckpoint(eager=True)
     df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
     w = Window.partitionBy("doc_id").orderBy("gdf", "g")
     # the index rows carry only (id, gram, length) — the strings
@@ -1622,10 +1625,15 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the quadratic stage shuffles ~24 B/row instead of two ~60 B
     # titles per row (measured ~1.5x end-to-end at sf0.1); strings are
     # re-attached by two narrow id joins for the verify only
+    # gdf >= 2 AFTER prefix selection (not before — selection must see
+    # every gram to stay lossless): a df-1 gram exists in one string
+    # only, so its index row can never contribute a candidate pair;
+    # rarest-first ordering makes df-1 grams a large share of the
+    # prefix rows, so this prunes most of the join input for free
     prefix = (
         grams.join(df_counts, "g")
         .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _EDJ_PREFIX)
+        .where((F.col("rk") <= _EDJ_PREFIX) & (F.col("gdf") >= 2))
         .select("doc_id", F.length("s").alias("ln"), "g")
     )
     a = prefix.select(
