@@ -145,6 +145,8 @@ HEADLINE = [
     "q_contribution_share",          # ratio-to-report window
     "q_yoy_growth",                  # trend LAG over year series
     "q_touch_attribution",           # first/last-touch matrix
+    "q_grid_knn_join",               # cell-bucketed spatial KNN
+    "q_max_concurrency",             # sweep-line peak occupancy
 ]
 
 

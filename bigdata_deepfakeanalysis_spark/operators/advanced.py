@@ -1375,3 +1375,90 @@ def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("first_touch", "last_touch")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval max-concurrency (sweep line) — peak simultaneous open
+# intervals per lane: the occupancy/scheduling primitive (max open
+# sessions, concurrent jobs, overlapping reservations), computed as
+# +1/-1 events and a running sum — never an interval self-join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_max_concurrency",
+    """
+    WITH intervals AS (
+        SELECT o_orderpriority AS lane,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(o_orderdate AS DATE)
+                   + INTERVAL ((o_orderkey % 30) + 1) DAY AS e
+        FROM orders),
+    ev AS (
+        SELECT lane, s AS t, 1 AS delta FROM intervals
+        UNION ALL
+        SELECT lane, CAST(e AS DATE), -1 FROM intervals),
+    swept AS (
+        SELECT lane, t,
+               SUM(delta) OVER (PARTITION BY lane
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open_now
+        FROM ev),
+    peak AS (
+        SELECT lane, MAX(open_now) AS max_open FROM swept GROUP BY lane)
+    SELECT p.lane, CAST(p.max_open AS BIGINT) AS max_open,
+           strftime(MIN(s.t), '%Y-%m-%d') AS first_peak_date
+    FROM peak p JOIN swept s
+      ON s.lane = p.lane AND s.open_now = p.max_open
+    GROUP BY p.lane, p.max_open
+    ORDER BY p.lane
+    """,
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous open orders per priority lane ([start, end)
+    intervals with deterministic durations): sweep line — explode each
+    interval into a +1 start and a -1 end event, running sum per lane
+    ordered by (time, delta) so closures at time t apply before opens
+    (half-open semantics), max + earliest peak date. One shuffle on
+    the lane; the per-lane cumsum replaces the O(n²) interval
+    self-join a naive overlap count would run."""
+    orders = table(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderpriority").alias("lane"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST((o_orderkey % 30) + 1 AS INT))"
+        ).alias("e"),
+    )
+    ev = iv.select("lane", F.col("s").alias("t"), F.lit(1).alias("delta")) \
+        .unionAll(
+            iv.select("lane", F.col("e").alias("t"),
+                      F.lit(-1).alias("delta"))
+        )
+    swept = ev.withColumn(
+        "open_now",
+        F.expr(
+            "SUM(delta) OVER (PARTITION BY lane ORDER BY t, delta"
+            " ROWS UNBOUNDED PRECEDING)"
+        ),
+    )
+    peak = swept.groupBy("lane").agg(F.max("open_now").alias("max_open"))
+    peak_r = peak.select(
+        F.col("lane").alias("p_lane"), "max_open"
+    )
+    return (
+        swept.select("lane", "t", "open_now")
+        .join(
+            peak_r,
+            (F.col("lane") == F.col("p_lane"))
+            & (F.col("open_now") == F.col("max_open")),
+        )
+        .groupBy("lane", "max_open")
+        .agg(F.date_format(F.min("t"), "yyyy-MM-dd").alias("first_peak_date"))
+        .select(
+            "lane",
+            F.col("max_open").cast("bigint").alias("max_open"),
+            "first_peak_date",
+        )
+        .orderBy("lane")
+    )

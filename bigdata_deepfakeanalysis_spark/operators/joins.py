@@ -339,3 +339,145 @@ def q_not_in_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "part").createOrReplaceTempView("nj_part")
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("nj_lineitem")
     return spark.sql(_NAAJ_SQL.format(part="nj_part", lineitem="nj_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid-KNN join — the geohash/S2-cell idiom in integer-exact
+# form: bucket points into grid cells, probe a point's own cell plus
+# its 8 neighbors, take the nearest by (integer) squared distance.
+# The spatial-join pattern without a single transcendental, so the
+# oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_GRID = 64  # cell edge length in integer coordinate units
+
+
+@query(
+    "q_grid_knn_join",
+    f"""
+    WITH sites AS (
+        SELECT s_suppkey AS site_id,
+               CAST(('0x' || substr(md5('sx' || CAST(s_suppkey AS VARCHAR)),
+                                    1, 3))::BIGINT % 1024 AS BIGINT) AS x,
+               CAST(('0x' || substr(md5('sy' || CAST(s_suppkey AS VARCHAR)),
+                                    1, 3))::BIGINT % 1024 AS BIGINT) AS y
+        FROM supplier),
+    pts AS (
+        SELECT c_custkey AS pt_id,
+               CAST(('0x' || substr(md5('cx' || CAST(c_custkey AS VARCHAR)),
+                                    1, 3))::BIGINT % 1024 AS BIGINT) AS x,
+               CAST(('0x' || substr(md5('cy' || CAST(c_custkey AS VARCHAR)),
+                                    1, 3))::BIGINT % 1024 AS BIGINT) AS y
+        FROM customer WHERE c_custkey % 17 = 0),
+    site_cells AS (
+        SELECT site_id, x, y, x // {_GRID} AS cx, y // {_GRID} AS cy
+        FROM sites),
+    probe_cells AS (
+        SELECT pt_id, x, y,
+               x // {_GRID} + dx AS cx, y // {_GRID} + dy AS cy
+        FROM pts,
+             (SELECT UNNEST([-1, 0, 1]) AS dx),
+             (SELECT UNNEST([-1, 0, 1]) AS dy)),
+    cand AS (
+        SELECT p.pt_id, s.site_id,
+               (p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y) AS d2
+        FROM probe_cells p JOIN site_cells s
+          ON p.cx = s.cx AND p.cy = s.cy),
+    best AS (
+        SELECT pt_id, site_id, d2,
+               ROW_NUMBER() OVER (PARTITION BY pt_id
+                                  ORDER BY d2, site_id) AS rk
+        FROM cand)
+    SELECT CAST(pt_id AS BIGINT) AS pt_id,
+           CAST(site_id AS BIGINT) AS nearest_site,
+           CAST(d2 AS BIGINT) AS dist2
+    FROM best WHERE rk = 1 ORDER BY pt_id
+    """,
+)
+def q_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier site per sampled customer point on a 1024x1024
+    integer grid (md5-derived coordinates): bucket sites by
+    {_GRID}-unit grid cell, probe each point's own cell PLUS its 8
+    neighbors (any true nearest neighbor within one cell edge is
+    guaranteed found — the geohash-style cell join), rank candidates
+    by integer squared distance. At 100 TB the cell id is the
+    partition key and a probe touches 9 cells instead of the planet —
+    same shape as S2/H3/geohash joins, with integer arithmetic
+    keeping it hash-exact (no haversine transcendentals to diverge
+    across engines). Points with an empty 3x3 neighborhood are
+    legitimately absent (a production system widens the ring)."""
+    from ..catalog import table
+
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("site_id"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('sx', CAST(s_suppkey AS STRING))),"
+            " 1, 3), 16, 10) % 1024 AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('sy', CAST(s_suppkey AS STRING))),"
+            " 1, 3), 16, 10) % 1024 AS BIGINT)"
+        ).alias("y"),
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 17 == 0)
+        .select(
+            F.col("c_custkey").alias("pt_id"),
+            F.expr(
+                "CAST(conv(substr(md5(concat('cx',"
+                " CAST(c_custkey AS STRING))), 1, 3), 16, 10) % 1024"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(conv(substr(md5(concat('cy',"
+                " CAST(c_custkey AS STRING))), 1, 3), 16, 10) % 1024"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    site_cells = s.withColumns(
+        {"cx": F.expr(f"x DIV {_GRID}"), "cy": F.expr(f"y DIV {_GRID}")}
+    )
+    probe_cells = (
+        c.withColumn(
+            "d",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dx ->"
+                    " transform(sequence(-1, 1), dy ->"
+                    " struct(dx AS dx, dy AS dy))))"
+                )
+            ),
+        )
+        .select(
+            "pt_id",
+            "x",
+            "y",
+            (F.expr(f"x DIV {_GRID}") + F.col("d.dx")).alias("cx"),
+            (F.expr(f"y DIV {_GRID}") + F.col("d.dy")).alias("cy"),
+        )
+    )
+    cand = probe_cells.join(
+        site_cells.select("site_id", F.col("x").alias("sx"),
+                          F.col("y").alias("sy"), "cx", "cy"),
+        ["cx", "cy"],
+    ).select(
+        "pt_id",
+        "site_id",
+        (
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+            + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("pt_id").orderBy("d2", "site_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("pt_id").cast("bigint"),
+            F.col("site_id").cast("bigint").alias("nearest_site"),
+            F.col("d2").cast("bigint").alias("dist2"),
+        )
+        .orderBy("pt_id")
+    )
