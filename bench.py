@@ -147,6 +147,7 @@ HEADLINE = [
     "q_touch_attribution",           # first/last-touch matrix
     "q_grid_knn_join",               # cell-bucketed spatial KNN
     "q_max_concurrency",             # sweep-line peak occupancy
+    "q_merge_intervals",             # coverage-span consolidation
 ]
 
 

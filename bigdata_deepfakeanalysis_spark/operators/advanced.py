@@ -1462,3 +1462,107 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge overlapping intervals — collapse each lane's interval set into
+# maximal disjoint spans (coverage windows, outage consolidation,
+# availability math): the islands idiom on intervals, one window pass.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_merge_intervals",
+    """
+    WITH intervals AS (
+        SELECT o_orderpriority AS lane,
+               CAST(o_orderdate AS DATE) AS s,
+               CAST(CAST(o_orderdate AS DATE)
+                    + INTERVAL ((o_orderkey % 30) + 1) DAY AS DATE) AS e
+        FROM orders WHERE o_orderkey % 5 = 0),
+    flagged AS (
+        SELECT lane, s, e,
+               CASE WHEN s > MAX(e) OVER (PARTITION BY lane
+                                          ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    OR MAX(e) OVER (PARTITION BY lane ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) IS NULL
+                    THEN 1 ELSE 0 END AS new_span
+        FROM intervals),
+    grouped AS (
+        SELECT lane, s, e,
+               SUM(new_span) OVER (PARTITION BY lane ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged),
+    merged AS (
+        SELECT lane, span_id,
+               MIN(s) AS span_start, MAX(e) AS span_end,
+               COUNT(*) AS n_intervals
+        FROM grouped GROUP BY lane, span_id)
+    SELECT lane,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(MAX(n_intervals) AS BIGINT) AS largest_span_intervals,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_days,
+           strftime(MIN(span_start), '%Y-%m-%d') AS first_start
+    FROM merged GROUP BY lane ORDER BY lane
+    """,
+)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse each priority lane's order intervals into maximal
+    disjoint coverage spans: an interval starts a new span exactly
+    when its start exceeds the running MAX(end) of everything before
+    it (sorted by start — the classic merge-intervals invariant),
+    islands numbered by the cumulative new-span flag, then per-lane
+    span statistics and total covered days. One sort-window pass per
+    lane — the O(n log n) shape; no interval self-join."""
+    orders = table(spark, sf_dir, "orders")
+    iv = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderpriority").alias("lane"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.expr(
+            "date_add(CAST(o_orderdate AS DATE),"
+            " CAST((o_orderkey % 30) + 1 AS INT))"
+        ).alias("e"),
+    )
+    prev_max_end = (
+        "MAX(e) OVER (PARTITION BY lane ORDER BY s, e"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    flagged = iv.withColumn(
+        "new_span",
+        F.expr(
+            f"CASE WHEN s > {prev_max_end} OR {prev_max_end} IS NULL"
+            f" THEN 1 ELSE 0 END"
+        ),
+    )
+    grouped = flagged.withColumn(
+        "span_id",
+        F.expr(
+            "SUM(new_span) OVER (PARTITION BY lane ORDER BY s, e"
+            " ROWS UNBOUNDED PRECEDING)"
+        ),
+    )
+    merged = grouped.groupBy("lane", "span_id").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return (
+        merged.groupBy("lane")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+            F.max("n_intervals")
+            .cast("bigint")
+            .alias("largest_span_intervals"),
+            F.sum(F.datediff("span_end", "span_start"))
+            .cast("bigint")
+            .alias("covered_days"),
+            F.date_format(F.min("span_start"), "yyyy-MM-dd").alias(
+                "first_start"
+            ),
+        )
+        .orderBy("lane")
+    )
