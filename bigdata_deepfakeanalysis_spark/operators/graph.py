@@ -416,6 +416,9 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # per-node argmax with smallest-label tie-break: max_by over a
         # (count, -label) struct — one aggregate, no window
+        # lazy checkpoint: plan truncation without a job per round —
+        # LPA has no per-round driver decision (fixed round count),
+        # the same rationale as pagerank_fixed's eager=False
         labels = (
             votes.groupBy("id")
             .agg(
@@ -423,7 +426,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "max_by(label, struct(c, -label))"
                 ).alias("label")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
