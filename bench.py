@@ -148,6 +148,7 @@ HEADLINE = [
     "q_grid_knn_join",               # cell-bucketed spatial KNN
     "q_max_concurrency",             # sweep-line peak occupancy
     "q_merge_intervals",             # coverage-span consolidation
+    "q_record_linkage",              # fuzzy-match golden records
 ]
 
 

@@ -1544,10 +1544,8 @@ titles AS (
 """
 
 
-@query(
-    "q_edit_distance_join",
-    f"""
-    WITH {_EDJ_TITLES_CTE.strip()},
+_EDJ_PAIRS_CTES = f"""
+    {_EDJ_TITLES_CTE.strip()},
     grams AS (
         SELECT DISTINCT doc_id, s, substr(s, CAST(i AS INTEGER), {_EDJ_Q}) AS g
         FROM (SELECT doc_id, s,
@@ -1568,9 +1566,21 @@ titles AS (
                         b.doc_id AS doc_b, b.s AS sb
         FROM prefix a JOIN prefix b
           ON a.g = b.g AND a.doc_id < b.doc_id
-        WHERE abs(len(a.s) - len(b.s)) <= {_EDJ_K})
-    SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
-    FROM cand WHERE levenshtein(sa, sb) <= {_EDJ_K}
+        WHERE abs(len(a.s) - len(b.s)) <= {_EDJ_K}),
+    ed_pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE levenshtein(sa, sb) <= {_EDJ_K})
+"""
+
+
+@query(
+    "q_edit_distance_join",
+    f"""
+    WITH {_EDJ_PAIRS_CTES.strip()},
+    verified AS (
+        SELECT doc_a, doc_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+        FROM cand WHERE levenshtein(sa, sb) <= {_EDJ_K})
+    SELECT doc_a, doc_b, dist FROM verified
     ORDER BY doc_a, doc_b
     """,
 )
@@ -1590,6 +1600,13 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the index unless a string has nothing rarer). The exact
     verify touches candidates only — the shape of every
     filter-verification similarity join."""
+    _, pairs = edit_distance_pairs(spark, sf_dir)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str):
+    """(titles, verified ed<=k pairs) — shared by the Ed-Join query and
+    the record-linkage composition."""
     docs = table(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.expr(f"substr(text, 1, {_EDJ_TLEN})").alias("s"))
     typo = docs.where(F.col("doc_id") % 7 == 0).select(
@@ -1653,11 +1670,74 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = titles.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = titles.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-    return (
+    pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("dist", F.levenshtein("sa", "sb"))
         .where(F.col("dist") <= _EDJ_K)
         .select("doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist"))
-        .orderBy("doc_a", "doc_b")
+    )
+    return titles, pairs
+
+
+@query(
+    "q_record_linkage",
+    f"""
+    WITH RECURSIVE {_EDJ_PAIRS_CTES.strip()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ed_pairs
+        UNION
+        SELECT doc_b, doc_a FROM ed_pairs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+    comp AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+    members AS (
+        SELECT c.cluster, c.id, t.s
+        FROM comp c JOIN titles t ON t.doc_id = c.id),
+    golden AS (
+        SELECT cluster,
+               COUNT(*) AS n_members,
+               MIN(id) AS golden_id,
+               MAX(len(s)) AS max_len
+        FROM members GROUP BY cluster)
+    SELECT CAST(n_members AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(MIN(golden_id) AS BIGINT) AS min_golden,
+           CAST(SUM(max_len) AS BIGINT) AS sum_max_len
+    FROM golden GROUP BY n_members ORDER BY n_members
+    """,
+)
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end record linkage: Ed-Join candidate pairs (bounded edit
+    distance over title prefixes) → connected components → one golden
+    record per cluster (min id, with the longest-variant length as the
+    survivorship feature) → cluster-size distribution. The fuzzy
+    counterpart of exact_dedup's pipeline, composed entirely from
+    verified operators — blocking, pairwise matching, transitive
+    clustering, survivorship — which is the textbook record-linkage
+    stack (Fellegi-Sunter era to Splink) in four distributed stages."""
+    titles, pairs = edit_distance_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    members = cc.withColumnRenamed("id", "doc_id").join(titles, "doc_id")
+    golden = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("doc_id").alias("golden_id"),
+        F.max(F.length("s")).alias("max_len"),
+    )
+    return (
+        golden.groupBy("n_members")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.min("golden_id").cast("bigint").alias("min_golden"),
+            F.sum("max_len").cast("bigint").alias("sum_max_len"),
+        )
+        .select(
+            F.col("n_members").cast("bigint"),
+            "n_clusters",
+            "min_golden",
+            "sum_max_len",
+        )
+        .orderBy("n_members")
     )

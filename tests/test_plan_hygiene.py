@@ -34,6 +34,7 @@ EAGER_BUILD = {
     "q_semantic_dedup_lsh",
     "q_triangle_count",
     "q_lpa_communities",
+    "q_record_linkage",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
