@@ -149,6 +149,7 @@ HEADLINE = [
     "q_max_concurrency",             # sweep-line peak occupancy
     "q_merge_intervals",             # coverage-span consolidation
     "q_record_linkage",              # fuzzy-match golden records
+    "q_quantile_band_join",          # broadcast-boundary banding
 ]
 
 

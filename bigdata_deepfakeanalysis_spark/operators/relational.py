@@ -3356,3 +3356,72 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("yoy_growth"),
     ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Percentile band enrichment — the PRODUCTION equi-depth shape: compute
+# decile boundaries once (broadcast scalars), assign each row its band
+# with row-local comparisons. q_equidepth_histogram's global NTILE sort
+# is the validation reference; THIS is what runs at 100 TB.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quantile_band_join",
+    """
+    WITH bounds AS (
+        SELECT list_transform(quantile_cont(l_extendedprice,
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                     x -> round(x, 9)) AS qs
+        FROM lineitem),
+    banded AS (
+        SELECT l_extendedprice AS v, l_quantity,
+               (SELECT COUNT(*) FROM UNNEST(qs) AS t(b)
+                WHERE l_extendedprice > b) AS band
+        FROM lineitem CROSS JOIN bounds)
+    SELECT CAST(band AS INTEGER) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(v), 9) AS lo, ROUND(MAX(v), 9) AS hi,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS qty_sum
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q_quantile_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile band per lineitem row via broadcast boundary scalars: one
+    stats pass computes the 9 exact decile boundaries (R-7
+    interpolation, bit-identical across engines), every row's band is
+    then a row-local count of boundaries below its value — no global
+    sort, no shuffle beyond the final rollup. Exactly how a 100 TB
+    pipeline assigns percentile bands (with the GK sketch supplying
+    boundaries when exactness isn't required); the NTILE form
+    (q_equidepth_histogram) is this operator's validation reference."""
+    li = table(spark, sf_dir, "lineitem")
+    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    bounds = li.agg(
+        F.expr(
+            f"transform(percentile(l_extendedprice, {qs}),"
+            f" x -> round(x, 9))"
+        ).alias("qs")
+    )
+    banded = li.select("l_extendedprice", "l_quantity").join(
+        F.broadcast(bounds)
+    ).select(
+        F.col("l_extendedprice").alias("v"),
+        "l_quantity",
+        F.expr(
+            "size(filter(qs, b -> l_extendedprice > b))"
+        ).alias("band"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 9).alias("lo"),
+            F.round(F.max("v"), 9).alias("hi"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("qty_sum"),
+        )
+        .select(F.col("band").cast("int"), "n", "lo", "hi", "qty_sum")
+        .orderBy("band")
+    )
