@@ -150,6 +150,8 @@ HEADLINE = [
     "q_merge_intervals",             # coverage-span consolidation
     "q_record_linkage",              # fuzzy-match golden records
     "q_quantile_band_join",          # broadcast-boundary banding
+    "q_rfm_segmentation",            # 8-cell RFM rollup
+    "q_ab_test",                     # two-proportion z readout
 ]
 
 

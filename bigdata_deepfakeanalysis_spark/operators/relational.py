@@ -3425,3 +3425,194 @@ def q_quantile_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("band").cast("int"), "n", "lo", "hi", "qty_sum")
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation — recency/frequency/monetary banding, the
+# classic lifecycle-marketing rollup, built on the same broadcast
+# median boundaries as the percentile band join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rfm_segmentation",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY o_custkey),
+    anchor AS (SELECT MAX(last_order) AS maxd FROM per_cust),
+    scored AS (
+        SELECT o_custkey,
+               maxd - last_order AS recency_days,
+               freq, monetary
+        FROM per_cust CROSS JOIN anchor),
+    meds AS (
+        SELECT ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 9)
+                   AS med_r,
+               ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.5), 9) AS med_f,
+               ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.5), 9)
+                   AS med_m
+        FROM scored)
+    SELECT CASE WHEN CAST(recency_days AS DOUBLE) <= med_r
+                THEN 'R+' ELSE 'R-' END ||
+           CASE WHEN CAST(freq AS DOUBLE) > med_f
+                THEN 'F+' ELSE 'F-' END ||
+           CASE WHEN CAST(monetary AS DOUBLE) > med_m
+                THEN 'M+' ELSE 'M-' END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+               AS segment_revenue,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM scored CROSS JOIN meds
+    GROUP BY segment ORDER BY segment
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight-cell RFM segmentation: per customer recency (days since
+    last order vs corpus max date), frequency, decimal-exact monetary;
+    each dimension split at its exact median (broadcast scalars, R-7
+    interpolation), customers labeled R±F±M± and rolled up with
+    segment revenue. Two narrow aggregations + one broadcast — the
+    lifecycle-marketing report at fact-table scale."""
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("monetary"),
+    )
+    anchor = per_cust.agg(F.max("last_order").alias("maxd"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("maxd", "last_order").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    meds = scored.agg(
+        F.round(
+            F.expr("percentile(CAST(recency_days AS DOUBLE), 0.5)"), 9
+        ).alias("med_r"),
+        F.round(F.expr("percentile(CAST(freq AS DOUBLE), 0.5)"), 9).alias(
+            "med_f"
+        ),
+        F.round(
+            F.expr("percentile(CAST(monetary AS DOUBLE), 0.5)"), 9
+        ).alias("med_m"),
+    )
+    seg = F.concat(
+        F.when(
+            F.col("recency_days").cast("double") <= F.col("med_r"), "R+"
+        ).otherwise("R-"),
+        F.when(F.col("freq").cast("double") > F.col("med_f"), "F+").otherwise(
+            "F-"
+        ),
+        F.when(
+            F.col("monetary").cast("double") > F.col("med_m"), "M+"
+        ).otherwise("M-"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(meds))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("segment_revenue"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test analysis — two-proportion z-test over deterministic variant
+# assignment: the experimentation primitive (conversion lift, pooled
+# standard error, z statistic), exact counts + one fixed IEEE tail.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ab_test",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CASE WHEN o_orderstatus = 'F'
+                     AND (o_orderkey % 2 = 0 OR o_orderkey % 7 < 3)
+                    THEN 1 ELSE 0 END AS converted
+        FROM orders),
+    arms AS (
+        SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+        FROM assigned GROUP BY variant),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'A' THEN n END) AS na,
+               MAX(CASE WHEN variant = 'A' THEN conv END) AS ca,
+               MAX(CASE WHEN variant = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN variant = 'B' THEN conv END) AS cb
+        FROM arms)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / na, 9) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb, 9) AS rate_b,
+           ROUND((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb), 9)
+               AS lift,
+           ROUND(((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb))
+                 / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 9) AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic variant arms
+    (orderkey parity assigns A/B; the conversion rule gives arm A a
+    real planted lift): per-arm counts, conversion rates, absolute
+    lift, and the pooled-standard-error z statistic — the
+    experimentation readout. Counts are exact integers; the z score is
+    ONE fixed IEEE expression over them, rounded 1e-9, so even the
+    test statistic hash-checks across engines."""
+    orders = table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        F.when(
+            (F.col("o_orderstatus") == "F")
+            & (
+                (F.col("o_orderkey") % 2 == 0)
+                | (F.col("o_orderkey") % 7 < 3)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("cb"),
+    )
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(F.expr("CAST(ca AS DOUBLE) / na"), 9).alias("rate_a"),
+        F.round(F.expr("CAST(cb AS DOUBLE) / nb"), 9).alias("rate_b"),
+        F.round(
+            F.expr("(CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb)"),
+            9,
+        ).alias("lift"),
+        F.round(
+            F.expr(
+                "((CAST(ca AS DOUBLE) / na) - (CAST(cb AS DOUBLE) / nb))"
+                " / SQRT((CAST(ca + cb AS DOUBLE) / (na + nb))"
+                "        * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))"
+                "        * (1.0 / na + 1.0 / nb))"
+            ),
+            9,
+        ).alias("z_score"),
+    )
