@@ -152,6 +152,8 @@ HEADLINE = [
     "q_quantile_band_join",          # broadcast-boundary banding
     "q_rfm_segmentation",            # 8-cell RFM rollup
     "q_ab_test",                     # two-proportion z readout
+    "q_seasonal_index",              # monthly seasonality ratios
+    "q_abc_analysis",                # Pareto revenue classes
 ]
 
 

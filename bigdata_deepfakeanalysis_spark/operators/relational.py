@@ -3616,3 +3616,154 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index — monthly multiplicative seasonality of order volume:
+# month-mean over grand-mean ratios, the decomposition a demand
+# forecast starts from.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_seasonal_index",
+    """
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+               CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mo,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY yr, mo),
+    by_month AS (
+        SELECT mo,
+               CAST(SUM(n) AS BIGINT) AS n_orders,
+               CAST(SUM(rev) AS DECIMAL(20,2)) AS rev,
+               COUNT(*) AS n_years
+        FROM monthly GROUP BY mo),
+    grand AS (
+        SELECT SUM(n_orders) AS tot_n, COUNT(*) AS n_months
+        FROM by_month)
+    SELECT CAST(mo AS INTEGER) AS month,
+           n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(n_orders AS DOUBLE) / n_years)
+                 / (CAST(tot_n AS DOUBLE)
+                    / (SELECT SUM(n_years) FROM by_month)), 9)
+               AS seasonal_index
+    FROM by_month CROSS JOIN grand
+    ORDER BY month
+    """,
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative monthly seasonal index of order volume: each
+    calendar month's per-year average divided by the grand
+    per-observed-month average (denominator = total observed
+    (year, month) cells — scale-factor agnostic), plus decimal-exact
+    monthly revenue. Index
+    > 1 = seasonally busy month; the starting point of any demand
+    decomposition. Exact integer counts; one fixed IEEE ratio per
+    row."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr("CAST(date_format(o_orderdate, 'yyyy') AS INT)").alias("yr"),
+        F.expr("CAST(date_format(o_orderdate, 'MM') AS INT)").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev"),
+    )
+    by_month = monthly.groupBy("mo").agg(
+        F.sum("n").cast("bigint").alias("n_orders"),
+        F.expr("CAST(SUM(rev) AS DECIMAL(20,2))").alias("rev"),
+        F.count(F.lit(1)).alias("n_years"),
+    )
+    grand = by_month.agg(
+        F.sum("n_orders").alias("tot_n"),
+        F.sum("n_years").alias("obs_months"),
+    )
+    return (
+        by_month.crossJoin(F.broadcast(grand))
+        .select(
+            F.col("mo").cast("int").alias("month"),
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.expr(
+                    "(CAST(n_orders AS DOUBLE) / n_years)"
+                    " / (CAST(tot_n AS DOUBLE)"
+                    "    / CAST(obs_months AS DOUBLE))"
+                ),
+                9,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC classification — rank parts by revenue, classify by
+# cumulative share (A: first 80%, B: to 95%, C: tail): the inventory
+# prioritization every supply-chain report runs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_abc_analysis",
+    """
+    WITH part_rev AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, rev,
+               SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(rev) OVER () AS tot_rev
+        FROM part_rev),
+    classed AS (
+        SELECT CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+                    WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B'
+                    ELSE 'C' END AS cls,
+               rev
+        FROM ranked)
+    SELECT cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY cls ORDER BY cls
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: rank by
+    decimal-exact revenue, classify by cumulative share — A carries
+    the first 80% of revenue, B to 95%, C the tail. The comparison is
+    integer-free of rounding (cum*100 <= tot*80 over DECIMALs), so
+    class boundaries are exact. The ranking window is a global sort
+    over the per-part rollup (one row per part — the small table), not
+    the fact stream."""
+    li = table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))").alias("rev")
+    )
+    ranked = part_rev.select(
+        "l_partkey",
+        "rev",
+        F.expr(
+            "SUM(rev) OVER (ORDER BY rev DESC, l_partkey"
+            " ROWS UNBOUNDED PRECEDING)"
+        ).alias("cum_rev"),
+        F.expr("SUM(rev) OVER ()").alias("tot_rev"),
+    )
+    classed = ranked.select(
+        F.when(
+            F.col("cum_rev") * 100 <= F.col("tot_rev") * 80, "A"
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("tot_rev") * 95, "B")
+        .otherwise("C")
+        .alias("cls"),
+        "rev",
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.expr("CAST(SUM(rev) AS DOUBLE)").alias("class_revenue"),
+        )
+        .orderBy("cls")
+    )
