@@ -154,6 +154,8 @@ HEADLINE = [
     "q_ab_test",                     # two-proportion z readout
     "q_seasonal_index",              # monthly seasonality ratios
     "q_abc_analysis",                # Pareto revenue classes
+    "q_readability",                 # Flesch-input text ratios
+    "q_late_arriving_dim",           # UNKNOWN-member fact parking
 ]
 
 

@@ -1566,3 +1566,65 @@ def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane")
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension — the warehouse pattern for facts that land
+# before their dimension rows: resolve what's resolvable, park the
+# rest under a well-known Unknown member, and report the backlog a
+# backfill job will reconcile.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_late_arriving_dim",
+    """
+    WITH dim AS (
+        -- dimension snapshot missing every 13th customer: those rows
+        -- "haven't arrived yet"
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 13 <> 0),
+    enriched AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               COALESCE(d.c_mktsegment, 'UNKNOWN') AS segment,
+               d.c_custkey IS NULL AS pending
+        FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN pending THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pending,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM enriched GROUP BY segment ORDER BY segment
+    """,
+)
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early-arriving facts against a dimension snapshot that is
+    missing every 13th customer: a LEFT join parks unresolved facts
+    under the UNKNOWN member instead of dropping them (the inner-join
+    bug silently loses revenue), and the pending count per segment is
+    the backlog a dimension backfill reconciles. Decimal-exact revenue
+    so the UNKNOWN bucket's total is audit-grade."""
+    dim = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 13 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    orders = table(spark, sf_dir, "orders")
+    enriched = orders.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
+    ).select(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        F.col("c_custkey").isNull().alias("pending"),
+        "o_totalprice",
+    )
+    return (
+        enriched.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("pending").cast("long")).alias("n_pending"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

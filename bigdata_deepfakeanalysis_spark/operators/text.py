@@ -2171,3 +2171,68 @@ def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nibble")
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-shaped) — sentence/word/syllable ratios
+# as row-local regex counts: the text-quality signal reading-level
+# filters use, next to the length/stopword heuristics above.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_readability",
+    """
+    WITH scored AS (
+        SELECT lang,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sentences,
+               GREATEST(len(list_filter(string_split(text, ' '),
+                                        w -> w <> '')), 1) AS n_words,
+               GREATEST(len(regexp_extract_all(lower(text),
+                            '[aeiouy]+')), 1) AS n_syllables
+        FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           ROUND(CAST(SUM(n_words) AS DOUBLE) / SUM(n_sentences), 9)
+               AS words_per_sentence,
+           ROUND(CAST(SUM(n_syllables) AS DOUBLE) / SUM(n_words), 9)
+               AS syllables_per_word
+    FROM scored
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language readability aggregates: words-per-sentence and
+    vowel-group syllables-per-word (the two Flesch inputs), all from
+    row-local regex counts with GREATEST(…,1) floors so empty fields
+    never divide by zero. Corpus-level ratios come from exact integer
+    sums with one final division each."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        F.greatest(
+            F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+        ).alias("n_sentences"),
+        F.greatest(
+            F.expr("size(filter(split(text, ' '), w -> w != ''))"), F.lit(1)
+        ).alias("n_words"),
+        F.greatest(
+            F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"),
+            F.lit(1),
+        ).alias("n_syllables"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.round(
+                F.sum("n_words").cast("double") / F.sum("n_sentences"), 9
+            ).alias("words_per_sentence"),
+            F.round(
+                F.sum("n_syllables").cast("double") / F.sum("n_words"), 9
+            ).alias("syllables_per_word"),
+        )
+        .orderBy("lang")
+    )
