@@ -156,6 +156,8 @@ HEADLINE = [
     "q_abc_analysis",                # Pareto revenue classes
     "q_readability",                 # Flesch-input text ratios
     "q_late_arriving_dim",           # UNKNOWN-member fact parking
+    "q_string_agg_report",           # ordered listagg roster
+    "q_date_spine",                  # zero-fill daily calendar
 ]
 
 

@@ -3767,3 +3767,105 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation — the report surface (alphabetized member
+# lists per group) with deterministic ordering on both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_string_agg_report",
+    """
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY region
+    """,
+)
+def q_string_agg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alphabetized nation roster per region: Spark spells ordered
+    string aggregation as array_sort(collect_list(...)) + array_join
+    (collect_list order is nondeterministic by contract — the sort is
+    MANDATORY for a hash-stable report), DuckDB as
+    string_agg(ORDER BY). Same string, two idioms."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+        )
+        .orderBy("region")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date spine — generate the complete calendar over the data's range
+# and LEFT join facts onto it, so days with ZERO activity exist as
+# rows: the pattern every time series report needs (a groupBy alone
+# silently omits empty days, hiding outages as smoothness).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_date_spine",
+    """
+    WITH bounds AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+               MAX(CAST(o_orderdate AS DATE)) AS d1
+        FROM orders),
+    spine AS (
+        SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        FROM orders GROUP BY d)
+    SELECT CAST(strftime(s.d, '%Y') AS INTEGER) AS yr,
+           CAST(strftime(s.d, '%m') AS INTEGER) AS mo,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_days,
+           CAST(SUM(COALESCE(daily.n, 0)) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    GROUP BY yr, mo ORDER BY yr, mo
+    """,
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete daily calendar over the orders date range (sequence()
+    between the min and max date, exploded) LEFT joined to daily order
+    counts: per month, total days, ZERO-activity days, and order
+    totals. Without the spine a groupBy silently omits empty days and
+    an outage reads as smoothness — the spine makes absence a row.
+    The spine generation is one broadcast scalar pair + a row-local
+    sequence explode; the join is day-keyed."""
+    orders = table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(daily, "d", "left")
+        .groupBy(
+            F.expr("CAST(date_format(d, 'yyyy') AS INT)").alias("yr"),
+            F.expr("CAST(date_format(d, 'MM') AS INT)").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("n").isNull().cast("long")).alias("zero_days"),
+            F.sum(F.coalesce("n", F.lit(0))).cast("bigint").alias(
+                "n_orders"
+            ),
+        )
+        .orderBy("yr", "mo")
+    )
