@@ -206,3 +206,126 @@ def q_attention_rollout_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame
     mirrored here)."""
     hm = attention_rollout(media(spark, sf_dir).where(F.col("media_id") < 40))
     return _heatmap_summary(hm)
+
+
+# ---------------------------------------------------------------------------
+# Occlusion sensitivity (Zeiler & Fergus 2014) — the third saliency
+# method next to Grad-CAM (M8) and rollout (M9): mask one grid cell at
+# a time, re-score, and the score DROP per cell is the saliency map.
+# With the surrogate linear head below (cell activation f_c from the
+# image payload, shared signed weight w_c), the occlusion delta is
+# exactly w_c*f_c — so unlike the shape-only oracles above, every
+# VALUE here is SQL-replayable and the driver hash-checks the full map
+# summary. Swapping a real model in changes only the scorer; the
+# engine shape (per-cell explode -> row-local scoring -> per-image
+# argmax rollup) is the production occlusion sweep.
+# ---------------------------------------------------------------------------
+
+_OCC_GRID = 4  # 4x4 occlusion grid -> 16 cells
+
+
+def _occ_u(tag_expr: str) -> str:
+    """Spark SQL: md5-prefix uniform in [0,1) — exact double (integer
+    / 2^32 is a power-of-two division, bit-identical cross-engine)."""
+    return (
+        f"CAST(CAST(conv(substr(md5({tag_expr}), 1, 8), 16, 10) AS BIGINT)"
+        " AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+    )
+
+
+def _occ_u_sql(tag_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({tag_expr}), 1, 8))::BIGINT AS DOUBLE)"
+        " / CAST(4294967296 AS DOUBLE)"
+    )
+
+
+_OCC_ORACLE = f"""
+    WITH {MEDIA_CTE.strip()},
+    cells AS (
+        SELECT media_id, hex_payload, UNNEST(range({_OCC_GRID * _OCC_GRID}))
+            AS cell
+        FROM media WHERE media_id < 40),
+    scored AS (
+        SELECT media_id, CAST(cell AS INTEGER) AS cell,
+               ({_occ_u_sql("hex_payload || '|c' || CAST(cell AS VARCHAR)")})
+               * ({_occ_u_sql("'occw|' || CAST(cell AS VARCHAR)")} - 0.5)
+                   AS contrib
+        FROM cells),
+    ranked AS (
+        SELECT media_id, cell, contrib,
+               ROW_NUMBER() OVER (PARTITION BY media_id
+                                  ORDER BY contrib DESC, cell) AS rk
+        FROM scored),
+    agg AS (
+        SELECT media_id,
+               CAST(COUNT(*) AS INTEGER) AS n_cells,
+               CAST(SUM(CAST(contrib AS DECIMAL(27,18))) AS DOUBLE)
+                   AS base_score,
+               CAST(COUNT(*) FILTER (WHERE contrib > 0) AS BIGINT)
+                   AS n_pos_cells,
+               MIN(contrib) AS min_contrib
+        FROM scored GROUP BY media_id)
+    SELECT a.media_id, a.n_cells, a.base_score, a.n_pos_cells,
+           a.min_contrib, r.cell AS top_cell, r.contrib AS top_contrib
+    FROM agg a JOIN ranked r ON a.media_id = r.media_id AND r.rk = 1
+    ORDER BY a.media_id
+    """
+
+
+@query("q_occlusion_sensitivity", _OCC_ORACLE)
+def q_occlusion_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occlusion-sensitivity sweep over a {_OCC_GRID}x{_OCC_GRID} grid:
+    per image, the per-cell score drop (saliency), its sum (the base
+    score), the positive-saliency cell count, and the argmax cell —
+    the 'which region drives the fake-score' diagnostic the reference
+    renders as Grad-CAM overlays (``src/gradcam_dynamic.py:168-180``),
+    computed by masking instead of gradients.
+
+    Unlike the mapInPandas siblings above, the sweep stays entirely in
+    whole-stage codegen: the cell explode is a flatMap, scoring is
+    row-local md5/multiply expressions, and the per-image rollup is
+    one partial-aggregated shuffle — at 100 TB this is a single pass
+    with no Python worker in the loop. Double parity: each contrib is
+    ONE IEEE multiply of two exact dyadic rationals (bit-identical
+    cross-engine); the only SUM routes through DECIMAL(27,18)."""
+    cells = (
+        media(spark, sf_dir)
+        .where(F.col("media_id") < 40)
+        .select(
+            "media_id",
+            "hex_payload",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_OCC_GRID * _OCC_GRID - 1))
+            ).alias("cell"),
+        )
+    )
+    f_c = _occ_u("concat(hex_payload, '|c', CAST(cell AS STRING))")
+    w_raw = _occ_u("concat('occw|', CAST(cell AS STRING))")
+    w_c = f"({w_raw} - 0.5)"
+    scored = cells.select(
+        "media_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.expr(f"({f_c}) * {w_c}").alias("contrib"),
+    )
+    agg = scored.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        F.expr(
+            "CAST(SUM(CAST(contrib AS DECIMAL(27,18))) AS DOUBLE)"
+        ).alias("base_score"),
+        F.count_if(F.col("contrib") > 0).alias("n_pos_cells"),
+        F.min("contrib").alias("min_contrib"),
+        F.max_by(
+            F.struct(F.col("cell"), F.col("contrib")),
+            F.struct(F.col("contrib"), -F.col("cell")),
+        ).alias("_top"),
+    )
+    return agg.select(
+        "media_id",
+        "n_cells",
+        "base_score",
+        "n_pos_cells",
+        "min_contrib",
+        F.col("_top.cell").alias("top_cell"),
+        F.col("_top.contrib").alias("top_contrib"),
+    ).orderBy("media_id")

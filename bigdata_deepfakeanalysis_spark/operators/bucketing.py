@@ -154,3 +154,46 @@ def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_items")
     )
+
+
+_LOOKUP_KEYS = (1, 7, 32, 69)
+
+
+@query(
+    "q_bucket_pruned_lookup",
+    f"""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {dmul2_sum_sql("l_extendedprice", "1 - l_discount", "revenue")}
+    FROM lineitem
+    WHERE l_orderkey IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup: an IN-list predicate on the bucket
+    key lets Spark skip every bucket file whose hash(key) doesn't match
+    — the scan reads <= len(keys) of the {_N_BUCKETS} buckets (the plan
+    shows ``SelectedBucketsCount``; asserted in tests/test_plans.py).
+
+    This is the third leg of the bucketing story (join elision in
+    q_bucketed_join, shuffle elision in q_bucketed_agg, SCAN elision
+    here): at 100 TB a needle-in-haystack key lookup over a bucketed
+    fact table touches 1/N of the files with zero shuffle — the
+    hashtable-probe idiom the reference gets for free from in-process
+    dicts (``src/compare_xception_featuremaps.py:30-44``), re-expressed
+    as physical layout. The oracle runs the identical filter over the
+    plain parquet (bucketing is a physical property only)."""
+    _, lineitem_t = stage_bucketed(spark, sf_dir)
+    li = spark.table(lineitem_t).where(
+        F.col("l_orderkey").isin(*_LOOKUP_KEYS)
+    )
+    return (
+        li.groupBy(F.col("l_orderkey").cast("bigint").alias("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dmul2_sum("l_extendedprice", "1 - l_discount", "revenue"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -235,3 +235,80 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("label"),
         )
     )
+
+
+@query(
+    "q_stem_coverage",
+    """
+    WITH keyed AS (
+        SELECT 'gen' || CAST(label % 4 AS VARCHAR) AS "group",
+               'train/gen' || CAST(label % 4 AS VARCHAR) || '/img_'
+                   || CAST(vec_id % 400 AS VARCHAR) || '.png' AS key
+        FROM embeddings),
+    stems AS (
+        SELECT "group",
+               regexp_replace(regexp_extract(key, '([^/\\\\]+)$', 1),
+                              '\\.[^.]*$', '') AS stem
+        FROM keyed),
+    per_stem AS (
+        SELECT stem,
+               COUNT(DISTINCT "group") AS n_groups,
+               COUNT(*) AS n_files
+        FROM stems GROUP BY stem)
+    SELECT CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_stems,
+           CAST(SUM(n_files) AS BIGINT) AS n_files_total,
+           MIN(stem) AS example_stem,
+           n_groups = 4 AS is_complete
+    FROM per_stem
+    GROUP BY n_groups
+    ORDER BY n_groups
+    """,
+)
+def q_stem_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stem-coverage matrix — the alignment diagnostic a user runs
+    BEFORE the reference's stem joins (J2,
+    ``src/combined_embedding_features_comprations.py:74-99``, which
+    silently inner-joins away any stem missing from one side): for
+    every normalized stem (P5 parse), in how many of the expected
+    groups does it appear? The histogram over that coverage count —
+    with a witness stem per band and an ``is_complete`` flag — tells
+    the user exactly how much an alignment join will drop.
+
+    Scale shape: P5 stem parsing is row-local codegen; one groupBy on
+    stem (partial-aggregated map-side), one tiny rollup on the
+    coverage count. No window, no join."""
+    from ..catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    keyed = emb.select(
+        F.concat(F.lit("gen"), (F.col("label") % 4).cast("string")).alias("group"),
+        F.concat(
+            F.lit("train/gen"),
+            (F.col("label") % 4).cast("string"),
+            F.lit("/img_"),
+            (F.col("vec_id") % 400).cast("string"),
+            F.lit(".png"),
+        ).alias("key"),
+    )
+    stems = keyed.select("group", stem_from_key(F.col("key")).alias("stem"))
+    per_stem = stems.groupBy("stem").agg(
+        F.countDistinct("group").alias("n_groups"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+    return (
+        per_stem.groupBy("n_groups")
+        .agg(
+            F.count(F.lit(1)).alias("n_stems"),
+            F.sum("n_files").cast("bigint").alias("n_files_total"),
+            F.min("stem").alias("example_stem"),
+        )
+        .select(
+            "n_groups",
+            "n_stems",
+            "n_files_total",
+            "example_stem",
+            (F.col("n_groups") == 4).alias("is_complete"),
+        )
+        .orderBy("n_groups")
+    )

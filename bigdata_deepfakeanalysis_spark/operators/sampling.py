@@ -224,3 +224,84 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-Bernoulli sampling — the ZERO-shuffle sampling primitive. The
+# rank-over-md5 scheme above gives exact per-group counts but pays a
+# window shuffle; when an approximate fraction is acceptable (corpus
+# profiling, quality spot-checks, eval-set carving at 100 TB), a pure
+# hash-bucket FILTER does it with no shuffle at all, fully pushed into
+# the scan stage, deterministic across engines/cluster sizes, and
+# stable under re-runs AND under corpus growth (a row's membership
+# never changes when other rows arrive — the property that makes it
+# the idiom for consistent train/holdout carving across snapshots).
+# ---------------------------------------------------------------------------
+
+def hash_sample(df: DataFrame, key_col: str, pct: int, seed: int = 42) -> DataFrame:
+    """Keep rows whose md5-derived bucket (0..99) is < pct. Row-local
+    filter; no window, no shuffle, no rand()."""
+    bucket = F.expr(
+        f"CAST(conv(substr(md5(concat('{seed}', '|', "
+        f"CAST({key_col} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    return df.where(bucket < pct)
+
+
+@query(
+    "q_hash_bernoulli_sample",
+    """
+    WITH flagged AS (
+        SELECT o_orderpriority, o_orderkey,
+               (('0x' || substr(md5('42' || '|' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+                   AS sampled
+        FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+           CAST(MIN(CASE WHEN sampled THEN o_orderkey END) AS BIGINT)
+               AS min_sampled_key,
+           CAST(COUNT(*) FILTER (WHERE sampled) * 1000000
+                // COUNT(*) AS BIGINT) AS rate_ppm
+    FROM flagged
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_hash_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% hash-Bernoulli sample of orders, audited per priority class:
+    realized counts, a witness key, and the realized rate in ppm
+    (integer DIV so both engines agree exactly). The sample itself is
+    ``hash_sample`` — a row-local filter the optimizer keeps inside the
+    scan stage; this query adds the rate audit (one aggregation) on
+    top. Unlike ``TABLESAMPLE``/``df.sample`` the selection is
+    deterministic, engine-independent, and append-stable."""
+    from ..catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('42', '|', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+            )
+            < 10
+        ).alias("sampled"),
+    )
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if("sampled").alias("n_sampled"),
+            F.min(F.when(F.col("sampled"), F.col("o_orderkey")))
+            .cast("bigint")
+            .alias("min_sampled_key"),
+            F.expr(
+                "CAST(count_if(sampled) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -190,6 +190,157 @@ def q_hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_K = 64
+_KMV_H = (
+    "CAST(CAST(conv(substr(md5(CAST(custkey AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+)
+_KMV_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(custkey AS VARCHAR)), 1, 8))::BIGINT"
+    " AS DOUBLE) / CAST(4294967296 AS DOUBLE)"
+)
+
+
+@query(
+    "q_kmv_distinct",
+    f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_orderpriority AS shard, o_custkey AS custkey
+        FROM orders),
+    hashed AS (
+        SELECT shard, custkey, {_KMV_H_SQL} AS h FROM pairs),
+    ranked AS (
+        SELECT shard, custkey, h,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, custkey) AS rk
+        FROM hashed),
+    kept AS (SELECT * FROM ranked WHERE rk <= {_KMV_K}),
+    shard_exact AS (
+        SELECT shard, COUNT(*) AS exact FROM pairs GROUP BY shard),
+    shard_rows AS (
+        SELECT 'shard:' || k.shard AS scope,
+               COUNT(*) AS n_kept,
+               MAX(k.h) AS kth_min,
+               CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) / MAX(k.h) END AS kmv_est,
+               MIN(e.exact) AS exact
+        FROM kept k JOIN shard_exact e ON k.shard = e.shard
+        GROUP BY k.shard),
+    g_hashed AS (SELECT DISTINCT custkey, h FROM hashed),
+    g_kept AS (SELECT h FROM g_hashed ORDER BY h, custkey LIMIT {_KMV_K}),
+    g_exact AS (SELECT COUNT(*) AS exact FROM g_hashed),
+    g_row AS (
+        SELECT 'global_direct' AS scope, COUNT(*) AS n_kept, MAX(h) AS kth_min,
+               CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) / MAX(h) END AS kmv_est,
+               (SELECT exact FROM g_exact) AS exact
+        FROM g_kept),
+    u_hashed AS (SELECT DISTINCT custkey, h FROM kept),
+    u_kept AS (SELECT h FROM u_hashed ORDER BY h, custkey LIMIT {_KMV_K}),
+    u_row AS (
+        SELECT 'global_union' AS scope, COUNT(*) AS n_kept, MAX(h) AS kth_min,
+               CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE CAST({_KMV_K - 1} AS DOUBLE) / MAX(h) END AS kmv_est,
+               (SELECT exact FROM g_exact) AS exact
+        FROM u_kept)
+    SELECT scope, CAST(n_kept AS BIGINT) AS n_kept, kth_min, kmv_est,
+           CAST(exact AS BIGINT) AS exact
+    FROM (SELECT * FROM shard_rows UNION ALL
+          SELECT * FROM g_row UNION ALL
+          SELECT * FROM u_row)
+    ORDER BY scope
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    Theta-sketch core) — the fully-ORACLED counterpart to
+    q_hll_distinct_merge: the sketch is the K smallest values of a
+    uniform hash of the key, est = (K-1)/max(sketch), and because the
+    hash here is the engines' shared md5-prefix idiom, BOTH engines
+    build the bit-identical sketch — construction, merge, and estimate
+    all hash-compare (where HLL's register encoding is engine-local).
+
+    Merge story: the union of per-shard sketches, re-truncated to the
+    K smallest, EQUALS the sketch of the union stream (any of the K
+    global minima is necessarily among its own shard's K minima) — so
+    ``global_union`` and ``global_direct`` rows are bit-identical, the
+    lossless-merge property HLL only approximates near its
+    sparse/dense threshold. At 100 TB: per-shard sketches are K tiny
+    doubles, re-aggregation merges sketches without re-touching rows.
+
+    Scale shapes: per-shard K-smallest is a window over the shard key
+    (one shuffle, skew-safe); the GLOBAL K-smallest deliberately uses
+    orderBy().limit(K) — Spark compiles that to TakeOrderedAndProject,
+    a distributed per-partition top-K + heap merge, NOT a global sort
+    (plan-asserted in tests/test_plans.py)."""
+    orders = table(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.col("o_orderpriority").alias("shard"),
+        F.col("o_custkey").alias("custkey"),
+    ).distinct()
+    hashed = pairs.select("shard", "custkey", F.expr(_KMV_H).alias("h"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "custkey")
+    kept = (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KMV_K)
+        .drop("rk")
+    )
+    est_cols = [
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("h").alias("kth_min"),
+        F.when(
+            F.count(F.lit(1)) < _KMV_K, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise(F.lit(float(_KMV_K - 1)) / F.max("h"))
+        .alias("kmv_est"),
+    ]
+    shard_exact = pairs.groupBy("shard").agg(F.count(F.lit(1)).alias("exact"))
+    shard_rows = (
+        kept.groupBy("shard")
+        .agg(*est_cols)
+        .join(F.broadcast(shard_exact), "shard")
+        .select(
+            F.concat(F.lit("shard:"), "shard").alias("scope"),
+            "n_kept",
+            "kth_min",
+            "kmv_est",
+            "exact",
+        )
+    )
+    g_hashed = hashed.select("custkey", "h").distinct()
+    g_exact = g_hashed.agg(F.count(F.lit(1)).alias("exact"))
+    g_row = (
+        g_hashed.orderBy("h", "custkey")
+        .limit(_KMV_K)
+        .agg(*est_cols)
+        .select(F.lit("global_direct").alias("scope"), "n_kept", "kth_min", "kmv_est")
+        .crossJoin(F.broadcast(g_exact))
+    )
+    u_row = (
+        kept.select("custkey", "h")
+        .distinct()
+        .orderBy("h", "custkey")
+        .limit(_KMV_K)
+        .agg(*est_cols)
+        .select(F.lit("global_union").alias("scope"), "n_kept", "kth_min", "kmv_est")
+        .crossJoin(F.broadcast(g_exact))
+    )
+    return (
+        shard_rows.unionByName(g_row)
+        .unionByName(u_row)
+        .select(
+            "scope",
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            "kth_min",
+            "kmv_est",
+            F.col("exact").cast("bigint").alias("exact"),
+        )
+        .orderBy("scope")
+    )
+
+
 @query("q_approx_quantile_profile")  # rows-only: GK sketch is engine-local
 def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate quantiles (``percentile_approx``,

@@ -87,82 +87,81 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-4 rotation: EVERY slot is a never-driver-verified query
-    # (rounds 1-3 banked 99 distinct green rows; this window lifts the
-    # union to 149). All 19 operator modules keep >= 1 slot — six of
-    # them via the round-4 operators written for exactly that purpose
-    # (triangle count, Z-order pruning, bucketed agg, row-local top-k,
-    # path rollup, null-aware anti join). Riding after slot 50 (all
-    # pytest-oracled every run): banked r1-r3 families plus the
-    # lower-priority never-verified names (q_ts_correlation_search,
-    # q_ts_pattern_match, q_lm_quality_score, q_orc_roundtrip,
-    # q_arrow_quantize, q_histogram_profile, q_approx_distinct,
-    # q_unpivot_metrics, q_resize_stub, sketch diagnostics).
+    # Round-5 rotation: EVERY slot is a never-driver-verified ORACLED
+    # query (rounds 1-4 banked 148 distinct graded rows; this window
+    # lifts the union to 198 of the registry). 45 slots come from the
+    # 69 never-verified oracled names, prioritized per the r4 VERDICT
+    # (Ed-Join + record linkage, JDBC/XML, recursive CTE, LATERAL,
+    # SCD2, global rownum, LPA, AUC family, band join, the BI family);
+    # 5 slots are new round-5 operators written so the five modules
+    # with no never-verified oracled name (bucketing, grouping,
+    # sampling, sketches, explainability) still contribute NEW union
+    # coverage instead of re-verifying a banked row. Residue for the
+    # round-6 window is planned in COVERAGE.md §window-plan.
+    # Disk-staging queries (sources, JDBC, stream sink) ride late so a
+    # staging-restricted run still verifies the pure-compute surface.
     # ------------------------------------------------------------------
-    # TPC-H breadth suite (the whole remaining set, per r3 VERDICT)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # relational extensions (round-3 additions, never driver-checked)
-    "q_variant_events",
-    "q_dq_constraints",
-    "q_window_range_frame",
-    "q_null_safe_join",
-    # dedup: the O(log n) components algorithm (promoted per VERDICT
-    # item 3), survivorship, incremental, and the round-4 fully-oracled
-    # SemDeDup composition
-    "q_dedup_components_star",
-    "q_quality_dedup",
-    "q_incremental_dedup",
-    "q_semantic_dedup_lsh",
-    # similarity: the recall ladder, hash-oracled as of round 4
-    "q_ann_lsh_recall",
-    # text / LLM-pipeline
-    "q_tfidf_topterms",
-    "q_bm25_topdocs",
-    "q_bpe_merges",
-    "q_pmi_cooccurrence",
-    "q_url_canonicalize",
-    # advanced analytics
-    "q_cdc_upsert",
-    "q_cohort_retention",
-    "q_event_funnel",
-    "q_sessionize_events",
-    # skew / sampling
-    "q_salted_join",
-    "q_stratified_split",
-    # round-4 module-coverage operators (one per previously-banked-only
-    # module: graph, layout, bucketing, arrays, grouping, joins)
-    "q_triangle_count",
-    "q_zorder_pruning",
-    "q_bucketed_agg",
-    "q_channel_topk_rowlocal",
-    "q_path_rollup",
-    "q_not_in_anti_join",
-    # ml / multimodal / explainability
-    "q_ml_pipeline",
-    "q_phash_near_dup",
-    "q_attention_rollout_surrogate",
-    # sketches
-    "q_hll_distinct_merge",
-    # streaming + disk-staging sources — late in the window by design
-    "q_stream_sliding_window",
-    "q_stream_stream_join",
-    "q_stream_exactly_once",
-    "q_python_datasource",
-    "q_corrupt_json_permissive",
+    # dedup: the round-4 heavy machinery (Ed-Join + its E2E consumer)
+    "q_edit_distance_join",
+    "q_record_linkage",
+    "q_substring_span_dedup",
+    # graph
+    "q_lpa_communities",
+    # SQL surface (round-4 additions)
+    "q_recursive_cte_chain",
+    "q_lateral_topn",
+    "q_grouping_id_rollup",
+    "q_try_arithmetic",
+    "q_session_window_native",
+    # scale primitives
+    "q_global_rownum",
+    "q_quantile_band_join",
+    "q_equidepth_histogram",
+    "q_mad_outliers",
+    "q_skew_diagnosis",
+    "q_grid_knn_join",
+    "q_max_concurrency",
+    "q_merge_intervals",
+    "q_frequent_pairs",
+    # lakehouse
+    "q_snapshot_time_travel",
+    "q_snapshot_diff",
+    "q_scd2_join",
+    "q_ts_correlation_search",
+    # eval / profiling
+    "q_auc_evaluation",
+    "q_calibration_bins",
+    "q_drift_psi",
+    "q_benford_audit",
+    "q_entropy_profile",
+    # BI family
+    "q_rfm_segmentation",
+    "q_ab_test",
+    "q_abc_analysis",
+    "q_yoy_growth",
+    "q_contribution_share",
+    "q_touch_attribution",
+    # layout
+    "q_hilbert_layout",
+    "q_compaction_plan",
+    # UDF tier + text + arrays + similarity + multimodal
+    "q_pandas_udaf",
+    "q_pandas_scalar_udf",
+    "q_readability",
+    "q_map_metrics",
+    "q_ann_sq8_rescore",
+    "q_scene_cuts",
+    # new round-5 operators (one per otherwise-uncovered module)
+    "q_kmv_distinct",
+    "q_occlusion_sensitivity",
+    "q_stem_coverage",
+    "q_hash_bernoulli_sample",
+    "q_bucket_pruned_lookup",
+    # disk-staging tail: sources + transactional stream sink
+    "q_file_metadata",
+    "q_jdbc_roundtrip",
+    "q_xml_roundtrip",
+    "q_stream_jdbc_exactly_once",
 ]
 
 

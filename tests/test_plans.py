@@ -699,3 +699,24 @@ def test_cbo_reorders_join_by_statistics(spark):
     assert sel_on < plain_on, plan_on
     # no CBO: SQL text order — the plain orders branch joins first
     assert plain_off < sel_off, plan_off
+
+
+def test_bucket_pruned_lookup_skips_buckets(spark):
+    """The IN-list on the bucket key must prune bucket FILES at scan
+    time — the FileSourceScan advertises SelectedBucketsCount strictly
+    below the full bucket count (scan elision, not just a filter)."""
+    plan = _plan(all_queries()["q_bucket_pruned_lookup"](spark, SF_DIR))
+    assert "SelectedBucketsCount" in plan, plan
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+
+
+def test_kmv_global_topk_is_take_ordered_not_global_sort(spark):
+    """The global K-smallest-hash stage must compile to
+    TakeOrderedAndProject (per-partition top-K + heap merge) — never a
+    full global Sort of the distinct-key stream."""
+    plan = _plan(all_queries()["q_kmv_distinct"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
