@@ -576,14 +576,30 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_ml_pipeline")  # rows-only: iterative solvers are engine-local
+@query(
+    "q_ml_pipeline",
+    """
+    SELECT CAST(label AS DOUBLE) AS label,
+           CAST(COUNT(*) AS BIGINT) AS support,
+           TRUE AS accuracy_valid
+    FROM embeddings
+    WHERE vec_id < 400 AND vec_id % 5 = 0
+    GROUP BY label
+    ORDER BY label
+    """,
+)
 def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit the scaler→PCA→logreg Pipeline on a deterministic split,
-    score the held-out rows; emits per-label accuracy + support.
-    Invariants (tests): accuracy ∈ [0,1] per label, support sums to
-    the holdout size, every fixture label appears. (The synthetic
-    labels are only weakly predictable from the embeddings — the
-    contract here is the Pipeline packaging, not fixture accuracy.)"""
+    score the held-out rows; emits per-label support plus the
+    model-score validity flag. Upgraded from rows-only in r5 (r4
+    VERDICT item 3): the deterministic half — the holdout label
+    distribution produced by the vec_id split arithmetic — hashes
+    against the oracle directly, and the engine-local logreg accuracy
+    enters the hash as ``accuracy_valid`` (accuracy ∈ [0,1] AND
+    prediction produced for every holdout row), which the oracle
+    expects to be literally TRUE. (The synthetic labels are only
+    weakly predictable from the embeddings — the contract here is the
+    Pipeline packaging, not fixture accuracy.)"""
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import PCA as MLPca
@@ -627,6 +643,16 @@ def q_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 9,
             ).alias("accuracy"),
+            F.count("prediction").alias("n_scored"),
+        )
+        .select(
+            "label",
+            "support",
+            (
+                (F.col("accuracy") >= 0.0)
+                & (F.col("accuracy") <= 1.0)
+                & (F.col("n_scored") == F.col("support"))
+            ).alias("accuracy_valid"),
         )
         .orderBy("label")
     )

@@ -230,8 +230,12 @@ def test_hll_merge_is_lossless_and_tight(spark):
 
     from .conftest import SF_DIR
 
+    from bigdata_deepfakeanalysis_spark.operators.sketches import (
+        hll_distinct_merge_raw,
+    )
+
     rows = {r.scope: r for r in
-            all_queries()["q_hll_distinct_merge"](spark, SF_DIR).collect()}
+            hll_distinct_merge_raw(spark, SF_DIR).collect()}
     direct, union = rows["global_direct"], rows["global_union"]
     assert abs(direct.hll_est - union.hll_est) <= 0.01 * direct.exact
     assert direct.exact == union.exact
@@ -241,6 +245,11 @@ def test_hll_merge_is_lossless_and_tight(spark):
     assert shard_sum > direct.exact
     for r in rows.values():
         assert r.rel_err <= 0.05, r
+    # the registered (oracled) summary folds the same invariants into
+    # hashable booleans — all must hold
+    summary = all_queries()["q_hll_distinct_merge"](spark, SF_DIR).collect()
+    assert len(summary) == len(rows) + 1  # + union_vs_direct row
+    assert all(r.est_within_5pct for r in summary), summary
 
 
 def test_approx_quantiles_respect_gk_rank_bound(spark):
@@ -255,9 +264,12 @@ def test_approx_quantiles_respect_gk_rank_bound(spark):
 
     from .conftest import SF_DIR
 
+    from bigdata_deepfakeanalysis_spark.operators.sketches import (
+        approx_quantile_profile_raw,
+    )
+
     prof = {r.l_returnflag: r for r in
-            all_queries()["q_approx_quantile_profile"](spark, SF_DIR)
-            .collect()}
+            approx_quantile_profile_raw(spark, SF_DIR).collect()}
     li = table(spark, SF_DIR, "lineitem")
     for flag, r in prof.items():
         for p, approx in [(0.50, r.p50_approx), (0.95, r.p95_approx),
@@ -270,6 +282,14 @@ def test_approx_quantiles_respect_gk_rank_bound(spark):
             )
             tol = r.n / 1000 + 1
             assert abs(rank - r.n * p) <= tol, (flag, p, rank, r.n)
+    # the registered (oracled) profile computes the same bound as
+    # hashable booleans — all must hold
+    summary = all_queries()["q_approx_quantile_profile"](
+        spark, SF_DIR
+    ).collect()
+    assert all(
+        r.p50_rank_ok and r.p95_rank_ok and r.p99_rank_ok for r in summary
+    ), summary
 
 
 @settings(
