@@ -674,8 +674,25 @@ def _derby_url(spark: SparkSession) -> str:
     engine processes (pytest + bench, two drivers) fail with
     'another instance of Derby may have already booted'."""
     import os as _os
+    import shutil as _shutil
+    import time as _time
 
     home = staging_dir("derby")
+    # sweep stale per-PID databases (ADVICE r4: every pytest/bench/
+    # driver process left one behind forever). A db dir untouched for
+    # an hour belongs to a dead process — its owner would have booted
+    # Derby (touching files) within the current run. Best-effort: a
+    # concurrent owner's boot lock makes rmtree fail partway, which is
+    # fine (it is then recent again).
+    cutoff = _time.time() - 3600
+    for db in home.glob("enginedb_*"):
+        try:
+            if db.name != f"enginedb_{_os.getpid()}" and (
+                db.stat().st_mtime < cutoff
+            ):
+                _shutil.rmtree(db, ignore_errors=True)
+        except OSError:
+            pass
     try:
         spark._jvm.System.setProperty("derby.system.home", str(home))
     except Exception:

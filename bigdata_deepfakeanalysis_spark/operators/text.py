@@ -2157,8 +2157,12 @@ def q_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def md5_nibble(texts):
         import hashlib as _h
 
+        # na_action='ignore' keeps Arrow nulls null instead of feeding
+        # NaN to .encode() (ADVICE r4: the fixture has no null text,
+        # but the null path the docstring claims must actually be safe)
         return texts.map(
-            lambda t: _h.md5(t.encode("utf-8")).hexdigest()[0]
+            lambda t: _h.md5(t.encode("utf-8")).hexdigest()[0],
+            na_action="ignore",
         )
 
     docs = table(spark, sf_dir, "documents")

@@ -637,11 +637,15 @@ def record_breakers_tws(stream: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exactly-once into a TRANSACTIONAL store: foreachBatch → JDBC (the
-# bundled embedded Derby), idempotent by epoch-scoped DELETE+INSERT.
-# The parquet sink above gets idempotence from dynamic partition
-# overwrite; an operational database gets it from replayable epoch
-# transactions — the other half of the production exactly-once story.
+# Exactly-once into an operational store: foreachBatch → JDBC (the
+# bundled embedded Derby), replay-idempotent by epoch-scoped
+# DELETE+INSERT (NOT one atomic transaction here: the DELETE runs on
+# its own auto-commit connection and the INSERT through
+# DataFrameWriter connections — a production sink would wrap both in
+# one XA/connection-scoped transaction; Derby's embedded driver and
+# Spark's writer don't share one). The parquet sink above gets
+# idempotence from dynamic partition overwrite; this shows the
+# epoch-keyed upsert half of the production exactly-once story.
 # ---------------------------------------------------------------------------
 
 def foreach_batch_jdbc_sink(
@@ -650,7 +654,11 @@ def foreach_batch_jdbc_sink(
     """Drain the events stream into a Derby table via foreachBatch:
     each epoch DELETEs its own rows then INSERTs the batch (append),
     so any replayed micro-batch converges to the same table state.
-    Returns the JDBC url."""
+    Convergence across a FULL re-drain additionally relies on
+    availableNow carving identical micro-batch boundaries from the
+    same source listing (deterministic here; q_stream_jdbc_exactly_once
+    asserts the fixed point by value checksum, which would catch a
+    carving drift as a stale-epoch residue). Returns the JDBC url."""
     from ..operators.sources import _derby_url
 
     url = _derby_url(spark)
@@ -725,7 +733,7 @@ def q_stream_jdbc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once into the JDBC store, proven by full replay: drain
     the stream twice (second pass with a fresh checkpoint replays
     every micro-batch) into a Derby table whose epochs are
-    DELETE+INSERT transactions, then count the table. Appending
+    replay-idempotent DELETE+INSERT pairs, then count the table. Appending
     replays would double n_rows; losing an epoch would drop the
     fixed-point value checksum; the oracle computes all three numbers
     from the source table read once."""

@@ -28,7 +28,46 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # keys in sf0.1 are < ~6e6; a 100M stride keeps every copy disjoint
 STRIDE = 100_000_000
 
-FACTS = {"lineitem": "l_orderkey", "orders": "o_orderkey"}
+# facts 10x with the JOIN key shifted; documents/embeddings 10x with
+# their OWN id shifted (doc_id < 50k per copy, typo-variant ids add
+# 5e6 — both stay inside each copy's 100M stride, so the dedup
+# fixtures' id arithmetic never collides across copies)
+FACTS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perturb(tbl: str, df, i: int):
+    """Decorrelate copy i's CONTENT, not just its ids: a verbatim 10x
+    copy would make every document/vector a near-duplicate of its 9
+    twins, inflating dedup candidate sets ~100x and turning the sf1
+    rows into a duplicate-blowup stress test instead of a scale
+    measurement. Copy i Caesar-shifts document text by i (length,
+    token structure and char-frequency SHAPE preserved; all q-grams
+    changed) and rotates embedding dimensions by i (norms preserved;
+    cross-copy cosine ~ 0 for these near-random vectors)."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return df
+    if tbl == "documents":
+        shifted = _AZ[i % 26:] + _AZ[: i % 26]
+        return df.withColumn("text", F.translate("text", _AZ, shifted))
+    if tbl == "embeddings":
+        r = i % 64
+        return df.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", r + 1, 64 - r),
+                F.slice("embedding", 1, r),
+            ),
+        )
+    return df
 DIMS = ("customer", "supplier", "part", "nation", "region")
 
 
@@ -38,6 +77,10 @@ def sf1_dir() -> Path:
     return staging_dir("sf1_bench")
 
 
+def _staged(out: Path, tbl: str) -> bool:
+    return (out / f"{tbl}.parquet" / "_SUCCESS").exists()
+
+
 def stage(spark) -> Path:
     from pyspark.sql import functions as F
 
@@ -45,20 +88,25 @@ def stage(spark) -> Path:
 
     out = sf1_dir()
     marker = out / ".complete"
-    if marker.exists():
-        return out
+    # per-table idempotence (r5 added documents/embeddings — an older
+    # staging dir upgrades in place without re-writing the facts)
     for tbl, key in FACTS.items():
+        if _staged(out, tbl):
+            continue
         src = table(spark, SRC, tbl)
         scaled = None
         for i in range(COPIES):
-            c = src.withColumn(key, F.col(key) + F.lit(i * STRIDE))
+            c = _perturb(
+                tbl, src.withColumn(key, F.col(key) + F.lit(i * STRIDE)), i
+            )
             scaled = c if scaled is None else scaled.unionByName(c)
         scaled.write.mode("overwrite").parquet(str(out / f"{tbl}.parquet"))
     for tbl in DIMS:
-        table(spark, SRC, tbl).write.mode("overwrite").parquet(
-            str(out / f"{tbl}.parquet")
-        )
-    marker.write_bytes(b"")
+        if not _staged(out, tbl):
+            table(spark, SRC, tbl).write.mode("overwrite").parquet(
+                str(out / f"{tbl}.parquet")
+            )
+    marker.write_bytes(b"v2-docs-embeddings")
     return out
 
 
