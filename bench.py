@@ -158,6 +158,12 @@ HEADLINE = [
     "q_late_arriving_dim",           # UNKNOWN-member fact parking
     "q_string_agg_report",           # ordered listagg roster
     "q_date_spine",                  # zero-fill daily calendar
+    # round-5 additions
+    "q_bucket_pruned_lookup",        # bucket-file-pruned point scan
+    "q_stem_coverage",               # stem-alignment coverage matrix
+    "q_hash_bernoulli_sample",       # zero-shuffle hash sampling
+    "q_kmv_distinct",                # oracled KMV distinct sketch
+    "q_occlusion_sensitivity",       # codegen occlusion saliency
 ]
 
 

@@ -260,7 +260,7 @@ _OCC_ORACLE = f"""
     agg AS (
         SELECT media_id,
                CAST(COUNT(*) AS INTEGER) AS n_cells,
-               CAST(SUM(CAST(contrib AS DECIMAL(27,18))) AS DOUBLE)
+               CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE)
                    AS base_score,
                CAST(COUNT(*) FILTER (WHERE contrib > 0) AS BIGINT)
                    AS n_pos_cells,
@@ -288,7 +288,10 @@ def q_occlusion_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one partial-aggregated shuffle — at 100 TB this is a single pass
     with no Python worker in the loop. Double parity: each contrib is
     ONE IEEE multiply of two exact dyadic rationals (bit-identical
-    cross-engine); the only SUM routes through DECIMAL(27,18)."""
+    cross-engine); the only SUM routes through DECIMAL(18,9) — scale 9 keeps
+    value*10^scale inside double-exact range in BOTH engines
+    (scale 18 drifted 1-2 ULPs: DuckDB's double->decimal multiply
+    rounds past 2^53 where Java BigDecimal(double) is exact)."""
     cells = (
         media(spark, sf_dir)
         .where(F.col("media_id") < 40)
@@ -311,7 +314,7 @@ def q_occlusion_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("media_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_cells"),
         F.expr(
-            "CAST(SUM(CAST(contrib AS DECIMAL(27,18))) AS DOUBLE)"
+            "CAST(SUM(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE)"
         ).alias("base_score"),
         F.count_if(F.col("contrib") > 0).alias("n_pos_cells"),
         F.min("contrib").alias("min_contrib"),
