@@ -164,6 +164,13 @@ HEADLINE = [
     "q_hash_bernoulli_sample",       # zero-shuffle hash sampling
     "q_kmv_distinct",                # oracled KMV distinct sketch
     "q_occlusion_sensitivity",       # codegen occlusion saliency
+    "q_weighted_sample",             # Efraimidis-Spirakis draws
+    "q_ks_drift",                    # exact two-sample KS per segment
+    "q_linear_interpolation",        # hourly lerp gap fill
+    "q_blocking_quality",            # ER reduction ratio / completeness
+    "q_winnowing_fingerprints",      # MOSS winnowing selection
+    "q_sparse_cosine_pairs",         # TF-IDF postings similarity join
+    "q_image_tiling",                # binary patch fan-out
 ]
 
 

@@ -649,3 +649,72 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Image tiling — the patch-extraction plumbing for a ViT-style
+# pipeline: slice each binary payload into fixed-size tiles with
+# typed (tile_id, byte offset, length) metadata and a per-tile
+# content digest. The BINARY slicing is real (substr over the binary
+# column, whole-stage codegen); decode-to-pixels would sit behind the
+# same mapInPandas seam as resize_stub. Oracle parity rides the hex
+# twin: hex(substr(content, o, l)) == substr(hex_payload, 2o-1, 2l),
+# so the digest of the true binary slice is checkable from the string
+# side without a BLOB md5.
+# ---------------------------------------------------------------------------
+
+_TILE_BYTES = 16   # 64-byte payload -> 4 tiles
+
+
+@query(
+    "q_image_tiling",
+    f"""
+    WITH {MEDIA_CTE.strip()},
+    tiles AS (
+        SELECT media_id,
+               CAST(t AS INTEGER) AS tile_id,
+               CAST(t * {_TILE_BYTES} AS INTEGER) AS byte_offset,
+               {_TILE_BYTES} AS tile_len,
+               md5(lower(substr(hex_payload, CAST(t AS INTEGER)
+                                 * {2 * _TILE_BYTES} + 1,
+                               {2 * _TILE_BYTES}))) AS tile_md5
+        FROM media, UNNEST(range(4)) AS r(t)
+        WHERE media_id < 60 AND kind = 'image')
+    SELECT media_id, tile_id, byte_offset, tile_len, tile_md5
+    FROM tiles
+    ORDER BY media_id, tile_id
+    """,
+)
+def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile the first image payloads into 4 x {_TILE_BYTES}-byte
+    patches: per tile the typed offset metadata plus the md5 of the
+    ACTUAL BINARY SLICE (computed as md5(hex(substr(content, ...))) on
+    the Spark side — the oracle derives the identical digest from the
+    hex twin column, proving the binary substr sliced the same bytes).
+    At 100 TB this explode+slice is the shuffle-free fan-out that
+    feeds patch-level decode/featurize UDFs; metadata stays typed and
+    prunable."""
+    m = media(spark, sf_dir).where(
+        (F.col("media_id") < 60) & (F.col("kind") == "image")
+    )
+    tiles = m.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("tile_id"),
+        "content",
+    ).select(
+        "media_id",
+        F.col("tile_id").cast("int").alias("tile_id"),
+        (F.col("tile_id") * _TILE_BYTES).cast("int").alias("byte_offset"),
+        F.lit(_TILE_BYTES).cast("int").alias("tile_len"),
+        F.md5(
+            F.lower(
+                F.hex(
+                    F.expr(
+                        f"substr(content, tile_id * {_TILE_BYTES} + 1,"
+                        f" {_TILE_BYTES})"
+                    )
+                )
+            )
+        ).alias("tile_md5"),
+    )
+    return tiles.orderBy("media_id", "tile_id")

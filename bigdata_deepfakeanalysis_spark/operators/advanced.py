@@ -1628,3 +1628,173 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill by linear interpolation — the numeric companion
+# to q_date_spine's zero-fill: build the complete per-entity hourly
+# spine, carry the bracketing observations in with two ignorenulls
+# window fills (the as-of idiom, both directions), and lerp the gaps.
+# Scale shape: one groupBy to hourly grain, one row-explode for the
+# spine, two windows PARTITIONED BY user — no global sort, no join
+# per gap.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_linear_interpolation",
+    f"""
+    WITH {EVENTS_US_CTE},
+    obs AS (
+        SELECT user_id,
+               (CAST(ts AS DATE) - DATE '2024-01-01') * 24
+                   + CAST(strftime(ts, '%H') AS INTEGER) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(value) AS v
+        FROM events_us WHERE user_id < 10
+        GROUP BY user_id, h),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM obs),
+    spine AS (
+        SELECT u.user_id, gs.h
+        FROM (SELECT DISTINCT user_id FROM obs) u
+        CROSS JOIN (SELECT UNNEST(generate_series(h0, h1)) AS h
+                    FROM bounds) gs),
+    joined AS (
+        SELECT s.user_id, s.h, o.v
+        FROM spine s LEFT JOIN obs o
+          ON s.user_id = o.user_id AND s.h = o.h),
+    filled AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_prev AS ph,
+               first_value(v IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER w_next AS nh
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY h
+                          ROWS UNBOUNDED PRECEDING),
+               w_next AS (PARTITION BY user_id ORDER BY h
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    classified AS (
+        SELECT user_id, h,
+               CASE WHEN v IS NOT NULL THEN 'observed'
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN 'interpolated'
+                    ELSE 'edge' END AS kind,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (CAST(h - ph AS DOUBLE)
+                                               / (nh - ph))
+                    ELSE NULL END AS fv
+        FROM filled)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(COUNT(*) FILTER (WHERE kind = 'observed') AS BIGINT)
+               AS n_observed,
+           CAST(COUNT(*) FILTER (WHERE kind = 'interpolated') AS BIGINT)
+               AS n_interpolated,
+           CAST(COUNT(*) FILTER (WHERE kind = 'edge') AS BIGINT) AS n_edge,
+           CAST(SUM(CAST(fv AS DECIMAL(18,6))) AS DOUBLE) AS fill_checksum
+    FROM classified
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap fill for the first 10 users' event values: hours with
+    no events get the linear interpolation between the bracketing
+    observed hours (edges stay null and are counted, not invented).
+    Parity: hourly means are DECIMAL-routed, the lerp is the same IEEE
+    ops on bit-identical doubles in both engines, and the final
+    checksum re-routes through DECIMAL."""
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    obs = (
+        ev.select(
+            "user_id",
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) * 24
+                + F.hour("ts")
+            ).alias("h"),
+            "value",
+        )
+        .groupBy("user_id", "h")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+                " / COUNT(value)"
+            ).alias("v")
+        )
+    )
+    bounds = obs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        obs.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    joined = spine.join(obs, ["user_id", "h"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = joined.select(
+        "user_id",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(
+            F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
+        )
+        .over(w_prev)
+        .alias("ph"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(
+            F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True
+        )
+        .over(w_next)
+        .alias("nh"),
+    )
+    has_both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    classified = filled.select(
+        "user_id",
+        "h",
+        F.when(F.col("v").isNotNull(), "observed")
+        .when(has_both, "interpolated")
+        .otherwise("edge")
+        .alias("kind"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            has_both,
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("h") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph"))
+            ),
+        )
+        .alias("fv"),
+    )
+    return (
+        classified.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.count_if(F.col("kind") == "observed").alias("n_observed"),
+            F.count_if(F.col("kind") == "interpolated").alias(
+                "n_interpolated"
+            ),
+            F.count_if(F.col("kind") == "edge").alias("n_edge"),
+            F.expr(
+                "CAST(SUM(CAST(fv AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("fill_checksum"),
+        )
+        .orderBy("user_id")
+    )

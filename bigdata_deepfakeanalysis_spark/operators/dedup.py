@@ -1748,3 +1748,143 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality metrics (reduction ratio / pairs completeness —
+# Christen 2012): the evaluation every entity-resolution pipeline runs
+# on its blocking scheme before trusting it. Reduction ratio = how
+# much of the quadratic pair space the prefix index prunes; pairs
+# completeness = how many TRUE matches survive the pruning. Both are
+# integer-exact ppm values over the Ed-Join stages, so the driver
+# hashes the whole quality report.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_blocking_quality",
+    f"""
+    WITH {_EDJ_PAIRS_CTES.strip()},
+    cand_pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+    planted AS (
+        SELECT b.doc_id AS doc_a, t.doc_id AS doc_b
+        FROM titles b JOIN titles t ON t.doc_id = b.doc_id + 5000000
+        WHERE levenshtein(b.s, t.s) <= {_EDJ_K}),
+    found AS (
+        SELECT p.doc_a, p.doc_b
+        FROM planted p JOIN ed_pairs e
+          ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM titles) AS n_records,
+               (SELECT COUNT(*) FROM cand_pairs) AS n_candidates,
+               (SELECT COUNT(*) FROM ed_pairs) AS n_matches,
+               (SELECT COUNT(*) FROM planted) AS n_planted,
+               (SELECT COUNT(*) FROM found) AS n_planted_found)
+    SELECT CAST(n_records AS BIGINT) AS n_records,
+           CAST(n_records * (n_records - 1) // 2 AS BIGINT) AS n_total_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(n_planted AS BIGINT) AS n_planted,
+           CAST(n_planted_found AS BIGINT) AS n_planted_found,
+           CAST(1000000 - n_candidates * 1000000
+                // (n_records * (n_records - 1) // 2) AS BIGINT)
+               AS reduction_ratio_ppm,
+           CAST(n_planted_found * 1000000 // n_planted AS BIGINT)
+               AS completeness_ppm
+    FROM m
+    """,
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row quality report for the Ed-Join prefix blocking: record
+    and pair-space counts, candidate volume, verified matches, planted
+    ground truth (each typo variant vs its source title, re-verified
+    directly through the 1:1 id join — a linear scan, no blocking),
+    plus reduction ratio and pairs completeness in exact ppm. A
+    lossless blocking scheme must report completeness_ppm = 1000000;
+    the reduction ratio is the scale argument for running blocked
+    Ed-Join instead of the quadratic verify at 100 TB."""
+    titles, pairs = edit_distance_pairs(spark, sf_dir)
+    # candidate stage, replayed exactly as edit_distance_pairs builds
+    # it but WITHOUT the verify, so the metric sees pre-verification
+    # candidate volume
+    grams = (
+        titles.where(F.length("s") >= _EDJ_Q)
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(s) - {_EDJ_Q - 1}, 1)),"
+                        f" i -> substr(s, i, {_EDJ_Q}))"
+                    )
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy("gdf", "g")
+    prefix = (
+        grams.join(df_counts, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= _EDJ_PREFIX) & (F.col("gdf") >= 2))
+        .select("doc_id", F.length("s").alias("ln"), "g")
+        .localCheckpoint(eager=True)
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("ln").alias("la"), "g"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("ln").alias("lb"), "g"
+    )
+    n_cand = (
+        a.join(b, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= _EDJ_K)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    base = titles.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    typo = titles.select(
+        (F.col("doc_id") - 5000000).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("sb"),
+    ).where(F.col("doc_b") >= 5000000)
+    planted = (
+        base.join(typo, "doc_a")
+        .where(F.levenshtein("sa", "sb") <= _EDJ_K)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_found = planted.join(pairs, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_planted_found")
+    )
+    n_planted = planted.agg(F.count(F.lit(1)).alias("n_planted"))
+    n_matches = pairs.agg(F.count(F.lit(1)).alias("n_matches"))
+    n_records = titles.agg(F.count(F.lit(1)).alias("n_records"))
+    m = (
+        n_records.crossJoin(n_cand)
+        .crossJoin(n_matches)
+        .crossJoin(n_planted)
+        .crossJoin(n_found)
+    )
+    return m.select(
+        F.col("n_records").cast("bigint").alias("n_records"),
+        F.expr("CAST(n_records * (n_records - 1) DIV 2 AS BIGINT)").alias(
+            "n_total_pairs"
+        ),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("n_planted").cast("bigint").alias("n_planted"),
+        F.col("n_planted_found").cast("bigint").alias("n_planted_found"),
+        F.expr(
+            "CAST(1000000 - n_candidates * 1000000"
+            " DIV (n_records * (n_records - 1) DIV 2) AS BIGINT)"
+        ).alias("reduction_ratio_ppm"),
+        F.expr(
+            "CAST(n_planted_found * 1000000 DIV n_planted AS BIGINT)"
+        ).alias("completeness_ppm"),
+    )

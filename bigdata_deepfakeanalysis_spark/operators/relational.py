@@ -3880,3 +3880,106 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr", "mo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (exact) — the distribution-shape
+# companion to q_drift_psi's binned PSI: KS is the max ECDF gap, so it
+# catches shifts PSI's 10 coarse buckets can smear out. Computed in
+# pure integers (ks_num = max |c1*n2 - c2*n1|; ks = ks_num/(n1*n2)) so
+# the statistic is engine-exact with no double accumulation at all.
+#
+# Scale shape: one groupBy collapses the corpus to its distinct
+# (segment, value) pairs; the ECDF cumsums are windows PARTITIONED BY
+# SEGMENT (never a global single-partition sort — contrast
+# q_equidepth_histogram's sanctioned NTILE); per segment the window
+# sorts only that segment's distinct values. The production
+# approximation for mega-cardinality columns is the same formula over
+# GK-sketch quantile grids (q_approx_quantile_profile).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ks_drift",
+    f"""
+    WITH split AS (
+        SELECT o_orderpriority AS segment, o_totalprice AS v,
+               (o_orderdate < TIMESTAMP '1998-01-01') AS is_ref
+        FROM orders),
+    counts AS (
+        SELECT segment, v,
+               COUNT(*) FILTER (WHERE is_ref) AS c1,
+               COUNT(*) FILTER (WHERE NOT is_ref) AS c2
+        FROM split GROUP BY segment, v),
+    tot AS (
+        SELECT segment, SUM(c1) AS n1, SUM(c2) AS n2
+        FROM counts GROUP BY segment),
+    cum AS (
+        SELECT segment, v,
+               SUM(c1) OVER (PARTITION BY segment ORDER BY v) AS cc1,
+               SUM(c2) OVER (PARTITION BY segment ORDER BY v) AS cc2
+        FROM counts),
+    d AS (
+        SELECT c.segment, MAX(ABS(cc1 * t.n2 - cc2 * t.n1)) AS ks_num
+        FROM cum c JOIN tot t ON c.segment = t.segment
+        GROUP BY c.segment)
+    SELECT d.segment,
+           CAST(t.n1 AS BIGINT) AS n_ref,
+           CAST(t.n2 AS BIGINT) AS n_cur,
+           CAST(d.ks_num AS BIGINT) AS ks_num,
+           CAST(d.ks_num AS DOUBLE) / (t.n1 * t.n2) AS ks_stat
+    FROM d JOIN tot t ON d.segment = t.segment
+    ORDER BY d.segment
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority-segment exact KS statistic for o_totalprice, ref =
+    pre-1998 orders vs cur = 1998+ (the q_drift_psi split). The max
+    ECDF gap is computed over the POOLED distinct values — the proper
+    two-sample KS — and reported both as the exact integer numerator
+    and the double statistic."""
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    split = orders.select(
+        F.col("o_orderpriority").alias("segment"),
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'")).alias(
+            "is_ref"
+        ),
+    )
+    counts = split.groupBy("segment", "v").agg(
+        F.count_if("is_ref").alias("c1"),
+        F.count_if(~F.col("is_ref")).alias("c2"),
+    )
+    tot = counts.groupBy("segment").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.partitionBy("segment").orderBy("v")
+    cum = counts.select(
+        "segment",
+        F.sum("c1").over(w).alias("cc1"),
+        F.sum("c2").over(w).alias("cc2"),
+    )
+    d = (
+        cum.join(F.broadcast(tot), "segment")
+        .groupBy("segment")
+        .agg(
+            F.max(
+                F.abs(F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1"))
+            ).alias("ks_num")
+        )
+    )
+    return (
+        d.join(F.broadcast(tot), "segment")
+        .select(
+            "segment",
+            F.col("n1").cast("bigint").alias("n_ref"),
+            F.col("n2").cast("bigint").alias("n_cur"),
+            F.col("ks_num").cast("bigint").alias("ks_num"),
+            (
+                F.col("ks_num").cast("double")
+                / (F.col("n1") * F.col("n2"))
+            ).alias("ks_stat"),
+        )
+        .orderBy("segment")
+    )

@@ -305,3 +305,85 @@ def q_hash_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+# each row draws key = -ln(u)/w (u uniform from the seeded md5, w its
+# weight) and the k SMALLEST keys per group are the sample — provably
+# equivalent to sequential weighted draws without replacement. The
+# 100 TB shape is the same as the cap sample: one window shuffle on
+# the group key (or TakeOrderedAndProject for a global sample), no
+# rand(), identical draws on any cluster size or engine.
+# ---------------------------------------------------------------------------
+
+_WS_U = (
+    "(CAST(conv(substr(md5(concat('es42', '|', CAST({key} AS STRING))),"
+    " 1, 8), 16, 10) AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"
+)
+_WS_U_SQL = (
+    "((('0x' || substr(md5('es42' || '|' || CAST({key} AS VARCHAR)), 1, 8))"
+    "::BIGINT + 1) / CAST(4294967296 AS DOUBLE))"
+)
+
+
+def weighted_sample(
+    df: DataFrame, group_col: str, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """k-per-group weighted sample: adds ``es_key`` and keeps the k
+    rows with the smallest -ln(u)/w per group (higher weight => smaller
+    key => more likely sampled). Weights must be > 0."""
+    u = _WS_U.format(key=key_col)
+    key = F.expr(f"-ln({u}) / {weight_col}")
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(key_col))
+    return (
+        df.withColumn("es_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rk")
+    )
+
+
+@query(
+    "q_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               -ln({_WS_U_SQL.format(key="o_orderkey")}) / o_totalprice
+                   AS es_key
+        FROM orders),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY es_key, o_orderkey) AS rk
+        FROM keyed)
+    SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk,
+           CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+    FROM ranked WHERE rk <= 20
+    ORDER BY o_orderpriority, rk
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20-per-priority weighted sample of orders, weight =
+    o_totalprice (big orders proportionally likelier): the
+    quality-weighted / temperature-style corpus subsampling primitive,
+    as exact engine-replayable draws. -ln(u) parity: LN of the same
+    dyadic-rational u is bit-identical across engines (proven by the
+    PSI/PMI oracles); the division by the parquet double is one IEEE
+    op. u is (h+1)/2^32 so u in (0,1] and ln never sees 0."""
+    from ..catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    out = weighted_sample(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice", 20
+    )
+    return (
+        out.select(
+            "o_orderpriority",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .orderBy("o_orderpriority", "rk")
+    )

@@ -2240,3 +2240,265 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): hash every k-gram, slide a w-window over the hash
+# sequence, select the minimum per window (rightmost winner on ties),
+# dedupe the selections. Guarantees: any shared substring of length
+# >= k + w - 1 produces a shared fingerprint (no false negatives for
+# long matches), expected density 2/(w+1). The selection is encoded as
+# ONE integer min — code = h * 65536 + (65535 - pos) — so the
+# min-by-hash-then-rightmost rule needs no argmin plumbing and both
+# engines replay it bit-identically.
+# ---------------------------------------------------------------------------
+
+_WIN_K = 5   # char-gram length
+_WIN_W = 4   # window size (positions per window)
+
+
+@query(
+    "q_winnowing_fingerprints",
+    f"""
+    WITH base AS (
+        SELECT doc_id, substr(lower(text), 1, 200) AS s
+        FROM documents WHERE doc_id < 300),
+    grams AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               ('0x' || substr(md5(substr(s, CAST(i AS INTEGER), {_WIN_K})),
+                               1, 8))::BIGINT AS h,
+               len(s) - {_WIN_K} + 1 AS n_pos
+        FROM base, UNNEST(range(1, greatest(len(s) - {_WIN_K} + 1, 0) + 1))
+            AS t(i)),
+    coded AS (
+        SELECT doc_id, pos, n_pos,
+               h * 65536 + (65535 - pos) AS code
+        FROM grams),
+    winmin AS (
+        SELECT doc_id, pos, n_pos,
+               MIN(code) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN CURRENT ROW
+                               AND {_WIN_W - 1} FOLLOWING) AS sel
+        FROM coded),
+    fps AS (
+        SELECT DISTINCT doc_id, sel
+        FROM winmin WHERE pos <= n_pos - {_WIN_W} + 1),
+    per_doc AS (
+        SELECT f.doc_id,
+               COUNT(*) AS n_fp,
+               SUM(sel) AS fp_checksum
+        FROM fps f GROUP BY f.doc_id),
+    geom AS (
+        SELECT doc_id, MAX(n_pos) AS n_grams,
+               MAX(n_pos) - {_WIN_W} + 1 AS n_windows
+        FROM grams GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(g.n_grams AS BIGINT) AS n_grams,
+           CAST(g.n_windows AS BIGINT) AS n_windows,
+           CAST(p.n_fp AS BIGINT) AS n_fp,
+           CAST(p.fp_checksum AS BIGINT) AS fp_checksum,
+           CAST(p.n_fp * 1000000 // g.n_windows AS BIGINT) AS density_ppm
+    FROM geom g JOIN per_doc p ON g.doc_id = p.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary for the first 300 documents
+    (normalized 200-char prefix, k={_WIN_K}, w={_WIN_W}): per doc the
+    gram/window geometry, the selected-fingerprint count and checksum,
+    and the realized density in ppm (expected ~2/(w+1) — the pytest
+    invariant). This is the plagiarism/near-copy fingerprint scheme
+    whose selections are POSITION-ROBUST (unlike fixed-stride
+    sampling, an insertion only perturbs nearby windows).
+
+    Scale shape: gram hashing is a row-local flatMap, the window min
+    is partitioned per doc, the dedupe is per-doc distinct — one
+    shuffle on doc_id end-to-end; fingerprint postings would then join
+    bucket-wise exactly like the MinHash bands."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    base = docs.select(
+        "doc_id", F.expr("substr(lower(text), 1, 200)").alias("s")
+    )
+    grams = base.select(
+        "doc_id",
+        (F.length("s") - _WIN_K + 1).alias("n_pos"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(s) - {_WIN_K - 1}, 0)),"
+                f" i -> CAST(conv(substr(md5(substr(s, i, {_WIN_K})), 1, 8),"
+                f" 16, 10) AS BIGINT))"
+            )
+        ).alias("pos0", "h"),
+    ).select(
+        "doc_id",
+        "n_pos",
+        (F.col("pos0") + 1).alias("pos"),
+        "h",
+    )
+    coded = grams.select(
+        "doc_id",
+        "pos",
+        "n_pos",
+        (F.col("h") * 65536 + (65535 - F.col("pos"))).alias("code"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    winmin = coded.select(
+        "doc_id", "pos", "n_pos", F.min("code").over(w).alias("sel")
+    )
+    fps = (
+        winmin.where(F.col("pos") <= F.col("n_pos") - _WIN_W + 1)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("sel").alias("fp_checksum"),
+    )
+    geom = grams.groupBy("doc_id").agg(
+        F.max("n_pos").alias("n_grams"),
+        (F.max("n_pos") - _WIN_W + 1).alias("n_windows"),
+    )
+    return (
+        geom.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_fp").cast("bigint").alias("n_fp"),
+            F.col("fp_checksum").cast("bigint").alias("fp_checksum"),
+            F.expr(
+                "CAST(n_fp * 1000000 DIV n_windows AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity join via the inverted index — the
+# SPARSE-vector counterpart of the dense embedding cosine join: docs
+# never meet unless they share a term, so the pair space is the union
+# of per-term posting-list squares, and the standard df cutoff keeps
+# every posting list bounded (a term in >5% of the corpus carries no
+# discrimination and would dominate the join — drop it, as every IR
+# engine does). The dense-side analogue of this blocking is the LSH
+# bucket join in dedup.cosine_pairs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sparse_cosine_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term),
+    n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    keep AS (
+        SELECT term, df FROM df, n_docs
+        WHERE df >= 2 AND df * 20 <= n),
+    weights AS (
+        SELECT t.doc_id, t.term,
+               t.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / k.df)
+                   AS w
+        FROM tf t JOIN keep k ON t.term = k.term),
+    norms AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,6))) AS DOUBLE))
+                   AS nrm
+        FROM weights GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(a.w * b.w AS DECIMAL(18,6))) AS DOUBLE)
+                   AS dot
+        FROM weights a JOIN weights b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT d.doc_a, d.doc_b,
+               d.dot / (na.nrm * nb.nrm) AS cos
+        FROM dots d
+        JOIN norms na ON d.doc_a = na.doc_id
+        JOIN norms nb ON d.doc_b = nb.doc_id)
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           cos
+    FROM scored
+    ORDER BY cos DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs by sparse TF-IDF cosine,
+    computed postings-wise: tf per (doc, term), idf = ln(N/df) with a
+    [2, N/20] df band, dot products accumulated only over shared
+    terms, norms and dots DECIMAL-routed so the cosines are
+    bit-identical cross-engine. ln/sqrt/division are single IEEE ops
+    on identical inputs (LN parity proven by the PSI/PMI oracles)."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = tf.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_counts.crossJoin(F.broadcast(n_docs)).where(
+        (F.col("df") >= 2) & (F.col("df") * 20 <= F.col("n"))
+    )
+    weights = (
+        tf.join(keep.select("term", "df", "n"), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # pin: feeds norms + both join sides
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.expr(
+            "sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,6))) AS DOUBLE))"
+        ).alias("nrm")
+    )
+    a = weights.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(wa * wb AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("dot")
+        )
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("nrm", "na")
+        .join(
+            norms.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "nrm", "nb"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    return scored.orderBy(F.desc("cos"), "doc_a", "doc_b").limit(20)

@@ -35,6 +35,8 @@ EAGER_BUILD = {
     "q_triangle_count",
     "q_lpa_communities",
     "q_record_linkage",
+    "q_blocking_quality",
+    "q_sparse_cosine_pairs",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",

