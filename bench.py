@@ -171,6 +171,10 @@ HEADLINE = [
     "q_winnowing_fingerprints",      # MOSS winnowing selection
     "q_sparse_cosine_pairs",         # TF-IDF postings similarity join
     "q_image_tiling",                # binary patch fan-out
+    "q_kcore",                       # fixed-round k-core peeling
+    "q_ngram_novelty",               # first-seen 5-gram novelty
+    "q_robust_scale",                # median/IQR robust transform
+    "q_audio_vad_segments",          # energy-threshold VAD islands
 ]
 
 

@@ -718,3 +718,116 @@ def q_image_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tile_md5"),
     )
     return tiles.orderBy("media_id", "tile_id")
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segments — the audio curation op one level above
+# q_audio_chunk_rms: threshold each chunk's energy, then merge
+# consecutive active chunks into segments with the gaps-and-islands
+# idiom (chunk_idx - row_number over active chunks). The threshold
+# compares INTEGER energy sums, so activity flags are engine-exact
+# with no float compare at the boundary.
+# ---------------------------------------------------------------------------
+
+_VAD_CHUNK = 2           # samples per chunk -> 8 chunks per clip
+_VAD_T = 720_000_000     # ~E[sum of 2 squared uniform 16-bit samples]
+
+
+@query(
+    "q_audio_vad_segments",
+    f"""
+    WITH {MEDIA_CTE.strip()},
+    aud AS (
+        SELECT media_id, hex_payload FROM media
+        WHERE kind = 'audio' AND media_id < 200),
+    samples AS (
+        SELECT media_id, x.i // {_VAD_CHUNK} AS chunk,
+               (('0x' || substr(hex_payload, x.i * 4 + 1, 4))::BIGINT
+                - 32768) AS s
+        FROM aud, (SELECT UNNEST(range(0, 16)) AS i) x),
+    chunks AS (
+        SELECT media_id, chunk, SUM(s * s) AS energy,
+               SUM(s * s) > {_VAD_T} AS active
+        FROM samples GROUP BY media_id, chunk),
+    islands AS (
+        SELECT media_id, chunk,
+               chunk - ROW_NUMBER() OVER (PARTITION BY media_id
+                                          ORDER BY chunk) AS grp
+        FROM chunks WHERE active),
+    segs AS (
+        SELECT media_id, grp, COUNT(*) AS seg_len, MIN(chunk) AS seg_start
+        FROM islands GROUP BY media_id, grp)
+    SELECT c.media_id,
+           CAST(COUNT(DISTINCT c.chunk) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT CASE WHEN c.active THEN c.chunk END)
+                AS BIGINT) AS n_active,
+           CAST(COUNT(DISTINCT s.grp) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(s.seg_len), 0) AS BIGINT) AS longest_seg,
+           CAST(MIN(s.seg_start) AS BIGINT) AS first_active_chunk
+    FROM chunks c LEFT JOIN segs s ON c.media_id = s.media_id
+    GROUP BY c.media_id
+    ORDER BY c.media_id
+    """,
+)
+def q_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-audio segments per clip: 2-sample chunk energies from
+    the PCM decode, integer threshold, islands of consecutive active
+    chunks rolled to (count, longest, first-start). The downstream
+    shape for 'cut silence, keep speech' audio curation — at scale the
+    islands window partitions per clip and the whole pipeline is one
+    shuffle on media_id."""
+    aud = media(spark, sf_dir).where(
+        (F.col("kind") == "audio") & (F.col("media_id") < 200)
+    )
+    samples = F.expr(
+        "transform(sequence(0, 15), i -> "
+        "CAST(conv(substr(hex_payload, i * 4 + 1, 4), 16, 10) AS BIGINT)"
+        " - 32768)"
+    )
+    chunks = (
+        aud.select("media_id", F.posexplode(samples).alias("pos", "s"))
+        .select(
+            "media_id",
+            (F.col("pos") / _VAD_CHUNK).cast("long").alias("chunk"),
+            "s",
+        )
+        .groupBy("media_id", "chunk")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("energy"))
+        .withColumn("active", F.col("energy") > _VAD_T)
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("media_id").orderBy("chunk")
+    islands = chunks.where("active").select(
+        "media_id",
+        "chunk",
+        (F.col("chunk") - F.row_number().over(w)).alias("grp"),
+    )
+    segs = islands.groupBy("media_id", "grp").agg(
+        F.count(F.lit(1)).alias("seg_len"),
+        F.min("chunk").alias("seg_start"),
+    )
+    return (
+        chunks.join(segs, "media_id", "left")
+        .groupBy("media_id")
+        .agg(
+            F.countDistinct("chunk").alias("n_chunks"),
+            F.countDistinct(
+                F.when(F.col("active"), F.col("chunk"))
+            ).alias("n_active"),
+            F.countDistinct("grp").alias("n_segments"),
+            F.coalesce(F.max("seg_len"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_seg"),
+            F.min("seg_start").cast("bigint").alias("first_active_chunk"),
+        )
+        .select(
+            "media_id",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_segments").cast("bigint").alias("n_segments"),
+            "longest_seg",
+            "first_active_chunk",
+        )
+        .orderBy("media_id")
+    )

@@ -437,3 +437,137 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peeling) — the degeneracy-based
+# density filter: repeatedly drop nodes with degree < k until the
+# k-core remains. A FIXED round count is part of the operator contract
+# (the oracle unrolls the identical rounds, the pytest invariant
+# proves the fixed point was reached — peeling converges in a handful
+# of rounds on any graph because each round strictly shrinks the node
+# set until stable). Per round: one degree aggregation + one semi-join
+# — the Pregel peel at scale.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_round_sql(prev_e: str, out_e: str) -> str:
+    """One peel: keep edges whose BOTH endpoints have degree >= k in
+    the current edge set."""
+    return f"""
+    deg_{out_e} AS MATERIALIZED (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT s1 AS id FROM {prev_e}
+            UNION ALL SELECT s2 FROM {prev_e}) GROUP BY id),
+    keep_{out_e} AS MATERIALIZED (
+        SELECT id FROM deg_{out_e} WHERE d >= {_KCORE_K}),
+    {out_e} AS MATERIALIZED (
+        SELECT e.s1, e.s2 FROM {prev_e} e
+        JOIN keep_{out_e} ka ON e.s1 = ka.id
+        JOIN keep_{out_e} kb ON e.s2 = kb.id)"""
+
+
+def _kcore_oracle() -> str:
+    chain = ",\n".join(
+        _kcore_round_sql(f"e{r}", f"e{r + 1}") for r in range(_KCORE_ROUNDS)
+    )
+    last = f"e{_KCORE_ROUNDS}"
+    return f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e0 AS MATERIALIZED (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    {chain},
+    core_deg AS (
+        SELECT id, COUNT(*) AS core_degree FROM (
+            SELECT s1 AS id FROM {last}
+            UNION ALL SELECT s2 FROM {last}) GROUP BY id)
+    SELECT CAST(core_degree AS BIGINT) AS core_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(id) AS BIGINT) AS min_suppkey
+    FROM core_deg
+    GROUP BY core_degree
+    ORDER BY core_degree
+    """
+
+
+@query("q_kcore", _kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the sparsified supplier co-purchase graph
+    (same top-{_TRI_EDGES} edge set as q_triangle_count): degree
+    distribution of the surviving core with a witness node per degree.
+    Spark runs the same {_KCORE_ROUNDS} fixed peel rounds the oracle
+    unrolls, each a lazily-checkpointed degree-filter semi-join —
+    the scale shape is one narrow shuffle per round over a strictly
+    shrinking edge set."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("s1").alias("id"))
+            .unionAll(edges.select(F.col("s2").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("id")
+        edges = (
+            edges.join(
+                F.broadcast(keep.withColumnRenamed("id", "s1")), "s1"
+            )
+            .join(F.broadcast(keep.withColumnRenamed("id", "s2")), "s2")
+            .select("s1", "s2")
+            .localCheckpoint(eager=False)
+        )
+    core_deg = (
+        edges.select(F.col("s1").alias("id"))
+        .unionAll(edges.select(F.col("s2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return (
+        core_deg.groupBy("core_degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("id").cast("bigint").alias("min_suppkey"),
+        )
+        .select(
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+            "n_nodes",
+            "min_suppkey",
+        )
+        .orderBy("core_degree")
+    )

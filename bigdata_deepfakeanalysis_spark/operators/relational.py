@@ -3983,3 +3983,71 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling (median / IQR) — the outlier-immune feature
+# transform next to ml.standardize's mean/std: one stats pass per
+# group, broadcast the three quantile constants, then a row-local
+# transform. The r5 MAD finding applies here too: the per-group exact
+# percentile sort is the cost, the scan is not.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_robust_scale",
+    """
+    WITH stats AS (
+        SELECT l_returnflag AS flag,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 9) AS med,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 9)
+                   - ROUND(quantile_cont(l_extendedprice, 0.25), 9) AS iqr
+        FROM lineitem GROUP BY l_returnflag),
+    scaled AS (
+        SELECT l_returnflag, s.med, s.iqr,
+               (l_extendedprice - s.med) / s.iqr AS z
+        FROM lineitem JOIN stats s ON l_returnflag = s.flag)
+    SELECT l_returnflag, med, iqr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE ABS(z) > 0.8) AS BIGINT)
+               AS n_beyond_08,
+           CAST(SUM(CAST(z AS DECIMAL(18,9))) AS DOUBLE) AS z_checksum
+    FROM scaled
+    GROUP BY l_returnflag, med, iqr
+    ORDER BY l_returnflag
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag robust scaling of extended price: z = (x - med)
+    / IQR with exact interpolated quartiles (ROUNDed to 1e-9 before
+    reuse so both engines transform with identical constants), plus
+    the |z| > 0.8 tail count (under IQR scaling a uniform column tops
+    out at |z| = 1, so 0.8 marks its outer 20% — heavy-tailed real
+    data would show far more) and a DECIMAL-routed checksum of the
+    scaled column."""
+    li = table(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 9).alias("med"),
+        (
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 9)
+            - F.round(F.expr("percentile(l_extendedprice, 0.25)"), 9)
+        ).alias("iqr"),
+    )
+    scaled = li.join(
+        F.broadcast(stats), F.col("l_returnflag") == F.col("flag")
+    ).withColumn(
+        "z", (F.col("l_extendedprice") - F.col("med")) / F.col("iqr")
+    )
+    return (
+        scaled.groupBy("l_returnflag", "med", "iqr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.abs(F.col("z")) > 0.8).alias("n_beyond_08"),
+            F.expr(
+                "CAST(SUM(CAST(z AS DECIMAL(18,9))) AS DOUBLE)"
+            ).alias("z_checksum"),
+        )
+        .select(
+            "l_returnflag", "med", "iqr", "n", "n_beyond_08", "z_checksum"
+        )
+        .orderBy("l_returnflag")
+    )

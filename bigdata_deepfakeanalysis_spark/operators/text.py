@@ -2502,3 +2502,102 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("cos"), "doc_a", "doc_b").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty scoring — the incremental-crawl curation signal: for
+# each document (in ingestion order = doc_id), what fraction of its
+# word 5-grams has never been seen in any EARLIER document? Re-crawls
+# and boilerplate score near zero, fresh content near one. One gram
+# explode + one min-aggregate + one rollup; the first-seen index is
+# exactly the structure q_incremental_dedup persists across snapshots.
+# ---------------------------------------------------------------------------
+
+_NOV_N = 5
+
+
+@query(
+    "q_ngram_novelty",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 250
+        UNION ALL
+        SELECT doc_id + 1000000,
+               text || ' fresh tail ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id < 250 AND doc_id % 50 = 0),
+    toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {_NOV_N - 1}], ' ') AS g
+        FROM toks, UNNEST(range(1, greatest(len(t) - {_NOV_N - 1}, 0) + 1))
+            AS r(i)),
+    first_seen AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    scored AS (
+        SELECT gr.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(*) FILTER (WHERE f.first_doc = gr.doc_id) AS n_novel
+        FROM grams gr JOIN first_seen f ON gr.g = f.g
+        GROUP BY gr.doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel * 1000000 // n_grams AS BIGINT) AS novelty_ppm
+    FROM scored
+    WHERE doc_id >= 1000000 OR doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty over the first 250 documents plus
+    planted re-crawl variants (every 50th doc re-appears later with a
+    short fresh tail): the variants MUST score near-zero novelty while
+    originals score near one (pytest invariant). first-seen attribution
+    is by min doc_id — the same tie-break q_incremental_dedup uses."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" fresh tail "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    grams = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size({_TOKS})"
+                    f" - {_NOV_N - 1}, 0)),"
+                    f" i -> array_join(slice({_TOKS}, i, {_NOV_N}), ' '))"
+                )
+            )
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        scored.where((F.col("doc_id") >= 1000000) | (F.col("doc_id") < 50))
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -34,6 +34,7 @@ EAGER_BUILD = {
     "q_semantic_dedup_lsh",
     "q_triangle_count",
     "q_lpa_communities",
+    "q_kcore",
     "q_record_linkage",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",

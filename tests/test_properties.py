@@ -494,3 +494,66 @@ def test_blocking_quality_is_lossless_on_planted(spark):
     assert r.reduction_ratio_ppm > 900000, r
     assert r.n_candidates < r.n_total_pairs
     assert r.n_planted_found == r.n_planted > 0
+
+
+def test_ngram_novelty_flags_recrawls(spark):
+    """Planted re-crawl variants (same text + short fresh tail) must
+    score near-zero novelty; first-crawl docs near one."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_ngram_novelty"](spark, SF_DIR).collect()
+    planted = [r for r in rows if r.doc_id >= 1000000]
+    originals = [r for r in rows if r.doc_id < 50]
+    assert planted and originals
+    assert all(r.novelty_ppm < 300000 for r in planted), planted
+    assert all(r.novelty_ppm > 700000 for r in originals), originals
+
+
+def test_kcore_reached_fixed_point_and_min_degree(spark):
+    """Every node remaining after the fixed peel rounds must have
+    core degree >= k (i.e., the peeling converged within the round
+    budget — otherwise some row would show a smaller degree)."""
+    from bigdata_deepfakeanalysis_spark.operators.graph import _KCORE_K
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_kcore"](spark, SF_DIR).collect()
+    assert rows, "k-core unexpectedly empty"
+    assert min(r.core_degree for r in rows) >= _KCORE_K
+
+
+def test_vad_segments_consistent(spark):
+    """Per clip: segment chunks sum to active chunks, longest segment
+    bounded by actives, 8 chunks per clip."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_audio_vad_segments"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chunks == 8
+        assert 0 <= r.longest_seg <= r.n_active <= 8
+        if r.n_active:
+            assert 1 <= r.n_segments <= r.n_active
+            assert r.longest_seg >= (r.n_active + r.n_segments - 1) // r.n_segments
+        else:
+            assert r.n_segments == 0 and r.first_active_chunk is None
+
+
+def test_robust_scale_outlier_fraction_sane(spark):
+    """|z| > 0.8 under median/IQR scaling: for the near-uniform price
+    fixture this is its outer ~20% of mass — nonzero, under half."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_robust_scale"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        frac = r.n_beyond_08 / r.n
+        assert 0.0 < frac < 0.5, (r.l_returnflag, frac)
+        assert r.iqr > 0
