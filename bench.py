@@ -175,6 +175,8 @@ HEADLINE = [
     "q_ngram_novelty",               # first-seen 5-gram novelty
     "q_robust_scale",                # median/IQR robust transform
     "q_audio_vad_segments",          # energy-threshold VAD islands
+    "q_skyline_pareto",              # per-segment Pareto frontier
+    "q_session_path_ngrams",         # clickstream transition mining
 ]
 
 

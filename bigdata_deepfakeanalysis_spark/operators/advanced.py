@@ -1798,3 +1798,77 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining — the clickstream-pattern query over the
+# sessionization primitive: consecutive event-type transitions inside
+# a session (30-min inactivity break), ranked by frequency. The
+# bigram build is one lag window per user; no per-session collect, no
+# explode of whole paths — transitions stream out of the window
+# directly, so path mining costs the same shuffle sessionization
+# already pays.
+# ---------------------------------------------------------------------------
+
+_PATH_GAP_MIN = 30
+
+
+@query(
+    "q_session_path_ngrams",
+    f"""
+    WITH {EVENTS_US_CTE},
+    ev AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events_us WHERE user_id < 200),
+    lagged AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER w AS prev_type,
+               LAG(ts) OVER w AS prev_ts
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    transitions AS (
+        SELECT prev_type || ' -> ' || event_type AS path
+        FROM lagged
+        WHERE prev_type IS NOT NULL
+          AND epoch_ns(ts) // 1000 - epoch_ns(prev_ts) // 1000
+              <= CAST({_PATH_GAP_MIN} AS BIGINT) * 60 * 1000000)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM transitions
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 15
+    """,
+)
+def q_session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 within-session event-type transitions for the first 200
+    users (session break = {_PATH_GAP_MIN} min inactivity, the same
+    gap rule as q_sessionize_events). The product-analytics 'common
+    paths' readout."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    transitions = lagged.where(
+        F.col("prev_type").isNotNull()
+        & (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+            <= _PATH_GAP_MIN * 60 * 1_000_000
+        )
+    ).select(
+        F.concat(
+            F.col("prev_type"), F.lit(" -> "), F.col("event_type")
+        ).alias("path")
+    )
+    return (
+        transitions.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )

@@ -4051,3 +4051,91 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) per market segment — "which customers are
+# not dominated on (spend, order count)": the multi-objective shortlist
+# query. Sort-based skyline: within each segment, sort by (spend DESC,
+# n DESC); a customer is on the frontier iff no strictly-preceding row
+# reaches its order count. One window PARTITIONED BY SEGMENT over the
+# pre-aggregated per-customer rows — the corpus never sees a global
+# sort, and the quadratic dominance test never materializes.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_skyline_pareto",
+    """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey),
+    dedup AS (
+        SELECT segment, spend, n_orders, MIN(custkey) AS custkey
+        FROM per_cust GROUP BY segment, spend, n_orders),
+    flagged AS (
+        SELECT segment, custkey, spend, n_orders,
+               MAX(n_orders) OVER (PARTITION BY segment
+                                   ORDER BY spend DESC, n_orders DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS best_prev
+        FROM dedup)
+    SELECT segment, CAST(custkey AS BIGINT) AS custkey, spend,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM flagged
+    WHERE best_prev IS NULL OR n_orders > best_prev
+    ORDER BY segment, spend DESC, n_orders DESC
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Pareto-optimal customers on (total spend, order
+    count): a customer is kept iff no other customer in the segment is
+    at least as good on both axes and strictly better on one.
+    (spend, n_orders) duplicates collapse to their min custkey first,
+    so the running-max dominance test is exact. Spend is
+    DECIMAL-routed, the frontier test is integer-only."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    dedup = per_cust.groupBy("segment", "spend", "n_orders").agg(
+        F.min("custkey").alias("custkey")
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("spend"), F.desc("n_orders"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dedup.withColumn("best_prev", F.max("n_orders").over(w))
+    return (
+        flagged.where(
+            F.col("best_prev").isNull()
+            | (F.col("n_orders") > F.col("best_prev"))
+        )
+        .select(
+            "segment",
+            F.col("custkey").cast("bigint").alias("custkey"),
+            "spend",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("segment", F.desc("spend"), F.desc("n_orders"))
+    )
