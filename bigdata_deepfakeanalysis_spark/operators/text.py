@@ -2402,7 +2402,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
     keep AS (
         SELECT term, df FROM df, n_docs
-        WHERE df >= 2 AND df * 20 <= n),
+        WHERE df >= 2 AND df * 20 <= n AND df <= 256),
     weights AS (
         SELECT t.doc_id, t.term,
                t.tf * ln(CAST((SELECT n FROM n_docs) AS DOUBLE) / k.df)
@@ -2450,8 +2450,16 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df band: relative cutoff (no discrimination above N/20) AND an
+    # ABSOLUTE posting-list cap — the pair volume of one term is
+    # O(df^2), so a fraction-only cutoff would re-grow quadratically
+    # with corpus size; df <= 256 keeps every term's pair fan-out
+    # constant at any scale (the PPJoin-family prefix filter is the
+    # exact-recall upgrade when capped terms must still join)
     keep = df_counts.crossJoin(F.broadcast(n_docs)).where(
-        (F.col("df") >= 2) & (F.col("df") * 20 <= F.col("n"))
+        (F.col("df") >= 2)
+        & (F.col("df") * 20 <= F.col("n"))
+        & (F.col("df") <= 256)
     )
     weights = (
         tf.join(keep.select("term", "df", "n"), "term")
