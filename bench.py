@@ -177,6 +177,10 @@ HEADLINE = [
     "q_audio_vad_segments",          # energy-threshold VAD islands
     "q_skyline_pareto",              # per-segment Pareto frontier
     "q_session_path_ngrams",         # clickstream transition mining
+    "q_pr_curve_ap",                 # exact PR-curve AP + best F1
+    "q_decile_lift",                 # gains table, broadcast deciles
+    "q_bloom_prefilter_dedup",       # SQL Bloom prefilter + FP audit
+    "q_dynamic_partition_overwrite", # partition-scoped table refresh
 ]
 
 

@@ -964,3 +964,139 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall curve summary (average precision + best F1) — the
+# ranking-eval companion to q_auc_evaluation, over the same fixed
+# md5 linear probe (integer scores -> every threshold statistic is
+# exact). AP here is the ties-grouped step form: walking distinct
+# scores descending, AP = sum over thresholds of (n_pos_at_s / P) *
+# precision_at_s — the deterministic variant sklearn's
+# average_precision_score computes when ties are grouped.
+# ---------------------------------------------------------------------------
+
+_PR_ORACLE = """
+    WITH scored AS (
+        SELECT vec_id % 3 AS fold,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               (SELECT SUM(CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                                      * 1048576.0) AS BIGINT)
+                           * (2 * instr('0123456789abcdef',
+                                substr(md5('auc|' || CAST(pos_i AS VARCHAR)),
+                                       1, 1)) - 19))
+                FROM (SELECT UNNEST(range(0, 64)) AS pos_i)) AS score
+        FROM embeddings),
+    per_score AS (
+        SELECT fold, score, COUNT(*) AS n, SUM(pos) AS n_pos
+        FROM scored GROUP BY fold, score),
+    cum AS (
+        SELECT fold, score, n, n_pos,
+               SUM(n) OVER w AS cum_n,
+               SUM(n_pos) OVER w AS cum_tp
+        FROM per_score
+        WINDOW w AS (PARTITION BY fold ORDER BY score DESC
+                     ROWS UNBOUNDED PRECEDING)),
+    tot AS (
+        SELECT fold, SUM(n_pos) AS np, SUM(n) - SUM(n_pos) AS nn
+        FROM per_score GROUP BY fold),
+    terms AS (
+        SELECT c.fold, t.np, t.nn,
+               (CAST(c.n_pos AS DOUBLE) / t.np)
+                   * (CAST(c.cum_tp AS DOUBLE) / c.cum_n) AS ap_term,
+               CAST(2 * c.cum_tp AS DOUBLE) / (c.cum_n + t.np) AS f1
+        FROM cum c JOIN tot t ON c.fold = t.fold)
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(MIN(np) AS BIGINT) AS n_pos,
+           CAST(MIN(nn) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+           CAST(SUM(CAST(ap_term AS DECIMAL(18,12))) AS DOUBLE) AS ap,
+           MAX(f1) AS best_f1
+    FROM terms
+    GROUP BY fold
+    ORDER BY fold
+    """
+
+
+@query("q_pr_curve_ap", _PR_ORACLE)
+def q_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold average precision and best achievable F1 for the fixed
+    probe (same scoring as q_auc_evaluation). All curve points derive
+    from the distinct-score histogram — one groupBy plus one
+    partitioned window, never a per-row sort — and every precision/
+    recall value is a ratio of exact integers, so the curve summary is
+    bit-identical cross-engine (ap_terms sum through DECIMAL(18,12):
+    each term < 1, so value*10^12 stays double-exact)."""
+    from .operators.similarity import quantize
+
+    w = _auc_probe_weights()
+    weights_arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        (F.col("vec_id") % 3).alias("fold"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        quantize("embedding").alias("q"),
+    ).select(
+        "fold",
+        "pos",
+        F.expr(
+            f"aggregate(zip_with(q, {weights_arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    per_score = scored.groupBy("fold", "score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    from pyspark.sql.window import Window
+
+    win = (
+        Window.partitionBy("fold")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_score.select(
+        "fold",
+        "score",
+        "n",
+        "n_pos",
+        F.sum("n").over(win).alias("cum_n"),
+        F.sum("n_pos").over(win).alias("cum_tp"),
+    )
+    tot = per_score.groupBy("fold").agg(
+        F.sum("n_pos").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).alias("nn"),
+    )
+    terms = cum.join(F.broadcast(tot), "fold").select(
+        "fold",
+        "np",
+        "nn",
+        (
+            (F.col("n_pos").cast("double") / F.col("np"))
+            * (F.col("cum_tp").cast("double") / F.col("cum_n"))
+        ).alias("ap_term"),
+        (
+            (2 * F.col("cum_tp")).cast("double")
+            / (F.col("cum_n") + F.col("np"))
+        ).alias("f1"),
+    )
+    return (
+        terms.groupBy("fold")
+        .agg(
+            F.min("np").cast("bigint").alias("n_pos"),
+            F.min("nn").cast("bigint").alias("n_neg"),
+            F.count(F.lit(1)).alias("n_thresholds"),
+            F.expr(
+                "CAST(SUM(CAST(ap_term AS DECIMAL(18,12))) AS DOUBLE)"
+            ).alias("ap"),
+            F.max("f1").alias("best_f1"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_pos",
+            "n_neg",
+            "n_thresholds",
+            "ap",
+            "best_f1",
+        )
+        .orderBy("fold")
+    )

@@ -4139,3 +4139,108 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", F.desc("spend"), F.desc("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table — the model-targeting readout built on the
+# broadcast-boundary banding of q_quantile_band_join: rank the
+# population into score deciles, then per decile the response rate and
+# the CUMULATIVE lift over the base rate (all rates in exact ppm).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_decile_lift",
+    """
+    WITH bounds AS (
+        SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                   x -> round(x, 9)) AS qs
+        FROM orders),
+    banded AS (
+        SELECT len(list_filter(b.qs, q -> o.o_totalprice > q)) AS decile,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS resp
+        FROM orders o CROSS JOIN bounds b),
+    per_decile AS (
+        SELECT decile, COUNT(*) AS n, SUM(resp) AS n_resp
+        FROM banded GROUP BY decile),
+    cum AS (
+        SELECT decile, n, n_resp,
+               SUM(n) OVER w AS cum_n,
+               SUM(n_resp) OVER w AS cum_resp,
+               SUM(n) OVER () AS tot_n,
+               SUM(n_resp) OVER () AS tot_resp
+        FROM per_decile
+        WINDOW w AS (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_resp AS BIGINT) AS n_resp,
+           CAST(n_resp * 1000000 // n AS BIGINT) AS resp_rate_ppm,
+           CAST((cum_resp * tot_n * 1000000)
+                // (cum_n * tot_resp) AS BIGINT) AS cum_lift_ppm
+    FROM cum
+    ORDER BY decile DESC
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains table over orders, score = o_totalprice, response =
+    urgent priority: per decile (9..0, top spenders first) the exact
+    response rate and the cumulative lift vs the base rate, both as
+    integer ppm (cum_lift = (cum_resp/cum_n)/(tot_resp/tot_n), cross-
+    multiplied so no doubles exist at all). Deciles come from the same
+    broadcast exact-percentile boundaries as q_quantile_band_join —
+    no NTILE, no global sort. The 10-row cumulative window runs over
+    the aggregated deciles, not the corpus."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    bounds = o.agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, {qs}), x -> round(x, 9))"
+        ).alias("qs")
+    )
+    banded = (
+        o.select("o_totalprice", "o_orderpriority")
+        .join(F.broadcast(bounds))
+        .select(
+            F.expr("size(filter(qs, q -> o_totalprice > q))").alias(
+                "decile"
+            ),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("resp"),
+        )
+    )
+    per_decile = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("resp").alias("n_resp")
+    )
+    w = (
+        Window.orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_decile.select(
+        "decile",
+        "n",
+        "n_resp",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_resp").over(w).alias("cum_resp"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("n_resp").over(w_all).alias("tot_resp"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_resp").cast("bigint").alias("n_resp"),
+        F.expr("CAST(n_resp * 1000000 DIV n AS BIGINT)").alias(
+            "resp_rate_ppm"
+        ),
+        F.expr(
+            "CAST((cum_resp * tot_n * 1000000) DIV (cum_n * tot_resp)"
+            " AS BIGINT)"
+        ).alias("cum_lift_ppm"),
+    ).orderBy(F.desc("decile"))

@@ -500,3 +500,143 @@ def q_approx_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("r95", 0.95).alias("p95_rank_ok"),
         ok("r99", 0.99).alias("p99_rank_ok"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Bloom prefilter for incremental dedup — the third mergeable-sketch
+# idiom next to CMS and KMV: build an m-bit Bloom filter over the
+# SNAPSHOT's content fingerprints (k md5-derived bit positions per
+# key, the bit set is a <= m-row table that unions/merges trivially),
+# then prefilter the incoming batch — only rows whose k probes ALL
+# hit need the exact (expensive) membership check. Engine-exact like
+# CMS: both engines derive identical bit positions, so the false-
+# positive accounting itself is hash-oracled.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos(key_expr: str, j: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('bloom{j}', '|', {key_expr})), 1, 8),"
+        f" 16, 10) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+def _bloom_pos_sql(key_expr: str, j: int) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{j}' || '|' || {key_expr}), 1, 8))"
+        f"::BIGINT) % {_BLOOM_M}"
+    )
+
+
+@query(
+    "q_bloom_prefilter_dedup",
+    f"""
+    WITH snap AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+    snap_keys AS (SELECT DISTINCT fp FROM snap),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(
+                f"SELECT {_bloom_pos_sql('fp', j)} AS pos FROM snap_keys"
+                for j in range(_BLOOM_K))}) t),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents),
+    probes AS (
+        {" UNION ALL ".join(
+            f"SELECT doc_id, fp, {_bloom_pos_sql('fp', j)} AS pos FROM batch"
+            for j in range(_BLOOM_K))}),
+    hits AS (
+        SELECT p.doc_id, p.fp, COUNT(b.pos) AS n_hits
+        FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.doc_id, p.fp),
+    flagged AS (
+        SELECT h.doc_id, h.n_hits = {_BLOOM_K} AS maybe,
+               s.fp IS NOT NULL AS truly
+        FROM hits h LEFT JOIN snap_keys s ON h.fp = s.fp)
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) FILTER (WHERE maybe) AS BIGINT) AS n_maybe,
+           CAST(COUNT(*) FILTER (WHERE truly) AS BIGINT) AS n_truly_seen,
+           CAST(COUNT(*) FILTER (WHERE maybe AND NOT truly) AS BIGINT)
+               AS n_false_pos,
+           CAST(COUNT(*) FILTER (WHERE maybe AND NOT truly) * 1000000
+                // COUNT(*) FILTER (WHERE NOT truly) AS BIGINT)
+               AS fp_rate_ppm,
+           CAST(COUNT(*) FILTER (WHERE truly AND NOT maybe) AS BIGINT)
+               AS n_false_neg
+    FROM flagged
+    """,
+)
+def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup audit: an m={_BLOOM_M},
+    k={_BLOOM_K} filter over the snapshot's text fingerprints
+    prefilters the incoming batch; the report counts bloom-positives,
+    exact membership, realized false positives (ppm over the truly-new
+    rows), and — the structural guarantee — false negatives, which
+    must be ZERO (a Bloom filter never misses; the oracle hashes that
+    zero). At 100 TB the bit table is KBs broadcast against the
+    batch, and only `n_maybe` rows (vs `n_batch`) pay the exact
+    anti-join that q_incremental_dedup runs for all rows."""
+    docs = table(spark, sf_dir, "documents")
+    snap_keys = (
+        docs.where(F.col("doc_id") % 3 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        part = snap_keys.select(F.expr(_bloom_pos("fp", j)).alias("pos"))
+        bits = part if bits is None else bits.unionAll(part)
+    bits = bits.distinct()
+    batch = docs.select("doc_id", F.md5("text").alias("fp"))
+    probes = None
+    for j in range(_BLOOM_K):
+        part = batch.select(
+            "doc_id", "fp", F.expr(_bloom_pos("fp", j)).alias("pos")
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    hits = (
+        probes.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                    F.col("pos") == F.col("bpos"), "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.count("bpos").alias("n_hits"))
+    )
+    flagged = hits.join(
+        F.broadcast(snap_keys.withColumn("truly", F.lit(True))), "fp", "left"
+    ).select(
+        "doc_id",
+        (F.col("n_hits") == _BLOOM_K).alias("maybe"),
+        F.coalesce(F.col("truly"), F.lit(False)).alias("truly"),
+    )
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    bits_set = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        flagged.agg(
+            F.count_if("maybe").alias("n_maybe"),
+            F.count_if("truly").alias("n_truly_seen"),
+            F.count_if(F.col("maybe") & ~F.col("truly")).alias(
+                "n_false_pos"
+            ),
+            F.expr(
+                "CAST(count_if(maybe AND NOT truly) * 1000000"
+                " DIV count_if(NOT truly) AS BIGINT)"
+            ).alias("fp_rate_ppm"),
+            F.count_if(F.col("truly") & ~F.col("maybe")).alias(
+                "n_false_neg"
+            ),
+        )
+        .crossJoin(F.broadcast(n_batch))
+        .crossJoin(F.broadcast(bits_set))
+        .select(
+            F.col("n_batch").cast("bigint").alias("n_batch"),
+            F.col("bits_set").cast("bigint").alias("bits_set"),
+            F.col("n_maybe").cast("bigint").alias("n_maybe"),
+            F.col("n_truly_seen").cast("bigint").alias("n_truly_seen"),
+            F.col("n_false_pos").cast("bigint").alias("n_false_pos"),
+            "fp_rate_ppm",
+            F.col("n_false_neg").cast("bigint").alias("n_false_neg"),
+        )
+    )

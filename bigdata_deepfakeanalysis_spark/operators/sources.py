@@ -913,3 +913,73 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite — the lakehouse incremental-refresh
+# primitive: with partitionOverwriteMode=dynamic, an INSERT OVERWRITE
+# replaces ONLY the partitions present in the incoming frame and
+# leaves every other partition untouched (static mode would wipe the
+# whole table). At 100 TB this is how a daily re-run replaces one
+# day's partition under a thousand-day table without rewriting it.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dynamic_partition_overwrite",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    final AS (
+        -- untouched partitions keep v1 rows; gen1 is replaced by the
+        -- halved v2 load (even vec_ids only, value marker bumped)
+        SELECT "group", vec_id, 1 AS version FROM grouped_embeddings
+        WHERE "group" <> 'gen1'
+        UNION ALL
+        SELECT "group", vec_id, 2 AS version FROM grouped_embeddings
+        WHERE "group" = 'gen1' AND vec_id % 2 = 0)
+    SELECT "group",
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(version) AS INTEGER) AS version,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+    FROM final
+    GROUP BY "group"
+    ORDER BY "group"
+    """,
+)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the grouped embeddings partitioned by group (version=1),
+    then INSERT-OVERWRITE only the gen1 partition with a halved
+    version=2 load under partitionOverwriteMode=dynamic. The read-back
+    must show gen1 fully replaced (half the rows, version 2) and every
+    other partition untouched at version 1 — which is exactly what the
+    oracle computes from the split arithmetic. A static-mode
+    regression (wiping sibling partitions) or an append-instead-of-
+    replace both break the hash."""
+    from .fixtures import grouped_embeddings
+
+    tag = Path(sf_dir).name.replace(".", "_")
+    out = str(staging_dir("dyn_overwrite") / f"emb_{tag}")
+    base = grouped_embeddings(spark, sf_dir).select(
+        "group", "vec_id", F.lit(1).alias("version")
+    )
+    base.write.mode("overwrite").partitionBy("group").parquet(out)
+    v2 = (
+        grouped_embeddings(spark, sf_dir)
+        .where((F.col("group") == "gen1") & (F.col("vec_id") % 2 == 0))
+        .select("vec_id", F.lit(2).alias("version"), "group")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        v2.write.mode("overwrite").partitionBy("group").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("version").cast("int").alias("version"),
+            F.min("vec_id").cast("bigint").alias("min_vec_id"),
+        )
+        .orderBy("group")
+    )

@@ -41,6 +41,7 @@ EAGER_BUILD = {
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
+    "q_dynamic_partition_overwrite",
     "q_jdbc_roundtrip",
     "q_stream_jdbc_exactly_once",
 }
