@@ -181,6 +181,9 @@ HEADLINE = [
     "q_decile_lift",                 # gains table, broadcast deciles
     "q_bloom_prefilter_dedup",       # SQL Bloom prefilter + FP audit
     "q_dynamic_partition_overwrite", # partition-scoped table refresh
+    "q_merge_into_emulation",        # three-clause MERGE audit
+    "q_compaction_execute",          # fragmented -> compacted rewrite
+    "q_upset_overlaps",              # bitmask set-combination counts
 ]
 
 

@@ -1872,3 +1872,117 @@ def q_session_path_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO emulation — the three-clause upsert (WHEN MATCHED UPDATE /
+# WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT) as one full-outer
+# join + row-local CASE, the portable formulation for formats without
+# a native MERGE (plain parquet; Delta/Iceberg run the identical plan
+# under their MERGE syntax). Complements q_cdc_upsert (latest-wins
+# semantics) with explicit per-clause actions and an action audit.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_merge_into_emulation",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               o_totalprice AS price
+        FROM orders),
+    changes AS (
+        SELECT k, op, new_price FROM (
+            SELECT o_orderkey AS k, 'D' AS op,
+                   CAST(NULL AS DOUBLE) AS new_price
+            FROM orders WHERE o_orderkey % 11 = 0
+            UNION ALL
+            SELECT o_orderkey, 'U', o_totalprice + 100.0
+            FROM orders WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT o_orderkey + 90000000, 'I', o_totalprice
+            FROM orders WHERE o_orderkey % 13 = 0)),
+    merged AS (
+        SELECT COALESCE(b.k, c.k) AS k,
+               CASE
+                 WHEN c.op IS NULL THEN 'keep'
+                 WHEN b.k IS NOT NULL AND c.op = 'D' THEN 'delete'
+                 WHEN b.k IS NOT NULL AND c.op = 'U' THEN 'update'
+                 WHEN b.k IS NULL AND c.op = 'I' THEN 'insert'
+                 ELSE 'ignored'
+               END AS action,
+               CASE
+                 WHEN c.op = 'U' THEN c.new_price
+                 WHEN c.op = 'I' AND b.k IS NULL THEN c.new_price
+                 ELSE b.price
+               END AS price
+        FROM base b FULL OUTER JOIN changes c ON b.k = c.k)
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN action <> 'delete'
+                    THEN CAST(price AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS surviving_price_sum
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def q_merge_into_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a mixed change batch (deletes on %11 keys, updates on %7,
+    inserts re-keyed at +90M) to the orders base with MERGE-INTO
+    semantics, reporting per-action counts and the DECIMAL-routed
+    price mass that survives into the next snapshot. Unmatched
+    non-insert changes land in 'ignored' rather than corrupting the
+    table — the audit row a production MERGE job alerts on."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 11 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    updates = o.where(
+        (F.col("o_orderkey") % 11 != 0) & (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 100.0).alias("new_price"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 90000000).alias("k"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.coalesce(F.col("b.k"), F.col("c.k")).alias("k"),
+        F.when(F.col("c.op").isNull(), "keep")
+        .when(F.col("b.k").isNotNull() & (F.col("c.op") == "D"), "delete")
+        .when(F.col("b.k").isNotNull() & (F.col("c.op") == "U"), "update")
+        .when(F.col("b.k").isNull() & (F.col("c.op") == "I"), "insert")
+        .otherwise("ignored")
+        .alias("action"),
+        F.when(F.col("c.op") == "U", F.col("c.new_price"))
+        .when(
+            (F.col("c.op") == "I") & F.col("b.k").isNull(),
+            F.col("c.new_price"),
+        )
+        .otherwise(F.col("b.price"))
+        .alias("price"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CASE WHEN action <> 'delete'"
+                " THEN CAST(price AS DECIMAL(18,2)) END) AS DOUBLE)"
+            ).alias("surviving_price_sum"),
+        )
+        .orderBy("action")
+    )

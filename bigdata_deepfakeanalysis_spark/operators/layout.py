@@ -489,3 +489,81 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction EXECUTION — closes the loop the planner
+# (q_compaction_plan) opens: actually rewrite a fragmented table into
+# target-size files and prove, via the _metadata scan, that the file
+# count dropped and not one row moved logically. The fragmented state
+# is staged deterministically (64 round-robin files), the compacted
+# state is a coalesce-style rewrite into 4.
+# ---------------------------------------------------------------------------
+
+_FRAG_FILES = 64
+_COMPACT_FILES = 4
+
+
+@query(
+    "q_compaction_execute",
+    f"""
+    SELECT CAST({_FRAG_FILES} AS BIGINT) AS files_before,
+           CAST({_COMPACT_FILES} AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_checksum
+    FROM orders
+    """,
+)
+def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment orders into {_FRAG_FILES} small files, compact into
+    {_COMPACT_FILES}, and emit (files_before, files_after, rows,
+    key/price checksums) — files counted from the real `_metadata`
+    file paths of each layout, checksums proving the rewrite was
+    lossless. The oracle knows what the numbers MUST be from the
+    source table alone; a compaction that dropped or duplicated rows,
+    or wrote the wrong file count, breaks the hash. At 100 TB the
+    repartition target comes from the planner's bytes/target-size
+    math (q_compaction_plan); the rewrite itself is this exact
+    shuffle-and-write."""
+    from ..catalog import staging_dir, table
+
+    from pathlib import Path as _P
+
+    tag = _P(sf_dir).name.replace(".", "_")
+    frag = str(staging_dir("compaction") / f"frag_{tag}")
+    compacted = str(staging_dir("compaction") / f"compact_{tag}")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    o.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag)
+    back = spark.read.parquet(frag)
+    back.repartition(_COMPACT_FILES).write.mode("overwrite").parquet(
+        compacted
+    )
+    final = spark.read.parquet(compacted)
+    nb = back.select(
+        F.col("_metadata.file_path").alias("p")
+    ).distinct().agg(F.count(F.lit(1)).alias("files_before"))
+    na = final.select(
+        F.col("_metadata.file_path").alias("p")
+    ).distinct().agg(F.count(F.lit(1)).alias("files_after"))
+    stats = final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("price_checksum"),
+    )
+    return (
+        nb.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("files_before").cast("bigint").alias("files_before"),
+            F.col("files_after").cast("bigint").alias("files_after"),
+            "n_rows",
+            "key_checksum",
+            "price_checksum",
+        )
+    )

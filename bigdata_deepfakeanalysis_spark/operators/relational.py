@@ -4244,3 +4244,79 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("cum_lift_ppm"),
     ).orderBy(F.desc("decile"))
+
+
+# ---------------------------------------------------------------------------
+# UpSet-style multi-set overlaps — which COMBINATIONS of sets do
+# entities fall into (the scalable replacement for a Venn diagram
+# beyond 3 sets): one bitmask aggregate per entity, one count per
+# mask. Two shuffles total regardless of how many sets; the naive
+# alternative (2^N intersect queries) re-scans the corpus per region.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_upset_overlaps",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(DISTINCT CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 1
+                   WHEN '2-HIGH' THEN 2
+                   WHEN '3-MEDIUM' THEN 4
+                   WHEN '4-NOT SPECIFIED' THEN 8
+                   ELSE 16 END) AS mask
+        FROM orders GROUP BY o_custkey)
+    SELECT CAST(mask AS INTEGER) AS mask,
+           concat(
+               CASE WHEN mask % 2 = 1 THEN 'U' ELSE '' END,
+               CASE WHEN (mask // 2) % 2 = 1 THEN 'H' ELSE '' END,
+               CASE WHEN (mask // 4) % 2 = 1 THEN 'M' ELSE '' END,
+               CASE WHEN (mask // 8) % 2 = 1 THEN 'N' ELSE '' END,
+               CASE WHEN (mask // 16) % 2 = 1 THEN 'L' ELSE '' END)
+               AS combo,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+    FROM per_cust
+    GROUP BY mask
+    ORDER BY mask
+    """,
+)
+def q_upset_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer membership combinations across the five order-priority
+    sets as a bitmask histogram (UpSet plot input): per customer ONE
+    distinct-sum builds the mask, per mask one count — the
+    intersection sizes of all 2^5 regions from a single pass."""
+    o = table(spark, sf_dir, "orders")
+    bit = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 4)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 8)
+        .otherwise(16)
+    )
+    per_cust = (
+        o.select("o_custkey", bit.alias("bit"))
+        .groupBy("o_custkey")
+        .agg(F.sum_distinct(F.col("bit")).alias("mask"))
+    )
+    combo = F.concat(
+        F.when(F.col("mask") % 2 == 1, "U").otherwise(""),
+        F.when((F.col("mask") / 2).cast("long") % 2 == 1, "H").otherwise(""),
+        F.when((F.col("mask") / 4).cast("long") % 2 == 1, "M").otherwise(""),
+        F.when((F.col("mask") / 8).cast("long") % 2 == 1, "N").otherwise(""),
+        F.when((F.col("mask") / 16).cast("long") % 2 == 1, "L").otherwise(""),
+    )
+    return (
+        per_cust.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        )
+        .select(
+            F.col("mask").cast("int").alias("mask"),
+            combo.alias("combo"),
+            "n_customers",
+            "min_custkey",
+        )
+        .orderBy("mask")
+    )

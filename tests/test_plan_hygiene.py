@@ -42,6 +42,7 @@ EAGER_BUILD = {
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
     "q_dynamic_partition_overwrite",
+    "q_compaction_execute",
     "q_jdbc_roundtrip",
     "q_stream_jdbc_exactly_once",
 }
