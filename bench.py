@@ -184,6 +184,9 @@ HEADLINE = [
     "q_merge_into_emulation",        # three-clause MERGE audit
     "q_compaction_execute",          # fragmented -> compacted rewrite
     "q_upset_overlaps",              # bitmask set-combination counts
+    "q_bitmap_exact_distinct",       # mergeable exact bitmap distinct
+    "q_time_weighted_avg",           # integer-exact TWAP
+    "q_link_prediction",             # common-neighbor link scores
 ]
 
 

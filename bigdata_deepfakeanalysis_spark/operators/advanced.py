@@ -1986,3 +1986,95 @@ def q_merge_into_emulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) — irregularly-sampled telemetry means
+# done right: each observation is weighted by how long it was the
+# current value (interval to the next sample). One lead window per
+# entity; the weighted sums stay in EXACT integers (fixed-point value
+# x microsecond interval), so the statistic is engine-exact with no
+# decimal routing at all.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_time_weighted_avg",
+    f"""
+    WITH {EVENTS_US_CTE},
+    ev AS (
+        SELECT user_id, value, epoch_ns(ts) // 1000 AS t_us, event_id
+        FROM events_us WHERE user_id < 50),
+    stepped AS (
+        SELECT user_id, value, t_us,
+               LEAD(t_us) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS next_us
+        FROM ev),
+    weighted AS (
+        SELECT user_id,
+               CAST(floor(value * 100) AS BIGINT) AS v_fp,
+               next_us - t_us AS dt_us
+        FROM stepped WHERE next_us IS NOT NULL)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CAST(SUM(v_fp * dt_us) AS BIGINT) AS vw_sum_fp,
+           CAST(SUM(v_fp * dt_us) AS DOUBLE)
+               / (100.0 * SUM(dt_us)) AS twap
+    FROM weighted
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP of event values (first 50 users): value held
+    until the next observation, weighted by the exact microsecond
+    interval. v_fp = floor(value*100) keeps the weighted sum in
+    BIGINT (both engines floor the identical double product); the
+    single final division is one IEEE op. The trailing observation
+    has no interval and is excluded — standard TWAP convention."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        "t_us",
+        F.lead("t_us").over(w).alias("next_us"),
+    )
+    weighted = stepped.where(F.col("next_us").isNotNull()).select(
+        "user_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_fp"),
+        (F.col("next_us") - F.col("t_us")).alias("dt_us"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("v_fp") * F.col("dt_us"))
+            .cast("bigint")
+            .alias("vw_sum_fp"),
+            (
+                F.sum(F.col("v_fp") * F.col("dt_us")).cast("double")
+                / (100.0 * F.sum("dt_us"))
+            ).alias("twap"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_intervals",
+            "span_us",
+            "vw_sum_fp",
+            "twap",
+        )
+        .orderBy("user_id")
+    )

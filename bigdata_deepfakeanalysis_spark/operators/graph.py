@@ -571,3 +571,119 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("core_degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common-neighbors / Jaccard) — "which suppliers
+# SHOULD be connected": score every non-edge reachable by a wedge
+# with |N(a) ∩ N(b)| and Jaccard |∩|/|∪|. The wedge join over the
+# sparsified edge set is the same bounded fan-out as triangle
+# counting; scores are exact integers plus one final division.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_link_prediction",
+    f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e AS MATERIALIZED (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    adj AS MATERIALIZED (
+        SELECT s1 AS u, s2 AS v FROM e
+        UNION ALL SELECT s2, s1 FROM e),
+    deg AS MATERIALIZED (
+        SELECT u AS id, COUNT(*) AS d FROM adj GROUP BY u),
+    wedge AS (
+        SELECT a.v AS x, b.v AS y, COUNT(*) AS cn
+        FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+        GROUP BY a.v, b.v),
+    nonedge AS (
+        SELECT w2.x, w2.y, w2.cn FROM wedge w2
+        LEFT JOIN e ON w2.x = e.s1 AND w2.y = e.s2
+        WHERE e.s1 IS NULL)
+    SELECT CAST(n.x AS BIGINT) AS supp_a,
+           CAST(n.y AS BIGINT) AS supp_b,
+           CAST(n.cn AS BIGINT) AS common_neighbors,
+           CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn) AS jaccard
+    FROM nonedge n
+    JOIN deg da ON n.x = da.id
+    JOIN deg db ON n.y = db.id
+    ORDER BY common_neighbors DESC, jaccard DESC, supp_a, supp_b
+    LIMIT 15
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 predicted supplier links in the sparsified co-purchase
+    graph (same top-{_TRI_EDGES} edge set as triangles/k-core):
+    candidate = wedge-connected non-edge, scored by common-neighbor
+    count and Jaccard over neighborhoods. The wedge enumeration and
+    the e-anti-join are the only joins; degrees broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    wa = adj.select("u", F.col("v").alias("x"))
+    wb = adj.select("u", F.col("v").alias("y"))
+    wedge = (
+        wa.join(wb, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = wedge.join(
+        e,
+        (F.col("x") == F.col("s1")) & (F.col("y") == F.col("s2")),
+        "left_anti",
+    )
+    da = deg.select(F.col("id").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("y"), F.col("d").alias("db"))
+    return (
+        nonedge.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").cast("bigint").alias("supp_a"),
+            F.col("y").cast("bigint").alias("supp_b"),
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("jaccard"), "supp_a", "supp_b"
+        )
+        .limit(15)
+    )

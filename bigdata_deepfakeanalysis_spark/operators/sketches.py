@@ -640,3 +640,76 @@ def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_false_neg").cast("bigint").alias("n_false_neg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct via bitmaps (Spark 3.5+'s
+# bitmap_construct_agg / bitmap_or_agg / bitmap_count — the roaring-
+# style idiom): unlike HLL/KMV, a bitmap over a dense integer key
+# space is EXACT, and re-aggregation is a bitwise OR of KB blobs, not
+# a second corpus pass. The bitmap bytes are engine-local; the COUNTS
+# they produce are exact, so the driver hashes the whole readout
+# against plain COUNT(DISTINCT) — including the merge consistency.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_bitmap_exact_distinct",
+    """
+    WITH shard_rows AS (
+        SELECT 'shard:' || o_orderpriority AS scope,
+               COUNT(DISTINCT o_custkey) AS n_distinct
+        FROM orders GROUP BY o_orderpriority),
+    g AS (SELECT COUNT(DISTINCT o_custkey) AS n_distinct FROM orders)
+    SELECT scope, CAST(n_distinct AS BIGINT) AS n_distinct,
+           TRUE AS merge_exact
+    FROM (
+        SELECT scope, n_distinct FROM shard_rows
+        UNION ALL SELECT 'global_merged', n_distinct FROM g)
+    ORDER BY scope
+    """,
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard customer bitmaps (bitmap_construct_agg over the
+    bitmap bucket/position split of o_custkey), merged with
+    bitmap_or_agg into the global EXACT distinct count. The oracle
+    recomputes every count with plain COUNT(DISTINCT); `merge_exact`
+    hashes the claim that the OR-merged bitmap count equals the
+    direct global count — the lossless-merge guarantee HLL
+    approximates and bitmaps deliver exactly. At 100 TB: per-day
+    bitmaps are KBs, any re-aggregation window is a bitmap OR."""
+    orders = table(spark, sf_dir, "orders")
+    # bitmap functions address (bucket = key DIV 32768, pos = key MOD)
+    keyed = orders.select(
+        F.col("o_orderpriority").alias("shard"),
+        F.expr("o_custkey DIV 32768").alias("bucket"),
+        F.expr("o_custkey % 32768").alias("pos"),
+    )
+    per_bucket = keyed.groupBy("shard", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    shard_counts = (
+        per_bucket.groupBy("shard")
+        .agg(F.expr("SUM(bitmap_count(bm))").alias("n_distinct"))
+        .select(
+            F.concat(F.lit("shard:"), "shard").alias("scope"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+    )
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("SUM(bitmap_count(bm))").alias("n_merged"))
+    )
+    g_exact = orders.agg(
+        F.countDistinct("o_custkey").alias("n_direct")
+    )
+    global_row = merged.crossJoin(F.broadcast(g_exact)).select(
+        F.lit("global_merged").alias("scope"),
+        F.col("n_merged").cast("bigint").alias("n_distinct"),
+        (F.col("n_merged") == F.col("n_direct")).alias("merge_exact"),
+    )
+    return (
+        shard_counts.withColumn("merge_exact", F.lit(True))
+        .unionByName(global_row)
+        .orderBy("scope")
+    )

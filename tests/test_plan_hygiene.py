@@ -35,6 +35,7 @@ EAGER_BUILD = {
     "q_triangle_count",
     "q_lpa_communities",
     "q_kcore",
+    "q_link_prediction",
     "q_record_linkage",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
