@@ -187,6 +187,10 @@ HEADLINE = [
     "q_bitmap_exact_distinct",       # mergeable exact bitmap distinct
     "q_time_weighted_avg",           # integer-exact TWAP
     "q_link_prediction",             # common-neighbor link scores
+    "q_weighted_median",             # integer-weight order statistic
+    "q_chi2_independence",           # contingency chi-square
+    "q_gini_concentration",          # per-segment Lorenz inequality
+    "q_cusum_changepoint",           # exact-prefix CUSUM peak scan
 ]
 
 

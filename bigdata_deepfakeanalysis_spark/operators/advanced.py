@@ -2078,3 +2078,98 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan — where did the level of a daily series
+# shift? S_t = cumulative sum of (x_t - mean); the |S| peak marks the
+# most likely changepoint (Page 1954). Deviations snap to DECIMAL
+# before the cumulative window so every partial sum is exact; one
+# window per series, partitioned by the series key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS series,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS x
+        FROM orders GROUP BY series, day),
+    stats AS (
+        SELECT series, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY series),
+    dev AS (
+        SELECT d.series, d.day, s.n_days,
+               CAST(d.x - s.mu AS DECIMAL(18,6)) AS dd
+        FROM daily d JOIN stats s ON d.series = s.series),
+    cusum AS (
+        SELECT series, day, n_days,
+               CAST(SUM(dd) OVER (PARTITION BY series ORDER BY day
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   AS s_t
+        FROM dev),
+    peak AS (
+        SELECT series, day, n_days, s_t,
+               ROW_NUMBER() OVER (PARTITION BY series
+                                  ORDER BY ABS(s_t) DESC, day) AS rk
+        FROM cusum)
+    SELECT series,
+           CAST(n_days AS BIGINT) AS n_days,
+           day AS changepoint_day,
+           ROUND(ABS(s_t), 6) AS max_abs_cusum
+    FROM peak WHERE rk = 1
+    ORDER BY series
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority CUSUM scan over the daily order-count series: the
+    day where |cumulative deviation from the series mean| peaks, with
+    the peak magnitude. Deviations are DECIMAL(18,6)-snapped (both
+    engines snap the identical double), so every prefix sum is exact
+    and the argmax day is deterministic."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("series").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.join(F.broadcast(stats), "series").select(
+        "series",
+        "day",
+        "n_days",
+        F.expr("CAST(x - mu AS DECIMAL(18,6))").alias("dd"),
+    )
+    w_cum = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = dev.select(
+        "series",
+        "day",
+        "n_days",
+        F.sum("dd").over(w_cum).cast("double").alias("s_t"),
+    )
+    w_rk = Window.partitionBy("series").orderBy(
+        F.desc(F.abs(F.col("s_t"))), "day"
+    )
+    peak = cusum.withColumn("rk", F.row_number().over(w_rk))
+    return (
+        peak.where(F.col("rk") == 1)
+        .select(
+            "series",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("s_t")), 6).alias("max_abs_cusum"),
+        )
+        .orderBy("series")
+    )

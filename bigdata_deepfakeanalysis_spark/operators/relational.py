@@ -4320,3 +4320,248 @@ def q_upset_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mask")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the order statistic under row weights (quantity-
+# weighted price, token-weighted score...): per group, sort by value,
+# accumulate weights, take the first value whose cumulative weight
+# reaches half the total. Window partitioned per group; weights stay
+# integers so the pick is engine-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem),
+    cum AS (
+        SELECT flag, v, wt,
+               SUM(wt) OVER (PARTITION BY flag ORDER BY v, wt
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY flag) AS tw
+        FROM w),
+    pick AS (
+        SELECT flag, v, cw, tw,
+               ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v, wt)
+                   AS rk
+        FROM cum WHERE 2 * cw >= tw)
+    SELECT flag AS l_returnflag,
+           ROUND(v, 9) AS weighted_median,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM pick WHERE rk = 1
+    ORDER BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per returnflag: first value
+    whose cumulative integer weight reaches half the group total
+    (lower weighted median — deterministic, no interpolation
+    convention to disagree on). One per-group window; the 100 TB form
+    replaces the exact cumsum with GK-sketch boundaries exactly as in
+    the unweighted case."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = li.select(
+        "flag",
+        "v",
+        "wt",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_tot).alias("tw"),
+    )
+    pick = cum.where(2 * F.col("cw") >= F.col("tw")).withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("flag").orderBy("v", "wt")),
+    )
+    return (
+        pick.where(F.col("rk") == 1)
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.round("v", 9).alias("weighted_median"),
+            F.col("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence — are two categoricals associated
+# (order priority x line return status)? The contingency table is one
+# groupBy; expected counts come from broadcast margins; the statistic
+# is a sum of exact-integer-derived ratios. The experimentation /
+# data-audit sibling of q_ab_test's two-proportion z.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_chi2_independence",
+    """
+    WITH joined AS (
+        SELECT o.o_orderpriority AS a, l.l_returnflag AS b
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    cells AS (
+        SELECT a, b, COUNT(*) AS n FROM joined GROUP BY a, b),
+    margins AS (
+        SELECT a, b, n,
+               SUM(n) OVER (PARTITION BY a) AS na,
+               SUM(n) OVER (PARTITION BY b) AS nb,
+               SUM(n) OVER () AS nt
+        FROM cells),
+    terms AS (
+        SELECT a, b, n, na, nb, nt,
+               CAST(na AS DOUBLE) * nb / nt AS expected
+        FROM margins)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(nt) AS BIGINT) AS n_total,
+           CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM(CAST((n - expected) * (n - expected) / expected
+                         AS DECIMAL(18,9))) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for (order priority x return
+    flag): expected cell counts from the margins of the one-pass
+    contingency table, per-cell terms DECIMAL-routed into the
+    statistic. Emits chi2 + degrees of freedom (the p-value lookup is
+    a client-side constant table — no special functions exist in
+    either engine, so the statistic IS the comparable quantity)."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cells = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("l_returnflag").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = cells.select(
+        "a",
+        "b",
+        "n",
+        F.sum("n").over(wa).alias("na"),
+        F.sum("n").over(wb).alias("nb"),
+        F.sum("n").over(wt).alias("nt"),
+    ).withColumn(
+        "expected", F.col("na").cast("double") * F.col("nb") / F.col("nt")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("nt").cast("bigint").alias("n_total"),
+        (
+            (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.expr(
+            "CAST(SUM(CAST((n - expected) * (n - expected) / expected"
+            " AS DECIMAL(18,9))) AS DOUBLE)"
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration — inequality of spend across customers, per
+# segment: the Lorenz-curve statistic the ABC/Pareto rollup
+# summarizes with bands. Rank-based formula G = sum((2i - n - 1) x_i)
+# / (n * sum(x)) over ascending spend — ranks from a window
+# PARTITIONED BY SEGMENT, sums DECIMAL-routed.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_gini_concentration",
+    """
+    WITH per_cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey),
+    ranked AS (
+        SELECT segment, spend,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY spend, custkey) AS i,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM per_cust)
+    SELECT segment,
+           CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           CAST(SUM(CAST((2 * i - n - 1) * spend AS DECIMAL(28,6)))
+                AS DOUBLE)
+               / (MIN(n) * CAST(SUM(CAST(spend AS DECIMAL(18,2)))
+                                AS DOUBLE)) AS gini
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment Gini coefficient of customer spend via the rank
+    formula (0 = equal, ->1 = concentrated). (2i-n-1)*spend terms are
+    DECIMAL(28,6)-snapped: |term| < n*spend_max ~ 3e8, so term*10^6
+    stays double-exact. Ranks come from a per-segment window over the
+    per-customer rollup — never the raw fact table."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("spend")
+        )
+    )
+    w_rk = Window.partitionBy("segment").orderBy("spend", "custkey")
+    w_n = Window.partitionBy("segment")
+    ranked = per_cust.select(
+        "segment",
+        "spend",
+        F.row_number().over(w_rk).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.min("n").cast("bigint").alias("n_customers"),
+            F.expr(
+                "CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("total_spend"),
+            F.expr(
+                "CAST(SUM(CAST((2 * i - n - 1) * spend AS DECIMAL(28,6)))"
+                " AS DOUBLE)"
+                " / (MIN(n) * CAST(SUM(CAST(spend AS DECIMAL(18,2)))"
+                " AS DOUBLE))"
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
