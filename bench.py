@@ -191,6 +191,10 @@ HEADLINE = [
     "q_chi2_independence",           # contingency chi-square
     "q_gini_concentration",          # per-segment Lorenz inequality
     "q_cusum_changepoint",           # exact-prefix CUSUM peak scan
+    "q_array_smooth",                # row-local moving-average HOF
+    "q_hotkey_split_join",           # hot/cold key-temperature join
+    "q_interval_overlap_join",       # week-bucket interval matching
+    "q_centroid_classifier",         # oracled Rocchio confusion matrix
 ]
 
 

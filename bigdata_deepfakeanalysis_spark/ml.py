@@ -1100,3 +1100,105 @@ def q_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classifier (Rocchio) — the fully-ORACLED baseline
+# classifier next to the MLlib fits: per-label centroids are exact
+# DECIMAL-routed means (snapped to 1e-9 so both engines score against
+# identical prototypes), assignment is an exact sequential-fold
+# squared distance against the 10 broadcast centroids, and the output
+# is the complete confusion matrix. One explode-aggregate for the
+# centroids, one broadcast join for assignment — no iterative fit.
+# ---------------------------------------------------------------------------
+
+_NCC_ORACLE = f"""
+    WITH cells AS (
+        SELECT label, vec_id, pos,
+               CAST(embedding[pos + 1] AS DOUBLE) AS x
+        FROM embeddings, (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+    cent AS (
+        SELECT label AS c_label, pos,
+               ROUND(CAST(SUM(CAST(x AS DECIMAL(12,9))) AS DOUBLE)
+                     / COUNT(*), 9) AS c
+        FROM cells GROUP BY label, pos),
+    cent_arr AS (
+        SELECT c_label, list(c ORDER BY pos) AS cvec FROM cent
+        GROUP BY c_label),
+    scored AS (
+        SELECT e.vec_id, e.label AS true_label, a.c_label,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(range(1, {_DIM} + 1),
+                           i -> (CAST(e.embedding[i] AS DOUBLE)
+                                 - a.cvec[i])
+                                * (CAST(e.embedding[i] AS DOUBLE)
+                                   - a.cvec[i]))),
+                   (acc, v) -> acc + v) AS dist
+        FROM embeddings e CROSS JOIN cent_arr a),
+    assigned AS (
+        SELECT vec_id, true_label, c_label AS pred_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c_label) AS rk
+        FROM scored)
+    SELECT CAST(true_label AS INTEGER) AS true_label,
+           CAST(pred_label AS INTEGER) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rk = 1
+    GROUP BY true_label, pred_label
+    ORDER BY true_label, pred_label
+    """
+
+
+@query("q_centroid_classifier", _NCC_ORACLE)
+def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the embeddings: exact
+    snapped centroids, exact fold distances (Spark's aggregate-over-
+    zip_with replayed term-by-term by DuckDB's list_reduce — the
+    _sq8_rescore parity pattern), smallest-label tie-break. The
+    centroid table is 10 x {_DIM} values broadcast to the scoring
+    pass; at 100 TB this is one corpus read for centroids and one for
+    assignment, both map-side beyond their rollups."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = cells.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(x AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*)"
+            ),
+            9,
+        ).alias("c")
+    )
+    cent_arr = cent.groupBy("c_label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))),"
+            " s -> s.c)"
+        ).alias("cvec")
+    )
+    dist_expr = (
+        "aggregate(zip_with(embedding, cvec,"
+        " (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = emb.select("vec_id", F.col("label").alias("true_label"), "embedding").join(
+        F.broadcast(cent_arr)
+    ).select(
+        "vec_id",
+        "true_label",
+        "c_label",
+        F.expr(dist_expr).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    assigned = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        assigned.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("c_label").cast("int").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_label", "pred_label")
+    )

@@ -444,3 +444,75 @@ def q_map_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array smoothing — a k=3 moving average over the embedding vector as
+# a pure row-local HOF (transform over indexed slices): the signal-
+# conditioning step a feature pipeline runs before downstream
+# similarity, entirely inside whole-stage codegen. Edge positions use
+# the shrunken window (no padding invention).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_array_smooth",
+    """
+    WITH smoothed AS (
+        SELECT vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> list_aggregate(
+                            embedding[greatest(i - 1, 1) :
+                                      least(i + 1, len(embedding))],
+                            'sum')
+                        / (least(i + 1, len(embedding))
+                           - greatest(i - 1, 1) + 1)) AS sm,
+               embedding
+        FROM embeddings WHERE vec_id < 500)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(len(sm) AS INTEGER) AS n_dims,
+           ROUND(sm[1], 6) AS first_sm,
+           ROUND(sm[32], 6) AS mid_sm,
+           ROUND(sm[64], 6) AS last_sm,
+           ROUND(list_aggregate(
+                     list_transform(range(1, len(sm) + 1),
+                         i -> abs(sm[i] - embedding[i])), 'sum'), 6)
+               AS total_shift
+    FROM smoothed
+    ORDER BY vec_id
+    """,
+)
+def q_array_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 moving average over each embedding (first 500 vectors):
+    per-vector the smoothed boundary/midpoint samples and the total
+    absolute shift the filter introduced. Parity: each window mean is
+    a 2-3 term float32-promoted sum in INDEX ORDER on both engines
+    (DuckDB list_aggregate('sum') and Spark's aggregate fold are both
+    sequential left folds over the same slice), and every emitted
+    value is ROUNDed to 1e-6."""
+    from ..catalog import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    sm_expr = (
+        "transform(sequence(1, size(embedding)),"
+        " i -> aggregate(slice(embedding, greatest(i - 1, 1),"
+        "                      least(i + 1, size(embedding))"
+        "                      - greatest(i - 1, 1) + 1),"
+        "                CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        "      / (least(i + 1, size(embedding)) - greatest(i - 1, 1) + 1))"
+    )
+    shift_expr = (
+        "aggregate(transform(sequence(1, size(sm)),"
+        " i -> abs(sm[i - 1] - CAST(embedding[i - 1] AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    sm = emb.select(
+        "vec_id", "embedding", F.expr(sm_expr).alias("sm")
+    )
+    return sm.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.size("sm").cast("int").alias("n_dims"),
+        F.round(F.expr("sm[0]"), 6).alias("first_sm"),
+        F.round(F.expr("sm[31]"), 6).alias("mid_sm"),
+        F.round(F.expr("sm[63]"), 6).alias("last_sm"),
+        F.round(F.expr(shift_expr), 6).alias("total_shift"),
+    ).orderBy("vec_id")

@@ -481,3 +481,114 @@ def q_grid_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pt_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join — two LARGE interval sets matched on
+# [start, end] overlap with week-bucket blocking: each interval
+# explodes to the O(span/bucket) buckets it covers, candidates meet
+# only inside a shared bucket, the exact overlap predicate verifies,
+# and a distinct collapses double-counted pairs that share two
+# buckets. Never a cross join; fan-out bounded by the interval span.
+# The one-large-side special case is q_range_join (broadcast bands);
+# the point-event counterpart is q_max_concurrency's sweep line.
+# ---------------------------------------------------------------------------
+
+_IVL_ANCHOR = "1995-01-01"
+
+
+@query(
+    "q_interval_overlap_join",
+    f"""
+    WITH a AS (
+        SELECT l_orderkey AS a_id,
+               (CAST(l_shipdate AS DATE) - DATE '{_IVL_ANCHOR}') AS a_lo,
+               (CAST(l_shipdate AS DATE) - DATE '{_IVL_ANCHOR}')
+                   + (l_orderkey % 14) + 1 AS a_hi
+        FROM lineitem WHERE l_orderkey % 50 = 0 AND l_linenumber = 1),
+    b AS (
+        SELECT o_orderkey AS b_id,
+               (CAST(o_orderdate AS DATE) - DATE '{_IVL_ANCHOR}') AS b_lo,
+               (CAST(o_orderdate AS DATE) - DATE '{_IVL_ANCHOR}') + 7 AS b_hi
+        FROM orders WHERE o_orderkey % 7 = 0),
+    pairs AS (
+        SELECT DISTINCT a.a_id, b.b_id, b.b_lo
+        FROM a JOIN b
+          ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi)
+    SELECT CAST(b_lo // 28 AS INTEGER) AS period,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT a_id) AS BIGINT) AS n_ship_intervals,
+           CAST(COUNT(DISTINCT b_id) AS BIGINT) AS n_order_windows
+    FROM pairs
+    GROUP BY period
+    ORDER BY period
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping intervals (shipdate + 1..14-day synthetic span, one
+    line per 50th order) overlap-joined to order fulfilment windows
+    (orderdate + 7d, every 7th order), rolled up per 28-day period.
+    The engine joins via exploded week buckets + exact verify; the
+    oracle runs the naive theta join — two formulations, one answer.
+    Fan-out: <=3 buckets per A interval, 2-3 per B window."""
+    from ..catalog import table
+
+    anchor = F.lit(_IVL_ANCHOR)
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") % 50 == 0) & (F.col("l_linenumber") == 1)
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("a_id"),
+        F.datediff(F.to_date("l_shipdate"), anchor).alias("a_lo"),
+        (
+            F.datediff(F.to_date("l_shipdate"), anchor)
+            + (F.col("l_orderkey") % 14)
+            + 1
+        ).alias("a_hi"),
+    )
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    b = o.select(
+        F.col("o_orderkey").alias("b_id"),
+        F.datediff(F.to_date("o_orderdate"), anchor).alias("b_lo"),
+        (F.datediff(F.to_date("o_orderdate"), anchor) + 7).alias("b_hi"),
+    )
+    a_buck = a.select(
+        "a_id",
+        "a_lo",
+        "a_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("a_lo") / 7), F.floor(F.col("a_hi") / 7)
+            )
+        ).alias("bucket"),
+    )
+    b_buck = b.select(
+        "b_id",
+        "b_lo",
+        "b_hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("b_lo") / 7), F.floor(F.col("b_hi") / 7)
+            )
+        ).alias("bucket"),
+    )
+    pairs = (
+        a_buck.join(b_buck, "bucket")
+        .where(
+            (F.col("a_lo") <= F.col("b_hi"))
+            & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .select("a_id", "b_id", "b_lo")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("b_lo") / 28).cast("int").alias("period")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("a_id").alias("n_ship_intervals"),
+            F.countDistinct("b_id").alias("n_order_windows"),
+        )
+        .orderBy("period")
+    )

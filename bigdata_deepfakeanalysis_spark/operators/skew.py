@@ -254,3 +254,70 @@ def q_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key split join — the third skew idiom next to salting and AQE
+# splitting: PARTITION THE WORKLOAD BY KEY TEMPERATURE. Hot keys
+# (identified by a cheap count) join via broadcast of their dimension
+# rows; the long cold tail joins via the normal shuffle; union the
+# halves. The result is EXACTLY the plain join — which is what the
+# oracle hashes — but no reducer ever owns a hot key's full row set.
+# ---------------------------------------------------------------------------
+
+_HOT_K = 3  # number of keys treated as hot
+
+
+@query(
+    "q_hotkey_split_join",
+    f"""
+    WITH joined AS (
+        SELECT e.event_type, e.value, u.user_id
+        FROM events e JOIN (
+            SELECT DISTINCT user_id FROM events WHERE user_id % 5 <> 4
+        ) u ON e.user_id = u.user_id)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_hotkey_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join events to an eligible-user dimension with the hot/cold
+    split: the {_HOT_K} highest-frequency user_ids join through a
+    broadcast of THEIR dimension rows (map-side, no shuffle of the hot
+    rows), everything else through the regular shuffle join; the
+    unioned rollup must hash-match the plain join the oracle runs.
+    The split/broadcast/union plumbing is the operator under test —
+    at 100 TB this is the manual fallback when a hot key is too big
+    even for one AQE-split reducer."""
+    ev = table(spark, sf_dir, "events")
+    dim = ev.select("user_id").distinct().where(F.col("user_id") % 5 != 4)
+    hot_keys = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(_HOT_K)
+        .select("user_id")
+    )
+    hot_dim = dim.join(F.broadcast(hot_keys), "user_id")
+    cold_dim = dim.join(F.broadcast(hot_keys), "user_id", "left_anti")
+    ev_hot = ev.join(F.broadcast(hot_keys), "user_id")
+    ev_cold = ev.join(F.broadcast(hot_keys), "user_id", "left_anti")
+    joined = ev_hot.join(F.broadcast(hot_dim), "user_id").unionByName(
+        ev_cold.join(cold_dim, "user_id")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
