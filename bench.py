@@ -195,6 +195,9 @@ HEADLINE = [
     "q_hotkey_split_join",           # hot/cold key-temperature join
     "q_interval_overlap_join",       # week-bucket interval matching
     "q_centroid_classifier",         # oracled Rocchio confusion matrix
+    "q_quantile_normalize",          # pooled-shape alignment
+    "q_cohort_ltv",                  # cumulative LTV curve
+    "q_peak_detection",              # prominence-gated local maxima
 ]
 
 

@@ -1202,3 +1202,107 @@ def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_label", "pred_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — align each group's value distribution to
+# the pooled reference (the cross-batch feature-alignment transform;
+# in bioinformatics, the microarray normalizer): a value maps to the
+# pooled quantile at its within-group percent rank, interpolated
+# piecewise-linearly between broadcast reference deciles. One window
+# per group for ranks + one broadcast of 11 scalars.
+# ---------------------------------------------------------------------------
+
+_QN_QS = "array(0.0D,0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D,1.0D)"
+_QN_QS_DUCK = "[0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]"
+
+
+@query(
+    "q_quantile_normalize",
+    f"""
+    WITH ref AS (
+        SELECT list_transform(
+                   quantile_cont(o_totalprice, {_QN_QS_DUCK}),
+                   x -> round(x, 9)) AS qs
+        FROM orders),
+    ranked AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey)
+                   AS pr
+        FROM orders),
+    mapped AS (
+        SELECT grp, v, pr,
+               CAST(floor(pr * 10) AS INTEGER) AS seg,
+               pr * 10 - floor(pr * 10) AS frac
+        FROM ranked),
+    normed AS (
+        SELECT m.grp,
+               CASE WHEN m.seg >= 10 THEN r.qs[11]
+                    ELSE r.qs[m.seg + 1]
+                         + (r.qs[m.seg + 2] - r.qs[m.seg + 1]) * m.frac
+               END AS nv,
+               m.v
+        FROM mapped m CROSS JOIN ref r)
+    SELECT grp AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(nv AS DECIMAL(18,6))) AS DOUBLE) AS normed_sum,
+           ROUND(MIN(nv), 6) AS normed_min,
+           ROUND(MAX(nv), 6) AS normed_max
+    FROM normed
+    GROUP BY grp
+    ORDER BY grp
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize o_totalprice within each priority group to
+    the pooled distribution: percent rank per group, piecewise-linear
+    interpolation between the 11 broadcast reference deciles
+    (ROUND-snapped), per-group checksums of the normalized column.
+    After normalization every group shares the pooled shape — the min
+    maps to the pooled p0, the max to the pooled p100 (visible in the
+    normed_min/normed_max columns). Parity: percent_rank is a ratio
+    of exact ranks, the lerp is IEEE on snapped constants, sums are
+    DECIMAL-routed."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, {_QN_QS}),"
+            " x -> round(x, 9))"
+        ).alias("qs")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    mapped = ranked.select(
+        "grp",
+        "v",
+        "pr",
+        F.expr("CAST(floor(pr * 10) AS INT)").alias("seg"),
+        F.expr("pr * 10 - floor(pr * 10)").alias("frac"),
+    )
+    normed = mapped.join(F.broadcast(ref)).select(
+        "grp",
+        F.when(F.col("seg") >= 10, F.expr("qs[10]"))
+        .otherwise(
+            F.expr("qs[seg] + (qs[seg + 1] - qs[seg]) * frac")
+        )
+        .alias("nv"),
+    )
+    return (
+        normed.groupBy(F.col("grp").alias("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(nv AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("normed_sum"),
+            F.round(F.min("nv"), 6).alias("normed_min"),
+            F.round(F.max("nv"), 6).alias("normed_max"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -2173,3 +2173,211 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV accumulation — the revenue companion to
+# q_cohort_retention's activity matrix: per signup cohort (first-order
+# quarter), the CUMULATIVE revenue per customer as the cohort ages.
+# One first-order window, one rollup, one cumulative window over the
+# tiny (cohort x age) grid.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(CAST(o_orderdate AS DATE)) AS first_d
+        FROM orders GROUP BY o_custkey),
+    cohorted AS (
+        SELECT o.o_custkey,
+               strftime(date_trunc('quarter', f.first_d), '%Y-%m') AS cohort,
+               (CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) * 4
+                + (CAST(strftime(o.o_orderdate, '%m') AS INTEGER) - 1) // 3)
+               - (CAST(strftime(f.first_d, '%Y') AS INTEGER) * 4
+                  + (CAST(strftime(f.first_d, '%m') AS INTEGER) - 1) // 3)
+                   AS age_q,
+               o.o_totalprice
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    sizes AS (
+        SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_size
+        FROM cohorted GROUP BY cohort),
+    grid AS (
+        SELECT cohort, age_q,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM cohorted GROUP BY cohort, age_q),
+    cum AS (
+        SELECT cohort, age_q,
+               SUM(rev) OVER (PARTITION BY cohort ORDER BY age_q
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM grid)
+    SELECT c.cohort, CAST(c.age_q AS INTEGER) AS age_q,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(CAST(c.cum_rev AS DECIMAL(18,2)) AS DOUBLE)
+               / s.cohort_size AS ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    WHERE c.age_q <= 4
+    ORDER BY c.cohort, c.age_q
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per customer by signup-quarter cohort
+    and cohort age (quarters since first order, ages 0-4): the
+    LTV-curve readout product teams track next to retention. Revenue
+    accumulates in DECIMAL through the cumulative window, divided
+    once by the cohort size."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d")
+    )
+    qnum = lambda col: (  # noqa: E731 — quarter index arithmetic
+        F.year(col) * 4 + ((F.month(col) - 1) / 3).cast("int")
+    )
+    cohorted = o.join(F.broadcast(firsts), "o_custkey").select(
+        "o_custkey",
+        F.date_format(F.trunc(F.col("first_d"), "quarter"), "yyyy-MM").alias(
+            "cohort"
+        ),
+        (qnum(F.col("o_orderdate")) - qnum(F.col("first_d"))).alias("age_q"),
+        "o_totalprice",
+    )
+    sizes = cohorted.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    grid = cohorted.groupBy("cohort", "age_q").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "cohort", "age_q", F.sum("rev").over(w).alias("cum_rev")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .where(F.col("age_q") <= 4)
+        .select(
+            "cohort",
+            F.col("age_q").cast("int").alias("age_q"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            (
+                F.expr("CAST(CAST(cum_rev AS DECIMAL(18,2)) AS DOUBLE)")
+                / F.col("cohort_size")
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection with prominence — local maxima of a daily series
+# that stand out by at least P over the deeper of their flanking
+# minima (a lag/lead neighborhood test; the alerting primitive for
+# metric spikes). Row-local after one per-series window.
+# ---------------------------------------------------------------------------
+
+_PEAK_WIN = 3   # flank width (days each side)
+
+
+@query(
+    "q_peak_detection",
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS series,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS x
+        FROM orders GROUP BY series, day),
+    flanked AS (
+        SELECT series, day, x,
+               MAX(x) OVER (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN {_PEAK_WIN} PRECEDING
+                            AND 1 PRECEDING) AS max_before,
+               MAX(x) OVER (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING
+                            AND {_PEAK_WIN} FOLLOWING) AS max_after,
+               MIN(x) OVER (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN {_PEAK_WIN} PRECEDING
+                            AND 1 PRECEDING) AS min_before,
+               MIN(x) OVER (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN 1 FOLLOWING
+                            AND {_PEAK_WIN} FOLLOWING) AS min_after
+        FROM daily),
+    peaks AS (
+        SELECT series, day, x,
+               x - greatest(min_before, min_after) AS prominence
+        FROM flanked
+        WHERE max_before IS NOT NULL AND max_after IS NOT NULL
+          AND x > max_before AND x > max_after),
+    strong AS (SELECT * FROM peaks WHERE prominence >= 5)
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(MAX(prominence) AS BIGINT) AS max_prominence,
+           MIN(CASE WHEN prominence = (SELECT MAX(p2.prominence)
+                                       FROM strong p2
+                                       WHERE p2.series = strong.series)
+                    THEN day END) AS top_peak_day
+    FROM strong
+    GROUP BY series
+    ORDER BY series
+    """,
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prominent peaks in each priority's daily order-count series:
+    strict local maxima over a +/-{_PEAK_WIN}-day neighborhood whose
+    prominence (height over the deeper flanking minimum) reaches 5.
+    Per series: the peak count, the strongest prominence, and the
+    (earliest) day achieving it — all integer-exact."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wb = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-_PEAK_WIN, -1)
+    )
+    wa = Window.partitionBy("series").orderBy("day").rowsBetween(1, _PEAK_WIN)
+    flanked = daily.select(
+        "series",
+        "day",
+        "x",
+        F.max("x").over(wb).alias("max_before"),
+        F.max("x").over(wa).alias("max_after"),
+        F.min("x").over(wb).alias("min_before"),
+        F.min("x").over(wa).alias("min_after"),
+    )
+    peaks = flanked.where(
+        F.col("max_before").isNotNull()
+        & F.col("max_after").isNotNull()
+        & (F.col("x") > F.col("max_before"))
+        & (F.col("x") > F.col("max_after"))
+    ).select(
+        "series",
+        "day",
+        "x",
+        (
+            F.col("x") - F.greatest(F.col("min_before"), F.col("min_after"))
+        ).alias("prominence"),
+    )
+    strong = peaks.where(F.col("prominence") >= 5)
+    return (
+        strong.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n_peaks"),
+            F.max("prominence").cast("bigint").alias("max_prominence"),
+            F.min_by(
+                "day", F.struct(-F.col("prominence"), F.col("day"))
+            ).alias("top_peak_day"),
+        )
+        .orderBy("series")
+    )
