@@ -1694,7 +1694,8 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE kind = 'interpolated') AS BIGINT)
                AS n_interpolated,
            CAST(COUNT(*) FILTER (WHERE kind = 'edge') AS BIGINT) AS n_edge,
-           CAST(SUM(CAST(fv AS DECIMAL(18,6))) AS DOUBLE) AS fill_checksum
+           CAST(SUM(CAST(floor(fv * 1000000) AS BIGINT)) AS BIGINT)
+               AS fill_checksum_fp
     FROM classified
     GROUP BY user_id
     ORDER BY user_id
@@ -1704,9 +1705,15 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly gap fill for the first 10 users' event values: hours with
     no events get the linear interpolation between the bracketing
     observed hours (edges stay null and are counted, not invented).
-    Parity: hourly means are DECIMAL-routed, the lerp is the same IEEE
-    ops on bit-identical doubles in both engines, and the final
-    checksum re-routes through DECIMAL."""
+    Parity: hourly means are DECIMAL-routed and the lerp is the same
+    IEEE ops on bit-identical doubles in both engines; the checksum is
+    FIXED-POINT (sum of floor(fv*1e6) as BIGINT) because casting an
+    arbitrary double to DECIMAL is NOT cross-engine stable — Spark
+    rounds the shortest decimal repr (BigDecimal.valueOf) where DuckDB
+    rounds the exact binary value, so any double whose shortest repr
+    ends in '5' one digit past the scale flips (r5 finding; the
+    parquet money columns never hit this because they carry only two
+    decimals)."""
     ev = table(spark, sf_dir, "events").where(F.col("user_id") < 10)
     obs = (
         ev.select(
@@ -1793,8 +1800,8 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count_if(F.col("kind") == "edge").alias("n_edge"),
             F.expr(
-                "CAST(SUM(CAST(fv AS DECIMAL(18,6))) AS DOUBLE)"
-            ).alias("fill_checksum"),
+                "CAST(SUM(CAST(floor(fv * 1000000) AS BIGINT)) AS BIGINT)"
+            ).alias("fill_checksum_fp"),
         )
         .orderBy("user_id")
     )
@@ -2378,6 +2385,109 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by(
                 "day", F.struct(-F.col("prominence"), F.col("day"))
             ).alias("top_peak_day"),
+        )
+        .orderBy("series")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomalies — the streaming-adjacent alerting rule in
+# batch form: each day scored against the trailing window's mean/std
+# (computed from DECIMAL-exact rolling sum + sum-of-squares, so both
+# engines see identical moments), flag |z| > threshold. One frame
+# window per series.
+# ---------------------------------------------------------------------------
+
+_RZ_WIN = 14   # trailing days
+_RZ_T = 2.5    # z threshold
+
+
+@query(
+    "q_rolling_zscore",
+    f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS series,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS x
+        FROM orders GROUP BY series, day),
+    rolled AS (
+        SELECT series, day, x,
+               COUNT(x) OVER w AS n,
+               SUM(x) OVER w AS s,
+               SUM(x * x) OVER w AS ss
+        FROM daily
+        WINDOW w AS (PARTITION BY series ORDER BY day
+                     ROWS BETWEEN {_RZ_WIN} PRECEDING AND 1 PRECEDING)),
+    scored AS (
+        SELECT series, day, x, n,
+               CAST(s AS DOUBLE) / n AS mu,
+               sqrt(greatest(CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+                    1e-12)) AS sigma
+        FROM rolled WHERE n >= {_RZ_WIN}),
+    flagged AS (
+        SELECT series, day, x,
+               (x - mu) / sigma AS z
+        FROM scored)
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) FILTER (WHERE abs(z) > {_RZ_T}) AS BIGINT)
+               AS n_anomalies,
+           ROUND(MAX(abs(z)), 6) AS max_abs_z,
+           MIN(CASE WHEN abs(z) > {_RZ_T} THEN day END)
+               AS first_anomaly_day
+    FROM flagged
+    GROUP BY series
+    ORDER BY series
+    """,
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_RZ_WIN}-day z-scores of each priority's daily order
+    count (window excludes the scored day — no self-contamination),
+    anomaly = |z| > {_RZ_T}. Rolling moments come from integer SUM /
+    SUM-of-squares over the frame, so mu/sigma are identical doubles
+    in both engines; sigma floored at 1e-12 against constant windows."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(-_RZ_WIN, -1)
+    )
+    rolled = daily.select(
+        "series",
+        "day",
+        "x",
+        F.count("x").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    ).where(F.col("n") >= _RZ_WIN)
+    scored = rolled.select(
+        "series",
+        "day",
+        "x",
+        F.expr(
+            "(x - CAST(s AS DOUBLE) / n) / "
+            "sqrt(greatest(CAST(ss AS DOUBLE) / n"
+            " - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 1e-12))"
+        ).alias("z"),
+    )
+    return (
+        scored.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.count_if(F.abs(F.col("z")) > _RZ_T).alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+            F.min(
+                F.when(F.abs(F.col("z")) > _RZ_T, F.col("day"))
+            ).alias("first_anomaly_day"),
         )
         .orderBy("series")
     )
