@@ -198,6 +198,9 @@ HEADLINE = [
     "q_quantile_normalize",          # pooled-shape alignment
     "q_cohort_ltv",                  # cumulative LTV curve
     "q_peak_detection",              # prominence-gated local maxima
+    "q_rolling_zscore",              # trailing-window anomaly flags
+    "q_ols_elasticity",              # one-pass integer-moment OLS
+    "q_sample_bias_audit",           # sampling goodness-of-fit QA
 ]
 
 

@@ -4565,3 +4565,100 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS slope per group (price elasticity) — simple regression as pure
+# aggregation: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) from one pass
+# of DECIMAL-snapped ln moments. The "regression in SQL" primitive:
+# no solver, one shuffle, exact cross-engine because every moment is
+# a decimal sum of identically-snapped terms.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ols_elasticity",
+    """
+    WITH pts AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(ln(l_extendedprice) * 1000000) AS BIGINT) AS x,
+               CAST(floor(ln(l_quantity) * 1000000) AS BIGINT) AS y
+        FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+    moments AS (
+        SELECT grp, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM pts GROUP BY grp),
+    exact AS (
+        SELECT grp, n,
+               CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                   AS cov_n,
+               CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+                   AS varx_n,
+               CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)
+                   AS vary_n,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM moments)
+    SELECT grp AS l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           cov_n / varx_n AS slope,
+           (syd - cov_n / varx_n * sxd) / (n * 1000000.0) AS intercept,
+           (cov_n * cov_n) / (varx_n * vary_n) AS r2
+    FROM exact
+    ORDER BY grp
+    """,
+)
+def q_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS of quantity on price per returnflag (the price-
+    elasticity readout): slope, intercept and r-squared from ONE pass
+    of integer moments — ln values snap to 1e-6 fixed-point BIGINTs,
+    second moments accumulate in DECIMAL(38,0), and crucially the
+    catastrophic cancellations (n*Sxy - Sx*Sy, n*Sxx - Sx^2) happen
+    IN EXACT DECIMAL before any double conversion (the r5 first cut
+    converted moments to double first and the ~12 cancelled digits
+    amplified conversion ULPs into 1e-10 cross-engine drift). At
+    100 TB this is the only shape regression fits take on a cluster —
+    solvers aggregate these same moments."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "CAST(floor(ln(l_extendedprice) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(floor(ln(l_quantity) * 1000000) AS BIGINT)").alias("y"),
+    )
+    moments = pts.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    exact = moments.select(
+        "grp",
+        "n",
+        F.expr(
+            "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        ).alias("cov_n"),
+        F.expr(
+            "CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        ).alias("varx_n"),
+        F.expr(
+            "CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        ).alias("vary_n"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    return exact.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("cov_n / varx_n").alias("slope"),
+        F.expr(
+            "(syd - cov_n / varx_n * sxd) / (n * CAST(1000000 AS DOUBLE))"
+        ).alias("intercept"),
+        F.expr("(cov_n * cov_n) / (varx_n * vary_n)").alias("r2"),
+    ).orderBy("l_returnflag")

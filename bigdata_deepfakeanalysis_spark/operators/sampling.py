@@ -387,3 +387,91 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-bias audit — the QA step after any sampling: does the
+# hash-Bernoulli sample's categorical distribution match the
+# population's? Chi-square goodness-of-fit of sampled counts against
+# expected-from-population, all integer-derived; the statistic plus a
+# conservative threshold flag are driver-hashed.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sample_bias_audit",
+    """
+    WITH flagged AS (
+        SELECT o_orderpriority AS cat,
+               (('0x' || substr(md5('42' || '|' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) % 100 < 10
+                   AS sampled
+        FROM orders),
+    per_cat AS (
+        SELECT cat, COUNT(*) AS n_pop,
+               COUNT(*) FILTER (WHERE sampled) AS n_samp
+        FROM flagged GROUP BY cat),
+    tot AS (
+        SELECT SUM(n_pop) AS t_pop, SUM(n_samp) AS t_samp FROM per_cat),
+    terms AS (
+        SELECT p.cat, p.n_pop, p.n_samp,
+               CAST(p.n_pop AS DOUBLE) * t.t_samp / t.t_pop AS expected
+        FROM per_cat p CROSS JOIN tot t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+           CAST(SUM(n_samp) AS BIGINT) AS n_sampled,
+           CAST(SUM(CAST((n_samp - expected) * (n_samp - expected)
+                         / expected AS DECIMAL(18,9))) AS DOUBLE)
+               AS chi2,
+           CAST(SUM(CAST((n_samp - expected) * (n_samp - expected)
+                         / expected AS DECIMAL(18,9))) AS DOUBLE)
+               < 3.0 * (COUNT(*) - 1) AS unbiased_3x_dof
+    FROM terms
+    """,
+)
+def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodness-of-fit audit of the 10% hash-Bernoulli sample against
+    the population's priority distribution: chi2 with expected counts
+    proportional to population shares, plus a conservative
+    chi2 < 3*dof health flag (a deterministic hash sample over a
+    hash-uncorrelated category passes comfortably; a correlated or
+    buggy sampler trips it). Composes q_hash_bernoulli_sample's
+    selection with q_chi2_independence's machinery."""
+    from ..catalog import table
+
+    orders = table(spark, sf_dir, "orders")
+    flagged = orders.select(
+        F.col("o_orderpriority").alias("cat"),
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('42', '|', "
+                "CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+            )
+            < 10
+        ).alias("sampled"),
+    )
+    per_cat = flagged.groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.count_if("sampled").alias("n_samp"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms = per_cat.select(
+        "cat",
+        "n_pop",
+        "n_samp",
+        (
+            F.col("n_pop").cast("double")
+            * F.sum("n_samp").over(w)
+            / F.sum("n_pop").over(w)
+        ).alias("expected"),
+    )
+    chi2 = (
+        "CAST(SUM(CAST((n_samp - expected) * (n_samp - expected)"
+        " / expected AS DECIMAL(18,9))) AS DOUBLE)"
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("n_samp").cast("bigint").alias("n_sampled"),
+        F.expr(chi2).alias("chi2"),
+        F.expr(f"{chi2} < 3.0 * (COUNT(*) - 1)").alias("unbiased_3x_dof"),
+    )
