@@ -201,6 +201,8 @@ HEADLINE = [
     "q_rolling_zscore",              # trailing-window anomaly flags
     "q_ols_elasticity",              # one-pass integer-moment OLS
     "q_sample_bias_audit",           # sampling goodness-of-fit QA
+    "q_mllib_minhash_join",          # MLlib MinHashLSH, exact-verified
+    "q_mllib_brp_lsh_join",          # MLlib BRP-LSH, exact-verified
 ]
 
 

@@ -1306,3 +1306,214 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib LSH APIs (SURVEY M11 names MinHashLSH / BucketedRandomProjectionLSH
+# as the library route to dedup + ANN): the engine's hand-rolled
+# minhash/sign-LSH stay the oracle-exact production paths, these two
+# queries close the API surface with the MLlib estimators — and still
+# hash-verify, because the OUTPUT CONTRACT is the exact-verified pair
+# set (candidates come from MLlib's seeded hashes, every candidate is
+# re-verified exactly, and the oracle computes the same exact pair set
+# all-pairs on the bounded fixture; a recall miss by the LSH would
+# break the hash — the recall contract IS the test).
+# ---------------------------------------------------------------------------
+
+_MLSH_N = 200        # base docs (plus their planted variants)
+_MLSH_SH = 3         # shingle width (tokens)
+_MLSH_J = 0.6        # exact-Jaccard output threshold
+
+
+@query(
+    "q_mllib_minhash_join",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_MLSH_N}
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' near dup tail'
+        FROM documents WHERE doc_id < {_MLSH_N} AND doc_id % 5 = 0),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS t
+        FROM base),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {_MLSH_SH - 1}], ' ') AS s
+        FROM toks,
+             UNNEST(range(1, greatest(len(t) - {_MLSH_SH - 1}, 0) + 1))
+                 AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    jac AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS j
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id)
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           ROUND(j, 9) AS jaccard
+    FROM jac WHERE j >= {_MLSH_J}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup join over the bounded planted fixture:
+    HashingTF binary shingle vectors -> MinHashLSH(seed) ->
+    approxSimilarityJoin -> EXACT Jaccard re-verification on the true
+    shingle sets, emitting pairs with J >= {_MLSH_J}. The oracle
+    computes the same exact pair set all-pairs — if the seeded LSH
+    dropped a qualifying pair, the row would be missing and the hash
+    would fail."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _MLSH_N
+    )
+    base = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+        )
+    )
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    shingled = base.select(
+        "doc_id",
+        "text",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks})"
+                f" - {_MLSH_SH - 1}, 0)),"
+                f" i -> array_join(slice({toks}, i, {_MLSH_SH}), ' '))"
+            )
+        ).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features",
+        numFeatures=1 << 18, binary=True,
+    )
+    feat = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=12, seed=42,
+    ).fit(feat)
+    cand = (
+        lsh.approxSimilarityJoin(feat, feat, 0.45, distCol="dist")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetA.shingles").alias("sh_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetB.shingles").alias("sh_b"),
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = cand.select(
+        "doc_a",
+        "doc_b",
+        (inter.cast("double") / union).alias("j"),
+    ).where(F.col("j") >= _MLSH_J)
+    return (
+        verified.select(
+            F.col("doc_a").cast("bigint").alias("doc_a"),
+            F.col("doc_b").cast("bigint").alias("doc_b"),
+            F.round("j", 9).alias("jaccard"),
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BRP_N = 400      # bounded fixture
+_BRP_D2 = 1.10    # exact squared-distance output threshold
+
+
+@query(
+    "q_mllib_brp_lsh_join",
+    f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_BRP_N}),
+    p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                       i -> (CAST(a.embedding[i] AS DOUBLE)
+                             - CAST(b.embedding[i] AS DOUBLE))
+                            * (CAST(a.embedding[i] AS DOUBLE)
+                               - CAST(b.embedding[i] AS DOUBLE)))),
+                   (x, y) -> x + y) AS d2
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b,
+           ROUND(d2, 9) AS dist2
+    FROM p WHERE d2 <= {_BRP_D2}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_mllib_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedRandomProjectionLSH euclidean near-pair join over the
+    first {_BRP_N} embeddings, exact-verified: MLlib's seeded
+    projections generate candidates, every candidate's squared
+    distance is recomputed with the exact sequential fold, and only
+    d2 <= {_BRP_D2} survives — the same recall-contract oracle as
+    q_mllib_minhash_join (the all-pairs exact set). The fixture has
+    no planted clusters, so the pair distances sit near the bulk —
+    the adversarial regime for LSH — and the parameters (bucket
+    length 2.0, 10 tables) are chosen recall-first; the hand-rolled
+    sign-LSH/IVF paths remain the production pruning story."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _BRP_N)
+        .select(
+            "vec_id",
+            "embedding",
+            array_to_vector(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+            ).alias("features"),
+        )
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=2.0,
+        numHashTables=10,
+        seed=42,
+    ).fit(emb)
+    import math
+
+    cand = (
+        lsh.approxSimilarityJoin(
+            emb, emb, math.sqrt(_BRP_D2) + 1e-9, distCol="dist"
+        )
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetA.embedding").alias("ea"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("datasetB.embedding").alias("eb"),
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+    )
+    d2 = (
+        "aggregate(zip_with(ea, eb,"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        cand.select(
+            F.col("vec_a").cast("bigint").alias("vec_a"),
+            F.col("vec_b").cast("bigint").alias("vec_b"),
+            F.expr(d2).alias("d2"),
+        )
+        .where(F.col("d2") <= _BRP_D2)
+        .select("vec_a", "vec_b", F.round("d2", 9).alias("dist2"))
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
