@@ -203,6 +203,8 @@ HEADLINE = [
     "q_sample_bias_audit",           # sampling goodness-of-fit QA
     "q_mllib_minhash_join",          # MLlib MinHashLSH, exact-verified
     "q_mllib_brp_lsh_join",          # MLlib BRP-LSH, exact-verified
+    "q_approx_topk_terms",           # Spark 4 native top-k sketch
+    "q_mllib_summarizer",            # tree-aggregated vector stats
 ]
 
 

@@ -1517,3 +1517,74 @@ def q_mllib_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib Summarizer — the distributed vector-statistics aggregate
+# (tree-aggregated mean / L2 / counts in one pass over Vector rows):
+# the library counterpart of the explode-groupBy moments in
+# q_standardize. Oracled because the summarizer's mean and L2 are
+# plain sums underneath — the oracle recomputes them decimal-exactly
+# and both sides ROUND to 1e-6.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_mllib_summarizer",
+    f"""
+    WITH cells AS (
+        SELECT label, vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS x
+        FROM embeddings, (SELECT UNNEST(range(0, {_DIM})) AS pos)),
+    stats AS (
+        SELECT label, pos,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*)
+                   AS mu,
+               sqrt(CAST(SUM(CAST(x AS DECIMAL(12,9))
+                             * CAST(x AS DECIMAL(12,9))) AS DOUBLE))
+                   AS l2
+        FROM cells GROUP BY label, pos)
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(MIN(n) AS BIGINT) AS n_vectors,
+           ROUND(MIN(CASE WHEN pos = 0 THEN mu END), 6) AS mean_d0,
+           ROUND(MIN(CASE WHEN pos = 31 THEN mu END), 6) AS mean_d31,
+           ROUND(MIN(CASE WHEN pos = 0 THEN l2 END), 6) AS l2_d0,
+           ROUND(MIN(CASE WHEN pos = 63 THEN l2 END), 6) AS l2_d63
+    FROM stats
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_mllib_summarizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label Summarizer.metrics('mean','normL2','count') over the
+    embedding vectors — MLlib's one-pass tree-aggregated vector
+    statistics — with spot dimensions hashed against the decimal-exact
+    SQL recomputation (ROUND 1e-6 absorbs the tree-aggregation's
+    float-order difference from the exact decimal sum)."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label",
+        array_to_vector(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("features"),
+    )
+    summ = emb.groupBy("label").agg(
+        Summarizer.metrics("mean", "normL2", "count")
+        .summary(F.col("features"))
+        .alias("s")
+    )
+    flat = summ.select(
+        "label",
+        vector_to_array(F.col("s.mean")).alias("mu"),
+        vector_to_array(F.col("s.normL2")).alias("l2"),
+        F.col("s.count").alias("n_vectors"),
+    )
+    return flat.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.round(F.expr("mu[0]"), 6).alias("mean_d0"),
+        F.round(F.expr("mu[31]"), 6).alias("mean_d31"),
+        F.round(F.expr("l2[0]"), 6).alias("l2_d0"),
+        F.round(F.expr("l2[63]"), 6).alias("l2_d63"),
+    ).orderBy("label")

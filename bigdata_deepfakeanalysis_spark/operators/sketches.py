@@ -713,3 +713,60 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(global_row)
         .orderBy("scope")
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k (Spark 4 native heavy-hitter sketch) — the built-in
+# counterpart of the hand-rolled CMS above. With maxItemsTracked
+# comfortably above the live vocabulary the sketch degenerates to
+# exact counts, so the whole readout is hash-oracled (the CMS query
+# keeps the bounded-memory estimation story; this one pins the
+# native API surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_approx_topk_terms",
+    f"""
+    WITH toks AS (SELECT {{toks}} AS toks FROM documents),
+    terms AS (SELECT UNNEST(toks) AS term FROM toks),
+    counted AS (
+        SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term),
+    ranked AS (
+        SELECT term, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+        FROM counted)
+    SELECT CAST(rk AS INTEGER) AS rk, term, CAST(cnt AS BIGINT) AS cnt
+    FROM ranked WHERE rk <= 10
+    ORDER BY rk
+    """.replace("{toks}", _TOKS_SQL),
+)
+def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 document terms via Spark 4's native approx_top_k
+    aggregate (maxItemsTracked=65536 >> vocabulary, so counts are
+    exact and the driver hashes them against the exact rollup),
+    re-ranked with the engine's deterministic (cnt DESC, term)
+    tie-break after exploding the sketch output. The sketch returns
+    40 items so count ties at the top-10 boundary are all present
+    BEFORE the deterministic cut (the sketch's own tie order is
+    engine-local)."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+    sk = terms.agg(
+        F.expr("approx_top_k(term, 40, 65536)").alias("topk")
+    )
+    exploded = sk.select(F.explode("topk").alias("e")).select(
+        F.col("e.item").alias("term"), F.col("e.count").alias("cnt")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), "term")
+    return (
+        exploded.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("rk")
+    )
