@@ -205,6 +205,8 @@ HEADLINE = [
     "q_mllib_brp_lsh_join",          # MLlib BRP-LSH, exact-verified
     "q_approx_topk_terms",           # Spark 4 native top-k sketch
     "q_mllib_summarizer",            # tree-aggregated vector stats
+    "q_containment_dedup",           # asymmetric small-in-big dedup
+    "q_histogram2d",                 # joint heat-map binning
 ]
 
 

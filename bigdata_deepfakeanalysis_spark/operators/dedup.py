@@ -1888,3 +1888,133 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_planted_found * 1000000 DIV n_planted AS BIGINT)"
         ).alias("completeness_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup — the asymmetric cousin of Jaccard: C(A,B) =
+# |A ∩ B| / |A| finds a SMALL document swallowed by a big one (quote
+# farms, wrapper boilerplate), which symmetric Jaccard dilutes below
+# any threshold. Same shingle-intersection machinery as
+# q_ngram_jaccard; the planted fixture embeds short docs inside long
+# hosts verbatim.
+# ---------------------------------------------------------------------------
+
+_CONT_SH = 4     # token shingle width
+_CONT_T = 0.9    # containment threshold
+
+
+@query(
+    "q_containment_dedup",
+    f"""
+    WITH host AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    corpus AS (
+        SELECT doc_id, text FROM host
+        UNION ALL
+        -- planted: a short prefix of every 30th doc, republished
+        -- inside a wrapper (fully contained in its host's shingles)
+        SELECT doc_id + 2000000,
+               'wrapper intro words here ' ||
+               array_to_string((list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9]+'), w -> w <> ''))[1:24], ' ')
+        FROM host WHERE doc_id % 30 = 0),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS t
+        FROM corpus),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i : i + {_CONT_SH - 1}], ' ') AS s
+        FROM toks,
+             UNNEST(range(1, greatest(len(t) - {_CONT_SH - 1}, 0) + 1))
+                 AS r(i)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS small_id, b.doc_id AS big_id, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+        SELECT i.small_id, i.big_id,
+               CAST(i.c AS DOUBLE) / sa.n AS containment,
+               CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.small_id = sa.doc_id
+        JOIN sizes sb ON i.big_id = sb.doc_id
+        WHERE sa.n <= sb.n)
+    SELECT CAST(small_id AS BIGINT) AS small_id,
+           CAST(big_id AS BIGINT) AS big_id,
+           ROUND(containment, 9) AS containment,
+           ROUND(jaccard, 9) AS jaccard
+    FROM scored WHERE containment >= {_CONT_T}
+    ORDER BY small_id, big_id
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-dedup pairs over a planted small-inside-big fixture
+    (every 30th doc's 24-token prefix republished inside a wrapper):
+    pairs where the smaller side's shingles are >= {_CONT_T} contained
+    in the larger's, with the Jaccard column showing WHY symmetric
+    scoring misses them (planted pairs score containment ~1 but
+    Jaccard ~0.1). Same bounded shingle-join shape as q_ngram_jaccard."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+    planted = docs.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("wrapper intro words here "),
+            F.array_join(F.expr(f"slice({toks}, 1, 24)"), " "),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    sh = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(size({toks})"
+                    f" - {_CONT_SH - 1}, 0)),"
+                    f" i -> array_join(slice({toks}, i, {_CONT_SH}), ' '))"
+                )
+            )
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("small_id"), "s")
+    b = sh.select(F.col("doc_id").alias("big_id"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("small_id") != F.col("big_id"))
+        .groupBy("small_id", "big_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "small_id").withColumnRenamed(
+        "n", "na"
+    )
+    sb = sizes.withColumnRenamed("doc_id", "big_id").withColumnRenamed(
+        "n", "nb"
+    )
+    scored = (
+        inter.join(F.broadcast(sa), "small_id")
+        .join(F.broadcast(sb), "big_id")
+        .where(F.col("na") <= F.col("nb"))
+        .select(
+            "small_id",
+            "big_id",
+            (F.col("c").cast("double") / F.col("na")).alias("containment"),
+            (
+                F.col("c").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("c"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.where(F.col("containment") >= _CONT_T)
+        .select(
+            F.col("small_id").cast("bigint").alias("small_id"),
+            F.col("big_id").cast("bigint").alias("big_id"),
+            F.round("containment", 9).alias("containment"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+        .orderBy("small_id", "big_id")
+    )

@@ -4662,3 +4662,82 @@ def q_ols_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.expr("(cov_n * cov_n) / (varx_n * vary_n)").alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (heat-map binning) — the joint-distribution profile
+# behind every price-vs-quantity scatter density: equi-width bins on
+# both axes from one broadcast stats pass, one groupBy on the
+# (bx, by) cell. The 2-D companion of q_histogram_profile.
+# ---------------------------------------------------------------------------
+
+_H2D_B = 8   # bins per axis
+
+
+@query(
+    "q_histogram2d",
+    f"""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS xlo, MAX(l_extendedprice) AS xhi,
+               MIN(l_quantity) AS ylo, MAX(l_quantity) AS yhi
+        FROM lineitem),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((l_extendedprice - xlo) * {_H2D_B}
+                                / (xhi - xlo)) AS INTEGER),
+                     {_H2D_B - 1}) AS bx,
+               LEAST(CAST(FLOOR((l_quantity - ylo) * {_H2D_B}
+                                / (yhi - ylo)) AS INTEGER),
+                     {_H2D_B - 1}) AS by,
+               l_extendedprice
+        FROM lineitem CROSS JOIN bounds)
+    SELECT bx, by,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass
+    FROM binned
+    GROUP BY bx, by
+    ORDER BY bx, by
+    """,
+)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_H2D_B}x{_H2D_B} joint histogram of (extended price, quantity)
+    with per-cell counts and price mass: bounds broadcast from one
+    stats pass, bin assignment row-local (FLOOR on identical doubles
+    both engines; top edge clamped into the last bin), one cell
+    rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("xlo"),
+        F.max("l_extendedprice").alias("xhi"),
+        F.min("l_quantity").alias("ylo"),
+        F.max("l_quantity").alias("yhi"),
+    )
+    binned = li.select("l_extendedprice", "l_quantity").join(
+        F.broadcast(bounds)
+    ).select(
+        F.least(
+            F.expr(
+                f"CAST(FLOOR((l_extendedprice - xlo) * {_H2D_B}"
+                f" / (xhi - xlo)) AS INT)"
+            ),
+            F.lit(_H2D_B - 1),
+        ).alias("bx"),
+        F.least(
+            F.expr(
+                f"CAST(FLOOR((l_quantity - ylo) * {_H2D_B}"
+                f" / (yhi - ylo)) AS INT)"
+            ),
+            F.lit(_H2D_B - 1),
+        ).alias("by"),
+        "l_extendedprice",
+    )
+    return (
+        binned.groupBy("bx", "by")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("price_mass"),
+        )
+        .orderBy("bx", "by")
+    )

@@ -39,6 +39,7 @@ EAGER_BUILD = {
     "q_record_linkage",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
+    "q_containment_dedup",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
