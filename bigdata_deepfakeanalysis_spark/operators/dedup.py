@@ -1900,7 +1900,8 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CONT_SH = 4     # token shingle width
-_CONT_T = 0.9    # containment threshold
+_CONT_T = 0.8    # containment threshold (4 intro-boundary
+                 # shingles of the planted wrapper are new)
 
 
 @query(
@@ -1916,7 +1917,7 @@ _CONT_T = 0.9    # containment threshold
         SELECT doc_id + 2000000,
                'wrapper intro words here ' ||
                array_to_string((list_filter(string_split_regex(
-                   lower(text), '[^a-z0-9]+'), w -> w <> ''))[1:24], ' ')
+                   lower(text), '[^a-z0-9]+'), w -> w <> ''))[1:48], ' ')
         FROM host WHERE doc_id % 30 = 0),
     toks AS (
         SELECT doc_id,
@@ -1952,18 +1953,19 @@ _CONT_T = 0.9    # containment threshold
 )
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment-dedup pairs over a planted small-inside-big fixture
-    (every 30th doc's 24-token prefix republished inside a wrapper):
+    (every 30th doc's 48-token prefix republished inside a wrapper):
     pairs where the smaller side's shingles are >= {_CONT_T} contained
     in the larger's, with the Jaccard column showing WHY symmetric
-    scoring misses them (planted pairs score containment ~1 but
-    Jaccard ~0.1). Same bounded shingle-join shape as q_ngram_jaccard."""
+    scoring misses them (for long hosts the planted pairs score
+    containment ~0.9 but Jaccard ~0.5 or far less). Same bounded
+    shingle-join shape as q_ngram_jaccard."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     toks = "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
     planted = docs.where(F.col("doc_id") % 30 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(
             F.lit("wrapper intro words here "),
-            F.array_join(F.expr(f"slice({toks}, 1, 24)"), " "),
+            F.array_join(F.expr(f"slice({toks}, 1, 48)"), " "),
         ).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)

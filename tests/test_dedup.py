@@ -209,3 +209,30 @@ def test_edit_distance_join_finds_every_planted_deletion(spark):
     }
     missing = planted - got
     assert not missing, f"planted pairs missed: {sorted(missing)[:5]}"
+
+
+def test_containment_finds_planted_wrappers(spark):
+    """Every planted wrapper (short prefix of doc d republished as
+    doc d+2000000) must surface as a containment>=0.9 pair with its
+    host, while its Jaccard stays low (the asymmetric-metric point)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["q_containment_dedup"](spark, SF_DIR).collect()
+    pairs = {(r.small_id, r.big_id): r for r in rows}
+    planted = [
+        (d + 2000000, d) for d in range(0, 300, 30)
+    ]
+    found = []
+    for wrapper, host in planted:
+        # the smaller shingle set takes the small_id slot — a very
+        # short host can flip the orientation
+        r = pairs.get((wrapper, host)) or pairs.get((host, wrapper))
+        assert r is not None, (wrapper, host)
+        assert r.containment >= 0.8
+        found.append(r)
+    # the asymmetric-metric point: at least one planted pair has HIGH
+    # containment but LOW Jaccard (a long host dilutes the symmetric
+    # score below any dedup threshold)
+    assert any(r.jaccard < 0.5 for r in found), found
