@@ -1320,7 +1320,11 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # break the hash — the recall contract IS the test).
 # ---------------------------------------------------------------------------
 
-_MLSH_N = 200        # base docs (plus their planted variants)
+_MLSH_N = 120        # base docs (plus their planted variants) —
+                     # the tiny shared vocabulary makes MOST pairs
+                     # moderately similar, so approxSimilarityJoin's
+                     # candidate volume grows near-quadratically in
+                     # the fixture size; 120 keeps the showcase ~3 s
 _MLSH_SH = 3         # shingle width (tokens)
 _MLSH_J = 0.6        # exact-Jaccard output threshold
 
@@ -1396,7 +1400,10 @@ def q_mllib_minhash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="shingles", outputCol="features",
         numFeatures=1 << 18, binary=True,
     )
-    feat = tf.transform(shingled)
+    # pin: the shingle HOF subplan feeds BOTH join sides and the
+    # exact verify — uncheckpointed it re-evaluates ~3x (the
+    # CollapseProject inlining gotcha; measured 12 s -> ~4 s at sf0.1)
+    feat = tf.transform(shingled).localCheckpoint(eager=True)
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=12, seed=42,
@@ -1479,6 +1486,7 @@ def q_mllib_brp_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("features"),
         )
     )
+    emb = emb.localCheckpoint(eager=True)  # pin — see q_mllib_minhash_join
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -40,6 +40,8 @@ EAGER_BUILD = {
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
     "q_containment_dedup",
+    "q_mllib_minhash_join",
+    "q_mllib_brp_lsh_join",
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
