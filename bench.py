@@ -207,6 +207,9 @@ HEADLINE = [
     "q_mllib_summarizer",            # tree-aggregated vector stats
     "q_containment_dedup",           # asymmetric small-in-big dedup
     "q_histogram2d",                 # joint heat-map binning
+    "q_ohlc_candles",                # one-pass min_by/max_by candles
+    "q_trailing_distinct_users",     # explode-window rolling WAU
+    "q_fk_integrity_audit",          # six-FK orphan report
 ]
 
 

@@ -2491,3 +2491,159 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candles — open/high/low/close per (series, hour): first/last
+# are deterministic min_by/max_by over the in-bucket event order, so
+# the whole candle set is one groupBy (no window, no sort) and fully
+# hash-oracled.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ohlc_candles",
+    f"""
+    WITH {EVENTS_US_CTE},
+    ev AS (
+        SELECT event_type AS series,
+               (CAST(ts AS DATE) - DATE '2024-01-01') * 24
+                   + CAST(strftime(ts, '%H') AS INTEGER) AS hr,
+               epoch_ns(ts) // 1000 AS t_us, event_id, value
+        FROM events_us WHERE event_type IN ('click', 'purchase')),
+    candles AS (
+        SELECT series, hr,
+               arg_min(value, lpad(CAST(t_us AS VARCHAR), 20, '0')
+                               || '|' || lpad(CAST(event_id AS VARCHAR),
+                                              12, '0')) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, lpad(CAST(t_us AS VARCHAR), 20, '0')
+                               || '|' || lpad(CAST(event_id AS VARCHAR),
+                                              12, '0')) AS close,
+               COUNT(*) AS n_ticks
+        FROM ev GROUP BY series, hr)
+    SELECT series, CAST(hr AS INTEGER) AS hr, open, high, low, close,
+           CAST(n_ticks AS BIGINT) AS n_ticks
+    FROM candles
+    WHERE hr < 48
+    ORDER BY series, hr
+    """,
+)
+def q_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles for click/purchase values (first 48 hours):
+    open/close via min_by/max_by on a zero-padded (microsecond,
+    event_id) string key (lexicographic == numeric; this DuckDB's
+    arg_min takes no composite comparator) — deterministic even under
+    identical timestamps — high/low as plain extrema, all from ONE
+    aggregation pass."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("series"),
+            (
+                F.datediff(F.to_date("ts"), F.lit("2024-01-01")) * 24
+                + F.hour("ts")
+            ).alias("hr"),
+            F.unix_micros("ts").alias("t_us"),
+            "event_id",
+            "value",
+        )
+        .where(F.col("hr") < 48)
+    )
+    return (
+        ev.groupBy("series", "hr")
+        .agg(
+            F.min_by("value", F.expr(
+                "lpad(CAST(t_us AS STRING), 20, '0') || '|' ||"
+                " lpad(CAST(event_id AS STRING), 12, '0')"
+            )).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.expr(
+                "lpad(CAST(t_us AS STRING), 20, '0') || '|' ||"
+                " lpad(CAST(event_id AS STRING), 12, '0')"
+            )).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "series",
+            F.col("hr").cast("int").alias("hr"),
+            "open",
+            "high",
+            "low",
+            "close",
+            F.col("n_ticks").cast("bigint").alias("n_ticks"),
+        )
+        .orderBy("series", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct — "7-day active users per day": COUNT
+# (DISTINCT) cannot ride a window frame, so the scalable idiom is to
+# EXPLODE each (user, day) activity into the trailing days it covers
+# and run a plain per-day distinct. Fan-out = window length; at
+# 100 TB this is days x daily-active rows, each tiny — and the
+# pre-distinct per (user, day) collapses the raw events first.
+# ---------------------------------------------------------------------------
+
+_TDU_WIN = 7
+
+
+@query(
+    "q_trailing_distinct_users",
+    f"""
+    WITH {EVENTS_US_CTE},
+    active AS (
+        SELECT DISTINCT user_id,
+               (CAST(ts AS DATE) - DATE '2024-01-01') AS d
+        FROM events_us),
+    bounds AS (SELECT MAX(d) AS dmax FROM active),
+    covered AS (
+        SELECT a.user_id, a.d + x.i AS report_d
+        FROM active a, (SELECT UNNEST(range(0, {_TDU_WIN})) AS i) x),
+    counted AS (
+        SELECT report_d,
+               COUNT(DISTINCT user_id) AS active_{_TDU_WIN}d
+        FROM covered, bounds
+        WHERE report_d <= dmax AND report_d >= {_TDU_WIN - 1}
+        GROUP BY report_d)
+    SELECT CAST(report_d AS INTEGER) AS report_d,
+           CAST(active_{_TDU_WIN}d AS BIGINT) AS active_{_TDU_WIN}d
+    FROM counted
+    ORDER BY report_d
+    """,
+)
+def q_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TDU_WIN}-day trailing distinct active users per day: the
+    (user, day) activity set explodes into the {_TDU_WIN} report days
+    it contributes to, then one per-day COUNT(DISTINCT). Only
+    complete windows are reported. The rolling-MAU/WAU readout that a
+    naive DISTINCT-over-window cannot express."""
+    ev = table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+    ).distinct()
+    dmax = active.agg(F.max("d").alias("dmax"))
+    covered = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (_TDU_WIN - 1))
+        ).alias("report_d"),
+    )
+    return (
+        covered.crossJoin(F.broadcast(dmax))
+        .where(
+            (F.col("report_d") <= F.col("dmax"))
+            & (F.col("report_d") >= _TDU_WIN - 1)
+        )
+        .groupBy("report_d")
+        .agg(F.countDistinct("user_id").alias(f"active_{_TDU_WIN}d"))
+        .select(
+            F.col("report_d").cast("int").alias("report_d"),
+            F.col(f"active_{_TDU_WIN}d").cast("bigint"),
+        )
+        .orderBy("report_d")
+    )

@@ -4741,3 +4741,90 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bx", "by")
     )
+
+
+# ---------------------------------------------------------------------------
+# FK integrity audit — orphan counts for every foreign key of the
+# star schema in one report: the referential-health companion to
+# q_dq_constraints' column checks. Each FK is a broadcast/shuffle
+# anti-join count; a healthy warehouse hashes to all-zero orphans
+# with full row counts, so ANY integrity regression flips the hash.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_fk_integrity_audit",
+    """
+    SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans
+    FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               (SELECT COUNT(*) FROM lineitem) AS n_rows,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT COUNT(*) FROM nation),
+               (SELECT COUNT(*) FROM nation n
+                WHERE NOT EXISTS (SELECT 1 FROM region r
+                                  WHERE r.r_regionkey = n.n_regionkey)))
+    ORDER BY fk
+    """,
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity over all six star-schema foreign keys:
+    per FK the fact row count and the orphan count (left-anti join
+    against the referenced keys, dimension side broadcast where
+    small). The one-report warehouse health check a pipeline gates
+    loads on."""
+    fks = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for child, ckey, parent, pkey in fks:
+        c = table(spark, sf_dir, child).select(ckey)
+        p = table(spark, sf_dir, parent).select(pkey).distinct()
+        n_rows = c.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = c.join(
+            p, F.col(ckey) == F.col(pkey), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        row = (
+            n_rows.crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}").alias("fk"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
