@@ -210,6 +210,9 @@ HEADLINE = [
     "q_ohlc_candles",                # one-pass min_by/max_by candles
     "q_trailing_distinct_users",     # explode-window rolling WAU
     "q_fk_integrity_audit",          # six-FK orphan report
+    "q_forecast_backtest_mape",      # seasonal-naive MAPE backtest
+    "q_group_mode",                  # deterministic exact mode
+    "q_kwic_concordance",            # keyword-in-context extraction
 ]
 
 

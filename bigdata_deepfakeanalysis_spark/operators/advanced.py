@@ -2647,3 +2647,100 @@ def q_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("report_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest (seasonal-naive + MAPE/bias) — evaluate the
+# simplest defensible forecaster over history: predict each month of
+# the FINAL year as the mean of the same calendar month in all prior
+# years, then score per series. Composes the seasonal-index machinery
+# into the eval readout a forecasting pipeline gates models on.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_forecast_backtest_mape",
+    """
+    WITH monthly AS (
+        SELECT o_orderpriority AS series,
+               CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+               CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mo,
+               COUNT(*) AS actual
+        FROM orders GROUP BY series, yr, mo),
+    last_year AS (SELECT MAX(yr) AS y_test FROM monthly),
+    train AS (
+        SELECT m.series, m.mo,
+               CAST(SUM(m.actual) AS DOUBLE) / COUNT(*) AS forecast
+        FROM monthly m, last_year ly
+        WHERE m.yr < ly.y_test
+        GROUP BY m.series, m.mo),
+    test AS (
+        SELECT m.series, m.mo, m.actual
+        FROM monthly m, last_year ly WHERE m.yr = ly.y_test),
+    scored AS (
+        SELECT t.series, t.mo, t.actual, f.forecast,
+               ABS(t.actual - f.forecast) / t.actual AS ape,
+               (f.forecast - t.actual) / t.actual AS bias
+        FROM test t JOIN train f
+          ON t.series = f.series AND t.mo = f.mo)
+    SELECT series,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           CAST(SUM(CAST(ape AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS mape,
+           CAST(SUM(CAST(bias AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+               AS mean_bias
+    FROM scored
+    GROUP BY series
+    ORDER BY series
+    """,
+)
+def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest per priority series: each month of the
+    final year predicted as the mean of the same month across prior
+    years; per-series MAPE and mean bias (DECIMAL-routed means of
+    ratios of exact integers). The eval half of a forecasting loop —
+    one monthly rollup, one train/test split on the year, one join."""
+    from pyspark.sql.window import Window  # noqa: F401 — symmetry w/ siblings
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("series"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    last_year = monthly.agg(F.max("yr").alias("y_test"))
+    m = monthly.crossJoin(F.broadcast(last_year))
+    train = (
+        m.where(F.col("yr") < F.col("y_test"))
+        .groupBy("series", "mo")
+        .agg(
+            (F.sum("actual").cast("double") / F.count(F.lit(1))).alias(
+                "forecast"
+            )
+        )
+    )
+    test = m.where(F.col("yr") == F.col("y_test")).select(
+        "series", "mo", "actual"
+    )
+    scored = test.join(train, ["series", "mo"]).select(
+        "series",
+        (
+            F.abs(F.col("actual") - F.col("forecast")) / F.col("actual")
+        ).alias("ape"),
+        (
+            (F.col("forecast") - F.col("actual")) / F.col("actual")
+        ).alias("bias"),
+    )
+    return (
+        scored.groupBy("series")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.expr(
+                "CAST(SUM(CAST(ape AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+            ).alias("mape"),
+            F.expr(
+                "CAST(SUM(CAST(bias AS DECIMAL(18,9))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("mean_bias"),
+        )
+        .orderBy("series")
+    )

@@ -4828,3 +4828,49 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode — the most frequent value with a deterministic
+# smallest-value tie-break, from one count rollup + one max_by (the
+# engine-native mode() makes no tie promise, so it cannot be the
+# driver-checked form).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_group_mode",
+    """
+    WITH counted AS (
+        SELECT l_returnflag AS grp, l_quantity AS v, COUNT(*) AS c
+        FROM lineitem GROUP BY grp, v),
+    ranked AS (
+        SELECT grp, v, c,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY c DESC, v) AS rk
+        FROM counted)
+    SELECT grp AS l_returnflag, v AS mode_quantity,
+           CAST(c AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rk = 1
+    ORDER BY grp
+    """,
+)
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent l_quantity per returnflag with smallest-value
+    tie-break: count rollup, then min_by over (-count, value) — no
+    per-group sort of raw rows, deterministic where the native mode()
+    aggregate is not."""
+    li = table(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    picked = counted.groupBy("grp").agg(
+        F.min_by(
+            F.struct("v", "c"), F.struct(-F.col("c"), F.col("v"))
+        ).alias("m")
+    )
+    return picked.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("m.v").alias("mode_quantity"),
+        F.col("m.c").cast("bigint").alias("n_occurrences"),
+    ).orderBy("l_returnflag")

@@ -2609,3 +2609,60 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC concordance — keyword-in-context extraction: for a query term,
+# the first occurrence per document with a fixed character window
+# around it. Row-local instr/substr in codegen; the corpus-inspection
+# utility behind "show me how this term is used" during curation.
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "vector"
+_KWIC_W = 24   # context chars each side
+
+
+@query(
+    "q_kwic_concordance",
+    f"""
+    WITH hits AS (
+        SELECT doc_id, lower(text) AS t,
+               instr(lower(text), '{_KWIC_TERM}') AS pos
+        FROM documents
+        WHERE instr(lower(text), '{_KWIC_TERM}') > 0 AND doc_id < 400),
+    ctx AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+               substr(t, CAST(greatest(pos - {_KWIC_W}, 1) AS INTEGER),
+                      CAST(pos - greatest(pos - {_KWIC_W}, 1) AS INTEGER))
+                   AS left_ctx,
+               substr(t, CAST(pos + {len(_KWIC_TERM)} AS INTEGER),
+                      {_KWIC_W}) AS right_ctx
+        FROM hits)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, pos, left_ctx,
+           '{_KWIC_TERM}' AS term, right_ctx
+    FROM ctx
+    ORDER BY doc_id
+    """,
+)
+def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence concordance lines for '{_KWIC_TERM}' over the
+    first 400 documents: position plus {_KWIC_W}-char left/right
+    context, all via row-local instr/substr (both engines 1-based)."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    hits = docs.select(
+        "doc_id",
+        F.lower("text").alias("t"),
+        F.expr(f"instr(lower(text), '{_KWIC_TERM}')").alias("pos"),
+    ).where(F.col("pos") > 0)
+    return hits.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.expr(
+            f"substr(t, greatest(pos - {_KWIC_W}, 1),"
+            f" pos - greatest(pos - {_KWIC_W}, 1))"
+        ).alias("left_ctx"),
+        F.lit(_KWIC_TERM).alias("term"),
+        F.expr(f"substr(t, pos + {len(_KWIC_TERM)}, {_KWIC_W})").alias(
+            "right_ctx"
+        ),
+    ).orderBy("doc_id")
