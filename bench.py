@@ -213,6 +213,8 @@ HEADLINE = [
     "q_forecast_backtest_mape",      # seasonal-naive MAPE backtest
     "q_group_mode",                  # deterministic exact mode
     "q_kwic_concordance",            # keyword-in-context extraction
+    "q_normalized_exact_dedup",      # canonicalize-then-hash dedup
+    "q_partition_advisor",           # layout-key candidate report
 ]
 
 

@@ -2020,3 +2020,80 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("small_id", "big_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup — the cheap first rung of the dedup ladder:
+# aggressive text canonicalization (lowercase, punctuation/whitespace
+# collapse) then hash-exact grouping, catching the re-encoded /
+# re-punctuated republication that byte-exact dedup misses and fuzzy
+# dedup over-pays for. The text analogue of q_url_canonicalize.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_normalized_exact_dedup",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+        UNION ALL
+        -- planted: re-punctuated/case-mangled republications
+        SELECT doc_id + 3000000,
+               upper(substr(text, 1, 1)) || substr(text, 2) || '  '
+        FROM documents WHERE doc_id < 400 AND doc_id % 25 = 0),
+    canon AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS norm
+        FROM corpus),
+    grouped AS (
+        SELECT md5(norm) AS fp, COUNT(*) AS n_copies,
+               MIN(doc_id) AS survivor_id
+        FROM canon GROUP BY md5(norm))
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(survivor_id) AS BIGINT) AS min_survivor
+    FROM grouped
+    GROUP BY n_copies
+    ORDER BY n_copies
+    """,
+)
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize-then-hash dedup over a planted republication
+    fixture (every 25th doc re-published with case/whitespace
+    mangling): group-size histogram with min-id survivors. The
+    planted variants MUST collapse onto their originals (every 25th
+    group has n_copies 2) while byte-exact hashing would see them as
+    unique — one row-local regexp + one hash groupBy."""
+    docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 400)
+    planted = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.expr("substr(text, 1, 1)")),
+            F.expr("substr(text, 2)"),
+            F.lit("  "),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    canon = corpus.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+        ).alias("norm"),
+    )
+    grouped = canon.groupBy(F.md5("norm").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("survivor_id"),
+    )
+    return (
+        grouped.groupBy("n_copies")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("survivor_id").cast("bigint").alias("min_survivor"),
+        )
+        .select(
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            "n_groups",
+            "min_survivor",
+        )
+        .orderBy("n_copies")
+    )

@@ -567,3 +567,94 @@ def q_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_checksum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-column advisor — should this column key the physical
+# layout? For each candidate: distinct partition count, hottest-
+# partition share, rows per partition — scored against the classic
+# rules (enough partitions to prune, not so many that files shatter,
+# no partition dominating). One small rollup per candidate; the
+# design-time companion to the Z-order/compaction operators.
+# ---------------------------------------------------------------------------
+
+_ADV_MIN_PARTS = 4
+_ADV_MAX_PARTS = 10000
+_ADV_MAX_SHARE = 500000   # ppm — no partition may exceed 50%
+
+
+@query(
+    "q_partition_advisor",
+    f"""
+    WITH cands AS (
+        SELECT 'o_orderpriority' AS col, o_orderpriority AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'order_year', strftime(o_orderdate, '%Y') FROM orders),
+    per_part AS (
+        SELECT col, v, COUNT(*) AS n FROM cands GROUP BY col, v),
+    stats AS (
+        SELECT col,
+               COUNT(*) AS n_partitions,
+               SUM(n) AS n_rows,
+               MAX(n) AS max_part_rows
+        FROM per_part GROUP BY col)
+    SELECT col,
+           CAST(n_partitions AS BIGINT) AS n_partitions,
+           CAST(n_rows // n_partitions AS BIGINT) AS avg_rows_per_part,
+           CAST(max_part_rows * 1000000 // n_rows AS BIGINT)
+               AS max_share_ppm,
+           n_partitions BETWEEN {_ADV_MIN_PARTS} AND {_ADV_MAX_PARTS}
+               AND max_part_rows * 1000000 // n_rows <= {_ADV_MAX_SHARE}
+               AS recommended
+    FROM stats
+    ORDER BY col
+    """,
+)
+def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key candidate report for the orders table
+    (priority / status / order year): partition counts, average rows
+    per partition, hottest-partition share in exact ppm, and the
+    rule-based recommendation ({_ADV_MIN_PARTS}-{_ADV_MAX_PARTS}
+    partitions, no partition above 50%). The numbers a layout
+    decision actually turns on, from one pass per candidate."""
+    o = table(spark, sf_dir, "orders")
+    cands = (
+        o.select(
+            F.lit("o_orderpriority").alias("col"),
+            F.col("o_orderpriority").alias("v"),
+        )
+        .unionByName(
+            o.select(
+                F.lit("o_orderstatus").alias("col"),
+                F.col("o_orderstatus").alias("v"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("order_year").alias("col"),
+                F.date_format("o_orderdate", "yyyy").alias("v"),
+            )
+        )
+    )
+    per_part = cands.groupBy("col", "v").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_part.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_part_rows"),
+    )
+    return stats.select(
+        "col",
+        F.col("n_partitions").cast("bigint").alias("n_partitions"),
+        F.expr("CAST(n_rows DIV n_partitions AS BIGINT)").alias(
+            "avg_rows_per_part"
+        ),
+        F.expr(
+            "CAST(max_part_rows * 1000000 DIV n_rows AS BIGINT)"
+        ).alias("max_share_ppm"),
+        F.expr(
+            f"n_partitions BETWEEN {_ADV_MIN_PARTS} AND {_ADV_MAX_PARTS}"
+            f" AND max_part_rows * 1000000 DIV n_rows <= {_ADV_MAX_SHARE}"
+        ).alias("recommended"),
+    ).orderBy("col")
