@@ -236,3 +236,19 @@ def test_containment_finds_planted_wrappers(spark):
     # containment but LOW Jaccard (a long host dilutes the symmetric
     # score below any dedup threshold)
     assert any(r.jaccard < 0.5 for r in found), found
+
+
+def test_normalized_dedup_collapses_planted_republications(spark):
+    """Every planted case/whitespace-mangled republication must fall
+    into a 2-copy group (histogram shows exactly 16 such groups for
+    the 400-doc fixture at sf0.01)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    rows = {r.n_copies: r for r in
+            all_queries()["q_normalized_exact_dedup"](spark, SF_DIR).collect()}
+    assert 2 in rows, rows
+    assert rows[2].n_groups >= 16
+    # survivors are the ORIGINAL ids (min-id rule)
+    assert rows[2].min_survivor < 3000000
