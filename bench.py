@@ -215,6 +215,8 @@ HEADLINE = [
     "q_kwic_concordance",            # keyword-in-context extraction
     "q_normalized_exact_dedup",      # canonicalize-then-hash dedup
     "q_partition_advisor",           # layout-key candidate report
+    "q_cumulative_distinct_users",   # first-seen running reach
+    "q_bounce_rate",                 # per-day single-event sessions
 ]
 
 

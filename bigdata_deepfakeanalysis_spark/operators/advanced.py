@@ -2744,3 +2744,168 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct (running reach) — distinct users ever seen, by
+# day: COUNT(DISTINCT) can't accumulate across a window, but each
+# user counts exactly once — on their FIRST day — so the running
+# total is a cumsum over new-users-per-day. Two tiny aggregations;
+# the first-seen idiom that also powers q_cohort_retention and
+# q_ngram_novelty.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cumulative_distinct_users",
+    f"""
+    WITH {EVENTS_US_CTE},
+    firsts AS (
+        SELECT user_id,
+               MIN((CAST(ts AS DATE) - DATE '2024-01-01')) AS first_d
+        FROM events_us GROUP BY user_id),
+    per_day AS (
+        SELECT first_d AS d, COUNT(*) AS new_users
+        FROM firsts GROUP BY first_d)
+    SELECT CAST(d AS INTEGER) AS d,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS total_reach
+    FROM per_day
+    ORDER BY d
+    """,
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user reach by day via first-seen attribution:
+    per-user first activity day, new users per day, cumulative sum.
+    The cumulative window runs over the tiny per-day rollup, never
+    the event stream."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.datediff(F.to_date("ts"), F.lit("2024-01-01"))).alias(
+            "first_d"
+        )
+    )
+    per_day = firsts.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("d").cast("int").alias("d"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("total_reach"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Bounce rate — single-event sessions over total sessions, per day:
+# the engagement-health readout on top of the sessionization
+# primitive (30-min gap rule, same as q_sessionize_events). Session
+# ids from one lag window + cumulative sum; everything after is a
+# rollup.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_bounce_rate",
+    f"""
+    WITH {EVENTS_US_CTE},
+    ev AS (
+        SELECT user_id, ts, event_id,
+               epoch_ns(ts) // 1000 AS t_us,
+               (CAST(ts AS DATE) - DATE '2024-01-01') AS d
+        FROM events_us WHERE user_id < 200),
+    lagged AS (
+        SELECT user_id, d, t_us, event_id,
+               CASE WHEN t_us - LAG(t_us) OVER w
+                         > 30 * 60 * CAST(1000000 AS BIGINT)
+                      OR LAG(t_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+    sess AS (
+        SELECT user_id, d, t_us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t_us,
+                                 event_id ROWS UNBOUNDED PRECEDING)
+                   AS sess_id
+        FROM lagged),
+    per_sess AS (
+        SELECT user_id, sess_id,
+               MIN(d) AS start_d,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id)
+    SELECT CAST(start_d AS INTEGER) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+               AS n_bounces,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per_sess
+    GROUP BY start_d
+    ORDER BY d
+    """,
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate for the first 200 users: sessions from the
+    30-min-gap rule (lag + cumulative new-session flags), bounce =
+    single-event session, rate in exact ppm keyed by the session's
+    start day."""
+    from pyspark.sql.window import Window
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 200)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t_us"),
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "d",
+        "t_us",
+        "event_id",
+        F.when(
+            F.lag("t_us").over(w).isNull()
+            | (
+                F.col("t_us") - F.lag("t_us").over(w)
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = lagged.select(
+        "user_id",
+        "d",
+        "t_us",
+        F.sum("is_new").over(w_cum).alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min("d").alias("start_d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_sess.groupBy(F.col("start_d").cast("int").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_if(F.col("n_events") == 1).alias("n_bounces"),
+            F.expr(
+                "CAST(count_if(n_events = 1) * 1000000 DIV COUNT(*)"
+                " AS BIGINT)"
+            ).alias("bounce_ppm"),
+        )
+        .orderBy("d")
+    )
