@@ -720,3 +720,38 @@ def test_kmv_global_topk_is_take_ordered_not_global_sort(spark):
     full global Sort of the distinct-key stream."""
     plan = _plan(all_queries()["q_kmv_distinct"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skyline_window_is_partitioned_by_segment(spark):
+    """The Pareto frontier's running-max window must shuffle on the
+    segment key (per-segment windows), never collapse to a single
+    partition."""
+    plan = _plan(all_queries()["q_skyline_pareto"](spark, SF_DIR))
+    assert "hashpartitioning(segment" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_interval_overlap_join_is_bucketed_not_cartesian(spark):
+    """The large-large interval match must meet inside week buckets
+    (equi-join on bucket) — never a cartesian/nested-loop theta join."""
+    plan = _plan(all_queries()["q_interval_overlap_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan, plan
+
+
+def test_hotkey_split_join_broadcasts_hot_side(spark):
+    """The hot half of the key-temperature split must join via
+    broadcast (no shuffle of the hot rows); the union of both halves
+    is the plan's top shape."""
+    plan = _plan(all_queries()["q_hotkey_split_join"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Union" in plan, plan
+
+
+def test_trailing_distinct_has_no_window(spark):
+    """Rolling distinct must use the explode-into-covered-days idiom —
+    the plan may not contain a Window operator at all."""
+    plan = _plan(all_queries()["q_trailing_distinct_users"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
