@@ -217,6 +217,8 @@ HEADLINE = [
     "q_partition_advisor",           # layout-key candidate report
     "q_cumulative_distinct_users",   # first-seen running reach
     "q_bounce_rate",                 # per-day single-event sessions
+    "q_degree_assortativity",        # hub-to-hub edge correlation
+    "q_percentile_trend",            # monthly p50/p95/p99 series
 ]
 
 

@@ -687,3 +687,115 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — Pearson correlation of endpoint degrees over
+# the edge list (Newman 2002): do hubs link to hubs (+) or to leaves
+# (-)? One degree rollup + one pass of integer moments over edges;
+# the cancellations run in exact DECIMAL before double conversion
+# (the q_ols_elasticity parity lesson).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_degree_assortativity",
+    f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e AS MATERIALIZED (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    adj AS (
+        SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM adj GROUP BY u),
+    pairs AS (
+        -- each undirected edge contributes BOTH orientations, the
+        -- standard symmetric treatment
+        SELECT da.d AS x, db.d AS y
+        FROM adj a JOIN deg da ON a.u = da.id JOIN deg db ON a.v = db.id),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+               SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+        FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                           AS DOUBLE)
+                      * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                             AS DOUBLE)) AS assortativity
+    FROM m
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the sparsified co-purchase graph: the
+    Pearson r of (deg(u), deg(v)) over both orientations of every
+    edge. Moments are exact integers/decimals; only the final
+    compact covariance/variance remainders convert to double."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        adj.join(
+            F.broadcast(deg.select(F.col("id").alias("u"), F.col("d").alias("x"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("id").alias("v"), F.col("d").alias("y"))),
+            "v",
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.expr(
+            "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            " AS DOUBLE)"
+            " * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+        ).alias("assortativity"),
+    )

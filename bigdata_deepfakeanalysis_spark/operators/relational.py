@@ -4874,3 +4874,57 @@ def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.v").alias("mode_quantity"),
         F.col("m.c").cast("bigint").alias("n_occurrences"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Percentile trend — p50/p95/p99 per (series, month): the SLO-
+# dashboard time series. Exact interpolated percentiles per cell
+# (ROUND-snapped), one groupBy — no window at all.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_percentile_trend",
+    """
+    SELECT o_orderpriority AS series,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(o_totalprice, 0.50), 9) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.95), 9) AS p95,
+           ROUND(quantile_cont(o_totalprice, 0.99), 9) AS p99
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY series, month
+    ORDER BY series, month
+    """,
+)
+def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p95/p99 of order totals per priority (first year):
+    exact R-7 percentiles per cell, ROUND-snapped — the tail-trend
+    report an SLO dashboard plots; the GK sketch swaps in at scale as
+    everywhere in the percentile family."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01'")
+    )
+    qs = "array(0.50D, 0.95D, 0.99D)"
+    return (
+        o.groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.date_format(
+                F.trunc(F.col("o_orderdate").cast("date"), "month"),
+                "yyyy-MM",
+            ).alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"percentile(o_totalprice, {qs})").alias("qe"),
+        )
+        .select(
+            "series",
+            "month",
+            "n",
+            F.round(F.element_at("qe", 1), 9).alias("p50"),
+            F.round(F.element_at("qe", 2), 9).alias("p95"),
+            F.round(F.element_at("qe", 3), 9).alias("p99"),
+        )
+        .orderBy("series", "month")
+    )

@@ -36,6 +36,7 @@ EAGER_BUILD = {
     "q_lpa_communities",
     "q_kcore",
     "q_link_prediction",
+    "q_degree_assortativity",
     "q_record_linkage",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
