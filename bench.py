@@ -219,6 +219,8 @@ HEADLINE = [
     "q_bounce_rate",                 # per-day single-event sessions
     "q_degree_assortativity",        # hub-to-hub edge correlation
     "q_percentile_trend",            # monthly p50/p95/p99 series
+    "q_js_divergence_sources",       # corpus-shift JS divergence
+    "q_zipf_fit",                    # rank-frequency power-law QA
 ]
 
 

@@ -2666,3 +2666,193 @@ def q_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "right_ctx"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between sources — the symmetric, bounded
+# corpus-shift metric (0 = identical term distributions, ln2 =
+# disjoint): compare each source's unigram distribution against the
+# rest of the corpus. Smoothing-free by construction (terms outside a
+# side contribute only through the mixture), counts exact, each KL
+# term one ln on identical doubles, sums DECIMAL-routed.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_js_divergence_sources",
+    f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS_SQL}) AS term FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    counts AS (
+        SELECT source, term, COUNT(*) AS c
+        FROM toks GROUP BY source, term),
+    tot AS (SELECT source, SUM(c) AS t FROM counts GROUP BY source),
+    rest AS (
+        SELECT c.term, o.source AS side,
+               SUM(CASE WHEN c.source = o.source THEN c.c ELSE 0 END) AS ca,
+               SUM(CASE WHEN c.source <> o.source THEN c.c ELSE 0 END) AS cb
+        FROM counts c CROSS JOIN (SELECT DISTINCT source FROM counts) o
+        GROUP BY c.term, o.source),
+    probs AS (
+        SELECT r.side, r.term,
+               CAST(r.ca AS DOUBLE) / ta.t AS p,
+               CAST(r.cb AS DOUBLE)
+                   / (SELECT SUM(t2.t) FROM tot t2
+                      WHERE t2.source <> r.side) AS q
+        FROM rest r JOIN tot ta ON r.side = ta.source),
+    terms_v AS (
+        SELECT side, term, p, q, (p + q) / 2 AS m,
+               CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                    ELSE 0 END / 2
+               + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                      ELSE 0 END / 2 AS js_term
+        FROM probs)
+    SELECT side AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(js_term AS DECIMAL(18,12))) AS DOUBLE) AS js_div
+    FROM terms_v
+    GROUP BY side
+    ORDER BY side
+    """,
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source JS divergence of the unigram distribution vs the
+    other three sources (src0-src3): the domain-shift metric corpus
+    mixers monitor. p/q are ratios of exact counts, each js_term is
+    IEEE ln/multiply on identical doubles, and the sum routes through
+    DECIMAL(18,12) (terms < 1, well inside double-exact range)."""
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    counts = (
+        docs.select("source", F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("t"))
+    sides = counts.select("source").distinct().select(
+        F.col("source").alias("side")
+    )
+    rest = (
+        counts.crossJoin(F.broadcast(sides))
+        .groupBy("term", "side")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("side"), F.col("c")).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("source") != F.col("side"), F.col("c")).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    ta = tot.select(F.col("source").alias("side"), F.col("t").alias("t_side"))
+    t_all = tot.agg(F.sum("t").alias("t_total"))
+    probs = (
+        rest.join(F.broadcast(ta), "side")
+        .crossJoin(F.broadcast(t_all))
+        .select(
+            "side",
+            "term",
+            (F.col("ca").cast("double") / F.col("t_side")).alias("p"),
+            (
+                F.col("cb").cast("double")
+                / (F.col("t_total") - F.col("t_side"))
+            ).alias("q"),
+        )
+    )
+    js_term = (
+        "CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END / 2"
+        " + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END / 2"
+    )
+    return (
+        probs.select("side", F.expr(js_term).alias("js_term"))
+        .groupBy(F.col("side").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr(
+                "CAST(SUM(CAST(js_term AS DECIMAL(18,12))) AS DOUBLE)"
+            ).alias("js_div"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — the corpus-health power law: slope of
+# ln(freq) on ln(rank) over the top terms (natural language ~ -1;
+# synthetic/templated corpora drift far off). Deterministic ranks,
+# fixed-point ln moments, exact-decimal cancellations (the
+# q_ols_elasticity pattern over the term histogram).
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+
+@query(
+    "q_zipf_fit",
+    f"""
+    WITH toks AS (
+        SELECT UNNEST({_TOKS_SQL}) AS term FROM documents),
+    counted AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    ranked AS (
+        SELECT term, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk
+        FROM counted),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS x,
+               CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS y
+        FROM ranked WHERE rk <= {_ZIPF_TOP}),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+               AS zipf_slope
+    FROM m
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope over the top-{_ZIPF_TOP} terms: log-log OLS of
+    frequency on rank with deterministic (count DESC, term) ranking.
+    Corpus QA signal — heavily templated or deduplicate-starved text
+    shows a flattened slope."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "term")
+    pts = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ZIPF_TOP)
+        .select(
+            F.expr(
+                "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        ).alias("zipf_slope"),
+    )
