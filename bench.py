@@ -221,6 +221,8 @@ HEADLINE = [
     "q_percentile_trend",            # monthly p50/p95/p99 series
     "q_js_divergence_sources",       # corpus-shift JS divergence
     "q_zipf_fit",                    # rank-frequency power-law QA
+    "q_conversion_latency",          # signup->purchase latency card
+    "q_two_hop_reach",               # strict distance-2 audience
 ]
 
 

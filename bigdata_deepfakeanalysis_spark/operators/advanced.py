@@ -2909,3 +2909,88 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency — signup -> first subsequent purchase, the
+# time-to-convert distribution behind activation dashboards: first
+# signup per user, first purchase AFTER it (one min-aggregate each,
+# no as-of scan), exact percentile summary of the latencies.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_conversion_latency",
+    f"""
+    WITH {EVENTS_US_CTE},
+    signups AS (
+        SELECT user_id, MIN(epoch_ns(ts) // 1000) AS s_us
+        FROM events_us WHERE event_type = 'signup' GROUP BY user_id),
+    purchases AS (
+        SELECT e.user_id, MIN(epoch_ns(e.ts) // 1000) AS p_us
+        FROM events_us e JOIN signups s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_ns(e.ts) // 1000 > s.s_us
+        GROUP BY e.user_id),
+    lat AS (
+        SELECT s.user_id,
+               (p.p_us - s.s_us) // 60000000 AS latency_min
+        FROM signups s JOIN purchases p ON s.user_id = p.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM signups) AS BIGINT) AS n_signups,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(COUNT(*) * 1000000
+                // (SELECT COUNT(*) FROM signups) AS BIGINT)
+               AS conversion_ppm,
+           ROUND(quantile_cont(latency_min, 0.50), 9) AS p50_latency_min,
+           ROUND(quantile_cont(latency_min, 0.90), 9) AS p90_latency_min,
+           CAST(MIN(latency_min) AS BIGINT) AS min_latency_min
+    FROM lat
+    """,
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency: conversion rate in exact ppm
+    plus the exact p50/p90 of the minute-grain latency distribution.
+    Two min-aggregates and one join — the window-free formulation of
+    'first event after anchor'."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t_us")
+    )
+    signups = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("s_us"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .where(F.col("t_us") > F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias("p_us"))
+    )
+    lat = signups.join(purchases, "user_id").select(
+        "user_id",
+        F.expr("(p_us - s_us) DIV 60000000").alias("latency_min"),
+    )
+    n_signups = signups.agg(F.count(F.lit(1)).alias("n_signups"))
+    return (
+        lat.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.round(
+                F.expr("percentile(latency_min, 0.50)"), 9
+            ).alias("p50_latency_min"),
+            F.round(
+                F.expr("percentile(latency_min, 0.90)"), 9
+            ).alias("p90_latency_min"),
+            F.min("latency_min").cast("bigint").alias("min_latency_min"),
+        )
+        .crossJoin(F.broadcast(n_signups))
+        .select(
+            F.col("n_signups").cast("bigint").alias("n_signups"),
+            F.col("n_converted").cast("bigint").alias("n_converted"),
+            F.expr(
+                "CAST(n_converted * 1000000 DIV n_signups AS BIGINT)"
+            ).alias("conversion_ppm"),
+            "p50_latency_min",
+            "p90_latency_min",
+            "min_latency_min",
+        )
+    )

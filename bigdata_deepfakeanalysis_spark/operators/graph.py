@@ -799,3 +799,115 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach — distinct friends-of-friends per node: the audience-
+# expansion / influence-radius metric. One wedge join over the
+# sparsified adjacency, one distinct per endpoint; self and direct
+# neighbors excluded.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_two_hop_reach",
+    f"""
+    WITH cs AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS MATERIALIZED (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e AS MATERIALIZED (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    adj AS MATERIALIZED (
+        SELECT s1 AS u, s2 AS v FROM e UNION ALL SELECT s2, s1 FROM e),
+    two_hop AS (
+        SELECT DISTINCT a.u AS node, b.v AS reach
+        FROM adj a JOIN adj b ON a.v = b.u
+        WHERE b.v <> a.u),
+    pruned AS (
+        SELECT t.node, t.reach FROM two_hop t
+        LEFT JOIN adj d ON t.node = d.u AND t.reach = d.v
+        WHERE d.u IS NULL),
+    counts AS (
+        SELECT d.u AS node,
+               COUNT(DISTINCT d.v) AS n_direct,
+               (SELECT COUNT(*) FROM pruned p WHERE p.node = d.u)
+                   AS n_two_hop
+        FROM adj d GROUP BY d.u)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(n_direct AS BIGINT) AS n_direct,
+           CAST(n_two_hop AS BIGINT) AS n_two_hop
+    FROM counts
+    ORDER BY n_two_hop DESC, node
+    LIMIT 20
+    """,
+)
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by strict two-hop reach (distinct nodes at
+    exactly distance 2 — self and direct neighbors excluded) in the
+    sparsified co-purchase graph, next to their direct degree. One
+    wedge join + one anti-join against the adjacency."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    e = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    adj = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    h1 = adj.select(F.col("u").alias("node"), F.col("v").alias("mid"))
+    h2 = adj.select(F.col("u").alias("mid"), F.col("v").alias("reach"))
+    two_hop = (
+        h1.join(h2, "mid")
+        .where(F.col("reach") != F.col("node"))
+        .select("node", "reach")
+        .distinct()
+    )
+    pruned = two_hop.join(
+        adj.select(F.col("u").alias("node"), F.col("v").alias("reach")),
+        ["node", "reach"],
+        "left_anti",
+    )
+    direct = adj.groupBy(F.col("u").alias("node")).agg(
+        F.countDistinct("v").alias("n_direct")
+    )
+    reach_counts = pruned.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_two_hop")
+    )
+    return (
+        direct.join(reach_counts, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("n_direct").cast("bigint").alias("n_direct"),
+            F.coalesce(F.col("n_two_hop"), F.lit(0))
+            .cast("bigint")
+            .alias("n_two_hop"),
+        )
+        .orderBy(F.desc("n_two_hop"), "node")
+        .limit(20)
+    )

@@ -37,6 +37,7 @@ EAGER_BUILD = {
     "q_kcore",
     "q_link_prediction",
     "q_degree_assortativity",
+    "q_two_hop_reach",
     "q_record_linkage",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
