@@ -223,6 +223,9 @@ HEADLINE = [
     "q_zipf_fit",                    # rank-frequency power-law QA
     "q_conversion_latency",          # signup->purchase latency card
     "q_two_hop_reach",               # strict distance-2 audience
+    "q_kaplan_meier",                # KM retention curve
+    "q_acf_daily_revenue",           # calendar-lag autocorrelation
+    "q_mutual_information",          # categorical MI audit
 ]
 
 

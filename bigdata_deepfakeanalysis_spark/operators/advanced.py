@@ -2994,3 +2994,363 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_latency_min",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve — the retention-analysis estimator:
+# user "lifetime" = days between first and last event, right-censored
+# for users still active in the final 14 days. S(t) steps only at
+# churn days; the at-risk set is an exact integer cumsum, the log-
+# survival a DECIMAL-routed cumsum of ln factors (order-free, immune
+# to DuckDB's segment-tree window summation), exp applied once on
+# identical doubles.
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 14
+
+
+@query(
+    "q_kaplan_meier",
+    f"""
+    WITH {EVENTS_US_CTE},
+    spans AS (
+        SELECT user_id,
+               MIN(ts_ns // 1000) AS first_us,
+               MAX(ts_ns // 1000) AS last_us
+        FROM events_us GROUP BY user_id),
+    gmax AS (SELECT MAX(last_us) AS g_us FROM spans),
+    lives AS (
+        SELECT (last_us - first_us) // 86400000000 AS dur,
+               CASE WHEN last_us
+                    < (SELECT g_us FROM gmax)
+                      - {_KM_CENSOR_DAYS}::BIGINT * 86400000000
+                    THEN 1 ELSE 0 END AS churned
+        FROM spans),
+    days AS (
+        SELECT dur, SUM(churned) AS d,
+               SUM(1 - churned) AS c
+        FROM lives GROUP BY dur),
+    risk AS (
+        SELECT dur, d, c,
+               (SELECT COUNT(*) FROM lives)
+               - COALESCE(SUM(d + c) OVER
+                   (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS n
+        FROM days),
+    curve AS (
+        SELECT dur, d, c, n,
+               SUM(CASE WHEN d > 0 AND d < n THEN
+                     CAST(ln(1.0 - CAST(d AS DOUBLE) / n)
+                          AS DECIMAL(22,10))
+                   ELSE CAST(0 AS DECIMAL(22,10)) END)
+                 OVER (ORDER BY dur) AS log_surv
+        FROM risk)
+    SELECT CAST(dur AS BIGINT) AS t_day,
+           CAST(n AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_churned,
+           CAST(c AS BIGINT) AS c_censored,
+           CAST(log_surv AS DOUBLE) AS log_surv,
+           CAST(CAST(exp(CAST(log_surv AS DOUBLE)) AS DECIMAL(18,9))
+                AS DOUBLE) AS survival
+    FROM curve WHERE d > 0 AND d < n
+    ORDER BY t_day
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve over user event lifetimes
+    (right-censored at {_KM_CENSOR_DAYS} days before corpus end).
+    One groupBy(user) + one groupBy(duration-day); the windows run
+    over the duration-day series, whose cardinality is bounded by the
+    calendar span, not the row count — the post-aggregation scale
+    shape. The ln-factor cumsum routes through DECIMAL so the two
+    engines' different window summation orders cannot drift."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("t_us").alias("first_us"), F.max("t_us").alias("last_us")
+    )
+    gmax = spans.agg(F.max("last_us").alias("g_us"))
+    lives = spans.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(last_us - first_us) DIV 86400000000").alias("dur"),
+        F.expr(
+            f"CASE WHEN last_us < g_us"
+            f" - CAST({_KM_CENSOR_DAYS} AS BIGINT) * 86400000000"
+            f" THEN 1 ELSE 0 END"
+        ).alias("churned"),
+    )
+    days = lives.groupBy("dur").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    n_total = lives.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = (
+        Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        days.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ),
+        )
+    )
+    curve = risk.withColumn(
+        "log_surv",
+        F.sum(
+            F.expr(
+                "CASE WHEN d > 0 AND d < n THEN"
+                " CAST(ln(1.0 - CAST(d AS DOUBLE) / n) AS DECIMAL(22,10))"
+                " ELSE CAST(0 AS DECIMAL(22,10)) END"
+            )
+        ).over(w_cum),
+    )
+    return (
+        curve.where((F.col("d") > 0) & (F.col("d") < F.col("n")))
+        .select(
+            F.col("dur").cast("bigint").alias("t_day"),
+            F.col("n").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_churned"),
+            F.col("c").cast("bigint").alias("c_censored"),
+            F.col("log_surv").cast("double").alias("log_surv"),
+            F.expr(
+                "CAST(CAST(exp(CAST(log_surv AS DOUBLE))"
+                " AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("survival"),
+        )
+        .orderBy("t_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of daily revenue — the seasonality probe
+# behind forecast-model selection: calendar-lag autocovariance at lags
+# 1..7 over the daily order-revenue series. Daily totals are
+# decimal-exact; the series is pre-scaled by a fixed 1e6 so deviation
+# products stay in DECIMAL-safe magnitude; missing calendar days make
+# it the gap-aware estimator (pairs at exact day offsets only).
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = list(range(1, 8))
+_ACF_EPOCH = "1995-01-01"
+
+
+@query(
+    "q_acf_daily_revenue",
+    f"""
+    WITH daily AS (
+        SELECT datediff('day', DATE '{_ACF_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / 1000000.0 AS x
+        FROM orders GROUP BY d),
+    m AS (
+        SELECT CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE)
+                   / COUNT(*) AS mean,
+               COUNT(*) AS n_days
+        FROM daily),
+    dev AS (
+        SELECT d, x - (SELECT mean FROM m) AS z FROM daily),
+    s0 AS (
+        SELECT CAST(SUM(CAST(z * z AS DECIMAL(24,9))) AS DOUBLE) AS den
+        FROM dev),
+    lags(lag) AS (VALUES {", ".join(f"({k})" for k in _ACF_LAGS)}),
+    pairs AS (
+        SELECT l.lag, a.z * b.z AS zz
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.d = a.d + l.lag)
+    SELECT CAST(p.lag AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(CAST(SUM(CAST(zz AS DECIMAL(24,9))) AS DOUBLE)
+                     / (SELECT den FROM s0)
+                     AS DECIMAL(18,9)) AS DOUBLE) AS acf
+    FROM pairs p
+    GROUP BY p.lag
+    ORDER BY lag
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of daily order revenue at calendar lags 1-7. One shuffle
+    (the day rollup); the lag self-join runs over the day-grain series
+    (bounded by the calendar, not the fact table) against a broadcast
+    7-row lag table. Deviation products route through DECIMAL(24,9)
+    after a fixed 1e6 pre-scale keeps value*10^9 inside 2^53."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr(
+            f"datediff(CAST(o_orderdate AS DATE), DATE '{_ACF_EPOCH}')"
+        ).alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+            " / 1000000.0"
+        ).alias("x")
+    )
+    m = daily.agg(
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "d", (F.col("x") - F.col("mean")).alias("z")
+    )
+    dev = dev.localCheckpoint(eager=True)
+    s0 = dev.agg(
+        F.expr(
+            "CAST(SUM(CAST(z * z AS DECIMAL(24,9))) AS DOUBLE)"
+        ).alias("den")
+    )
+    lags = spark.createDataFrame([(k,) for k in _ACF_LAGS], "lag int")
+    a = dev.alias("a")
+    b = dev.select(
+        F.col("d").alias("bd"), F.col("z").alias("bz")
+    ).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("d") + F.col("lag"))
+        .select("lag", (F.col("z") * F.col("bz")).alias("zz"))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(CAST(zz AS DECIMAL(24,9)))").alias("s_lag"),
+        )
+        .crossJoin(F.broadcast(s0))
+        .select(
+            F.col("lag").cast("int"),
+            F.col("n_pairs").cast("bigint"),
+            F.expr(
+                "CAST(CAST(CAST(s_lag AS DOUBLE) / den"
+                " AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between order status and priority — the
+# categorical-dependence audit (feature selection / leakage checks):
+# exact joint and marginal counts, one ln per cell on identical
+# doubles, DECIMAL-routed sums, normalized by sqrt(HX*HY) (IEEE sqrt
+# is correctly rounded, hence bit-stable cross-engine).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_mutual_information",
+    """
+    WITH joint AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS c
+        FROM orders GROUP BY s, p),
+    mx AS (SELECT s, SUM(c) AS cx FROM joint GROUP BY s),
+    my AS (SELECT p, SUM(c) AS cy FROM joint GROUP BY p),
+    tot AS (SELECT SUM(c) AS n FROM joint),
+    terms AS (
+        SELECT j.c, mx.cx, my.cy, tot.n,
+               CAST(j.c AS DOUBLE) / tot.n AS pxy,
+               CAST(mx.cx AS DOUBLE) / tot.n AS px,
+               CAST(my.cy AS DOUBLE) / tot.n AS py
+        FROM joint j
+        JOIN mx ON j.s = mx.s
+        JOIN my ON j.p = my.p
+        CROSS JOIN tot),
+    mi AS (
+        SELECT CAST(SUM(CAST(pxy * ln(pxy / (px * py))
+                             AS DECIMAL(18,12))) AS DOUBLE) AS mi_nats,
+               MAX(n) AS n
+        FROM terms),
+    hx AS (
+        SELECT CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / tot.n)
+                    * ln(CAST(cx AS DOUBLE) / tot.n)
+                    AS DECIMAL(18,12))) AS DOUBLE) AS h_status
+        FROM mx CROSS JOIN tot),
+    hy AS (
+        SELECT CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / tot.n)
+                    * ln(CAST(cy AS DOUBLE) / tot.n)
+                    AS DECIMAL(18,12))) AS DOUBLE) AS h_priority
+        FROM my CROSS JOIN tot)
+    SELECT CAST(mi.n AS BIGINT) AS n_orders,
+           mi.mi_nats,
+           hx.h_status,
+           hy.h_priority,
+           CAST(CAST(mi.mi_nats / sqrt(hx.h_status * hy.h_priority)
+                AS DECIMAL(18,9)) AS DOUBLE) AS nmi
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI(o_orderstatus; o_orderpriority) in nats plus both marginal
+    entropies and sqrt-normalized MI. One groupBy over orders; the
+    3x5 contingency table and its margins are broadcast joins.
+    Every probability is a ratio of exact BIGINT counts, so the ln
+    inputs are identical doubles on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    joint = orders.groupBy(
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    joint = joint.localCheckpoint(eager=True)
+    mx = joint.groupBy("s").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("p").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    terms = (
+        joint.join(F.broadcast(mx), "s")
+        .join(F.broadcast(my), "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("c").cast("double") / F.col("n")).alias("pxy"),
+            (F.col("cx").cast("double") / F.col("n")).alias("px"),
+            (F.col("cy").cast("double") / F.col("n")).alias("py"),
+            "n",
+        )
+    )
+    mi = terms.agg(
+        F.expr(
+            "CAST(SUM(CAST(pxy * ln(pxy / (px * py))"
+            " AS DECIMAL(18,12))) AS DOUBLE)"
+        ).alias("mi_nats"),
+        F.max("n").alias("n"),
+    )
+    hx = (
+        mx.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(-(CAST(cx AS DOUBLE) / n)"
+                " * ln(CAST(cx AS DOUBLE) / n)"
+                " AS DECIMAL(18,12))) AS DOUBLE)"
+            ).alias("h_status")
+        )
+    )
+    hy = (
+        my.crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(-(CAST(cy AS DOUBLE) / n)"
+                " * ln(CAST(cy AS DOUBLE) / n)"
+                " AS DECIMAL(18,12))) AS DOUBLE)"
+            ).alias("h_priority")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("bigint").alias("n_orders"),
+            "mi_nats",
+            "h_status",
+            "h_priority",
+            F.expr(
+                "CAST(CAST(mi_nats / sqrt(h_status * h_priority)"
+                " AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("nmi"),
+        )
+    )
