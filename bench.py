@@ -226,6 +226,8 @@ HEADLINE = [
     "q_kaplan_meier",                # KM retention curve
     "q_acf_daily_revenue",           # calendar-lag autocorrelation
     "q_mutual_information",          # categorical MI audit
+    "q_ndcg_mrr",                    # per-group ranking eval
+    "q_frequent_triples",            # apriori level-3 baskets
 ]
 
 

@@ -3354,3 +3354,316 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation — NDCG@10 / MRR / hits@10 per query group: the
+# search-quality scorecard run after every ranker change. Nations are
+# the query groups, account balance the model score, segment
+# membership the relevance label. Every DCG term routes through
+# DECIMAL so the per-group sums cannot drift; the ideal-DCG prefix
+# table is engine-computed over range(1,11) on both sides.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ndcg_mrr",
+    """
+    WITH ranked AS (
+        SELECT c_nationkey AS nk,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer),
+    per_q AS (
+        SELECT nk,
+               COUNT(*) AS n_cust,
+               SUM(rel) AS n_rel,
+               SUM(CASE WHEN rk <= 10 THEN
+                     CAST(CAST(rel AS DOUBLE) / log2(rk + 1.0)
+                          AS DECIMAL(18,9))
+                   ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
+               SUM(CASE WHEN rk <= 10 THEN rel ELSE 0 END) AS hits10,
+               MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+        FROM ranked GROUP BY nk),
+    ideal AS (
+        SELECT i,
+               SUM(CAST(1.0 / log2(i + 1.0) AS DECIMAL(18,9)))
+                 OVER (ORDER BY i) AS idcg
+        FROM range(1, 11) t(i))
+    SELECT CAST(p.nk AS INTEGER) AS nationkey,
+           CAST(p.n_cust AS BIGINT) AS n_cust,
+           CAST(p.n_rel AS BIGINT) AS n_rel,
+           CAST(p.hits10 AS BIGINT) AS hits10,
+           CAST(CASE WHEN p.n_rel = 0 THEN 0.0
+                ELSE CAST(CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+                          AS DECIMAL(18,9)) END AS DOUBLE) AS ndcg10,
+           CAST(COALESCE(CAST(CAST(1.0 AS DOUBLE) / p.first_rel
+                              AS DECIMAL(18,9)), 0) AS DOUBLE) AS mrr
+    FROM per_q p
+    LEFT JOIN ideal i
+      ON i.i = LEAST(10, CASE WHEN p.n_rel = 0 THEN 1 ELSE p.n_rel END)
+    ORDER BY nationkey
+    """,
+)
+def q_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / hits@10 with nations as query groups, account
+    balance as the ranking score, BUILDING-segment membership as
+    relevance. One partitioned window over customer (the per-query
+    ranking shape — parallel across groups at any scale); the
+    10-row ideal-DCG prefix table is broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    ranked = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("rel"),
+        F.row_number().over(w).alias("rk"),
+    )
+    per_q = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("rel").alias("n_rel"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rk <= 10 THEN"
+                " CAST(CAST(rel AS DOUBLE) / log2(rk + 1.0)"
+                " AS DECIMAL(18,9))"
+                " ELSE CAST(0 AS DECIMAL(18,9)) END"
+            )
+        ).alias("dcg"),
+        F.sum(F.expr("CASE WHEN rk <= 10 THEN rel ELSE 0 END")).alias(
+            "hits10"
+        ),
+        F.min(F.expr("CASE WHEN rel = 1 THEN rk END")).alias("first_rel"),
+    )
+    w_i = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ideal = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.expr("CAST(1.0 / log2(i + 1.0) AS DECIMAL(18,9))")
+            )
+            .over(w_i)
+            .alias("idcg"),
+        )
+    )
+    joined = per_q.join(
+        F.broadcast(ideal),
+        F.col("i")
+        == F.least(
+            F.lit(10),
+            F.when(F.col("n_rel") == 0, 1).otherwise(F.col("n_rel")),
+        ),
+        "left",
+    )
+    return joined.select(
+        F.col("nk").cast("int").alias("nationkey"),
+        F.col("n_cust").cast("bigint"),
+        F.col("n_rel").cast("bigint"),
+        F.col("hits10").cast("bigint"),
+        F.expr(
+            "CAST(CASE WHEN n_rel = 0 THEN 0.0"
+            " ELSE CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)"
+            " AS DECIMAL(18,9)) END AS DOUBLE)"
+        ).alias("ndcg10"),
+        F.expr(
+            "CAST(COALESCE(CAST(CAST(1.0 AS DOUBLE) / first_rel"
+            " AS DECIMAL(18,9)), 0) AS DOUBLE)"
+        ).alias("mrr"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — chance-corrected agreement between two deterministic
+# document raters (the annotation-QA metric): rater A flags long docs
+# (n_chars), rater B flags high-'e'-count docs (a row-local proxy
+# label). The 2x2 confusion table is exact integers; po/pe/kappa are
+# identical double expressions on both engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cohens_kappa",
+    """
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS a,
+               CASE WHEN length(lower(text))
+                         - length(replace(lower(text), 'e', '')) >= 50
+                    THEN 1 ELSE 0 END AS b
+        FROM documents),
+    cells AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+               SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+               SUM(a) AS a1, SUM(b) AS b1
+        FROM rated)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n11 AS BIGINT) AS both_pos,
+           CAST(n00 AS BIGINT) AS both_neg,
+           CAST(a1 AS BIGINT) AS rater_a_pos,
+           CAST(b1 AS BIGINT) AS rater_b_pos,
+           CAST(CAST((CAST(n11 AS DOUBLE) + n00) / n
+                AS DECIMAL(18,9)) AS DOUBLE) AS po,
+           CAST(CAST((CAST(a1 AS DOUBLE) * b1
+                      + CAST(n - a1 AS DOUBLE) * (n - b1))
+                     / (CAST(n AS DOUBLE) * n)
+                AS DECIMAL(18,9)) AS DOUBLE) AS pe,
+           CAST(CAST(((CAST(n11 AS DOUBLE) + n00) / n
+                      - (CAST(a1 AS DOUBLE) * b1
+                         + CAST(n - a1 AS DOUBLE) * (n - b1))
+                        / (CAST(n AS DOUBLE) * n))
+                     / (1.0 - (CAST(a1 AS DOUBLE) * b1
+                               + CAST(n - a1 AS DOUBLE) * (n - b1))
+                              / (CAST(n AS DOUBLE) * n))
+                AS DECIMAL(18,9)) AS DOUBLE) AS kappa
+    FROM cells
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two row-local raters over documents:
+    single narrow scan, one global aggregate, all statistics derived
+    from the exact 2x2 confusion counts."""
+    docs = table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.expr("CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END").alias("a"),
+        F.expr(
+            "CASE WHEN length(lower(text))"
+            " - length(replace(lower(text), 'e', '')) >= 50"
+            " THEN 1 ELSE 0 END"
+        ).alias("b"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END")).alias(
+            "n11"
+        ),
+        F.sum(F.expr("CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END")).alias(
+            "n00"
+        ),
+        F.sum("a").alias("a1"),
+        F.sum("b").alias("b1"),
+    )
+    pe_expr = (
+        "(CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))"
+        " / (CAST(n AS DOUBLE) * n)"
+    )
+    po_expr = "(CAST(n11 AS DOUBLE) + n00) / n"
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n11").cast("bigint").alias("both_pos"),
+        F.col("n00").cast("bigint").alias("both_neg"),
+        F.col("a1").cast("bigint").alias("rater_a_pos"),
+        F.col("b1").cast("bigint").alias("rater_b_pos"),
+        F.expr(f"CAST(CAST({po_expr} AS DECIMAL(18,9)) AS DOUBLE)").alias(
+            "po"
+        ),
+        F.expr(f"CAST(CAST({pe_expr} AS DECIMAL(18,9)) AS DOUBLE)").alias(
+            "pe"
+        ),
+        F.expr(
+            f"CAST(CAST(({po_expr} - {pe_expr}) / (1.0 - {pe_expr})"
+            " AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apriori frequent triples — level-3 market-basket mining grown from
+# the level-2 frequent pairs (q_frequent_pairs): candidate triples are
+# only generated by extending a frequent (p1,p2) pair with a third
+# item, then pruned against the frequent-pair set on BOTH remaining
+# faces — the classic candidate-generation shape that keeps the join
+# fan-out proportional to the (small) frequent-pair set, never the
+# basket cross-product.
+# ---------------------------------------------------------------------------
+
+_FT_SUP = 2
+
+
+@query(
+    "q_frequent_triples",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    fp AS (
+        SELECT b1.p AS p1, b2.p AS p2
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY b1.p, b2.p HAVING COUNT(*) >= {_FT_SUP}),
+    cand AS (
+        SELECT b1.p AS p1, b2.p AS p2, b3.p AS p3, b1.o
+        FROM b b1
+        JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        JOIN fp f12 ON f12.p1 = b1.p AND f12.p2 = b2.p
+        JOIN b b3 ON b1.o = b3.o AND b2.p < b3.p
+        JOIN fp f13 ON f13.p1 = b1.p AND f13.p2 = b3.p
+        JOIN fp f23 ON f23.p1 = b2.p AND f23.p2 = b3.p)
+    SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+           CAST(p3 AS BIGINT) AS p3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM cand GROUP BY p1, p2, p3 HAVING COUNT(*) >= {_FT_SUP}
+    ORDER BY support DESC, p1, p2, p3
+    """,
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item TRIPLES at support >= {_FT_SUP} via apriori
+    candidate extension: frequent pairs are computed once (one
+    basket self-join), then triples exist only where all three faces
+    (p1,p2),(p1,p3),(p2,p3) are frequent — the face joins broadcast
+    the level-2 set, so candidate volume tracks the frequent-pair
+    count, not baskets^3."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    b1 = b.select(F.col("o"), F.col("p").alias("pa"))
+    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    fp = (
+        b1.join(b2, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("p1"), F.col("pb").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= _FT_SUP)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        b1.join(b2, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .join(
+            F.broadcast(fp),
+            (F.col("pa") == F.col("p1")) & (F.col("pb") == F.col("p2")),
+        )
+        .select("o", "pa", "pb")
+    )
+    b3 = b.select(F.col("o").alias("o3"), F.col("p").alias("pc"))
+    f13 = fp.select(F.col("p1").alias("x1"), F.col("p2").alias("x3"))
+    f23 = fp.select(F.col("p1").alias("y2"), F.col("p2").alias("y3"))
+    cand = (
+        pairs.join(
+            b3, (F.col("o") == F.col("o3")) & (F.col("pb") < F.col("pc"))
+        )
+        .join(
+            F.broadcast(f13),
+            (F.col("pa") == F.col("x1")) & (F.col("pc") == F.col("x3")),
+        )
+        .join(
+            F.broadcast(f23),
+            (F.col("pb") == F.col("y2")) & (F.col("pc") == F.col("y3")),
+        )
+    )
+    return (
+        cand.groupBy(
+            F.col("pa").cast("bigint").alias("p1"),
+            F.col("pb").cast("bigint").alias("p2"),
+            F.col("pc").cast("bigint").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _FT_SUP)
+        .select("p1", "p2", "p3", F.col("support").cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "p1", "p2", "p3")
+    )
