@@ -228,6 +228,8 @@ HEADLINE = [
     "q_mutual_information",          # categorical MI audit
     "q_ndcg_mrr",                    # per-group ranking eval
     "q_frequent_triples",            # apriori level-3 baskets
+    "q_local_clustering",            # clustering coefficient
+    "q_datasketches_native",         # native HLL/theta sketch algebra
 ]
 
 

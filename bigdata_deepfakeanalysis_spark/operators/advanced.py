@@ -3667,3 +3667,60 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2", "p3", F.col("support").cast("bigint").alias("support"))
         .orderBy(F.col("support").desc(), "p1", "p2", "p3")
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation metrics — Spark's zero-extra-pass pipeline telemetry:
+# df.observe() attaches accumulator-backed aggregates to a query so
+# row counts / sums / extrema are collected DURING the main action,
+# not by a second scan. The one-row metric report is the product; the
+# oracle recomputes the same aggregates relationally.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_observe_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_discounted,
+           ROUND(MAX(l_extendedprice), 9) AS max_price
+    FROM lineitem WHERE l_quantity >= 10
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline health metrics via ``Observation``: the filtered scan
+    is driven once with a noop sink and the metrics ride along on
+    accumulators (no second job over the data — at 100 TB this is the
+    only affordable way to get QA counters out of an ETL write).
+    The returned one-row frame is rebuilt from the observed values."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("etl_metrics")
+    observed = li.where(F.col("l_quantity") >= 10).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))").alias(
+            "revenue"
+        ),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, 1).otherwise(0)
+        ).alias("n_discounted"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["revenue"]),
+                int(m["n_discounted"]),
+                round(float(m["max_price"]), 9),
+            )
+        ],
+        "n_rows bigint, revenue double, n_discounted bigint,"
+        " max_price double",
+    )

@@ -911,3 +911,105 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_two_hop"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient — triangles normalized by wedge
+# capacity per node: THE community-tightness score (a node whose
+# neighbors all know each other scores 1). Reuses the degree-ordered
+# triangle enumeration and the top-E sparsified co-customer edge set.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_local_clustering",
+    f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e AS (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    tri AS (
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+        JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+    corners AS (
+        SELECT id, COUNT(*) AS n_triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY id),
+    deg AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT s1 AS id FROM e UNION ALL SELECT s2 FROM e)
+        GROUP BY id)
+    SELECT CAST(deg.id AS BIGINT) AS suppkey,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CAST(CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+                     / (deg.d * (deg.d - 1))
+                AS DECIMAL(18,9)) AS DOUBLE) AS clustering_coeff
+    FROM deg LEFT JOIN corners c ON deg.id = c.id
+    WHERE deg.d >= 2
+    ORDER BY clustering_coeff DESC, suppkey LIMIT 25
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 suppliers by local clustering coefficient
+    2*T(v) / (d(v)*(d(v)-1)) over the sparsified co-customer graph
+    (nodes with degree >= 2). Triangles come from the degree-ordered
+    wedge enumeration (O(sqrt(|E|)) fan-out bound); degrees from one
+    rollup over the pinned edge set; the coefficient is an exact
+    integer ratio so both engines see identical doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_counts(edges)
+    deg = (
+        edges.select(F.col("s1").alias("id"))
+        .unionAll(edges.select(F.col("s2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.join(tri, "id", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("id").cast("bigint").alias("suppkey"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.expr(
+                "CAST(CAST(CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)"
+                " / (d * (d - 1)) AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("clustering_coeff"), "suppkey")
+        .limit(25)
+    )

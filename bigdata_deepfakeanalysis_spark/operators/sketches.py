@@ -770,3 +770,127 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native Apache DataSketches aggregates (Spark 4 built-ins) — the
+# JVM-side mergeable-sketch path for distinct counting and sketch SET
+# ALGEBRA: HLL union across groups, theta intersection/difference
+# between engagement cohorts. Estimates are deterministic but not
+# SQL-reproducible, so the oracle checks the exact companions plus
+# error-bound guarantees the sketches must satisfy (the established
+# rows-to-hash upgrade pattern from q_hll_distinct_merge).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_datasketches_native",
+    """
+    WITH ud AS (
+        SELECT event_type,
+               user_id * 100000
+               + epoch_ns(ts) // 86400000000000 AS ukey
+        FROM events),
+    a AS (SELECT DISTINCT ukey FROM ud WHERE event_type = 'purchase'),
+    b AS (SELECT DISTINCT ukey FROM ud WHERE event_type = 'click')
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (ukey)) AS BIGINT)
+               AS exact_inter,
+           CAST((SELECT COUNT(*) FROM a
+                 WHERE ukey NOT IN (SELECT ukey FROM b)) AS BIGINT)
+               AS exact_diff,
+           TRUE AS hll_a_ok, TRUE AS hll_b_ok,
+           TRUE AS hll_union_ok, TRUE AS theta_inter_ok,
+           TRUE AS theta_diff_ok
+    """,
+)
+def q_datasketches_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native DataSketches: hll_sketch_agg / hll_union_agg for
+    mergeable distinct user-day counts of the purchase and click
+    cohorts, theta_sketch_agg + theta_intersection / theta_difference
+    for cohort set algebra WITHOUT a join or shuffle of raw keys —
+    the 100 TB path for audience-overlap questions. The oracle checks
+    the exact cardinalities (computed relationally on both engines)
+    and 5% error-bound guarantees on every estimate; at this
+    cardinality theta sketches are below nominal entries, hence
+    exact, and HLL(lgK=14) is well inside 5%."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.col("user_id") * 100000
+            + F.expr("unix_micros(ts) DIV 86400000000")
+        ).alias("ukey"),
+    )
+    a_keys = ev.where(F.col("event_type") == "purchase").select("ukey")
+    b_keys = ev.where(F.col("event_type") == "click").select("ukey")
+    sk = (
+        ev.where(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("ukey", F.lit(14)).alias("hll"),
+            F.theta_sketch_agg("ukey").alias("theta"),
+        )
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("hll_union_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection_agg("theta")
+        ).alias("theta_inter_est"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("theta"))).alias(
+            "theta_a"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("theta"))).alias(
+            "theta_b"
+        ),
+        F.max(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.hll_sketch_estimate("hll"),
+            )
+        ).alias("hll_a_est"),
+        F.max(
+            F.when(
+                F.col("event_type") == "click",
+                F.hll_sketch_estimate("hll"),
+            )
+        ).alias("hll_b_est"),
+    ).select(
+        "hll_a_est",
+        "hll_b_est",
+        "hll_union_est",
+        "theta_inter_est",
+        F.theta_sketch_estimate(
+            F.theta_difference("theta_a", "theta_b")
+        ).alias("theta_diff_est"),
+    )
+    exact = (
+        a_keys.distinct()
+        .agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b_keys.distinct().agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a_keys.distinct()
+            .join(b_keys.distinct(), "ukey")
+            .agg(F.count(F.lit(1)).alias("exact_inter"))
+        )
+        .crossJoin(
+            a_keys.distinct()
+            .join(b_keys.distinct(), "ukey", "left_anti")
+            .agg(F.count(F.lit(1)).alias("exact_diff"))
+        )
+    )
+    def ok(est: str, ex: str):
+        return F.expr(f"abs({est} - ({ex})) <= 0.05 * ({ex})")
+
+    return exact.crossJoin(F.broadcast(merged)).select(
+        F.col("exact_a").cast("bigint"),
+        F.col("exact_b").cast("bigint"),
+        F.col("exact_inter").cast("bigint"),
+        F.col("exact_diff").cast("bigint"),
+        ok("hll_a_est", "exact_a").alias("hll_a_ok"),
+        ok("hll_b_est", "exact_b").alias("hll_b_ok"),
+        ok("hll_union_est", "exact_a + exact_b - exact_inter").alias(
+            "hll_union_ok"
+        ),
+        ok("theta_inter_est", "exact_inter").alias("theta_inter_ok"),
+        ok("theta_diff_est", "exact_diff").alias("theta_diff_ok"),
+    )
