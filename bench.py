@@ -230,6 +230,8 @@ HEADLINE = [
     "q_frequent_triples",            # apriori level-3 baskets
     "q_local_clustering",            # clustering coefficient
     "q_datasketches_native",         # native HLL/theta sketch algebra
+    "q_unigram_perplexity",          # corpus-LM perplexity gate
+    "q_association_rules",           # basket confidence/lift rules
 ]
 
 

@@ -3724,3 +3724,105 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, revenue double, n_discounted bigint,"
         " max_price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Association rules — confidence / lift over the frequent pairs
+# (the recommendation layer on top of q_frequent_pairs): both rule
+# directions per frequent pair, all statistics exact integer ratios.
+# ---------------------------------------------------------------------------
+
+_AR_SUP = 2
+
+
+@query(
+    "q_association_rules",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+    item AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+    fp AS (
+        SELECT b1.p AS p1, b2.p AS p2, COUNT(*) AS sup
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY b1.p, b2.p HAVING COUNT(*) >= {_AR_SUP}),
+    rules AS (
+        SELECT p1 AS antecedent, p2 AS consequent, sup,
+               ia.c AS c_ant, ic.c AS c_con
+        FROM fp JOIN item ia ON fp.p1 = ia.p
+                JOIN item ic ON fp.p2 = ic.p
+        UNION ALL
+        SELECT p2, p1, sup, ic.c, ia.c
+        FROM fp JOIN item ia ON fp.p1 = ia.p
+                JOIN item ic ON fp.p2 = ic.p)
+    SELECT CAST(antecedent AS BIGINT) AS antecedent,
+           CAST(consequent AS BIGINT) AS consequent,
+           CAST(sup AS BIGINT) AS support,
+           CAST(CAST(CAST(sup AS DOUBLE) / c_ant AS DECIMAL(18,9))
+                AS DOUBLE) AS confidence,
+           CAST(CAST(CAST(sup AS DOUBLE) / c_ant
+                     / (CAST(c_con AS DOUBLE) / (SELECT n FROM n_orders))
+                AS DECIMAL(18,9)) AS DOUBLE) AS lift
+    FROM rules
+    ORDER BY lift DESC, antecedent, consequent LIMIT 30
+    """,
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 association rules by lift from the frequent-pair set
+    (support >= {_AR_SUP}): confidence = sup(A,B)/sup(A), lift =
+    confidence / P(B). The item-support table is a broadcast join;
+    confidence and lift are exact integer ratios so both engines see
+    identical doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_orders = b.select("o").distinct().agg(F.count(F.lit(1)).alias("n"))
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    b1 = b.select("o", F.col("p").alias("pa"))
+    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    fp = (
+        b1.join(b2, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("p1"), F.col("pb").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= _AR_SUP)
+    )
+    ia = item.select(F.col("p").alias("p1"), F.col("c").alias("ca"))
+    ic = item.select(F.col("p").alias("p2"), F.col("c").alias("cb"))
+    joined = fp.join(F.broadcast(ia), "p1").join(F.broadcast(ic), "p2")
+    fwd = joined.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "sup",
+        F.col("ca").alias("c_ant"),
+        F.col("cb").alias("c_con"),
+    )
+    rev = joined.select(
+        F.col("p2").alias("antecedent"),
+        F.col("p1").alias("consequent"),
+        "sup",
+        F.col("cb").alias("c_ant"),
+        F.col("ca").alias("c_con"),
+    )
+    return (
+        fwd.unionAll(rev)
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("antecedent").cast("bigint"),
+            F.col("consequent").cast("bigint"),
+            F.col("sup").cast("bigint").alias("support"),
+            F.expr(
+                "CAST(CAST(CAST(sup AS DOUBLE) / c_ant AS DECIMAL(18,9))"
+                " AS DOUBLE)"
+            ).alias("confidence"),
+            F.expr(
+                "CAST(CAST(CAST(sup AS DOUBLE) / c_ant"
+                " / (CAST(c_con AS DOUBLE) / n) AS DECIMAL(18,9))"
+                " AS DOUBLE)"
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(30)
+    )

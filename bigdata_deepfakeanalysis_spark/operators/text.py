@@ -2856,3 +2856,90 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity filter — the CCNet-style corpus curation
+# gate: train an add-one-smoothed unigram LM on the corpus itself
+# (top-V fixed vocabulary, OOV mass smoothed), score every document
+# by per-token cross-entropy, surface the worst offenders. At 100 TB
+# the vocab is a bounded top-V broadcast (never the raw term
+# dictionary) and scoring is one broadcast-join + one rollup.
+# ---------------------------------------------------------------------------
+
+_PPL_V = 10000
+
+
+@query(
+    "q_unigram_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS w FROM documents),
+    n_tot AS (SELECT COUNT(*) AS n FROM toks),
+    vocab AS (
+        SELECT w, c FROM (
+            SELECT w, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+            FROM toks GROUP BY w) WHERE rk <= {_PPL_V}),
+    scored AS (
+        SELECT t.doc_id,
+               ln((COALESCE(v.c, 0) + CAST(1 AS BIGINT))
+                  * CAST(1.0 AS DOUBLE)
+                  / ((SELECT n FROM n_tot) + {_PPL_V} + 1)) AS lnp
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CAST(lnp AS DECIMAL(20,10))) AS DOUBLE) AS s
+        FROM scored GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(-s / n_tokens AS DECIMAL(18,9)) AS DOUBLE)
+               AS cross_entropy
+    FROM per_doc
+    ORDER BY cross_entropy DESC, doc_id LIMIT 20
+    """,
+)
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 highest-perplexity documents under a corpus-trained
+    add-one unigram LM with a fixed top-{_PPL_V} vocabulary (CCNet's
+    perplexity-filter shape). One token rollup builds the vocab
+    (TakeOrdered top-V, no global sort), scoring is a broadcast
+    left join on the vocab, and each document's ln-prob sum routes
+    through DECIMAL so engine summation order cannot drift."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("w")
+    ).localCheckpoint(eager=True)
+    n_tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_PPL_V)
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"ln((COALESCE(c, CAST(0 AS BIGINT)) + CAST(1 AS BIGINT))"
+                f" * CAST(1.0 AS DOUBLE) / (n + {_PPL_V} + 1))"
+            ).alias("lnp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("CAST(SUM(CAST(lnp AS DECIMAL(20,10))) AS DOUBLE)").alias("s"),
+    )
+    return (
+        per_doc.select(
+            F.col("doc_id").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.expr(
+                "CAST(CAST(-s / n_tokens AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("cross_entropy"),
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(20)
+    )
