@@ -232,6 +232,9 @@ HEADLINE = [
     "q_datasketches_native",         # native HLL/theta sketch algebra
     "q_unigram_perplexity",          # corpus-LM perplexity gate
     "q_association_rules",           # basket confidence/lift rules
+    "q_itemitem_cf",                 # item-item cosine neighbors
+    "q_bfs_distance",                # BFS frontier supersteps
+    "q_seasonal_anomaly",            # dow-adjusted robust-z anomalies
 ]
 
 

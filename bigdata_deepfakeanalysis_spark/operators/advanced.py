@@ -3826,3 +3826,187 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "antecedent", "consequent")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering — cosine similarity over basket
+# co-occurrence counts, the classic "customers also bought" neighbor
+# model: sim(i,j) = c_ij / sqrt(c_i * c_j), top-3 neighbors per item.
+# Pure count algebra (IEEE sqrt is correctly rounded, so both engines
+# see identical doubles); the pair rollup is the only wide shuffle.
+# ---------------------------------------------------------------------------
+
+_CF_MIN_CO = 2
+
+
+@query(
+    "q_itemitem_cf",
+    f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    item AS (SELECT p, COUNT(*) AS c FROM b GROUP BY p),
+    co AS (
+        SELECT b1.p AS p1, b2.p AS p2, COUNT(*) AS cij
+        FROM b b1 JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+        GROUP BY b1.p, b2.p HAVING COUNT(*) >= {_CF_MIN_CO}),
+    sym AS (
+        SELECT p1 AS i, p2 AS j, cij FROM co
+        UNION ALL SELECT p2, p1, cij FROM co),
+    scored AS (
+        SELECT s.i, s.j, s.cij,
+               CAST(s.cij AS DOUBLE) / sqrt(CAST(ci.c * cj.c AS DOUBLE))
+                   AS cosine
+        FROM sym s JOIN item ci ON s.i = ci.p JOIN item cj ON s.j = cj.p),
+    ranked AS (
+        SELECT i, j, cij, cosine,
+               ROW_NUMBER() OVER (PARTITION BY i
+                                  ORDER BY cosine DESC, j) AS rk
+        FROM scored)
+    SELECT CAST(i AS BIGINT) AS item,
+           CAST(j AS BIGINT) AS neighbor,
+           CAST(rk AS INTEGER) AS rk,
+           CAST(cij AS BIGINT) AS co_count,
+           CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine
+    FROM ranked WHERE rk <= 3
+    ORDER BY item, rk
+    """,
+)
+def q_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 item-item CF neighbors by co-occurrence cosine
+    (co-count >= {_CF_MIN_CO}). The per-item neighbor rank is a
+    partitioned window (parallel across items at any scale); item
+    supports join in via broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    item = b.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    b1 = b.select("o", F.col("p").alias("pa"))
+    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("pb"))
+    co = (
+        b1.join(b2, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("p1"), F.col("pb").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cij"))
+        .where(F.col("cij") >= _CF_MIN_CO)
+    )
+    sym = co.select(
+        F.col("p1").alias("i"), F.col("p2").alias("j"), "cij"
+    ).unionAll(co.select(F.col("p2").alias("i"), F.col("p1").alias("j"), "cij"))
+    ci = item.select(F.col("p").alias("i"), F.col("c").alias("c_i"))
+    cj = item.select(F.col("p").alias("j"), F.col("c").alias("c_j"))
+    scored = (
+        sym.join(F.broadcast(ci), "i")
+        .join(F.broadcast(cj), "j")
+        .select(
+            "i",
+            "j",
+            "cij",
+            F.expr(
+                "CAST(cij AS DOUBLE) / sqrt(CAST(c_i * c_j AS DOUBLE))"
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cosine"), "j")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("i").cast("bigint").alias("item"),
+            F.col("j").cast("bigint").alias("neighbor"),
+            F.col("rk").cast("int"),
+            F.col("cij").cast("bigint").alias("co_count"),
+            F.expr("CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE)").alias(
+                "cosine"
+            ),
+        )
+        .orderBy("item", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-residual anomaly days — the ops-dashboard anomaly list:
+# day-of-week-adjusted daily revenue residuals scored by robust
+# z-score (median/MAD, exact interpolated medians on identical
+# doubles). Composes the seasonal-index and MAD building blocks into
+# the detection use case.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_seasonal_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               isodow(CAST(o_orderdate AS DATE)) - 1 AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS x
+        FROM orders GROUP BY 1, 2),
+    dm AS (
+        SELECT dow,
+               CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM daily GROUP BY dow),
+    res AS (
+        SELECT daily.d, daily.x, daily.x - dm.mu AS r
+        FROM daily JOIN dm ON daily.dow = dm.dow),
+    med AS (SELECT quantile_cont(r, 0.5) AS m FROM res),
+    mad AS (
+        SELECT quantile_cont(abs(r - (SELECT m FROM med)), 0.5) AS s
+        FROM res)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+           CAST(CAST(r AS DECIMAL(18,6)) AS DOUBLE) AS residual,
+           CAST(CAST(abs(r - (SELECT m FROM med)) / (SELECT s FROM mad)
+                AS DECIMAL(18,9)) AS DOUBLE) AS robust_z
+    FROM res
+    WHERE abs(r - (SELECT m FROM med)) > 5 * (SELECT s FROM mad)
+    ORDER BY robust_z DESC, day LIMIT 15
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous revenue days after removing day-of-week seasonality:
+    residual vs the dow mean, flagged when |r - median| > 5 MAD.
+    One day rollup, a broadcast 7-row seasonal mean join, and two
+    exact medians over the (calendar-bounded) residual series."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("d"),
+        F.expr("weekday(CAST(o_orderdate AS DATE))").alias("dow"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("x")
+    )
+    dm = daily.groupBy("dow").agg(
+        F.expr(
+            "CAST(SUM(CAST(x AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*)"
+        ).alias("mu")
+    )
+    res = daily.join(F.broadcast(dm), "dow").select(
+        "d", "x", (F.col("x") - F.col("mu")).alias("r")
+    )
+    res = res.localCheckpoint(eager=True)
+    med = res.agg(F.expr("percentile(r, 0.5)").alias("m"))
+    scored = res.crossJoin(F.broadcast(med))
+    mad = scored.agg(
+        F.expr("percentile(abs(r - m), 0.5)").alias("s")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mad))
+        .where(F.expr("abs(r - m) > 5 * s"))
+        .select(
+            F.expr("date_format(d, 'yyyy-MM-dd')").alias("day"),
+            F.expr("CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE)").alias(
+                "revenue"
+            ),
+            F.expr("CAST(CAST(r AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "residual"
+            ),
+            F.expr(
+                "CAST(CAST(abs(r - m) / s AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), "day")
+        .limit(15)
+    )

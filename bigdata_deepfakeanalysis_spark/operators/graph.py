@@ -1013,3 +1013,97 @@ def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("clustering_coeff"), "suppkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-round BFS distance — single-source shortest hops over the
+# sparsified co-customer graph: the Pregel frontier-expansion shape
+# (one narrow join + one min-rollup per round, fixed 4 rounds as part
+# of the operator contract). The oracle replays it as a recursive CTE
+# and keeps the min distance per node.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+
+
+@query(
+    "q_bfs_distance",
+    f"""
+    WITH RECURSIVE cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    e AS MATERIALIZED (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    und AS MATERIALIZED (
+        SELECT s1 AS a, s2 AS b FROM e UNION ALL SELECT s2, s1 FROM e),
+    seed AS (SELECT MIN(s1) AS root FROM e),
+    walk(id, dist) AS (
+        SELECT root, 0 FROM seed
+        UNION ALL
+        SELECT u.b, w2.dist + 1
+        FROM walk w2 JOIN und u ON w2.id = u.a
+        WHERE w2.dist < {_BFS_ROUNDS})
+    SELECT CAST(id AS BIGINT) AS suppkey,
+           CAST(MIN(dist) AS INTEGER) AS dist
+    FROM walk GROUP BY id ORDER BY dist, suppkey
+    """,
+)
+def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (<= {_BFS_ROUNDS}) from the smallest supplier in
+    the sparsified co-customer edge set: per round one join of the
+    current distance table against the undirected edge list plus a
+    min-rollup — the BFS superstep every distributed graph engine
+    runs; the frontier table never exceeds the node set."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("s1"))
+    b = cs.select(F.col("c"), F.col("s").alias("s2"))
+    w = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    edges = (
+        w.orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    und = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionAll(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    und = und.localCheckpoint(eager=True)
+    seed = edges.agg(F.min("s1").alias("id")).select(
+        "id", F.lit(0).alias("dist")
+    )
+    dist = seed
+    for _ in range(_BFS_ROUNDS):
+        expanded = (
+            dist.join(und, dist["id"] == und["a"])
+            .select(F.col("b").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("id").cast("bigint").alias("suppkey"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("dist", "suppkey")
