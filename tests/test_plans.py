@@ -755,3 +755,65 @@ def test_trailing_distinct_has_no_window(spark):
     plan = _plan(all_queries()["q_trailing_distinct_users"](spark, SF_DIR))
     assert "Window" not in plan, plan
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_perplexity_vocab_is_broadcast_and_no_cartesian(spark):
+    """q_unigram_perplexity: scoring joins the top-V vocab via
+    broadcast (never a shuffled join keyed on raw terms) and the
+    ln-prob arithmetic stays JVM-side."""
+    plan = _plan(all_queries()["q_unigram_perplexity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frequent_triples_faces_are_broadcast(spark):
+    """q_frequent_triples: all three apriori face-prune joins against
+    the level-2 frequent-pair set must broadcast the (small) pair set
+    — a shuffled face join would re-partition the basket expansion
+    three times over."""
+    plan = _plan(all_queries()["q_frequent_triples"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_itemitem_cf_supports_broadcast_and_window_grouplimit(spark):
+    """q_itemitem_cf: item supports join in via broadcast and the
+    per-item top-3 rank applies map-side WindowGroupLimit, so neighbor
+    traffic per item is bounded before the window shuffle."""
+    plan = _plan(all_queries()["q_itemitem_cf"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_datasketches_single_wide_agg_no_raw_key_join(spark):
+    """q_datasketches_native: the sketch path itself must not shuffle
+    raw keys into any join — only the exact-companion verification
+    joins do; the sketch aggregation is ObjectHashAggregate (sketch
+    state is opaque bytes, not codegen rows)."""
+    plan = _plan(all_queries()["q_datasketches_native"](spark, SF_DIR))
+    assert "ObjectHashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kaplan_meier_windows_run_post_aggregation(spark):
+    """q_kaplan_meier: the unpartitioned windows are sanctioned ONLY
+    because they run over the duration-day series (calendar-bounded);
+    the plan must show the window ABOVE an aggregate, never directly
+    over the event scan."""
+    plan = _plan(all_queries()["q_kaplan_meier"](spark, SF_DIR))
+    w_idx = plan.find("Window")
+    agg_idx = plan.find("HashAggregate")
+    assert w_idx != -1 and agg_idx != -1
+    # physical plans print top-down: the window node appears before
+    # (above) at least one aggregate feeding it
+    assert "HashAggregate" in plan[w_idx:]
+
+
+def test_acf_lag_join_is_broadcast_over_day_series(spark):
+    """q_acf_daily_revenue: the 7-row lag table is broadcast and the
+    lag self-join runs over the aggregated day series, not the fact
+    table — no SortMergeJoin anywhere in the plan."""
+    plan = _plan(all_queries()["q_acf_daily_revenue"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
