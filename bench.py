@@ -235,6 +235,7 @@ HEADLINE = [
     "q_itemitem_cf",                 # item-item cosine neighbors
     "q_bfs_distance",                # BFS frontier supersteps
     "q_seasonal_anomaly",            # dow-adjusted robust-z anomalies
+    "q_centroid_similarity",         # label-centroid cosine matrix
 ]
 
 

@@ -516,3 +516,102 @@ def q_array_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("sm[63]"), 6).alias("last_sm"),
         F.round(F.expr(shift_expr), 6).alias("total_shift"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids + pairwise centroid cosine — the
+# class-separation / drift audit over an embedding table: one
+# posexplode rollup builds the (label x dim) mean matrix with
+# map-side partial aggregation; every later stage runs over
+# labels x dims cells, never the fact table. All sums DECIMAL-routed
+# (float32 inputs widen exactly to double on both engines).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_centroid_similarity",
+    """
+    WITH cells AS (
+        SELECT label, i - 1 AS pos,
+               CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(24,9))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM cells GROUP BY label, pos),
+    norms AS (
+        SELECT label,
+               CAST(SUM(CAST(mu * mu AS DECIMAL(24,12))) AS DOUBLE) AS nn
+        FROM cent GROUP BY label),
+    dots AS (
+        SELECT a.label AS la, b.label AS lb,
+               CAST(SUM(CAST(a.mu * b.mu AS DECIMAL(24,12))) AS DOUBLE)
+                   AS dot
+        FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY a.label, b.label)
+    SELECT CAST(d.la AS INTEGER) AS label_a,
+           CAST(d.lb AS INTEGER) AS label_b,
+           CAST(CAST(d.dot AS DECIMAL(18,9)) AS DOUBLE) AS dot,
+           CAST(CAST(d.dot / sqrt(na.nn * nb.nn) AS DECIMAL(18,9))
+                AS DOUBLE) AS cosine
+    FROM dots d JOIN norms na ON d.la = na.label
+                JOIN norms nb ON d.lb = nb.label
+    ORDER BY cosine DESC, label_a, label_b LIMIT 20
+    """,
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids (top-20
+    most-similar label pairs — the 'which classes collide' audit).
+    The only fact-table pass is the posexplode rollup; centroids,
+    norms, and pairwise dots all live in the labels x dims domain.
+    Every additive aggregate routes through DECIMAL."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("val"))
+    cent = cells.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(val AS DECIMAL(24,9))) AS DOUBLE) / COUNT(*)"
+        ).alias("mu")
+    )
+    cent = cent.localCheckpoint(eager=True)
+    norms = cent.groupBy("label").agg(
+        F.expr(
+            "CAST(SUM(CAST(mu * mu AS DECIMAL(24,12))) AS DOUBLE)"
+        ).alias("nn")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "pos", F.col("mu").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"),
+        F.col("pos").alias("pos_b"),
+        F.col("mu").alias("mb"),
+    )
+    dots = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("la") < F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ma * mb AS DECIMAL(24,12))) AS DOUBLE)"
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "la")
+        .join(F.broadcast(nb), "lb")
+        .select(
+            F.col("la").cast("int").alias("label_a"),
+            F.col("lb").cast("int").alias("label_b"),
+            F.expr("CAST(CAST(dot AS DECIMAL(18,9)) AS DOUBLE)").alias("dot"),
+            F.expr(
+                "CAST(CAST(dot / sqrt(na * nb) AS DECIMAL(18,9))"
+                " AS DOUBLE)"
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "label_a", "label_b")
+        .limit(20)
+    )
