@@ -236,6 +236,8 @@ HEADLINE = [
     "q_bfs_distance",                # BFS frontier supersteps
     "q_seasonal_anomaly",            # dow-adjusted robust-z anomalies
     "q_centroid_similarity",         # label-centroid cosine matrix
+    "q_burstiness",                  # inter-arrival burstiness
+    "q_topk_grouping_sets",          # multi-grain cell top-k
 ]
 
 

@@ -4010,3 +4010,95 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("robust_z"), "day")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness index — inter-arrival regularity per user, the bot/
+# anomaly fingerprint: B = (sigma - mu)/(sigma + mu) over second-grain
+# event gaps (B -> -1 periodic, 0 Poisson, -> 1 bursty). Second-grain
+# integer gaps keep BOTH moment sums exact BIGINTs, so the doubles
+# fed to sqrt are identical cross-engine.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_burstiness",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id,
+               (ts_ns // 1000 - LAG(ts_ns // 1000) OVER
+                   (PARTITION BY user_id ORDER BY ts_ns, event_id))
+               // 1000000 AS gap_s
+        FROM events_us),
+    gaps AS (SELECT user_id, gap_s FROM seq WHERE gap_s IS NOT NULL),
+    mom AS (
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(gap_s) AS BIGINT) AS s1,
+               CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+        FROM gaps GROUP BY user_id HAVING COUNT(*) >= 5),
+    stats AS (
+        SELECT user_id, n, s1,
+               CAST(s1 AS DOUBLE) / n AS mu,
+               sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)) AS sigma
+        FROM mom)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           CAST(s1 // n AS BIGINT) AS mean_gap_s,
+           CAST(CAST((sigma - mu) / (sigma + mu) AS DECIMAL(18,9))
+                AS DOUBLE) AS burstiness
+    FROM stats
+    ORDER BY burstiness DESC, user_id LIMIT 20
+    """,
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest users by the Goh-Barabasi burstiness index
+    over second-grain inter-arrival gaps (>= 5 gaps). One partitioned
+    lag window + one rollup; both moment sums stay exact integers
+    (seconds grain bounds gap^2 sums far below 2^63)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.expr(
+            "(t_us - LAG(t_us) OVER"
+            " (PARTITION BY user_id ORDER BY t_us, event_id))"
+            " DIV 1000000"
+        ).alias("gap_s"),
+    )
+    gaps = seq.where(F.col("gap_s").isNotNull())
+    mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_s").cast("bigint").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    stats = mom.select(
+        "user_id",
+        "n",
+        "s1",
+        F.expr("CAST(s1 AS DOUBLE) / n").alias("mu"),
+        F.expr(
+            "sqrt(CAST(s2 AS DOUBLE) / n"
+            " - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))"
+        ).alias("sigma"),
+    )
+    return (
+        stats.select(
+            F.col("user_id").cast("bigint"),
+            F.col("n").cast("bigint").alias("n_gaps"),
+            F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_gap_s"),
+            F.expr(
+                "CAST(CAST((sigma - mu) / (sigma + mu) AS DECIMAL(18,9))"
+                " AS DOUBLE)"
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "user_id")
+        .limit(20)
+    )

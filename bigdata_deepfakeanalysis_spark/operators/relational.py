@@ -4928,3 +4928,106 @@ def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("series", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k inside GROUPING SETS cells — windows layered over multi-grain
+# aggregates: the "top parts per (year, nation) AND per year AND
+# overall" report computed in ONE aggregation pass, ranked per cell.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_topk_grouping_sets",
+    """
+    WITH base AS (
+        SELECT CAST(strftime(o.o_orderdate, '%Y') AS INTEGER) AS yr,
+               c.c_nationkey AS nk, l.l_partkey AS pk,
+               l.l_quantity AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS (
+        SELECT yr, nk, pk,
+               GROUPING(yr) * 2 + GROUPING(nk) AS gid,
+               CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+               COUNT(*) AS n
+        FROM base
+        GROUP BY GROUPING SETS ((yr, nk, pk), (yr, pk), (pk))),
+    ranked AS (
+        SELECT gid, yr, nk, pk, qty_sum, n,
+               ROW_NUMBER() OVER (PARTITION BY gid, yr, nk
+                                  ORDER BY qty_sum DESC, pk) AS rk
+        FROM cells)
+    SELECT CAST(gid AS INTEGER) AS gid,
+           CAST(COALESCE(yr, -1) AS INTEGER) AS yr,
+           CAST(COALESCE(nk, -1) AS INTEGER) AS nationkey,
+           CAST(pk AS BIGINT) AS partkey,
+           qty_sum,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 2 AND (gid <> 1)
+    ORDER BY gid, yr, nationkey, rk
+    """,
+)
+def q_topk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 parts by quantity at three grains in one pass —
+    (year, nation), (year), (overall) via GROUPING SETS, then a
+    window ranked WITHIN each cell keyed by grouping_id. The
+    multi-grain aggregate is one shuffle; the rank window partitions
+    by (gid, yr, nk) so WindowGroupLimit bounds per-cell traffic."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        li.select("l_orderkey", "l_partkey", "l_quantity")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.expr("CAST(date_format(o_orderdate, 'yyyy') AS INT)").alias(
+                "yr"
+            ),
+            F.col("c_nationkey").alias("nk"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    cells = (
+        base.groupingSets(
+            [["yr", "nk", "pk"], ["yr", "pk"], ["pk"]],
+            "yr",
+            "nk",
+            "pk",
+        )
+        .agg(
+            F.expr("GROUPING(yr) * 2 + GROUPING(nk)").alias("gid"),
+            F.expr(
+                "CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("qty_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("gid", "yr", "nk").orderBy(
+        F.desc("qty_sum"), "pk"
+    )
+    return (
+        cells.withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") <= 2) & (F.col("gid") != 1))
+        .select(
+            F.col("gid").cast("int"),
+            F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
+            F.coalesce("nk", F.lit(-1)).cast("int").alias("nationkey"),
+            F.col("pk").cast("bigint").alias("partkey"),
+            "qty_sum",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("rk").cast("int"),
+        )
+        .orderBy("gid", "yr", "nationkey", "rk")
+    )
