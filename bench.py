@@ -238,6 +238,8 @@ HEADLINE = [
     "q_centroid_similarity",         # label-centroid cosine matrix
     "q_burstiness",                  # inter-arrival burstiness
     "q_topk_grouping_sets",          # multi-grain cell top-k
+    "q_knn_classifier",              # 5-NN hold-out eval (brute baseline)
+    "q_moment_merge",                # mergeable moment partials
 ]
 
 

@@ -5031,3 +5031,80 @@ def q_topk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "yr", "nationkey", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moment statistics — the re-aggregation contract that makes
+# hierarchical rollups exact: monthly partials (n, sum, sum-of-squares
+# as exact DECIMALs) merge into yearly stats that are bit-identical to
+# a direct yearly pass. This is the pattern incremental pipelines rely
+# on at 100 TB: partials combine associatively, no raw re-scan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_moment_merge",
+    """
+    WITH monthly AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INTEGER) AS yr,
+               CAST(strftime(o_orderdate, '%m') AS INTEGER) AS mo,
+               COUNT(*) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+        FROM orders GROUP BY yr, mo),
+    yearly AS (
+        SELECT yr, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s1) AS DECIMAL(28,2)) AS s1,
+               CAST(SUM(s2) AS DECIMAL(38,4)) AS s2,
+               COUNT(*) AS n_partials
+        FROM monthly GROUP BY yr)
+    SELECT CAST(yr AS INTEGER) AS yr,
+           n AS n_orders,
+           CAST(n_partials AS BIGINT) AS n_partials,
+           CAST(CAST(CAST(s1 AS DOUBLE) / n AS DECIMAL(18,6))
+                AS DOUBLE) AS mean_price,
+           CAST(CAST((CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n
+                AS DECIMAL(24,4)) AS DOUBLE) AS variance
+    FROM yearly ORDER BY yr
+    """,
+)
+def q_moment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly price stats assembled from monthly moment partials:
+    (n, sum, sum-of-squares) kept as exact DECIMALs so the merge is
+    associative and loss-free — the incremental/rollup shape where
+    upstream partitions aggregate once and every coarser grain is a
+    cheap partial merge. Variance derives from the merged exact
+    moments with identical double expressions on both engines."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.expr("CAST(date_format(o_orderdate, 'yyyy') AS INT)").alias("yr"),
+        F.expr("CAST(date_format(o_orderdate, 'MM') AS INT)").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("s1"),
+        F.expr(
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * CAST(o_totalprice AS DECIMAL(18,2)))"
+        ).alias("s2"),
+    )
+    yearly = monthly.groupBy("yr").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.expr("CAST(SUM(s1) AS DECIMAL(28,2))").alias("s1"),
+        F.expr("CAST(SUM(s2) AS DECIMAL(38,4))").alias("s2"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    return yearly.select(
+        F.col("yr").cast("int"),
+        F.col("n").alias("n_orders"),
+        F.col("n_partials").cast("bigint"),
+        F.expr(
+            "CAST(CAST(CAST(s1 AS DOUBLE) / n AS DECIMAL(18,6))"
+            " AS DOUBLE)"
+        ).alias("mean_price"),
+        F.expr(
+            "CAST(CAST((CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / n"
+            " AS DECIMAL(24,4)) AS DOUBLE)"
+        ).alias("variance"),
+    ).orderBy("yr")

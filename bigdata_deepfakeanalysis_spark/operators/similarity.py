@@ -1174,3 +1174,136 @@ def q_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_batches, "vec_id bigint, q0 bigint, qsum bigint"
     )
     return out.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# kNN hold-out classifier — the end-to-end eval loop on top of the
+# exact-cosine machinery: every 10th vector is held out, classified by
+# majority vote over its 5 nearest train neighbors, and scored per
+# true label. Fixed-point integer dots keep every similarity exact;
+# the vote argmax is deterministic (count DESC, label ASC).
+# At 100 TB the brute scoring stage swaps for the LSH-bucketed
+# candidate path (q_ann_lsh_bucketed) with identical vote semantics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_knn_classifier",
+    f"""
+    WITH {_QCELLS_CTE.strip()},
+    labels AS (SELECT vec_id, label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.qval * c.qval) AS dot
+        FROM cells q JOIN cells c
+          ON q.pos = c.pos
+         AND q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+        GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON cand_id = nc.vec_id),
+    nb AS (
+        SELECT query_id, cand_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored),
+    votes AS (
+        SELECT n.query_id, lt.label AS cand_label, COUNT(*) AS c
+        FROM nb n JOIN labels lt ON n.cand_id = lt.vec_id
+        WHERE n.rk <= 5
+        GROUP BY n.query_id, lt.label),
+    pred AS (
+        SELECT query_id, cand_label AS pred_label FROM (
+            SELECT query_id, cand_label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY c DESC, cand_label) AS vr
+            FROM votes) WHERE vr = 1),
+    evald AS (
+        SELECT lq.label AS true_label,
+               CASE WHEN p.pred_label = lq.label THEN 1 ELSE 0 END AS hit
+        FROM pred p JOIN labels lq ON p.query_id = lq.vec_id)
+    SELECT CAST(true_label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(hit) AS BIGINT) AS n_correct,
+           CAST(CAST(CAST(SUM(hit) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(18,9)) AS DOUBLE) AS accuracy
+    FROM evald GROUP BY true_label ORDER BY label
+    """,
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label hold-out accuracy of a 5-NN majority-vote classifier
+    (test = vec_id % 10 == 0). One corpus scan scores the broadcast
+    test set with codegen integer dots; WindowGroupLimit bounds the
+    per-query neighbor traffic; the vote and the eval are exact
+    count algebra."""
+    emb = table(spark, sf_dir, "embeddings")
+    c = (
+        emb.where(F.col("vec_id") % 10 != 0)
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            quantize("embedding").alias("cq"),
+        )
+        .withColumn("nc", dot_fixed("cq", "cq"))
+    )
+    q = (
+        emb.where(F.col("vec_id") % 10 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            quantize("embedding").alias("qq"),
+        )
+        .withColumn("nq", dot_fixed("qq", "qq"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("dot", dot_fixed("qq", "cq"))
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "cand_label",
+            cosine_fixed("dot", "nq", "nc").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    nb = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= 5
+    )
+    votes = nb.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("c"), F.col("cand_label")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("pred_label"),
+        )
+    )
+    return (
+        pred.withColumn(
+            "hit",
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0),
+        )
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("hit").alias("n_correct"),
+        )
+        .select(
+            F.col("label").cast("int"),
+            F.col("n_test").cast("bigint"),
+            F.col("n_correct").cast("bigint"),
+            F.expr(
+                "CAST(CAST(CAST(n_correct AS DOUBLE) / n_test"
+                " AS DECIMAL(18,9)) AS DOUBLE)"
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
