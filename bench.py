@@ -240,6 +240,8 @@ HEADLINE = [
     "q_topk_grouping_sets",          # multi-grain cell top-k
     "q_knn_classifier",              # 5-NN hold-out eval (brute baseline)
     "q_moment_merge",                # mergeable moment partials
+    "q_lsh_dedup_eval",              # dedup precision/recall card
+    "q_sample_estimate",             # AQP hash-sample scorecard
 ]
 
 

@@ -2097,3 +2097,110 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH dedup quality scorecard — the QA gate a production dedup
+# pipeline publishes with every run: candidate volume, exact-Jaccard
+# precision of the candidate set, recall on the (known) planted
+# near-dup pairs, and the mean exact similarity. Candidates come from
+# the same MinHash banding as q_minhash_near_dup; exact Jaccard is
+# rescored only on candidates (never a shingle self-join).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_lsh_dedup_eval",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    {_MINHASH_PAIRS_CTE.strip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN shingles a ON a.doc_id = p.doc_a
+        JOIN shingles b ON b.doc_id = p.doc_b AND b.sh = a.sh
+        GROUP BY p.doc_a, p.doc_b),
+    jac AS (
+        SELECT p.doc_a, p.doc_b,
+               COALESCE(ROUND(c.n_common * 1.0
+                              / (sa.n + sb.n - c.n_common), 9), 0.0) AS j
+        FROM pairs p
+        LEFT JOIN common c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id),
+    planted AS (
+        SELECT COUNT(*) AS n_planted FROM documents WHERE doc_id % 5 = 0),
+    found AS (
+        SELECT COUNT(*) AS n_found FROM jac
+        WHERE doc_b = doc_a + 1000000 AND doc_a % 5 = 0)
+    SELECT CAST((SELECT COUNT(*) FROM jac) AS BIGINT) AS n_candidates,
+           CAST((SELECT n_planted FROM planted) AS BIGINT) AS n_planted,
+           CAST((SELECT n_found FROM found) AS BIGINT) AS n_planted_found,
+           CAST((SELECT n_found FROM found) * 1000000
+                // (SELECT n_planted FROM planted) AS BIGINT)
+               AS planted_recall_ppm,
+           CAST((SELECT COUNT(*) FROM jac WHERE j >= 0.5) AS BIGINT)
+               AS n_precise,
+           CAST((SELECT COUNT(*) FROM jac WHERE j >= 0.5) * 1000000
+                // (SELECT COUNT(*) FROM jac) AS BIGINT)
+               AS precision_ppm,
+           (SELECT CAST(SUM(CAST(j AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) FROM jac)
+               AS mean_jaccard
+    """,
+)
+def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA card for the MinHash-LSH candidate generator:
+    candidate count, exact-Jaccard precision at 0.5 (ppm), recall on
+    the planted near-dup pairs (ppm), and mean exact Jaccard of the
+    candidate set. The exact rescore touches candidates only
+    (row-local gram sets + array_intersect, the q_ngram_jaccard
+    plan); every rate is integer ppm arithmetic."""
+    aug = aug_docs(spark, sf_dir)
+    cands = lsh_candidate_pairs(
+        minhash_bands(aug, k=12, band_rows=3)
+    ).localCheckpoint(eager=True)
+    ver = jaccard_verify(
+        cands, aug, min_common=1, threshold=0.0
+    ).select("doc_a", "doc_b", "jaccard")
+    jac = (
+        cands.join(ver, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("jaccard", F.lit(0.0)).alias("j"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    docs = table(spark, sf_dir, "documents")
+    n_planted = docs.where(F.col("doc_id") % 5 == 0).agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    stats = jac.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(
+                (F.col("doc_b") == F.col("doc_a") + 1000000)
+                & (F.col("doc_a") % 5 == 0),
+                1,
+            ).otherwise(0)
+        ).alias("n_planted_found"),
+        F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0)).alias("n_precise"),
+        F.expr(
+            "CAST(SUM(CAST(j AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)"
+        ).alias("mean_j_raw"),
+    )
+    return stats.crossJoin(F.broadcast(n_planted)).select(
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_planted").cast("bigint"),
+        F.col("n_planted_found").cast("bigint"),
+        F.expr(
+            "CAST(n_planted_found * 1000000 DIV n_planted AS BIGINT)"
+        ).alias("planted_recall_ppm"),
+        F.col("n_precise").cast("bigint"),
+        F.expr(
+            "CAST(n_precise * 1000000 DIV n_candidates AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.col("mean_j_raw").alias("mean_jaccard"),
+    )

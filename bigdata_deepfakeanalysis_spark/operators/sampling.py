@@ -475,3 +475,95 @@ def q_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(chi2).alias("chi2"),
         F.expr(f"{chi2} < 3.0 * (COUNT(*) - 1)").alias("unbiased_3x_dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate query processing by deterministic sampling — the
+# "answer from 10% of the data" pattern with its error made visible:
+# a seeded hash-Bernoulli sample estimates the lineitem quantity
+# total/mean, reported next to the exact values with the realized
+# relative error in ppm. Because the sample is hash-deterministic,
+# every column (including the estimates) is exactly reproducible.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_sample_estimate",
+    """
+    WITH flagged AS (
+        SELECT l_quantity,
+               (('0x' || substr(md5('7' || '|' ||
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT)
+               % 100 < 10 AS sampled
+        FROM lineitem),
+    agg AS (
+        SELECT COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE sampled) AS n_sampled,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS true_sum,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        FILTER (WHERE sampled) AS DOUBLE) AS samp_sum
+        FROM flagged)
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_sampled AS BIGINT) AS n_sampled,
+           true_sum,
+           CAST(CAST(samp_sum * 10.0 AS DECIMAL(24,6)) AS DOUBLE)
+               AS est_sum,
+           CAST(CAST(FLOOR(abs(samp_sum * 10.0 - true_sum)
+                           / true_sum * 1000000) AS BIGINT) AS BIGINT)
+               AS rel_err_ppm,
+           CAST(CAST(true_sum / n_total AS DECIMAL(18,9)) AS DOUBLE)
+               AS true_mean,
+           CAST(CAST(samp_sum / n_sampled AS DECIMAL(18,9)) AS DOUBLE)
+               AS est_mean
+    FROM agg
+    """,
+)
+def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQP scorecard: 10% seeded hash-Bernoulli sample of lineitem,
+    Horvitz-Thompson scaled quantity total and sample mean next to the
+    exact answers and the realized error in ppm. One scan, one
+    aggregate (the sample predicate is a row-local md5 — no second
+    pass, no shuffle); sums DECIMAL-routed, estimates deterministic
+    because the sample is."""
+    from ..catalog import table
+
+    li = table(spark, sf_dir, "lineitem")
+    flagged = li.select(
+        "l_quantity",
+        F.expr(
+            "CAST(conv(substr(md5(concat('7', '|',"
+            " CAST(l_orderkey AS STRING), '|',"
+            " CAST(l_linenumber AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100 < 10"
+        ).alias("sampled"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("sampled")).alias("n_sampled"),
+        F.expr(
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("true_sum"),
+        F.expr(
+            "CAST(SUM(CASE WHEN sampled THEN"
+            " CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)"
+        ).alias("samp_sum"),
+    )
+    return agg.select(
+        F.col("n_total").cast("bigint"),
+        F.col("n_sampled").cast("bigint"),
+        "true_sum",
+        F.expr(
+            "CAST(CAST(samp_sum * 10.0 AS DECIMAL(24,6)) AS DOUBLE)"
+        ).alias("est_sum"),
+        F.expr(
+            "CAST(FLOOR(abs(samp_sum * 10.0 - true_sum)"
+            " / true_sum * 1000000) AS BIGINT)"
+        ).alias("rel_err_ppm"),
+        F.expr(
+            "CAST(CAST(true_sum / n_total AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("true_mean"),
+        F.expr(
+            "CAST(CAST(samp_sum / n_sampled AS DECIMAL(18,9)) AS DOUBLE)"
+        ).alias("est_mean"),
+    )
