@@ -242,6 +242,8 @@ HEADLINE = [
     "q_moment_merge",                # mergeable moment partials
     "q_lsh_dedup_eval",              # dedup precision/recall card
     "q_sample_estimate",             # AQP hash-sample scorecard
+    "q_modularity",                  # community-quality Q score
+    "q_dataset_card",                # corpus release datasheet
 ]
 
 

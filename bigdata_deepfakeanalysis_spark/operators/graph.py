@@ -334,6 +334,39 @@ def _lpa_round_sql(prev: str, out: str) -> str:
         FROM nodes n)"""
 
 
+def lpa_labels(edges: DataFrame) -> DataFrame:
+    """Synchronous LPA over undirected (src, dst) edges, _LPA_ROUNDS
+    fixed rounds, deterministic argmax (count DESC, smallest label).
+    Per round: one shuffle-join of edges against labels, one
+    (node, label) count, one per-node max_by argmax — lazy
+    localCheckpoints truncate lineage (no per-round driver decision,
+    the pagerank_fixed rationale). Returns (id, label)."""
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), "label"
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.groupBy("id")
+            .agg(
+                F.expr(
+                    "max_by(label, struct(c, -label))"
+                ).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 @query(
     "q_lpa_communities",
     f"""
@@ -400,34 +433,7 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("s1").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).localCheckpoint(eager=True)
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), "label"
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # per-node argmax with smallest-label tie-break: max_by over a
-        # (count, -label) struct — one aggregate, no window
-        # lazy checkpoint: plan truncation without a job per round —
-        # LPA has no per-round driver decision (fixed round count),
-        # the same rationale as pagerank_fixed's eager=False
-        labels = (
-            votes.groupBy("id")
-            .agg(
-                F.expr(
-                    "max_by(label, struct(c, -label))"
-                ).alias("label")
-            )
-            .localCheckpoint(eager=False)
-        )
+    labels = lpa_labels(edges)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(
@@ -1107,3 +1113,155 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("bigint").alias("suppkey"),
         F.col("dist").cast("int").alias("dist"),
     ).orderBy("dist", "suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition — the standard "is this community
+# structure real" score: Q = sum_c [ L_c/m - (D_c/2m)^2 ]. Every
+# ingredient (intra-community edge count, community degree mass, m)
+# is an exact integer from the same deterministic LPA labels the
+# driver already hash-checks, so Q is exactly reproducible.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_modularity",
+    f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    w AS (
+        SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY a.s, b.s),
+    top_e AS (
+        SELECT s1, s2 FROM (
+            SELECT s1, s2,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
+            FROM w) WHERE rk <= {_TRI_EDGES}),
+    edges AS (
+        SELECT s1 AS src, s2 AS dst FROM top_e
+        UNION ALL SELECT s2, s1 FROM top_e),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS label FROM nodes),
+    {", ".join(_lpa_round_sql(f"l{r}", f"l{r + 1}")
+               for r in range(_LPA_ROUNDS))},
+    fin AS (SELECT id, label FROM l{_LPA_ROUNDS}),
+    m AS (SELECT COUNT(*) AS m FROM top_e),
+    intra AS (
+        SELECT la.label, COUNT(*) AS lc
+        FROM top_e e
+        JOIN fin la ON e.s1 = la.id
+        JOIN fin lb ON e.s2 = lb.id AND la.label = lb.label
+        GROUP BY la.label),
+    degs AS (
+        SELECT f.label, COUNT(*) AS dc
+        FROM edges e JOIN fin f ON e.src = f.id
+        GROUP BY f.label),
+    contrib AS (
+        SELECT d.label,
+               COALESCE(i.lc, 0) AS lc, d.dc,
+               CAST(CAST(COALESCE(i.lc, 0) AS DOUBLE) / (SELECT m FROM m)
+                    - (CAST(d.dc AS DOUBLE) / (2 * (SELECT m FROM m)))
+                      * (CAST(d.dc AS DOUBLE) / (2 * (SELECT m FROM m)))
+                    AS DECIMAL(18,12)) AS q_c
+        FROM degs d LEFT JOIN intra i ON d.label = i.label),
+    sizes AS (SELECT label, COUNT(*) AS n FROM fin GROUP BY label),
+    total AS (
+        SELECT CAST(CAST(SUM(q_c) AS DECIMAL(18,9)) AS DOUBLE) AS q
+        FROM contrib)
+    SELECT CAST(c.label AS BIGINT) AS community,
+           CAST(s.n AS BIGINT) AS n_members,
+           CAST(c.lc AS BIGINT) AS intra_edges,
+           CAST(c.dc AS BIGINT) AS degree_mass,
+           CAST(CAST(c.q_c AS DECIMAL(18,9)) AS DOUBLE) AS contribution,
+           (SELECT q FROM total) AS modularity
+    FROM contrib c JOIN sizes s ON c.label = s.label
+    ORDER BY n_members DESC, community LIMIT 20
+    """,
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the deterministic LPA partition over the
+    sparsified co-customer graph: per-community intra-edge counts and
+    degree mass (exact integers), per-community contribution, and the
+    global Q repeated as a broadcast column. The only passes beyond
+    LPA itself are two label joins against the pinned edge list."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select("c", F.col("s").alias("s1"))
+    b = cs.select("c", F.col("s").alias("s2"))
+    top_e = (
+        a.join(b, "c")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "s1", "s2")
+        .limit(_TRI_EDGES)
+        .select("s1", "s2")
+        .localCheckpoint(eager=True)
+    )
+    edges = top_e.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(
+        top_e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    fin = lpa_labels(edges).localCheckpoint(eager=True)
+    m = top_e.agg(F.count(F.lit(1)).alias("m"))
+    la = fin.select(F.col("id").alias("s1"), F.col("label").alias("lab_a"))
+    lb = fin.select(F.col("id").alias("s2"), F.col("label").alias("lab_b"))
+    intra = (
+        top_e.join(F.broadcast(la), "s1")
+        .join(F.broadcast(lb), "s2")
+        .where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    degs = (
+        edges.join(
+            F.broadcast(fin.select(F.col("id").alias("src"), "label")), "src"
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    contrib = (
+        degs.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            F.coalesce("lc", F.lit(0)).alias("lc"),
+            "dc",
+            F.expr(
+                "CAST(CAST(COALESCE(lc, 0) AS DOUBLE) / m"
+                " - (CAST(dc AS DOUBLE) / (2 * m))"
+                "   * (CAST(dc AS DOUBLE) / (2 * m))"
+                " AS DECIMAL(18,12))"
+            ).alias("q_c"),
+        )
+    )
+    contrib = contrib.localCheckpoint(eager=True)
+    total = contrib.agg(
+        F.expr("CAST(CAST(SUM(q_c) AS DECIMAL(18,9)) AS DOUBLE)").alias("q")
+    )
+    sizes = fin.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        contrib.join(F.broadcast(sizes), "label")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("label").cast("bigint").alias("community"),
+            F.col("n").cast("bigint").alias("n_members"),
+            F.col("lc").cast("bigint").alias("intra_edges"),
+            F.col("dc").cast("bigint").alias("degree_mass"),
+            F.expr("CAST(CAST(q_c AS DECIMAL(18,9)) AS DOUBLE)").alias(
+                "contribution"
+            ),
+            F.col("q").alias("modularity"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -2943,3 +2943,108 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the one-row datasheet a curation pipeline publishes
+# with every corpus release: volume, token mass, vocabulary size,
+# exact-duplicate rate, language spread, short-doc share. Everything
+# is exact count algebra composed from the curation primitives.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dataset_card",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS w FROM documents),
+    tok_stats AS (
+        SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS vocab
+        FROM toks),
+    base AS (
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS n_short,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents),
+    top_lang AS (
+        SELECT lang, COUNT(*) AS c FROM documents
+        GROUP BY lang ORDER BY c DESC, lang LIMIT 1)
+    SELECT CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab_size,
+           CAST(t.n_tokens * 1000 // b.n_docs AS BIGINT)
+               AS mean_tokens_permille,
+           CAST(COALESCE((SELECT SUM(c - 1) FROM (
+                    SELECT COUNT(*) AS c FROM documents
+                    GROUP BY md5(text) HAVING COUNT(*) > 1) d), 0)
+                AS BIGINT) AS n_exact_dup_docs,
+           CAST(b.n_langs AS BIGINT) AS n_langs,
+           (SELECT lang FROM top_lang) AS top_lang,
+           CAST((SELECT c FROM top_lang) * 1000000 // b.n_docs AS BIGINT)
+               AS top_lang_ppm,
+           CAST(b.n_short * 1000000 // b.n_docs AS BIGINT)
+               AS short_doc_ppm,
+           CAST(b.total_chars // b.n_docs AS BIGINT) AS mean_chars
+    FROM base b CROSS JOIN tok_stats t
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet in one row: document and token volume,
+    vocabulary size, exact-duplicate surplus, language spread, top
+    language share, short-doc share, mean length. Two scans (docs +
+    token explode), every rate integer ppm/permille — the release
+    artifact of the curation pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    tok_stats = toks.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("vocab"),
+    )
+    dup = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.sum(F.col("c") - 1).alias("n_exact_dup_docs"))
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    top_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("c").alias("top_c"))
+    )
+    return (
+        base.crossJoin(F.broadcast(tok_stats))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            F.expr(
+                "CAST(n_tokens * 1000 DIV n_docs AS BIGINT)"
+            ).alias("mean_tokens_permille"),
+            F.coalesce("n_exact_dup_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+            F.col("n_langs").cast("bigint"),
+            "top_lang",
+            F.expr("CAST(top_c * 1000000 DIV n_docs AS BIGINT)").alias(
+                "top_lang_ppm"
+            ),
+            F.expr("CAST(n_short * 1000000 DIV n_docs AS BIGINT)").alias(
+                "short_doc_ppm"
+            ),
+            F.expr("CAST(total_chars DIV n_docs AS BIGINT)").alias(
+                "mean_chars"
+            ),
+        )
+    )
