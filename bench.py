@@ -244,6 +244,10 @@ HEADLINE = [
     "q_sample_estimate",             # AQP hash-sample scorecard
     "q_modularity",                  # community-quality Q score
     "q_dataset_card",                # corpus release datasheet
+    "q_boilerplate_suppress",        # C4-style repeated-span removal
+    "q_phrase_search",               # positional-index phrase match
+    "q_markov_transitions",          # next-event conditional matrix
+    "q_k_anonymity",                 # QI generalization ladder audit
 ]
 
 

@@ -4102,3 +4102,164 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — the next-event model behind "users who do
+# A then do B": per-user event streams ordered by time, consecutive
+# pairs rolled into P(next | prev) as integer ppm. Distinct from
+# q_session_path_ngrams (top whole paths): this is the full conditional
+# matrix, the input to next-click prediction / funnel simulation.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_markov_transitions",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, epoch_ns(ts)//1000 AS us, event_id, event_type
+        FROM events_us),
+    trans AS (
+        SELECT LAG(event_type) OVER w AS prev_event,
+               event_type AS next_event
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    pc AS (
+        SELECT prev_event, next_event, COUNT(*) AS n_pair
+        FROM trans WHERE prev_event IS NOT NULL
+        GROUP BY prev_event, next_event),
+    tot AS (
+        SELECT prev_event, SUM(n_pair) AS n_from FROM pc
+        GROUP BY prev_event)
+    SELECT p.prev_event, p.next_event,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(t.n_from AS BIGINT) AS n_from,
+           CAST(p.n_pair * 1000000 // t.n_from AS BIGINT) AS prob_ppm
+    FROM pc p JOIN tot t USING (prev_event)
+    ORDER BY prev_event, next_event
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next_event | prev_event) in integer ppm, deterministic
+    ordering by (ts, event_id). One window pass (partitioned by user —
+    no global sort), one pair hash-agg, and a broadcast join against
+    the per-prev totals (state cardinality is tiny at any scale)."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        seq.withColumn("prev_event", F.lag("event_type").over(w))
+        .where(F.col("prev_event").isNotNull())
+        .select("prev_event", F.col("event_type").alias("next_event"))
+    )
+    pc = trans.groupBy("prev_event", "next_event").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    tot = pc.groupBy("prev_event").agg(F.sum("n_pair").alias("n_from"))
+    return (
+        pc.join(F.broadcast(tot), "prev_event")
+        .select(
+            "prev_event",
+            "next_event",
+            F.col("n_pair").cast("bigint"),
+            F.col("n_from").cast("bigint"),
+            F.expr("CAST(n_pair * 1000000 DIV n_from AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("prev_event", "next_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — training-data governance: every quasi-identifier
+# group must hold >= K records before release. Groups violating K are
+# generalized up a fixed ladder (nation+segment -> nation -> *), the
+# one-step Mondrian/Datafly move, and re-checked at each level.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "q_k_anonymity",
+    f"""
+    WITH base AS (
+        SELECT CAST(c_nationkey AS VARCHAR) AS nat, c_mktsegment AS seg
+        FROM customer),
+    g1 AS (
+        SELECT nat, seg, COUNT(*) AS n FROM base GROUP BY nat, seg),
+    ok1 AS (
+        SELECT nat, seg, n, 0 AS level FROM g1 WHERE n >= {_KANON_K}),
+    v1rows AS (
+        SELECT b.nat FROM base b
+        JOIN (SELECT nat, seg FROM g1 WHERE n < {_KANON_K}) v
+        USING (nat, seg)),
+    g2 AS (
+        SELECT nat, COUNT(*) AS n FROM v1rows GROUP BY nat),
+    ok2 AS (
+        SELECT nat, '*' AS seg, n, 1 AS level FROM g2
+        WHERE n >= {_KANON_K}),
+    g3 AS (
+        SELECT COUNT(*) AS n FROM v1rows
+        JOIN (SELECT nat FROM g2 WHERE n < {_KANON_K}) v USING (nat)),
+    ok3 AS (
+        SELECT '*' AS nat, '*' AS seg, n, 2 AS level FROM g3 WHERE n > 0)
+    SELECT nat AS nat_qi, seg AS seg_qi, CAST(n AS BIGINT) AS n,
+           CAST(level AS INT) AS level
+    FROM (SELECT * FROM ok1 UNION ALL SELECT * FROM ok2
+          UNION ALL SELECT * FROM ok3)
+    ORDER BY level, nat_qi, seg_qi
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (K={_KANON_K}) over the
+    (nation, segment) quasi-identifier: compliant groups publish at
+    level 0; violating rows generalize segment -> '*' (level 1), then
+    nation -> '*' (level 2) until every published group holds >= K
+    records. Two hash-aggs plus one broadcast semi-join per ladder
+    step — the violating-key sets are tiny by construction (each
+    violating group has < K rows), so every re-group join broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    g1 = base.groupBy("nat", "seg").agg(F.count(F.lit(1)).alias("n"))
+    ok1 = g1.where(F.col("n") >= _KANON_K).select(
+        "nat", "seg", "n", F.lit(0).alias("level")
+    )
+    v1rows = base.join(
+        F.broadcast(g1.where(F.col("n") < _KANON_K).select("nat", "seg")),
+        ["nat", "seg"],
+    ).select("nat")
+    g2 = v1rows.groupBy("nat").agg(F.count(F.lit(1)).alias("n"))
+    ok2 = g2.where(F.col("n") >= _KANON_K).select(
+        "nat", F.lit("*").alias("seg"), "n", F.lit(1).alias("level")
+    )
+    g3 = v1rows.join(
+        F.broadcast(g2.where(F.col("n") < _KANON_K).select("nat")), "nat"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ok3 = g3.where(F.col("n") > 0).select(
+        F.lit("*").alias("nat"),
+        F.lit("*").alias("seg"),
+        "n",
+        F.lit(2).alias("level"),
+    )
+    return (
+        ok1.unionByName(ok2)
+        .unionByName(ok3)
+        .select(
+            F.col("nat").alias("nat_qi"),
+            F.col("seg").alias("seg_qi"),
+            F.col("n").cast("bigint"),
+            F.col("level").cast("int"),
+        )
+        .orderBy("level", "nat_qi", "seg_qi")
+    )

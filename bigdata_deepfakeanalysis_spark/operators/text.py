@@ -3048,3 +3048,216 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate suppression — C4/CCNet-style: spans whose 5-gram shingle
+# recurs across >= _BP_MIN_DOCS distinct documents are boilerplate
+# (nav bars, license footers, templated headers) and are suppressed
+# before training. Distinct from q_ngram_novelty (first-seen novelty):
+# here the signal is CORPUS-WIDE frequency, not temporal precedence.
+# ---------------------------------------------------------------------------
+
+_BP_MIN_DOCS = 3
+
+_BP_SH_SQL = """
+    sh AS (
+        SELECT t.doc_id, i AS p, array_to_string(toks[i:i+4], ' ') AS g
+        FROM toks t, UNNEST(range(1, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 5)
+"""
+
+
+@query(
+    "q_boilerplate_suppress",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    {_BP_SH_SQL.strip()},
+    boiler AS (
+        SELECT g FROM sh GROUP BY g
+        HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}),
+    cov AS (
+        SELECT DISTINCT s.doc_id, s.p + o AS pos
+        FROM sh s JOIN boiler b USING (g), UNNEST(range(0, 5)) AS u(o)),
+    covc AS (
+        SELECT doc_id, COUNT(*) AS n_suppressed FROM cov GROUP BY doc_id),
+    base AS (
+        SELECT doc_id, len(toks) AS n_tokens FROM toks
+        WHERE len(toks) > 0)
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_suppressed, 0) AS BIGINT) AS n_suppressed,
+           CAST(COALESCE(c.n_suppressed, 0) * 1000 // b.n_tokens
+                AS BIGINT) AS suppressed_permille
+    FROM base b LEFT JOIN covc c USING (doc_id)
+    ORDER BY suppressed_permille DESC, doc_id LIMIT 30
+    """,
+)
+def q_boilerplate_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 most boilerplate-laden documents: a token position is
+    suppressed when any 5-gram shingle covering it occurs in >=
+    {_BP_MIN_DOCS} distinct documents (the C4 pipeline's repeated-span
+    rule, frequency-based — not q_ngram_novelty's first-seen rule).
+
+    Scale shape: one positional-shingle flatMap (no shuffle), one
+    shingle hash-agg for the boilerplate set, one shuffle join back on
+    the shingle key, one distinct over (doc, pos) — every step is a
+    hash partition on a high-cardinality key, AQE-coalesced; no global
+    sort before the final top-30 TakeOrdered. The shingle projection
+    is localCheckpoint-pinned because it feeds BOTH the frequency agg
+    and the coverage join (ReusedExchange does not fire across
+    different projections — see SKILL gotcha)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) >= 5 THEN"
+                    " transform(sequence(1, size(toks) - 4),"
+                    "   i -> struct(i AS p,"
+                    "        concat_ws(' ', slice(toks, i, 5)) AS g))"
+                    " ELSE array() END"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.p").alias("p"), F.col("s.g").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    boiler = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= _BP_MIN_DOCS)
+        .select("g")
+    )
+    covc = (
+        sh.join(boiler, "g")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_suppressed"))
+    )
+    base = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    return (
+        base.join(covc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            F.coalesce("n_suppressed", F.lit(0))
+            .cast("bigint")
+            .alias("n_suppressed"),
+            F.expr(
+                "CAST(COALESCE(n_suppressed, 0) * 1000 DIV n_tokens"
+                " AS BIGINT)"
+            ).alias("suppressed_permille"),
+        )
+        .orderBy(F.desc("suppressed_permille"), "doc_id")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search — positional inverted index. The corpus's most frequent
+# trigram is the phrase; matches come from a three-way positional
+# self-join (w@p, w@p+1, w@p+2), the classic inverted-index phrase plan
+# (term postings pre-filtered by broadcast phrase terms = index lookup).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_phrase_search",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tris AS (
+        SELECT t.doc_id, i AS p, array_to_string(toks[i:i+2], ' ') AS g
+        FROM toks t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3),
+    top AS (
+        SELECT g AS phrase FROM tris GROUP BY g
+        ORDER BY COUNT(*) DESC, g LIMIT 1),
+    m AS (
+        SELECT tr.doc_id, tr.p FROM tris tr, top WHERE tr.g = top.phrase)
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+           (SELECT phrase FROM top) AS phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(m.p) AS BIGINT) AS first_pos
+    FROM m GROUP BY m.doc_id ORDER BY m.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search via a positional inverted index: postings
+    (doc, pos, term) self-joined at adjacent positions for the corpus's
+    top trigram (count then lexical tie-break). Postings are
+    pre-filtered by the broadcast phrase terms — at scale that IS the
+    inverted-index lookup: only the three terms' postings lists ever
+    shuffle, joined on (doc, pos) alignment. first_pos is 1-based.
+
+    The oracle scans trigram lists directly — same matches by
+    construction; the engine path proves the index-join plan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    tris = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN"
+                " transform(sequence(1, size(toks) - 2),"
+                "   i -> concat_ws(' ', slice(toks, i, 3)))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    top = (
+        tris.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "g")
+        .limit(1)
+        .select(
+            F.col("g").alias("phrase"),
+            F.expr("split(g, ' ')[0]").alias("w1"),
+            F.expr("split(g, ' ')[1]").alias("w2"),
+            F.expr("split(g, ' ')[2]").alias("w3"),
+        )
+    )
+    post = toks.select(
+        "doc_id", F.posexplode("toks").alias("p0", "w")
+    ).crossJoin(F.broadcast(top))
+    a = post.where(F.col("w") == F.col("w1")).select(
+        "doc_id", "phrase", F.col("p0").alias("pa")
+    )
+    b = post.where(F.col("w") == F.col("w2")).select(
+        F.col("doc_id").alias("doc_b"), F.col("p0").alias("pb")
+    )
+    c = post.where(F.col("w") == F.col("w3")).select(
+        F.col("doc_id").alias("doc_c"), F.col("p0").alias("pc")
+    )
+    m = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pb") == F.col("pa") + 1),
+    ).join(
+        c,
+        (F.col("doc_id") == F.col("doc_c"))
+        & (F.col("pc") == F.col("pa") + 2),
+    )
+    return (
+        m.groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            (F.min("pa") + 1).cast("bigint").alias("first_pos"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "phrase",
+            F.col("n_matches").cast("bigint"),
+            "first_pos",
+        )
+        .orderBy("doc_id")
+    )
