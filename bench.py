@@ -248,6 +248,9 @@ HEADLINE = [
     "q_phrase_search",               # positional-index phrase match
     "q_markov_transitions",          # next-event conditional matrix
     "q_k_anonymity",                 # QI generalization ladder audit
+    "q_forward_fill",                # LOCF calendar-spine gap fill
+    "q_join_size_estimate",          # CBO stats-only join cardinality
+    "q_trending_terms",              # heavy-hitter rank-delta movers
 ]
 
 

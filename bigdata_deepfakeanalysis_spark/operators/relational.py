@@ -5108,3 +5108,98 @@ def q_moment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(24,4)) AS DOUBLE)"
         ).alias("variance"),
     ).orderBy("yr")
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (LOCF) — gap-filled daily series: a calendar spine left-
+# joined with observed daily revenue, missing days carry the last
+# observation forward with a gap-age column. The resample-and-fill
+# primitive every time-series feature pipeline needs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_forward_fill",
+    f"""
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS d
+        FROM UNNEST(generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                                    INTERVAL 1 DAY)) AS t(d)),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               {dsum_sql("o_totalprice", "rev", 2)}
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY CAST(o_orderdate AS DATE)),
+    joined AS (
+        SELECT s.d, y.rev,
+               CASE WHEN y.rev IS NOT NULL THEN s.d END AS obs_d
+        FROM spine s LEFT JOIN daily y USING (d)),
+    filled AS (
+        SELECT d, rev,
+               LAST_VALUE(rev IGNORE NULLS) OVER w AS rev_f,
+               LAST_VALUE(obs_d IGNORE NULLS) OVER w AS last_obs
+        FROM joined
+        WINDOW w AS (ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(COALESCE(rev_f, 0.0) AS DOUBLE) AS revenue_filled,
+           CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+           CAST(CASE WHEN last_obs IS NULL THEN -1
+                     ELSE datediff('day', last_obs, d) END AS INT)
+               AS gap_age
+    FROM filled ORDER BY day
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily urgent-order revenue resampled onto a full 1996 calendar
+    spine with last-observation-carried-forward fill and per-day gap
+    age (-1 before the first observation). The window ordering is over
+    the POST-AGGREGATION series (365 rows — one row per day, per
+    series at scale you'd partition this window by series id), so the
+    single-partition sort is a non-issue; the heavy input scan is one
+    pushed-down filter + hash agg."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(dsum("o_totalprice", "rev", 2))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(date'1996-01-01', date'1996-12-31',"
+                " interval 1 day)"
+            )
+        ).alias("d")
+    )
+    joined = spine.join(daily, "d", "left").withColumn(
+        "obs_d", F.when(F.col("rev").isNotNull(), F.col("d"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("d").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    filled = joined.select(
+        "d",
+        "rev",
+        F.last("rev", ignorenulls=True).over(w).alias("rev_f"),
+        F.last("obs_d", ignorenulls=True).over(w).alias("last_obs"),
+    )
+    return filled.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("rev_f", F.lit(0.0)).cast("double").alias(
+            "revenue_filled"
+        ),
+        F.when(F.col("rev").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_gap"
+        ),
+        F.when(F.col("last_obs").isNull(), F.lit(-1))
+        .otherwise(F.datediff("d", "last_obs"))
+        .cast("int")
+        .alias("gap_age"),
+    ).orderBy("day")

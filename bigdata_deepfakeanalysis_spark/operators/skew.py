@@ -321,3 +321,96 @@ def q_hotkey_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation — the CBO move: predict an equi-join's output
+# cardinality from per-key frequency statistics ALONE (sum over keys of
+# c_left * c_right), then prove the prediction exact against the real
+# join. This is the statistics machinery behind ANALYZE TABLE /
+# spark.sql.cbo.enabled, expressed as a first-class operator.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_join_size_estimate",
+    f"""
+    WITH {EVENTS_US_CTE},
+    lc AS (
+        SELECT user_id, COUNT(*) AS c FROM events_us
+        WHERE event_type = 'click' GROUP BY user_id),
+    rc AS (
+        SELECT user_id, COUNT(*) AS c FROM events_us
+        WHERE event_type = 'view' GROUP BY user_id),
+    pred AS (
+        SELECT SUM(lc.c * rc.c) AS predicted_rows,
+               COUNT(*) AS n_shared_keys,
+               MAX(lc.c * rc.c) AS max_key_pairs
+        FROM lc JOIN rc USING (user_id)),
+    act AS (
+        SELECT COUNT(*) AS actual_rows
+        FROM (SELECT user_id FROM events_us WHERE event_type = 'click') a
+        JOIN (SELECT user_id FROM events_us WHERE event_type = 'view') b
+        USING (user_id)),
+    sides AS (
+        SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_left,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS n_right
+        FROM events_us)
+    SELECT CAST(s.n_left AS BIGINT) AS n_left,
+           CAST(s.n_right AS BIGINT) AS n_right,
+           CAST(p.n_shared_keys AS BIGINT) AS n_shared_keys,
+           CAST(p.max_key_pairs AS BIGINT) AS max_key_pairs,
+           CAST(p.predicted_rows AS BIGINT) AS predicted_rows,
+           CAST(a.actual_rows AS BIGINT) AS actual_rows,
+           CAST(p.predicted_rows = a.actual_rows AS INT) AS estimate_exact
+    FROM pred p CROSS JOIN act a CROSS JOIN sides s
+    """,
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-only join cardinality prediction for clicks ⋈ views
+    on user_id — sum over shared keys of c_l · c_r — validated exact
+    against the materialized join's COUNT(*). The stats pass is two
+    hash-aggs over key counts (tiny vs the join itself: this is WHY
+    optimizers estimate before joining); the validation join never
+    materializes rows, only a partial-count. At scale the per-key
+    histogram doubles as the skew detector feeding q_salted_join."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    lc = clicks.groupBy("user_id").agg(F.count(F.lit(1)).alias("cl"))
+    rc = views.groupBy("user_id").agg(F.count(F.lit(1)).alias("cr"))
+    pred = (
+        lc.join(rc, "user_id")
+        .agg(
+            F.sum(F.col("cl") * F.col("cr")).alias("predicted_rows"),
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.max(F.col("cl") * F.col("cr")).alias("max_key_pairs"),
+        )
+    )
+    act = clicks.join(views, "user_id").agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    sides = ev.agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("n_left"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_right"
+        ),
+    )
+    return (
+        sides.crossJoin(F.broadcast(pred))
+        .crossJoin(F.broadcast(act))
+        .select(
+            F.col("n_left").cast("bigint"),
+            F.col("n_right").cast("bigint"),
+            F.col("n_shared_keys").cast("bigint"),
+            F.col("max_key_pairs").cast("bigint"),
+            F.col("predicted_rows").cast("bigint"),
+            F.col("actual_rows").cast("bigint"),
+            (F.col("predicted_rows") == F.col("actual_rows"))
+            .cast("int")
+            .alias("estimate_exact"),
+        )
+    )

@@ -3261,3 +3261,92 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending terms — heavy-hitter CHANGE detection: term ranks in the
+# early half of the corpus vs the late half (by doc_id), biggest rank
+# movers first. The week-over-week trending query of every content
+# pipeline, here on the corpus's own halves for determinism.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_trending_terms",
+    f"""
+    WITH med AS (
+        SELECT CAST(MAX(doc_id) + MIN(doc_id) AS BIGINT) // 2 AS split_id
+        FROM documents),
+    toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS w FROM documents),
+    halves AS (
+        SELECT CASE WHEN t.doc_id <= m.split_id THEN 0 ELSE 1 END AS half,
+               t.w
+        FROM toks t CROSS JOIN med m),
+    freq AS (
+        SELECT half, w, COUNT(*) AS c FROM halves GROUP BY half, w),
+    ranked AS (
+        SELECT half, w, c,
+               ROW_NUMBER() OVER (PARTITION BY half
+                                  ORDER BY c DESC, w) AS rnk
+        FROM freq)
+    SELECT e.w AS term,
+           CAST(e.c AS BIGINT) AS c_early,
+           CAST(l.c AS BIGINT) AS c_late,
+           CAST(e.rnk AS INT) AS rank_early,
+           CAST(l.rnk AS INT) AS rank_late,
+           CAST(e.rnk - l.rnk AS INT) AS rank_delta
+    FROM ranked e JOIN ranked l ON e.w = l.w
+    WHERE e.half = 0 AND l.half = 1
+    ORDER BY ABS(e.rnk - l.rnk) DESC, term LIMIT 20
+    """,
+)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 rank movers between the corpus's early and late halves
+    (split at the doc_id midpoint): per-half term frequencies, dense
+    deterministic ranks (count desc, term), self-joined on term. One
+    token explode + one (half, term) hash-agg; the rank window
+    partitions by half and the mover join is over the term-cardinality
+    table (vocabulary-sized — broadcastable at any corpus scale)."""
+    docs = table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.expr("CAST(MAX(doc_id) + MIN(doc_id) AS BIGINT) DIV 2").alias(
+            "split_id"
+        )
+    )
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    halves = toks.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("doc_id") <= F.col("split_id"), 0)
+        .otherwise(1)
+        .alias("half"),
+        "w",
+    )
+    freq = halves.groupBy("half", "w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.partitionBy("half").orderBy(F.desc("c"), "w")
+    ranked = freq.withColumn("rnk", F.row_number().over(w_rank))
+    e = ranked.where(F.col("half") == 0).select(
+        F.col("w").alias("term"),
+        F.col("c").alias("c_early"),
+        F.col("rnk").alias("rank_early"),
+    )
+    late = ranked.where(F.col("half") == 1).select(
+        F.col("w").alias("term"),
+        F.col("c").alias("c_late"),
+        F.col("rnk").alias("rank_late"),
+    )
+    return (
+        e.join(late, "term")
+        .select(
+            "term",
+            F.col("c_early").cast("bigint"),
+            F.col("c_late").cast("bigint"),
+            F.col("rank_early").cast("int"),
+            F.col("rank_late").cast("int"),
+            (F.col("rank_early") - F.col("rank_late"))
+            .cast("int")
+            .alias("rank_delta"),
+        )
+        .orderBy(
+            F.abs(F.col("rank_delta")).desc(), "term"
+        )
+        .limit(20)
+    )
