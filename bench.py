@@ -251,6 +251,12 @@ HEADLINE = [
     "q_forward_fill",                # LOCF calendar-spine gap fill
     "q_join_size_estimate",          # CBO stats-only join cardinality
     "q_trending_terms",              # heavy-hitter rank-delta movers
+    "q_analyze_stats",               # ANALYZE-style column statistics
+    "q_bootstrap_ci",                # B=100 half-sample bootstrap CI
+    "q_dp_count_release",            # Laplace-noised count release
+    "q_spearman_corr",               # daily rank correlation
+    "q_hhi_concentration",           # HHI market concentration
+    "q_target_encoding",             # smoothed target-mean encoding
 ]
 
 

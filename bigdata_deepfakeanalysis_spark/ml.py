@@ -1596,3 +1596,80 @@ def q_mllib_summarizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("l2[0]"), 6).alias("l2_d0"),
         F.round(F.expr("l2[63]"), 6).alias("l2_d63"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target-mean encoding — the categorical feature-engineering
+# staple: encode c_mktsegment by P(order is URGENT | segment), shrunk
+# toward the global prior with m=100 pseudo-observations. All rates
+# in integer ppm (DIV) so the encoding hashes exactly cross-engine.
+# ---------------------------------------------------------------------------
+
+_TE_M = 100  # smoothing pseudo-count
+
+
+@query(
+    "q_target_encoding",
+    f"""
+    WITH labeled AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    prior AS (
+        SELECT CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS prior_ppm
+        FROM labeled),
+    per_cat AS (
+        SELECT segment, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM labeled GROUP BY segment)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           pos,
+           CAST(pos * 1000000 // n AS BIGINT) AS raw_ppm,
+           CAST((pos * 1000000 + {_TE_M} * p.prior_ppm) // (n + {_TE_M})
+                AS BIGINT) AS smoothed_ppm,
+           CAST(p.prior_ppm AS BIGINT) AS prior_ppm
+    FROM per_cat CROSS JOIN prior p
+    ORDER BY segment
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mean encoding of market segment against the binary
+    target "order is URGENT", smoothed as (pos + m*prior)/(n + m)
+    with m=100 — the shrinkage that keeps rare categories from
+    memorizing noise. One fact join + one hash agg; the one-row global
+    prior broadcasts into the 5-row category table. Rates are integer
+    ppm end-to-end (DIV truncation identical in both engines), so the
+    feature column is exact at any scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    labeled = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    prior = labeled.agg(
+        F.expr(
+            "CAST(SUM(y) AS BIGINT) * 1000000 DIV COUNT(*)"
+        ).alias("prior_ppm")
+    )
+    per_cat = labeled.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(prior))
+        .select(
+            "segment",
+            F.col("n").cast("bigint").alias("n"),
+            "pos",
+            F.expr("CAST(pos * 1000000 DIV n AS BIGINT)").alias("raw_ppm"),
+            F.expr(
+                f"CAST((pos * 1000000 + {_TE_M} * prior_ppm)"
+                f" DIV (n + {_TE_M}) AS BIGINT)"
+            ).alias("smoothed_ppm"),
+            F.col("prior_ppm").cast("bigint"),
+        )
+        .orderBy("segment")
+    )

@@ -5203,3 +5203,233 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("gap_age"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column statistics — the per-column profile (count,
+# nulls, NDV, min/max, mean length) that ANALYZE TABLE ... COMPUTE
+# STATISTICS FOR ALL COLUMNS collects and the CBO consumes. One unpivot
+# (stack — a flatMap, no shuffle) + one hash agg per column name.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_analyze_stats",
+    """
+    WITH unp AS (
+        SELECT 'c_custkey' AS col_name, CAST(c_custkey AS VARCHAR) AS val
+        FROM customer
+        UNION ALL
+        SELECT 'c_name', c_name FROM customer
+        UNION ALL
+        SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        UNION ALL
+        SELECT 'c_acctbal',
+               CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT 'c_mktsegment', c_mktsegment FROM customer)
+    SELECT col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(val) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val,
+           CAST(SUM(LENGTH(val)) * 100 // COUNT(val) AS BIGINT)
+               AS avg_len_c
+    FROM unp GROUP BY col_name ORDER BY col_name
+    """,
+)
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-shape column statistics for customer: row count,
+    null count, exact NDV, lexicographic min/max of the canonical
+    string form (doubles snapped to DECIMAL(18,2) so both engines
+    print identically), and mean length in centichars. The unpivot is
+    a single ``stack`` flatMap over one scan — no shuffle until the
+    per-column rollup, which has exactly five keys. At scale NDV would
+    swap to approx_count_distinct per partition; the exact form here
+    doubles as that path's oracle."""
+    c = table(spark, sf_dir, "customer")
+    unp = c.select(
+        F.expr(
+            "stack(5,"
+            " 'c_custkey', CAST(c_custkey AS STRING),"
+            " 'c_name', c_name,"
+            " 'c_nationkey', CAST(c_nationkey AS STRING),"
+            " 'c_acctbal', CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING),"
+            " 'c_mktsegment', c_mktsegment) AS (col_name, val)"
+        )
+    )
+    return (
+        unp.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+            F.countDistinct("val").alias("ndv"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.expr(
+                "CAST(SUM(LENGTH(val)) * 100 DIV COUNT(val) AS BIGINT)"
+            ).alias("avg_len_c"),
+        )
+        .select(
+            "col_name",
+            F.col("n").cast("bigint"),
+            F.col("n_null").cast("bigint"),
+            F.col("ndv").cast("bigint"),
+            "min_val",
+            "max_val",
+            "avg_len_c",
+        )
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — daily revenue vs daily order count.
+# Ranks are deterministic row_numbers over the ~2k-row daily rollup
+# (post-agg, so the global window is bounded by the calendar, never by
+# facts); rho = 1 - 6*sum(d^2)/(n(n^2-1)) from exact BIGINTs, one
+# final IEEE division. The nonparametric companion of Pearson/OLS.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_spearman_corr",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders GROUP BY 1),
+    ranked AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY revenue, day) AS r_rev,
+               ROW_NUMBER() OVER (ORDER BY n_orders, day) AS r_cnt
+        FROM daily),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(r_rev - r_cnt AS BIGINT)
+                        * CAST(r_rev - r_cnt AS BIGINT)) AS BIGINT)
+                   AS sum_d2
+        FROM ranked)
+    SELECT n_days, sum_d2,
+           1.0 - CAST(6 * sum_d2 AS DOUBLE)
+               / CAST(n_days * (n_days * n_days - 1) AS DOUBLE)
+               AS spearman_rho
+    FROM agg
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between daily order count and daily revenue: one
+    fact-table rollup to calendar grain, two deterministic rank
+    windows over the bounded daily series (ties broken by day on both
+    sides so the ranks are engine-independent), then the closed-form
+    rho from exact integer sum(d^2) — the single double division of
+    two exact BIGINTs is IEEE-identical cross-engine. At scale the
+    windows never see raw facts, only the ~3k-row daily aggregate."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(18,2)))").alias("revenue"),
+    )
+    ranked = daily.select(
+        F.row_number().over(Window.orderBy("revenue", "day")).alias("r_rev"),
+        F.row_number().over(Window.orderBy("n_orders", "day")).alias("r_cnt"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(SUM(CAST(r_rev - r_cnt AS BIGINT)"
+            " * CAST(r_rev - r_cnt AS BIGINT)) AS BIGINT)"
+        ).alias("sum_d2"),
+    )
+    return agg.select(
+        "n_days",
+        "sum_d2",
+        F.expr(
+            "1.0 - CAST(6 * sum_d2 AS DOUBLE)"
+            " / CAST(n_days * (n_days * n_days - 1) AS DOUBLE)"
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index — how concentrated is each
+# region's revenue across its nations? Integer ppm shares squared and
+# re-scaled, so the antitrust-style readout hashes exactly. Fact
+# rollup shuffles once on nationkey; nation/region are broadcast.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_hhi_concentration",
+    """
+    WITH nat_rev AS (
+        SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+    shares AS (
+        SELECT r.r_name AS region, nation, rev_c,
+               CAST(rev_c * 1000000 // SUM(rev_c) OVER (PARTITION BY regionkey)
+                    AS BIGINT) AS share_ppm
+        FROM nat_rev JOIN region r ON nat_rev.regionkey = r.r_regionkey)
+    SELECT region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm
+    FROM shares GROUP BY region ORDER BY region
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI revenue concentration per region: nation revenue in exact
+    cents, shares in integer ppm (DIV — truncating on both engines),
+    HHI = sum(share^2)/1e6 back in ppm. The orders⋈customer join
+    shuffles once; nation and region join broadcast (25/5 rows); the
+    share window partitions by region over exactly 25 post-agg rows.
+    The standard market-concentration audit, exact at any scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat_rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("rev_c")
+        )
+    )
+    shares = nat_rev.join(
+        F.broadcast(r), nat_rev.regionkey == r.r_regionkey
+    ).select(
+        F.col("r_name").alias("region"),
+        "regionkey",
+        "rev_c",
+        F.expr(
+            "CAST(rev_c * 1000000 DIV SUM(rev_c)"
+            " OVER (PARTITION BY regionkey) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.expr(
+                "CAST(SUM(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+            ).alias("hhi_ppm"),
+            F.max("share_ppm").cast("bigint").alias("top_share_ppm"),
+        )
+        .orderBy("region")
+    )

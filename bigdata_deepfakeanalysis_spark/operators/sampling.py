@@ -567,3 +567,186 @@ def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(samp_sum / n_sampled AS DECIMAL(18,9)) AS DOUBLE)"
         ).alias("est_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval — B=100 deterministic half-sample
+# replicates in ONE fact-table pass: each order hashes once (md5 ->
+# four 32-bit words = 128 independent membership bits), replicate b
+# sums ride conditional aggregates on bit b, and the single agg row
+# unpivots to B rows for the rank readout. The first cut cross-joined
+# orders x reps (60M md5 at sf0.1, 13.6 s); this form is 1 md5/row.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+
+
+@query(
+    "q_bootstrap_ci",
+    f"""
+    WITH reps AS (
+        SELECT UNNEST(range(0, {_BOOT_B})) AS b),
+    sampled AS (
+        SELECT r.b,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o CROSS JOIN reps r
+        WHERE ((('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                 1 + 8 * (r.b // 32), 8))::BIGINT >> (r.b % 32)) & 1) = 1),
+    means AS (
+        SELECT b,
+               CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100) AS mean_b
+        FROM sampled GROUP BY b),
+    ranked AS (
+        SELECT b, mean_b,
+               ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rnk
+        FROM means),
+    point AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100)
+                   AS point_mean
+        FROM orders)
+    SELECT CAST(p.n AS BIGINT) AS n,
+           p.point_mean,
+           MAX(CASE WHEN r.rnk = 3 THEN r.mean_b END) AS ci_lo,
+           MAX(CASE WHEN r.rnk = {_BOOT_B - 2} THEN r.mean_b END) AS ci_hi,
+           CAST({_BOOT_B} AS INT) AS n_reps
+    FROM ranked r CROSS JOIN point p
+    GROUP BY p.n, p.point_mean
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order value, one pass over the fact
+    table: md5(orderkey) yields 128 independent bits; replicate b's
+    membership is bit (b % 32) of word (b // 32), so B=100
+    half-sample replicate sums/counts are 2B conditional aggregates
+    over a single scan — no replica of the facts ever materializes
+    (the oracle keeps the semantically-identical explode form; at
+    100 TB the conditional-agg form is the only viable one). The
+    single agg row unpivots via ``stack`` to B rows; each replicate
+    mean is ONE IEEE division of exact BIGINTs (cents / (n*100)), so
+    ranks and the CI hash exactly cross-engine."""
+    from ..catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    proj = o.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+        *[
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), "
+                f"{1 + 8 * j}, 8), 16, 10) AS BIGINT)"
+            ).alias(f"w{j}")
+            for j in range(4)
+        ],
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        j, s = divmod(b, 32)
+        cond = f"((w{j} >> {s}) & 1) = 1"
+        aggs.append(
+            F.expr(f"SUM(CASE WHEN {cond} THEN cents END)").alias(f"s{b}")
+        )
+        aggs.append(
+            F.expr(f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)").alias(f"c{b}")
+        )
+    aggs.append(F.sum("cents").alias("s_all"))
+    aggs.append(F.count(F.lit(1)).alias("n_all"))
+    one = proj.agg(*aggs)
+    stack_args = ", ".join(f"{b}, s{b}, c{b}" for b in range(_BOOT_B))
+    reps = one.select(
+        "n_all",
+        "s_all",
+        F.expr(
+            f"stack({_BOOT_B}, {stack_args}) AS (b, s_b, c_b)"
+        ),
+    ).select(
+        "n_all",
+        "s_all",
+        "b",
+        F.expr("CAST(s_b AS DOUBLE) / (c_b * 100)").alias("mean_b"),
+    )
+    ranked = reps.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("mean_b", "b"))
+    )
+    return (
+        ranked.groupBy("n_all", "s_all")
+        .agg(
+            F.max(F.when(F.col("rnk") == 3, F.col("mean_b"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rnk") == _BOOT_B - 2, F.col("mean_b"))
+            ).alias("ci_hi"),
+        )
+        .select(
+            F.col("n_all").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(s_all AS DOUBLE) / (n_all * 100)"
+            ).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_B).cast("int").alias("n_reps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release — per-segment counts plus
+# seeded Laplace(1/eps) noise (inverse-CDF from the engine's md5
+# uniform), released as floor-fixed-point so the cross-engine hash is
+# exact. Together with q_k_anonymity this is the privacy surface a
+# training-data release pipeline runs before publishing statistics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dp_count_release",
+    """
+    WITH counts AS (
+        SELECT c_mktsegment AS segment, COUNT(*) AS n_true
+        FROM customer GROUP BY c_mktsegment),
+    noised AS (
+        SELECT segment, n_true,
+               (CAST(('0x' || substr(md5('dp1|' || segment), 1, 8))::BIGINT
+                     AS DOUBLE) / 4294967296.0) - 0.5 AS u
+        FROM counts)
+    SELECT segment,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(FLOOR((CAST(n_true AS DOUBLE)
+                - (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)
+                  * ln(1.0 - 2.0 * abs(u))) * 1000000.0) AS BIGINT)
+               AS noisy_count_micro,
+           CAST(1000 AS INT) AS eps_milli
+    FROM noised ORDER BY segment
+    """,
+)
+def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release (eps=1): per-segment customer
+    counts plus inverse-CDF Laplace noise from a seeded md5 uniform —
+    u = h/2^32 - 0.5, noise = -sign(u)·ln(1-2|u|) — deterministic,
+    identical in both engines (division by 2^32 is exact, ln matches
+    bit-for-bit here), released floor-fixed-point at 1e6. One hash agg
+    + row-local noise: the privacy layer adds zero shuffles."""
+    from ..catalog import table
+
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    noised = counts.withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substr(md5(concat('dp1|', segment)), 1, 8), 16, 10)"
+            " AS DOUBLE) / 4294967296.0 - 0.5"
+        ),
+    )
+    return noised.select(
+        "segment",
+        F.col("n_true").cast("bigint"),
+        F.expr(
+            "CAST(FLOOR((CAST(n_true AS DOUBLE)"
+            " - (CASE WHEN u < 0 THEN -1.0 ELSE 1.0 END)"
+            "   * ln(1.0 - 2.0 * abs(u))) * 1000000.0) AS BIGINT)"
+        ).alias("noisy_count_micro"),
+        F.lit(1000).cast("int").alias("eps_milli"),
+    ).orderBy("segment")
