@@ -257,6 +257,9 @@ HEADLINE = [
     "q_spearman_corr",               # daily rank correlation
     "q_hhi_concentration",           # HHI market concentration
     "q_target_encoding",             # smoothed target-mean encoding
+    "q_emd_lengths",                 # exact 1-D Wasserstein distance
+    "q_heaps_law",                   # vocabulary-growth OLS fit
+    "q_largest_remainder",           # Hamilton quota apportionment
 ]
 
 

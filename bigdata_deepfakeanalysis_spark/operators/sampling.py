@@ -750,3 +750,89 @@ def q_dp_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_count_micro"),
         F.lit(1000).cast("int").alias("eps_milli"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota apportionment — split a fixed budget of
+# sampling slots across sources proportionally (Hamilton's method):
+# floor quotas first, then the leftover slots go to the largest
+# fractional remainders with a deterministic tie-break. The integer
+# allocator behind every fixed-size training-mixture draw; all
+# arithmetic is exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_LR_BUDGET = 1000
+
+
+@query(
+    "q_largest_remainder",
+    f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    quota AS (
+        SELECT source, cnt,
+               CAST(cnt * {_LR_BUDGET} // SUM(cnt) OVER () AS BIGINT)
+                   AS base_slots,
+               CAST(cnt * {_LR_BUDGET} % SUM(cnt) OVER () AS BIGINT)
+                   AS rem
+        FROM per_src),
+    ranked AS (
+        SELECT source, cnt, base_slots,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               {_LR_BUDGET} - SUM(base_slots) OVER () AS leftover
+        FROM quota)
+    SELECT source,
+           CAST(cnt AS BIGINT) AS cnt,
+           base_slots,
+           CAST(base_slots + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_slots
+    FROM ranked ORDER BY source
+    """,
+)
+def q_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 1000-slot sample
+    budget across document sources: integer floor quotas
+    (cnt*B DIV total), leftover slots to the largest remainders with
+    (remainder DESC, source) tie-break — sum(alloc) == B exactly, no
+    floating point anywhere. One 20-row rollup; every window runs
+    post-agg over the source list, so the allocator is free at any
+    fact scale."""
+    from ..catalog import table
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    w_all = Window.partitionBy()
+    quota = per_src.select(
+        "source",
+        "cnt",
+        F.expr(
+            f"CAST(cnt * {_LR_BUDGET} DIV SUM(cnt)"
+            " OVER () AS BIGINT)"
+        ).alias("base_slots"),
+        F.expr(
+            f"CAST(cnt * {_LR_BUDGET} % SUM(cnt) OVER () AS BIGINT)"
+        ).alias("rem"),
+    )
+    ranked = quota.select(
+        "source",
+        "cnt",
+        "base_slots",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "source"))
+        .alias("rk"),
+        (F.lit(_LR_BUDGET) - F.sum("base_slots").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "base_slots",
+        (
+            F.col("base_slots")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_slots"),
+    ).orderBy("source")

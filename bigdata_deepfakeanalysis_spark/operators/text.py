@@ -3350,3 +3350,211 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D earth mover's distance (Wasserstein-1) — how far apart are two
+# corpus halves' document-length distributions? W1 = integral of
+# |CDF_a - CDF_b| over the merged support, computed exactly in
+# integers: |cum_a*n_b - cum_b*n_a| * gap summed, one final division
+# by n_a*n_b. The distribution-shift metric PSI/KS can't give you in
+# distance units. Windows run over the bounded distinct-length
+# support, never raw docs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_emd_lengths",
+    """
+    WITH tagged AS (
+        SELECT n_chars,
+               CAST(substr(source, 4) AS INTEGER) % 2 AS cohort
+        FROM documents),
+    support AS (
+        SELECT n_chars AS x,
+               SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS cb
+        FROM tagged GROUP BY n_chars),
+    cum AS (
+        SELECT x,
+               SUM(ca) OVER (ORDER BY x) AS cum_a,
+               SUM(cb) OVER (ORDER BY x) AS cum_b,
+               LEAD(x) OVER (ORDER BY x) AS next_x
+        FROM support),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b
+        FROM support)
+    SELECT t.n_a, t.n_b,
+           CAST(SUM(ABS(CAST(c.cum_a AS BIGINT) * t.n_b
+                        - CAST(c.cum_b AS BIGINT) * t.n_a)
+                    * (c.next_x - c.x)) AS BIGINT) AS emd_num,
+           CAST(SUM(ABS(CAST(c.cum_a AS BIGINT) * t.n_b
+                        - CAST(c.cum_b AS BIGINT) * t.n_a)
+                    * (c.next_x - c.x)) AS DOUBLE)
+               / (t.n_a * t.n_b) AS emd_chars
+    FROM cum c CROSS JOIN tot t
+    WHERE c.next_x IS NOT NULL
+    GROUP BY t.n_a, t.n_b
+    """,
+)
+def q_emd_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wasserstein-1 distance between even- and odd-source
+    cohorts' n_chars distributions. One rollup to the distinct-length
+    support (bounded domain), one cumulative window over it, then the
+    closed form sum(|CDF_a - CDF_b| dx) kept in integer numerator form
+    (|cum_a*n_b - cum_b*n_a| * gap) until a single IEEE division —
+    hash-exact cross-engine. At 100 TB the support table is the only
+    windowed object; the facts contribute one shuffle."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "n_chars",
+        (F.expr("CAST(substr(source, 4) AS INT)") % 2).alias("cohort"),
+    )
+    support = tagged.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("x")
+    cum = support.select(
+        "x",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.lead("x").over(w).alias("next_x"),
+    )
+    tot = support.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    return (
+        cum.where(F.col("next_x").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(CAST(cum_a AS BIGINT) * n_b"
+                " - CAST(cum_b AS BIGINT) * n_a)"
+                " * (next_x - x)) AS BIGINT)"
+            ).alias("emd_num"),
+            F.expr(
+                "CAST(SUM(ABS(CAST(cum_a AS BIGINT) * n_b"
+                " - CAST(cum_b AS BIGINT) * n_a)"
+                " * (next_x - x)) AS DOUBLE) / (n_a * n_b)"
+            ).alias("emd_chars"),
+        )
+        .select("n_a", "n_b", "emd_num", "emd_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth — distinct vocabulary V(n) vs tokens
+# seen n in corpus order, fit V = K * n^beta by log-log OLS over
+# per-document checkpoints. The corpus-health readout that says
+# whether more data still buys new vocabulary. First occurrences via
+# one min-position rollup per term; cumulative curves via post-agg
+# windows over ~doc-count rows.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_heaps_law",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS_SQL}) AS w FROM documents),
+    doc_tok AS (
+        SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY doc_id),
+    firsts AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_new
+        FROM (SELECT w, MIN(doc_id) AS doc_id FROM toks GROUP BY w)
+        GROUP BY doc_id),
+    curve AS (
+        SELECT d.doc_id,
+               SUM(d.n_toks) OVER (ORDER BY d.doc_id) AS cum_toks,
+               SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY d.doc_id)
+                   AS cum_vocab
+        FROM doc_tok d LEFT JOIN firsts f ON d.doc_id = f.doc_id),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS y
+        FROM curve WHERE cum_vocab > 0),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+               / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+               AS heaps_beta,
+           (CAST(sy AS DOUBLE)
+            - CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+              / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+              * CAST(sx AS DOUBLE))
+               / (n * 1000000.0) AS ln_k
+    FROM m
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K*n^beta over the corpus in doc_id order:
+    per-term first-occurrence doc via one MIN rollup (never a running
+    distinct over raw tokens), per-doc new-vocab and token counts,
+    cumulative curves from two post-agg windows over doc-count rows,
+    then the shared integer-moment OLS (ln values snapped to 1e-6
+    fixed point, cancellations in exact DECIMAL). beta well below 1
+    means the corpus still yields vocabulary sublinearly — the
+    diminishing-returns diagnostic for data acquisition."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    doc_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    w = Window.orderBy("doc_id")
+    curve = (
+        doc_tok.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .select(
+            F.sum("n_toks").over(w).alias("cum_toks"),
+            F.sum("n_new").over(w).alias("cum_vocab"),
+        )
+    )
+    pts = curve.where(F.col("cum_vocab") > 0).select(
+        F.expr(
+            "CAST(floor(ln(CAST(cum_toks AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.expr(
+            "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        ).alias("heaps_beta"),
+        F.expr(
+            "(CAST(sy AS DOUBLE)"
+            " - CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            "   / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+            "   * CAST(sx AS DOUBLE))"
+            " / (n * CAST(1000000 AS DOUBLE))"
+        ).alias("ln_k"),
+    )
