@@ -260,6 +260,9 @@ HEADLINE = [
     "q_emd_lengths",                 # exact 1-D Wasserstein distance
     "q_heaps_law",                   # vocabulary-growth OLS fit
     "q_largest_remainder",           # Hamilton quota apportionment
+    "q_degree_powerlaw",             # scale-free degree-exponent fit
+    "q_simpson_diversity",           # per-source language diversity
+    "q_rrf_fusion",                  # hybrid-retrieval rank fusion
 ]
 
 

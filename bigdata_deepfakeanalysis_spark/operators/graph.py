@@ -1265,3 +1265,96 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree-distribution power-law fit — is the customer→supplier
+# bipartite degree distribution heavy-tailed, and with what exponent?
+# Degrees come straight off the distinct-pair rollup (NO pairwise
+# projection — this is the one graph statistic that never needs the
+# quadratic co-purchase expansion), histogram over the bounded degree
+# domain, then the shared integer-moment log-log OLS.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_degree_powerlaw",
+    """
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT s, COUNT(*) AS d FROM cs GROUP BY s),
+    hist AS (SELECT d, COUNT(*) AS n_d FROM deg GROUP BY d),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS x,
+               CAST(floor(ln(CAST(n_d AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS y
+        FROM hist),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx
+        FROM pts),
+    mx AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(d) AS BIGINT) AS max_degree
+        FROM deg)
+    SELECT mx.n_nodes, mx.max_degree,
+           CAST(m.n AS BIGINT) AS n_distinct_degrees,
+           CAST(m.n * m.sxy - CAST(m.sx AS DECIMAL(38,0)) * m.sy AS DOUBLE)
+               / CAST(m.n * m.sxx - CAST(m.sx AS DECIMAL(38,0)) * m.sx
+                      AS DOUBLE) AS powerlaw_slope
+    FROM m CROSS JOIN mx
+    """,
+)
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the supplier degree distribution in the
+    customer-supplier bipartite graph: degree = distinct customers per
+    supplier (one distinct + one rollup, no edge projection), degree
+    histogram over the bounded degree domain, log-log OLS slope via
+    1e-6 fixed-point ln moments with DECIMAL-exact cancellation. The
+    slope is the -(alpha) scale-free diagnostic; near-Poisson degree
+    data fits a steep, poorly-correlated line instead. Every stage is
+    a hash agg — at 100 TB this runs where triangle/assortativity
+    pipelines can't afford their quadratic expansions."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = cs.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n_d"))
+    pts = hist.select(
+        F.expr(
+            "CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(ln(CAST(n_d AS DOUBLE)) * 1000000) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+    )
+    mx = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )
+    return m.crossJoin(F.broadcast(mx)).select(
+        "n_nodes",
+        "max_degree",
+        F.col("n").cast("bigint").alias("n_distinct_degrees"),
+        F.expr(
+            "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+            " / CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+        ).alias("powerlaw_slope"),
+    )

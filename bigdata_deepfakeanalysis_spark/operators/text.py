@@ -3558,3 +3558,180 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (n * CAST(1000000 AS DOUBLE))"
         ).alias("ln_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index — per-source language diversity
+# D = 1 - sum(n_l*(n_l-1)) / (N*(N-1)): the probability two random
+# docs from a source differ in language. Exact integer numerator and
+# denominator, one IEEE division. The corpus-mix companion of
+# q_entropy_profile (which measures the same thing in bits).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_simpson_diversity",
+    """
+    WITH sl AS (
+        SELECT source, lang, COUNT(*) AS n_l
+        FROM documents GROUP BY source, lang),
+    per_src AS (
+        SELECT source,
+               CAST(SUM(n_l) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n_l * (n_l - 1)) AS BIGINT) AS same_pairs
+        FROM sl GROUP BY source)
+    SELECT source, n_docs, n_langs, same_pairs,
+           1.0 - CAST(same_pairs AS DOUBLE)
+               / (n_docs * (n_docs - 1)) AS simpson_d
+    FROM per_src WHERE n_docs > 1 ORDER BY source
+    """,
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of languages within each source: two nested
+    hash rollups (source×lang, then source), exact integer pair
+    counts, and a single exact-operand division for the index — the
+    1-in-(1-D) effective-language readout a mixture designer checks
+    before setting per-source sampling temperatures. No windows, no
+    joins; linear at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_l"))
+    per_src = sl.groupBy("source").agg(
+        F.sum("n_l").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.expr("CAST(SUM(n_l * (n_l - 1)) AS BIGINT)").alias("same_pairs"),
+    )
+    return (
+        per_src.where(F.col("n_docs") > 1)
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "same_pairs",
+            F.expr(
+                "1.0 - CAST(same_pairs AS DOUBLE)"
+                " / (n_docs * (n_docs - 1))"
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — combine two retrieval rankings (raw term
+# frequency and integer-idf TF-IDF) for the shared probe query with
+# RRF(60): score = 1/(60+r1) + 1/(60+r2). The standard hybrid-search
+# merge (BM25 + dense retrieval in production); ranks are
+# deterministic, per-term idf is 1e-6 fixed-point so both component
+# scores are exact integers, and the fused score's two divisions are
+# exact-operand IEEE — hash-stable cross-engine.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 10
+
+
+@query(
+    "q_rrf_fusion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({{toks}}) AS w FROM documents),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM toks WHERE w IN ('table', 'spark', 'data')
+        GROUP BY doc_id, w),
+    idf AS (
+        SELECT w,
+               CAST(floor(ln(CAST(n.n AS DOUBLE) / COUNT(DISTINCT doc_id))
+                          * 1000000) AS BIGINT) AS idf_fp
+        FROM tf CROSS JOIN n_docs n GROUP BY w, n.n),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(t.tf) AS BIGINT) AS s1,
+               CAST(SUM(t.tf * i.idf_fp) AS BIGINT) AS s2
+        FROM tf t JOIN idf i ON t.w = i.w
+        GROUP BY t.doc_id),
+    ranked AS (
+        SELECT doc_id, s1, s2,
+               ROW_NUMBER() OVER (ORDER BY s1 DESC, doc_id) AS r1,
+               ROW_NUMBER() OVER (ORDER BY s2 DESC, doc_id) AS r2
+        FROM scored),
+    fused AS (
+        SELECT doc_id, r1, r2,
+               CAST(floor((1.0 / ({_RRF_K} + r1) + 1.0 / ({_RRF_K} + r2))
+                          * 1000000000) AS BIGINT) AS rrf_nano
+        FROM ranked)
+    SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+           rrf_nano,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= {_RRF_TOP}
+    ORDER BY fused_rank
+    """.replace("{toks}", _TOKS_SQL),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF(k=60) fusion of two rankers over the probe query
+    ('table','spark','data'): raw term-frequency and fixed-point-idf
+    TF-IDF. Candidate set is postings-bounded (docs hitting >=1 probe
+    term); both component scores are exact BIGINTs so the rank windows
+    are deterministic; the fused 1/(k+r) sum floors to nano fixed
+    point before the final top-{_RRF_TOP} rank. At scale the rank
+    windows run over the candidate list, not the corpus — the same
+    contract as q_bm25_topdocs."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.where(F.col("w").isin("table", "spark", "data"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .groupBy("w", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "w",
+            F.expr(
+                "CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000)"
+                " AS BIGINT)"
+            ).alias("idf_fp"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("s1"),
+            F.expr("CAST(SUM(tf * idf_fp) AS BIGINT)").alias("s2"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        "s1",
+        "s2",
+        F.row_number().over(Window.orderBy(F.desc("s1"), "doc_id")).alias("r1"),
+        F.row_number().over(Window.orderBy(F.desc("s2"), "doc_id")).alias("r2"),
+    )
+    fused = ranked.select(
+        "doc_id",
+        F.col("r1").cast("bigint").alias("r1"),
+        F.col("r2").cast("bigint").alias("r2"),
+        F.expr(
+            f"CAST(floor((1.0 / ({_RRF_K} + r1) + 1.0 / ({_RRF_K} + r2))"
+            " * 1000000000) AS BIGINT)"
+        ).alias("rrf_nano"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_nano"), "doc_id"))
+            .cast("bigint"),
+        )
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .orderBy("fused_rank")
+    )
