@@ -263,6 +263,9 @@ HEADLINE = [
     "q_degree_powerlaw",             # scale-free degree-exponent fit
     "q_simpson_diversity",           # per-source language diversity
     "q_rrf_fusion",                  # hybrid-retrieval rank fusion
+    "q_lang_confusion",              # lang-ID eval confusion matrix
+    "q_stratified_kfold",            # deterministic CV fold audit
+    "q_rolling_median",              # exact moving order statistic
 ]
 
 

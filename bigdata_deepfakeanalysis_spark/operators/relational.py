@@ -5433,3 +5433,71 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (7-day) — exact order statistics in a moving frame:
+# daily revenue in cents, sorted frame array, doubled-median (2x so
+# even frames stay integer). Robust trend smoothing where the rolling
+# MEAN family (q_rolling_zscore) chases outliers. The frame window
+# runs over the bounded daily series, never raw facts.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rolling_median",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1),
+    framed AS (
+        SELECT day, rev_c,
+               list_sort(list(rev_c) OVER (ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM daily)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           rev_c,
+           CAST(len(win) AS INT) AS frame_n,
+           CAST(win[(len(win) + 1) // 2] + win[len(win) // 2 + 1]
+                AS BIGINT) AS med2_c
+    FROM framed ORDER BY day LIMIT 60
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median of daily revenue: cents-exact daily
+    rollup, collect_list over a ROWS 6-PRECEDING frame, array_sort,
+    and the doubled median (middle element twice when the frame is
+    odd, the two middles summed when even) so even frames never leave
+    integers. One fact shuffle to the daily grain; the frame window
+    and per-row sort touch at most 7 elements over ~2k days. First 60
+    days shown."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("rev_c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    framed = daily.select(
+        "day",
+        "rev_c",
+        F.array_sort(F.collect_list("rev_c").over(w7)).alias("win"),
+    )
+    return (
+        framed.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev_c",
+            F.size("win").cast("int").alias("frame_n"),
+            F.expr(
+                "CAST(element_at(win, CAST((size(win) + 1) DIV 2 AS INT))"
+                " + element_at(win, CAST(size(win) DIV 2 + 1 AS INT))"
+                " AS BIGINT)"
+            ).alias("med2_c"),
+        )
+        .orderBy("day")
+        .limit(60)
+    )

@@ -836,3 +836,68 @@ def q_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_slots"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment audit — deterministic 5-fold split
+# (md5 of doc_id, the engine's seeded-hash idiom) with the per-fold
+# per-language balance matrix a CV harness checks before training:
+# counts plus each language's within-fold share in ppm. Fold
+# assignment is row-local; the audit is one rollup.
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "q_stratified_kfold",
+    f"""
+    WITH folded AS (
+        SELECT lang,
+               (('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::BIGINT) % {_KFOLD_K} AS fold
+        FROM documents),
+    cell AS (
+        SELECT fold, lang, COUNT(*) AS n
+        FROM folded GROUP BY fold, lang)
+    SELECT CAST(fold AS INT) AS fold, lang, CAST(n AS BIGINT) AS n,
+           CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY fold) AS BIGINT)
+               AS share_ppm
+    FROM cell ORDER BY fold, lang
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment audit: fold = md5(doc_id) % 5 (append-
+    stable, engine-independent, never rand()), then the fold × lang
+    balance matrix with within-fold shares in integer ppm. At scale
+    the assignment adds one row-local expression to the scan; the
+    audit shuffles once to at most K·|langs| cells, and the share
+    windows run over those cells."""
+    from ..catalog import table
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    folded = docs.select(
+        "lang",
+        (
+            F.expr(
+                "CAST(conv(substr(md5(concat('fold|',"
+                " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _KFOLD_K
+        ).alias("fold"),
+    )
+    cell = folded.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return cell.select(
+        F.col("fold").cast("int").alias("fold"),
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(n) OVER (PARTITION BY fold) AS BIGINT)"
+        ).alias("fold_total"),
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY fold)"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("fold", "lang")

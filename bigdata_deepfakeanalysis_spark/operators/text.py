@@ -3735,3 +3735,70 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("fused_rank") <= _RRF_TOP)
         .orderBy("fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the classifier-eval closing of the
+# q_lang_id loop: heuristic bigram predictions vs the labeled lang
+# column, full (actual, predicted) matrix with per-actual share in
+# integer ppm. Docs with no profile hit fall to 'und'.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_lang_confusion",
+    f"""
+    WITH {LANG_PROFILE_CTE.strip()},
+    {_CHAR_GRAMS_SQL.strip().format(k=2, km2=0)},
+    scores AS (
+        SELECT g.doc_id, p.cand_lang, CAST(SUM(p.weight) AS BIGINT) AS score
+        FROM grams g JOIN lang_profile p ON g.gram = p.gram
+        GROUP BY g.doc_id, p.cand_lang),
+    pred AS (
+        SELECT doc_id, cand_lang AS pred_lang
+        FROM (SELECT doc_id, cand_lang,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, cand_lang)
+                         AS rk
+              FROM scores) WHERE rk = 1),
+    cm AS (
+        SELECT d.lang, COALESCE(p.pred_lang, 'und') AS pred_lang,
+               COUNT(*) AS n
+        FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY d.lang, COALESCE(p.pred_lang, 'und'))
+    SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+               AS share_ppm
+    FROM cm ORDER BY lang, pred_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the bigram lang-ID heuristic against the
+    labeled lang column: predictions from the shared
+    lang_scores→predict_lang pipeline (profile-join, argmax with
+    alphabetical tie-break), LEFT JOIN back to documents so no-hit
+    docs surface as 'und', one rollup to the (actual, predicted)
+    matrix plus per-actual row shares in ppm (DIV). The matrix is at
+    most |langs|² rows — every window runs post-agg."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pred = predict_lang(lang_scores(docs)).select("doc_id", "pred_lang")
+    cm = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("pred_lang"), F.lit("und")).alias("pred_lang"),
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cm.select(
+        "lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY lang)"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("lang", "pred_lang")
