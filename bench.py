@@ -266,6 +266,8 @@ HEADLINE = [
     "q_lang_confusion",              # lang-ID eval confusion matrix
     "q_stratified_kfold",            # deterministic CV fold audit
     "q_rolling_median",              # exact moving order statistic
+    "q_brier_profile",               # per-bin Brier calibration mass
+    "q_lorenz_deciles",              # inequality curve (broadcast bands)
 ]
 
 

@@ -1673,3 +1673,106 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier reliability profile — the probability-space companion of
+# q_calibration_bins: scores become rank-percentile forecasts
+# p = rank/(N+1) in integer ppm, and each decile bin reports its
+# exact Brier mass and calibration gap. Emitting per-bin integer
+# components (never a cross-bin double sum) keeps the Murphy
+# decomposition hash-exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_brier_profile",
+    f"""
+    WITH scored AS (
+        SELECT vec_id,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               (SELECT SUM(CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                                      * 1048576.0) AS BIGINT)
+                           * (2 * instr('0123456789abcdef',
+                                substr(md5('auc|' || CAST(pos_i AS VARCHAR)),
+                                       1, 1)) - 19))
+                FROM (SELECT UNNEST(range(0, 64)) AS pos_i)) AS score
+        FROM embeddings),
+    prob AS (
+        SELECT pos,
+               CAST(ROW_NUMBER() OVER (ORDER BY score, vec_id) * 1000000
+                    // (COUNT(*) OVER () + 1) AS BIGINT) AS p_ppm,
+               NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id) AS bin
+        FROM scored)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS mean_p_ppm,
+           CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+           CAST(SUM(p_ppm) // COUNT(*)
+                - SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS gap_ppm,
+           CAST(SUM((p_ppm - pos * 1000000) * (p_ppm - pos * 1000000))
+                AS BIGINT) AS brier_fp
+    FROM prob GROUP BY bin ORDER BY bin
+    """,
+)
+def q_brier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile Brier components for the shared fixed probe: the
+    score becomes a rank-percentile probability forecast (integer ppm,
+    deterministic (score, vec_id) order), and each NTILE bin reports
+    exact integer n/n_pos/mean-forecast/outcome-rate/calibration-gap
+    plus its squared-error mass sum((p-y)^2) in 1e-12 fixed point.
+    Reliability is the gap column, resolution is the spread of
+    pos_rate across bins, and the global Brier score is
+    sum(brier_fp)/(n_total*1e12) — all recoverable from integer
+    columns without a single cross-engine double sum. Same sanctioned
+    global-window shape as q_calibration_bins (the probe set is
+    bounded); everything else is one rollup."""
+    from .operators.similarity import quantize
+
+    w = _auc_probe_weights()
+    weights_arr = "array(" + ",".join(f"{x}L" for x in w) + ")"
+    emb = table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("pos"),
+        quantize("embedding").alias("q"),
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr(
+            f"aggregate(zip_with(q, {weights_arr}, (a, b) -> a * b),"
+            f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    prob = scored.select(
+        "pos",
+        F.expr(
+            "CAST(ROW_NUMBER() OVER (ORDER BY score, vec_id) * 1000000"
+            " DIV (COUNT(*) OVER () + 1) AS BIGINT)"
+        ).alias("p_ppm"),
+        F.expr(
+            f"NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id)"
+        ).alias("bin"),
+    )
+    return (
+        prob.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr("CAST(SUM(p_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_p_ppm"
+            ),
+            F.expr(
+                "CAST(SUM(pos) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("pos_rate_ppm"),
+            F.expr(
+                "CAST(SUM(p_ppm) DIV COUNT(*)"
+                " - SUM(pos) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("gap_ppm"),
+            F.expr(
+                "CAST(SUM((p_ppm - pos * 1000000)"
+                " * (p_ppm - pos * 1000000)) AS BIGINT)"
+            ).alias("brier_fp"),
+        )
+        .orderBy("bin")
+    )

@@ -5501,3 +5501,83 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(60)
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles — cumulative revenue share by customer spend
+# decile, the curve whose area gap q_gini_concentration summarizes to
+# one number. Deciles come from BROADCAST percentile boundaries (the
+# q_quantile_band_join idiom), NOT a global NTILE sort — this is the
+# scale shape; shares are integer ppm.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_lorenz_deciles",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS spend_c
+        FROM orders GROUP BY o_custkey),
+    bounds AS (
+        SELECT list_transform(quantile_cont(CAST(spend_c AS DOUBLE),
+                     [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                     x -> round(x, 9)) AS qs
+        FROM per_cust),
+    banded AS (
+        SELECT spend_c,
+               (SELECT COUNT(*) FROM UNNEST(qs) AS t(b)
+                WHERE CAST(spend_c AS DOUBLE) > b) AS decile
+        FROM per_cust CROSS JOIN bounds),
+    per_band AS (
+        SELECT decile, COUNT(*) AS n_cust,
+               CAST(SUM(spend_c) AS BIGINT) AS band_c
+        FROM banded GROUP BY decile)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           band_c,
+           CAST(SUM(band_c) OVER (ORDER BY decile) * 1000000
+                // SUM(band_c) OVER () AS BIGINT) AS cum_share_ppm
+    FROM per_band ORDER BY decile
+    """,
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend: exact cents per customer, nine
+    R-7 decile boundaries from ONE stats pass broadcast to every row
+    (row-local band = count of boundaries below — no global sort, the
+    q_quantile_band_join scale idiom), then cumulative spend share in
+    integer ppm over the 10-row band table. Read with
+    q_gini_concentration: this is the curve, that is its area."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("spend_c")
+    )
+    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    bounds = per_cust.agg(
+        F.expr(
+            f"transform(percentile(CAST(spend_c AS DOUBLE), {qs}),"
+            " x -> round(x, 9))"
+        ).alias("qs")
+    )
+    banded = per_cust.join(F.broadcast(bounds)).select(
+        "spend_c",
+        F.expr(
+            "size(filter(qs, b -> CAST(spend_c AS DOUBLE) > b))"
+        ).alias("decile"),
+    )
+    per_band = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("spend_c").cast("bigint").alias("band_c"),
+    )
+    return per_band.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_cust").cast("bigint").alias("n_cust"),
+        "band_c",
+        F.expr(
+            "CAST(SUM(band_c) OVER (ORDER BY decile) * 1000000"
+            " DIV SUM(band_c) OVER () AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("decile")
