@@ -268,6 +268,9 @@ HEADLINE = [
     "q_rolling_median",              # exact moving order statistic
     "q_brier_profile",               # per-bin Brier calibration mass
     "q_lorenz_deciles",              # inequality curve (broadcast bands)
+    "q_source_vocab_jaccard",        # pairwise source vocab overlap
+    "q_bigram_perplexity",           # conditional-LM quality filter
+    "q_winsorized_mean",             # trimmed robust location
 ]
 
 

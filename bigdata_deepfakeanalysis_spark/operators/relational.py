@@ -5581,3 +5581,88 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(band_c) OVER () AS BIGINT)"
         ).alias("cum_share_ppm"),
     ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean — the robust location estimate: clamp each group's
+# prices into its own [P5, P95] band (broadcast boundary scalars from
+# one stats pass — the q_quantile_band_join idiom), then an exact
+# integer-cents mean. Complements q_robust_scale (median/IQR) and
+# q_mad_outliers with the trimmed-moment family.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_winsorized_mean",
+    """
+    WITH cents AS (
+        SELECT l_returnflag AS grp,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS c
+        FROM lineitem),
+    bounds AS (
+        SELECT grp,
+               ceil(round(quantile_cont(CAST(c AS DOUBLE), 0.05), 9))
+                   AS lo_c,
+               floor(round(quantile_cont(CAST(c AS DOUBLE), 0.95), 9))
+                   AS hi_c
+        FROM cents GROUP BY grp),
+    clamped AS (
+        SELECT t.grp,
+               CAST(LEAST(GREATEST(CAST(t.c AS DOUBLE), b.lo_c), b.hi_c)
+                    AS BIGINT) AS wc
+        FROM cents t JOIN bounds b ON t.grp = b.grp)
+    SELECT grp AS l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(wc) AS BIGINT) AS sum_wins_c,
+           CAST(SUM(wc) AS DOUBLE) / (COUNT(*) * 100) AS winsorized_mean
+    FROM clamped GROUP BY grp ORDER BY grp
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-winsorized mean price per returnflag: exact integer cents,
+    per-group P5/P95 from one percentile stats pass (R-7, rounded to
+    9 digits — the established cross-engine-stable form), boundaries
+    snapped to whole cents with ceil/floor so the clamp is integer,
+    broadcast back for a row-local LEAST/GREATEST, and the final mean
+    is one IEEE division of exact BIGINTs. No sorts beyond the stats
+    aggregate; the clamp join broadcasts |groups| rows."""
+    li = table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)"
+        ).alias("c"),
+    )
+    bounds = cents.groupBy("grp").agg(
+        F.expr(
+            "ceil(round(percentile(CAST(c AS DOUBLE), 0.05D), 9))"
+        ).alias("lo_c"),
+        F.expr(
+            "floor(round(percentile(CAST(c AS DOUBLE), 0.95D), 9))"
+        ).alias("hi_c"),
+    )
+    clamped = cents.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        F.expr(
+            "CAST(LEAST(GREATEST(CAST(c AS DOUBLE), lo_c), hi_c)"
+            " AS BIGINT)"
+        ).alias("wc"),
+    )
+    return (
+        clamped.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("wc").cast("bigint").alias("sum_wins_c"),
+            F.expr(
+                "CAST(SUM(wc) AS DOUBLE) / (COUNT(*) * 100)"
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            "n",
+            "sum_wins_c",
+            "winsorized_mean",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3802,3 +3802,180 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("lang", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# Source vocabulary Jaccard matrix — which sources share wording?
+# Exact |A∩B|/|A∪B| over per-source vocabularies via a term-keyed
+# self-join (each term meets only the sources containing it — never a
+# source × source × corpus expansion), shares in integer ppm.
+# The pairwise companion of q_js_divergence_sources.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_source_vocab_jaccard",
+    f"""
+    WITH sv AS (
+        SELECT DISTINCT source, w FROM (
+            SELECT source, UNNEST({_TOKS_SQL}) AS w FROM documents)),
+    sizes AS (
+        SELECT source, COUNT(*) AS v FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_inter
+        FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.v + sb.v - i.n_inter AS BIGINT) AS n_union,
+           CAST(i.n_inter * 1000000 // (sa.v + sb.v - i.n_inter)
+                AS BIGINT) AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: distinct
+    (source, term) pairs once, intersection counts from a term-keyed
+    self-join (per-term fan-out is bounded by the source count, so
+    the join never goes quadratic in the corpus), union by
+    inclusion-exclusion from broadcast per-source vocab sizes,
+    similarity in integer ppm. High off-diagonal values flag shared
+    templates/mirrors between sources before near-dup dedup runs."""
+    docs = table(spark, sf_dir, "documents")
+    sv = docs.select(
+        "source", F.explode(F.expr(_TOKS)).alias("w")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = sv.select(F.col("source").alias("source_a"), "w")
+    b = sv.select(F.col("source").alias("source_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("v").alias("va"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.expr("CAST(va + vb - n_inter AS BIGINT)").alias("n_union"),
+            F.expr(
+                "CAST(n_inter * 1000000 DIV (va + vb - n_inter)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity filter — the conditional upgrade of
+# q_unigram_perplexity: add-one-smoothed P(w2|w1) trained on the
+# corpus itself, per-document cross-entropy over its bigram stream,
+# worst 20 surfaced. Catches shuffled/concatenated text that unigram
+# frequencies score as normal.
+# ---------------------------------------------------------------------------
+
+_BLM_TOP = 20
+
+
+@query(
+    "q_bigram_perplexity",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    bigrams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(ts)),
+                      i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        FROM toks WHERE len(ts) >= 2),
+    uni AS (
+        SELECT w1, COUNT(*) AS c1 FROM (
+            SELECT doc_id, UNNEST(ts) AS w1 FROM toks) GROUP BY w1),
+    vsize AS (SELECT COUNT(*) AS v FROM uni),
+    bg_counts AS (
+        SELECT bg, COUNT(*) AS c12 FROM bigrams GROUP BY bg),
+    scored AS (
+        SELECT b.doc_id,
+               ln(CAST(bc.c12 + 1 AS DOUBLE)
+                  / (u.c1 + vs.v)) AS lnp
+        FROM bigrams b
+        JOIN bg_counts bc ON b.bg = bc.bg
+        JOIN uni u ON split_part(b.bg, ' ', 1) = u.w1
+        CROSS JOIN vsize vs),
+    per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(lnp AS DECIMAL(20,10))) AS DOUBLE) AS s
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           -s / n_bigrams AS cross_entropy
+    FROM per_doc
+    ORDER BY cross_entropy DESC, doc_id LIMIT {_BLM_TOP}
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BLM_TOP} documents by bigram-LM cross-entropy: bigrams
+    built row-locally from the token array (one flatMap, no
+    positional self-join), counts trained on the corpus itself,
+    add-one smoothing over the unigram vocabulary V, per-token
+    ln P(w2|w1) = ln((c12+1)/(c1+V)) — exact-operand division then
+    ln, both bit-stable cross-engine — and the per-doc sum routed
+    through DECIMAL(20,10) so partial-aggregation order cannot
+    drift. At scale the bigram and unigram count joins shuffle on
+    their natural keys with map-side partials; nothing is
+    broadcast-unbounded."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts"))
+    bigrams = toks.where(F.expr("size(ts) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2),"
+                " i -> concat(ts[i], ' ', ts[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    uni = (
+        toks.select(F.explode("ts").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg_counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bigrams.join(bg_counts, "bg")
+        .join(
+            uni,
+            F.expr("split_part(bg, ' ', 1)") == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            F.expr(
+                "ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))"
+            ).alias("lnp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST(SUM(CAST(lnp AS DECIMAL(20,10))) AS DOUBLE)").alias(
+            "s"
+        ),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.expr("-s / n_bigrams").alias("cross_entropy"),
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(_BLM_TOP)
+    )
