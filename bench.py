@@ -271,6 +271,8 @@ HEADLINE = [
     "q_source_vocab_jaccard",        # pairwise source vocab overlap
     "q_bigram_perplexity",           # conditional-LM quality filter
     "q_winsorized_mean",             # trimmed robust location
+    "q_grid_dbscan",                 # density clustering, cell-bounded
+    "q_centroid_silhouette",         # cluster quality, no pair join
 ]
 
 

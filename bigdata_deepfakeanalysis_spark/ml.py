@@ -1776,3 +1776,251 @@ def q_brier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN — density-based clustering the way it scales: quantize
+# points onto an eps-grid (row-local), keep cells with >= minPts
+# points, connect Chebyshev-adjacent dense cells, and label the
+# components. No point-to-point distance join ever happens — the
+# cell rollup bounds everything by the (tiny) occupied-grid size.
+# The oracle replays the clustering as a recursive closure.
+# ---------------------------------------------------------------------------
+
+_DBS_SCALE = 16   # cells per unit: eps = 1/16
+_DBS_MINPTS = 8
+
+
+@query(
+    "q_grid_dbscan",
+    f"""
+    WITH RECURSIVE pts AS (
+        SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * {_DBS_SCALE})
+                    AS INTEGER) AS cx,
+               CAST(floor(CAST(embedding[2] AS DOUBLE) * {_DBS_SCALE})
+                    AS INTEGER) AS cy
+        FROM embeddings),
+    cells AS (
+        SELECT cx, cy, (cx + 64) * 1000 + (cy + 64) AS cell,
+               COUNT(*) AS n_pts
+        FROM pts GROUP BY cx, cy),
+    dense AS (
+        SELECT * FROM cells WHERE n_pts >= {_DBS_MINPTS}),
+    edges AS (
+        SELECT a.cell AS src, b.cell AS dst
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.cell <> b.cell),
+    reach(id, lbl) AS (
+        SELECT cell, cell FROM dense
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+    labeled AS (
+        SELECT id AS cell, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(d.n_pts) AS BIGINT) AS n_points
+    FROM labeled l JOIN dense d ON l.cell = d.cell
+    GROUP BY l.cluster_id ORDER BY cluster_id
+    """,
+)
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN over the first two embedding dimensions: eps-grid
+    assignment is one row-local floor per dim, density filtering is
+    one cell rollup, cluster formation is min-label components over
+    the Chebyshev-adjacent dense-cell graph (neighbor join via a 9-
+    offset explode on the cell key — an equality hash join, never a
+    distance predicate). Exactly the structure GriT-DBSCAN-style
+    engines use at scale: all quadratic work is confined to the
+    occupied-cell table, which is orders of magnitude smaller than
+    the point set. Deterministic: cluster_id = min cell id."""
+    from .operators.dedup import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.expr(
+            f"CAST(floor(CAST(embedding[0] AS DOUBLE) * {_DBS_SCALE})"
+            " AS INT)"
+        ).alias("cx"),
+        F.expr(
+            f"CAST(floor(CAST(embedding[1] AS DOUBLE) * {_DBS_SCALE})"
+            " AS INT)"
+        ).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_pts"))
+    dense = cells.where(F.col("n_pts") >= _DBS_MINPTS).select(
+        "cx",
+        "cy",
+        F.expr("(cx + 64) * 1000 + (cy + 64)").alias("cell"),
+        "n_pts",
+    ).localCheckpoint(eager=True)
+    probes = dense.select(
+        F.col("cell").alias("src"),
+        F.explode(
+            F.expr("array(-1, 0, 1)")
+        ).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "src",
+        (F.col("cx") + F.col("dx")).alias("nx"),
+        F.explode(F.expr("array(-1, 0, 1)")).alias("dy"),
+        "cy",
+    ).select(
+        "src", "nx", (F.col("cy") + F.col("dy")).alias("ny")
+    )
+    pairs = probes.join(
+        dense.select(
+            F.col("cx").alias("nx"),
+            F.col("cy").alias("ny"),
+            F.col("cell").alias("dst"),
+        ),
+        ["nx", "ny"],
+    ).where(F.col("src") != F.col("dst")).select("src", "dst")
+    comp = connected_components(pairs, src="src", dst="dst")
+    labeled = dense.join(
+        comp.select(F.col("id").alias("cell"), "component"),
+        "cell",
+        "left",
+    ).select(
+        "cell",
+        "n_pts",
+        F.coalesce(F.col("component"), F.col("cell")).alias("cluster_id"),
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_pts").cast("bigint").alias("n_points"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_cells",
+            "n_points",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette — cluster-quality score without a point-to-
+# point join: per-vector distance to every LABEL CENTROID (the
+# simplified silhouette), with centroids kept as exact integer sum
+# vectors so d^2 to mean = ||n*x - s||^2 / n^2 needs no float
+# centroid. One explode + one broadcast join against the 640-row
+# (label, dim) sum table; silhouette in integer micro units.
+# ---------------------------------------------------------------------------
+
+_SIL_SCALE = 16384  # 2^14: keeps ||n*x - s||^2 within int64 at sf1
+
+
+@query(
+    "q_centroid_silhouette",
+    f"""
+    WITH xq AS (
+        SELECT vec_id, label AS own, pos,
+               CAST(floor(CAST(embedding[pos + 1] AS DOUBLE)
+                          * {_SIL_SCALE}) AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)),
+    cent AS (
+        SELECT own AS lc, pos, CAST(SUM(q) AS BIGINT) AS s
+        FROM xq GROUP BY own, pos),
+    sizes AS (
+        SELECT label AS lc, COUNT(*) AS n_l FROM embeddings GROUP BY label),
+    dists AS (
+        SELECT x.vec_id, x.own, c.lc,
+               CAST(SUM((z.n_l * x.q - c.s) * (z.n_l * x.q - c.s))
+                    AS DOUBLE) / (z.n_l * z.n_l) AS d2
+        FROM xq x
+        JOIN cent c ON x.pos = c.pos
+        JOIN sizes z ON c.lc = z.lc
+        GROUP BY x.vec_id, x.own, c.lc, z.n_l),
+    ab AS (
+        SELECT vec_id, own,
+               MAX(CASE WHEN lc = own THEN d2 END) AS a,
+               MIN(CASE WHEN lc <> own THEN d2 END) AS b
+        FROM dists GROUP BY vec_id, own),
+    sil AS (
+        SELECT own,
+               CAST(floor((b - a) / GREATEST(a, b) * 1000000) AS BIGINT)
+                   AS s_micro
+        FROM ab)
+    SELECT CAST(own AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_micro) // COUNT(*) AS BIGINT) AS mean_sil_micro,
+           CAST(SUM(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS frac_separated_ppm
+    FROM sil GROUP BY own ORDER BY label
+    """,
+)
+def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label over the embeddings: a = d² to
+    the own-label centroid, b = min d² to any other, s = (b-a)/max.
+    Centroids never materialize as floats — with integer-quantized
+    coordinates, d² to the mean is the exact rational
+    ||n·x − s||²/n², so a and b are single exact-operand divisions
+    and the score floors to micro units. The (label, dim) sum table
+    is 640 rows and broadcasts; per-point work is one explode + one
+    rollup — the same no-pairwise-join discipline as
+    q_centroid_classifier, upgraded from classification to cluster
+    quality. At 100 TB only the explode scales; the quadratic
+    point-pair silhouette is never computed."""
+    emb = table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                f" * {_SIL_SCALE}) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    cent = xq.groupBy(F.col("own").alias("lc"), "pos").agg(
+        F.sum("q").cast("bigint").alias("s")
+    )
+    sizes = emb.groupBy(F.col("label").alias("lc")).agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    cent_n = cent.join(F.broadcast(sizes), "lc")
+    dists = (
+        xq.join(F.broadcast(cent_n), "pos")
+        .groupBy("vec_id", "own", "lc", "n_l")
+        .agg(
+            F.expr(
+                "CAST(SUM((n_l * q - s) * (n_l * q - s)) AS DOUBLE)"
+                " / (n_l * n_l)"
+            ).alias("d2")
+        )
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("lc") == F.col("own"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("lc") != F.col("own"), F.col("d2"))).alias("b"),
+    )
+    sil = ab.select(
+        "own",
+        F.expr(
+            "CAST(floor((b - a) / GREATEST(a, b) * 1000000) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    return (
+        sil.groupBy("own")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.expr(
+                "CAST(SUM(s_micro) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_sil_micro"),
+            F.expr(
+                "CAST(SUM(CASE WHEN s_micro > 0 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("frac_separated_ppm"),
+        )
+        .select(
+            F.col("own").cast("int").alias("label"),
+            "n_vecs",
+            "mean_sil_micro",
+            "frac_separated_ppm",
+        )
+        .orderBy("label")
+    )

@@ -39,6 +39,7 @@ EAGER_BUILD = {
     "q_degree_assortativity",
     "q_two_hop_reach",
     "q_record_linkage",
+    "q_grid_dbscan",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
     "q_containment_dedup",
