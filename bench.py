@@ -388,6 +388,13 @@ def main() -> None:
                 "q_minhash_near_dup",
                 "q_lpa_communities",
                 "q_semantic_dedup_lsh",
+                # r5 single-pass claims at 10x: bootstrap = 100
+                # conditional aggs over one scan; DBSCAN = all work
+                # confined to the occupied-cell table; bigram LM =
+                # natural-key count joins over 10x text
+                "q_bootstrap_ci",
+                "q_grid_dbscan",
+                "q_bigram_perplexity",
             ]
             sf1_timings = {}
             for name in sf1_names:
