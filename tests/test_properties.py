@@ -557,3 +557,81 @@ def test_robust_scale_outlier_fraction_sane(spark):
         frac = r.n_beyond_08 / r.n
         assert 0.0 < frac < 0.5, (r.l_returnflag, frac)
         assert r.iqr > 0
+
+
+def test_largest_remainder_allocates_exact_budget(spark):
+    """Hamilton apportionment invariants: allocations sum to exactly
+    the budget, every source gets >= its floor quota, and no source
+    tops up by more than 1."""
+    from bigdata_deepfakeanalysis_spark.operators.sampling import (
+        _LR_BUDGET,
+    )
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_largest_remainder"](spark, SF_DIR).toPandas()
+    assert df["alloc_slots"].sum() == _LR_BUDGET
+    assert (df["alloc_slots"] >= df["base_slots"]).all()
+    assert (df["alloc_slots"] - df["base_slots"] <= 1).all()
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark):
+    """The half-sample bootstrap CI must bracket the full-population
+    mean and be deterministic across runs (hash-bit membership,
+    never rand())."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    row = all_queries()["q_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert row["ci_lo"] < row["point_mean"] < row["ci_hi"]
+    again = all_queries()["q_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert (row["ci_lo"], row["ci_hi"]) == (again["ci_lo"], again["ci_hi"])
+
+
+def test_grid_dbscan_covers_all_dense_points(spark):
+    """Every dense cell lands in exactly one cluster: summed cluster
+    sizes equal the dense-point total computed independently, and
+    cluster ids are member cell ids (min-label)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.ml import _DBS_MINPTS, _DBS_SCALE
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    clusters = all_queries()["q_grid_dbscan"](spark, SF_DIR).toPandas()
+    emb = table(spark, SF_DIR, "embeddings")
+    dense_total = (
+        emb.select(
+            F.expr(
+                f"CAST(floor(CAST(embedding[0] AS DOUBLE) * {_DBS_SCALE})"
+                " AS INT)"
+            ).alias("cx"),
+            F.expr(
+                f"CAST(floor(CAST(embedding[1] AS DOUBLE) * {_DBS_SCALE})"
+                " AS INT)"
+            ).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .count()
+        .where(F.col("count") >= _DBS_MINPTS)
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert clusters["n_points"].sum() == (dense_total or 0)
+
+
+def test_centroid_silhouette_separation_is_sane(spark):
+    """Silhouette scores live in [-1e6, 1e6] micro units and the
+    separated fraction is a valid ppm share."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_centroid_silhouette"](spark, SF_DIR).toPandas()
+    assert len(df) == 10
+    assert df["mean_sil_micro"].between(-1_000_000, 1_000_000).all()
+    assert df["frac_separated_ppm"].between(0, 1_000_000).all()
