@@ -273,6 +273,9 @@ HEADLINE = [
     "q_winsorized_mean",             # trimmed robust location
     "q_grid_dbscan",                 # density clustering, cell-bounded
     "q_centroid_silhouette",         # cluster quality, no pair join
+    "q_dup_cluster_sizes",           # near-dup cluster distribution
+    "q_ab_srm",                      # sample-ratio-mismatch guard
+    "q_rare_category_collapse",      # encoder cardinality guard
 ]
 
 

@@ -2204,3 +2204,84 @@ def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision_ppm"),
         F.col("mean_j_raw").alias("mean_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size distribution — the corpus-QA readout after
+# LSH + components: how many clusters of each size, how many docs
+# they absorb, and (implicitly) the dedup surplus sum((size-1)).
+# Singletons (never paired) are reported as size-1 clusters so the
+# doc mass balances exactly against the corpus count.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {AUG_DOCS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    {_MINHASH_PAIRS_CTE.strip()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs),
+    reach(id, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+    comp AS (
+        SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp
+        GROUP BY component),
+    dist AS (
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+        UNION ALL
+        SELECT 1 AS cluster_size,
+               (SELECT COUNT(*) FROM aug_docs)
+               - (SELECT COUNT(*) FROM comp) AS n_clusters)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * SUM(n_clusters) AS BIGINT) AS n_docs
+    FROM dist GROUP BY cluster_size ORDER BY cluster_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the MinHash+LSH near-dup components
+    (same pipeline as q_dedup_components): component sizes, the
+    size→count distribution, and unpaired docs folded in as size-1
+    clusters so sum(n_docs) equals the corpus size exactly. The
+    number a curation run reports as its dedup surplus is
+    sum((size-1)·n_clusters) off this table. Everything past the
+    banded candidate join is component-table-sized."""
+    docs = aug_docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_bands(docs, k=12, band_rows=3))
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    dist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_total = docs.count()
+    n_clustered = comp.count()
+    singles = docs.sparkSession.createDataFrame(
+        [(1, n_total - n_clustered)], "cluster_size long, n_clusters long"
+    )
+    return (
+        dist.select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+        )
+        .unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            F.expr(
+                "CAST(cluster_size * n_clusters AS BIGINT)"
+            ).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -5666,3 +5666,122 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch audit — the first gate of every experiment
+# readout: does the realized arm split match the design? Hash-bucket
+# assignment (49/51 by design here, so the imbalance is detectable),
+# 1-df chi-square as the exact integer (o_a - o_b)^2 * 1e6 / n for a
+# 50/50 expectation, flagged against the 3.841 critical value.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ab_srm",
+    """
+    WITH assigned AS (
+        SELECT CASE WHEN (('0x' || substr(md5('srm|' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT) % 100
+                    < 49 THEN 'A' ELSE 'B' END AS arm
+        FROM orders),
+    wide AS (
+        SELECT SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+               COUNT(*) AS n
+        FROM assigned)
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000000 // n AS BIGINT)
+               AS chi2_micro,
+           (n_a - n_b) * (n_a - n_b) * 1000000 // n >= 3841459 AS srm_flag
+    FROM wide
+    """,
+)
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check: md5-bucket arm assignment with a
+    deliberate 49/51 design skew, exact arm counts from one
+    conditional aggregate, and the 1-df chi-square against a 50/50
+    expectation computed entirely in integers —
+    (n_a − n_b)²·1e6 DIV n — flagged at the 0.05 critical value
+    (3.841459). The cheapest and highest-yield experiment guardrail:
+    one scan, one agg row, no doubles anywhere."""
+    o = table(spark, sf_dir, "orders")
+    assigned = o.select(
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat('srm|',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 100 < 49 THEN 'A' ELSE 'B' END"
+        ).alias("arm")
+    )
+    wide = assigned.agg(
+        F.expr("SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)").alias("n_a"),
+        F.expr("SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)").alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 1000000 DIV n AS BIGINT)"
+        ).alias("chi2_micro"),
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) * 1000000 DIV n >= 3841459"
+        ).alias("srm_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rare-category collapse — the feature-engineering guard against
+# high-cardinality categoricals: (brand, size) combos with fewer than
+# K parts fold into '__OTHER__'. Both rollups run on the category
+# table (dimension-sized), never re-touching facts.
+# ---------------------------------------------------------------------------
+
+_RCC_MIN = 5
+
+
+@query(
+    "q_rare_category_collapse",
+    f"""
+    WITH cats AS (
+        SELECT p_brand || '|' || CAST(p_size AS VARCHAR) AS category,
+               COUNT(*) AS n
+        FROM part GROUP BY 1),
+    collapsed AS (
+        SELECT CASE WHEN n < {_RCC_MIN} THEN '__OTHER__' ELSE category END
+                   AS category,
+               n
+        FROM cats)
+    SELECT category,
+           CAST(SUM(n) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_src_categories
+    FROM collapsed GROUP BY category ORDER BY category
+    """,
+)
+def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse (p_brand, p_size) combos with < {_RCC_MIN} members
+    into '__OTHER__': one fact rollup to the category table, then the
+    collapse and re-profile run entirely on that (bounded) table —
+    the encoder-cardinality guard every target/one-hot encoding
+    pipeline applies first. n_src_categories on the __OTHER__ row is
+    the collapsed-category count."""
+    p = table(spark, sf_dir, "part")
+    cats = p.groupBy(
+        F.expr(
+            "concat(p_brand, '|', CAST(p_size AS STRING))"
+        ).alias("category")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    collapsed = cats.select(
+        F.when(F.col("n") < _RCC_MIN, "__OTHER__")
+        .otherwise(F.col("category"))
+        .alias("category"),
+        "n",
+    )
+    return (
+        collapsed.groupBy("category")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_src_categories"),
+        )
+        .orderBy("category")
+    )
