@@ -276,6 +276,9 @@ HEADLINE = [
     "q_dup_cluster_sizes",           # near-dup cluster distribution
     "q_ab_srm",                      # sample-ratio-mismatch guard
     "q_rare_category_collapse",      # encoder cardinality guard
+    "q_dow_hour_heatmap",            # calendar seasonality cells
+    "q_dau_mau_stickiness",          # engagement ratio by month
+    "q_head_coverage",               # per-source N50 mass profile
 ]
 
 

@@ -4263,3 +4263,121 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "nat_qi", "seg_qi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week × hour activity heatmap — the calendar-seasonality
+# profile behind every ops dashboard: event counts per (ISO weekday,
+# hour) cell plus deviation from the uniform expectation in signed
+# ppm. One rollup to 168 cells; the deviation math is integer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dow_hour_heatmap",
+    f"""
+    WITH {EVENTS_US_CTE},
+    cells AS (
+        SELECT isodow(ts) AS dow, EXTRACT(hour FROM ts) AS hh,
+               COUNT(*) AS n
+        FROM events_us GROUP BY 1, 2)
+    SELECT CAST(dow AS INT) AS dow, CAST(hh AS INT) AS hh,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * COUNT(*) OVER () * 1000000 // SUM(n) OVER ()
+                - 1000000 AS BIGINT) AS dev_ppm
+    FROM cells ORDER BY dow, hh
+    """,
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume per (ISO weekday, hour) with deviation from the
+    uniform rate in signed ppm: dev = n·cells/total − 1 scaled 1e6,
+    all integer (DIV). Spark's weekday() is 0=Monday, DuckDB's isodow
+    1=Monday — the +1 encodes the convention. One shuffle to at most
+    168 cells; the share windows run over those cells."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).alias("dow"),
+        F.hour("ts").alias("hh"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cells.select(
+        F.col("dow").cast("int").alias("dow"),
+        F.col("hh").cast("int").alias("hh"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(n * COUNT(*) OVER () * 1000000 DIV SUM(n) OVER ()"
+            " - 1000000 AS BIGINT)"
+        ).alias("dev_ppm"),
+    ).orderBy("dow", "hh")
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness — the product-engagement ratio: mean daily
+# actives over monthly actives per calendar month, in integer ppm.
+# Two distinct-count grains off one scan; everything after is
+# month-table-sized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dau_mau_stickiness",
+    f"""
+    WITH {EVENTS_US_CTE},
+    dau AS (
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events_us GROUP BY 1, 2),
+    mau AS (
+        SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+               COUNT(DISTINCT user_id) AS mau
+        FROM events_us GROUP BY 1),
+    daily AS (
+        SELECT month, COUNT(*) AS n_days, CAST(SUM(dau) AS BIGINT)
+                   AS dau_sum
+        FROM dau GROUP BY month)
+    SELECT d.month, CAST(d.n_days AS BIGINT) AS n_days,
+           d.dau_sum, CAST(m.mau AS BIGINT) AS mau,
+           CAST(d.dau_sum * 1000000 // (d.n_days * m.mau) AS BIGINT)
+               AS stickiness_ppm
+    FROM daily d JOIN mau m ON d.month = m.month
+    ORDER BY d.month
+    """,
+)
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU per month: distinct users at day grain, distinct users
+    at month grain, stickiness = mean-DAU/MAU in integer ppm. The two
+    exact distincts are the only shuffles (at 100 TB both would swap
+    to the mergeable HLL/theta sketches already registered —
+    q_hll_distinct_merge/q_datasketches_native); the join and ratio
+    run on the month table. The classic habit-strength metric."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    dau = base.groupBy("month", "day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = base.groupBy("month").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    daily = dau.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    return (
+        daily.join(F.broadcast(mau), "month")
+        .select(
+            "month",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            "dau_sum",
+            F.col("mau").cast("bigint").alias("mau"),
+            F.expr(
+                "CAST(dau_sum * 1000000 DIV (n_days * mau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("month")
+    )

@@ -3979,3 +3979,71 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(_BLM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Head-coverage N50 — per source, how few documents carry half the
+# character mass? The assembly-stats N50 applied to corpus curation:
+# a tiny N50 means a handful of giant documents dominate the source.
+# Ranked cumulative windows run per source partition.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_head_coverage",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk,
+               SUM(n_chars) OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS cum,
+               SUM(n_chars) OVER (PARTITION BY source) AS total,
+               COUNT(*) OVER (PARTITION BY source) AS n_docs
+        FROM documents)
+    SELECT source,
+           CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+           CAST(MIN(total) AS BIGINT) AS total_chars,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END) AS BIGINT)
+               AS n50_docs,
+           CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END) * 1000000
+                // MIN(n_docs) AS BIGINT) AS n50_share_ppm
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+)
+def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N50 per source: rank docs by size (deterministic tie-break),
+    cumulative character mass per source partition, and the first
+    rank whose cumulative doubles past the total — plus that rank as
+    a ppm share of the source's docs. Partitioned windows only (per-
+    source, never global); at 100 TB each source's window sorts its
+    own shard. Low n50_share_ppm = head-heavy source that will
+    dominate any naive token budget."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    wp = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n_chars").over(w).alias("cum"),
+        F.sum("n_chars").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n_docs"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.min("n_docs").cast("bigint").alias("n_docs"),
+            F.min("total").cast("bigint").alias("total_chars"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END)"
+                " AS BIGINT)"
+            ).alias("n50_docs"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END)"
+                " * 1000000 DIV MIN(n_docs) AS BIGINT)"
+            ).alias("n50_share_ppm"),
+        )
+        .orderBy("source")
+    )
