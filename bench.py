@@ -279,6 +279,8 @@ HEADLINE = [
     "q_dow_hour_heatmap",            # calendar seasonality cells
     "q_dau_mau_stickiness",          # engagement ratio by month
     "q_head_coverage",               # per-source N50 mass profile
+    "q_embedding_norm_audit",        # vector-store QA gate
+    "q_mmr_rerank",                  # serving-time diversity rerank
 ]
 
 

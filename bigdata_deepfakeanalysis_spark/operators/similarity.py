@@ -1307,3 +1307,263 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit — vector-store QA before any ANN index build:
+# exact integer squared norms, robust per-label bounds from broadcast
+# percentile scalars, and outlier counts. Degenerate (near-zero) or
+# blown-up vectors poison cosine/IP indexes; this is the gate that
+# catches them.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_embedding_norm_audit",
+    """
+    WITH norms AS (
+        SELECT label,
+               (SELECT SUM(q * q) FROM (
+                    SELECT CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                                      * 16384) AS BIGINT) AS q
+                    FROM (SELECT UNNEST(range(0, 64)) AS pos_i))) AS n2
+        FROM embeddings),
+    bounds AS (
+        SELECT ceil(round(quantile_cont(CAST(n2 AS DOUBLE), 0.25), 9))
+                   AS q1,
+               floor(round(quantile_cont(CAST(n2 AS DOUBLE), 0.75), 9))
+                   AS q3
+        FROM norms)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(n.n2) AS BIGINT) AS min_n2,
+           CAST(MAX(n.n2) AS BIGINT) AS max_n2,
+           CAST(SUM(CASE WHEN CAST(n.n2 AS DOUBLE)
+                              < b.q1 - 3 * (b.q3 - b.q1)
+                          OR CAST(n.n2 AS DOUBLE)
+                              > b.q3 + 3 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM norms n CROSS JOIN bounds b
+    GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label norm profile of the embedding store: squared L2 norms
+    as exact integer sums of 2^14-quantized coordinates, global
+    Q1/Q3 fences from one percentile pass (snapped to whole units,
+    broadcast as scalars), and per-label counts of vectors outside
+    Tukey 3·IQR fences. One row-local fold per vector + one rollup —
+    the audit adds no joins beyond the 1-row bounds broadcast. Run it
+    before q_ann_* index builds; a nonzero n_outliers column is the
+    canary for an upstream featurizer bug."""
+    from ..catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, q) -> acc + q * q)"
+        ).alias("n2"),
+    )
+    bounds = norms.agg(
+        F.expr(
+            "ceil(round(percentile(CAST(n2 AS DOUBLE), 0.25D), 9))"
+        ).alias("q1"),
+        F.expr(
+            "floor(round(percentile(CAST(n2 AS DOUBLE), 0.75D), 9))"
+        ).alias("q3"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(bounds))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("n2").cast("bigint").alias("min_n2"),
+            F.max("n2").cast("bigint").alias("max_n2"),
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(n2 AS DOUBLE)"
+                " < q1 - 3 * (q3 - q1)"
+                " OR CAST(n2 AS DOUBLE) > q3 + 3 * (q3 - q1)"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking — Maximal Marginal Relevance over the
+# top-20 candidates for a centroid query: greedily pick K=5 docs by
+# 0.7·relevance − 0.3·max-similarity-to-already-picked, all in exact
+# integer dot units. The dedup-at-serving-time operator every RAG
+# stack runs after ANN retrieval. Distributed part: relevance scan,
+# top-20 select, 20×20 sim matrix; the greedy K-step loop runs on
+# the collected (bounded) rerank window — same sanction as the BPE
+# scalar argmax and the capped t-SNE solve.
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20
+_MMR_K = 5
+_MMR_SCALE = 16384
+
+
+def _mmr_oracle() -> str:
+    """Generate the K-step greedy as explicitly chained CTEs."""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        prev_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        steps.append(
+            f"""picked{k} AS ({prev_sel}),
+    sel{k} AS (
+        SELECT c.vec_id, c.rel,
+               (SELECT MAX(s.sim) FROM sims s
+                WHERE s.a = c.vec_id
+                  AND s.b IN (SELECT vec_id FROM picked{k})) AS msim
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{k})
+        ORDER BY 7 * c.rel - 3 * (SELECT MAX(s.sim) FROM sims s
+                WHERE s.a = c.vec_id
+                  AND s.b IN (SELECT vec_id FROM picked{k})) DESC,
+                 c.vec_id
+        LIMIT 1)"""
+        )
+    finals = ["SELECT 1 AS rank, vec_id, rel, CAST(0 AS BIGINT) AS"
+              " max_sim_prev, 7 * rel AS mmr_score FROM sel1"]
+    for k in range(2, _MMR_K + 1):
+        finals.append(
+            f"SELECT {k}, vec_id, rel, msim, 7 * rel - 3 * msim FROM sel{k}"
+        )
+    steps_sql = ",\n    ".join(steps)
+    finals_sql = " UNION ALL ".join(finals)
+    return f"""
+    WITH qv AS (
+        SELECT vec_id, label, pos_i AS pos,
+               CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE)
+                          * {_MMR_SCALE}) AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos_i)),
+    cent AS (
+        SELECT pos, CAST(SUM(q) AS BIGINT) AS s, COUNT(DISTINCT vec_id)
+                   AS n0
+        FROM qv WHERE label = 0 GROUP BY pos),
+    rels AS (
+        SELECT v.vec_id,
+               CAST(SUM(c.s * v.q) // MIN(c.n0) AS BIGINT) AS rel
+        FROM qv v JOIN cent c ON v.pos = c.pos
+        GROUP BY v.vec_id),
+    cand AS (
+        SELECT vec_id, rel FROM (
+            SELECT vec_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
+            FROM rels) WHERE rk <= {_MMR_CAND}),
+    sims AS (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST(SUM(va.q * vb.q) AS BIGINT) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        JOIN qv va ON va.vec_id = a.vec_id
+        JOIN qv vb ON vb.vec_id = b.vec_id AND vb.pos = va.pos
+        GROUP BY a.vec_id, b.vec_id),
+    sel1 AS (
+        SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    {steps_sql}
+    SELECT CAST(rank AS INT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+           rel, max_sim_prev, mmr_score
+    FROM ({finals_sql}) ORDER BY rank
+    """
+
+
+@query("q_mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR re-rank of the top-20 candidates for the label-0 centroid
+    query: relevance = centroid dot DIV n (exact integer), candidate
+    pairwise sims = exact quantized dots, then the K=5 greedy
+    selection with score 7·rel − 3·max-sim-to-picked and (score DESC,
+    vec_id) tie-break. Spark does everything that scales — the
+    relevance scan, the windowed top-20, and the 20×20 sim matrix —
+    and the greedy loop runs driver-side over the 420 collected
+    integers (the rerank window is bounded by construction; this is
+    the serving-time shape, not a batch shuffle). Oracle replays the
+    greedy as chained CTEs."""
+    from ..catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+            f" * {_MMR_SCALE}) AS BIGINT))"
+        ).alias("q"),
+    )
+    pos = qv.select(
+        "vec_id", "label", F.posexplode("q").alias("pos", "qv")
+    )
+    cent = pos.where(F.col("label") == 0).groupBy("pos").agg(
+        F.sum("qv").cast("bigint").alias("s"),
+        F.countDistinct("vec_id").alias("n0"),
+    )
+    rels = (
+        pos.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.expr("CAST(SUM(s * qv) DIV MIN(n0) AS BIGINT)").alias("rel")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cand = (
+        rels.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("rel"), "vec_id")),
+        )
+        .where(F.col("rk") <= _MMR_CAND)
+        .join(qv.select("vec_id", "q"), "vec_id")
+        .select("vec_id", "rel", "q")
+        .localCheckpoint(eager=True)
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("q").alias("qb")
+    )
+    sims = (
+        cand.crossJoin(b)
+        .where(F.col("vec_id") != F.col("b_id"))
+        .select(
+            F.col("vec_id").alias("a"),
+            F.col("b_id").alias("b"),
+            F.expr(
+                "aggregate(zip_with(q, qb, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("sim"),
+        )
+    )
+    cand_rows = {
+        r["vec_id"]: r["rel"]
+        for r in cand.select("vec_id", "rel").collect()
+    }
+    sim_rows = {(r["a"], r["b"]): r["sim"] for r in sims.collect()}
+    picked: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for vid in sorted(cand_rows):
+            if vid in chosen:
+                continue
+            rel = cand_rows[vid]
+            msim = max(
+                (sim_rows[(vid, c)] for c in chosen), default=0
+            )
+            score = 7 * rel - 3 * msim
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, msim, score)
+        _, vid, rel, msim, score = best
+        chosen.append(vid)
+        picked.append((step, vid, rel, msim, score))
+    return emb.sparkSession.createDataFrame(
+        picked,
+        "rank int, vec_id long, rel long, max_sim_prev long,"
+        " mmr_score long",
+    ).orderBy("rank")

@@ -41,6 +41,7 @@ EAGER_BUILD = {
     "q_record_linkage",
     "q_grid_dbscan",
     "q_dup_cluster_sizes",
+    "q_mmr_rerank",
     "q_blocking_quality",
     "q_sparse_cosine_pairs",
     "q_containment_dedup",
