@@ -281,6 +281,8 @@ HEADLINE = [
     "q_head_coverage",               # per-source N50 mass profile
     "q_embedding_norm_audit",        # vector-store QA gate
     "q_mmr_rerank",                  # serving-time diversity rerank
+    "q_neyman_allocation",           # optimal stratified design
+    "q_encoding_profile",            # RLE/DICT layout advisor
 ]
 
 

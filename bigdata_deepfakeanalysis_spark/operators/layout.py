@@ -658,3 +658,113 @@ def q_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND max_part_rows * 1000000 DIV n_rows <= {_ADV_MAX_SHARE}"
         ).alias("recommended"),
     ).orderBy("col")
+
+
+# ---------------------------------------------------------------------------
+# Columnar-encoding suitability profile — would this column RLE or
+# dictionary-encode well under the table's clustered order? Run
+# counts from per-key LAG windows (partitioned by orderkey, ordered
+# by linenumber — the storage sort), NDV from the same pass, and a
+# rule-based recommendation. The layout advisor a writer consults
+# before choosing parquet encodings.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_encoding_profile",
+    """
+    WITH runs AS (
+        SELECT
+            CASE WHEN l_returnflag IS DISTINCT FROM
+                 LAG(l_returnflag) OVER w THEN 1 ELSE 0 END AS r_rf,
+            CASE WHEN l_linestatus IS DISTINCT FROM
+                 LAG(l_linestatus) OVER w THEN 1 ELSE 0 END AS r_ls,
+            CASE WHEN l_suppkey IS DISTINCT FROM
+                 LAG(l_suppkey) OVER w THEN 1 ELSE 0 END AS r_sk,
+            l_returnflag, l_linestatus, l_suppkey
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+                     l_returnflag, l_linestatus, l_suppkey)),
+    unp AS (
+        SELECT 'l_returnflag' AS col_name, r_rf AS is_new,
+               l_returnflag AS val FROM runs
+        UNION ALL
+        SELECT 'l_linestatus', r_ls, l_linestatus FROM runs
+        UNION ALL
+        SELECT 'l_suppkey', r_sk, CAST(l_suppkey AS VARCHAR) FROM runs),
+    prof AS (
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_new) AS BIGINT) AS n_runs,
+               CAST(COUNT(DISTINCT val) AS BIGINT) AS ndv
+        FROM unp GROUP BY col_name)
+    SELECT col_name, n, n_runs, ndv,
+           CAST(n * 1000 // n_runs AS BIGINT) AS avg_run_milli,
+           CASE WHEN n * 1000 // n_runs >= 4000 THEN 'RLE'
+                WHEN ndv * 10 <= n THEN 'DICT'
+                ELSE 'PLAIN' END AS encoding
+    FROM prof ORDER BY col_name
+    """,
+)
+def q_encoding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding advisor over lineitem's clustered (orderkey,
+    linenumber) order (value columns appended as tie-breaks so the
+    within-order sequence is total — (orderkey, linenumber) alone is
+    not unique in this fixture): per-column run starts via
+    partitioned LAG windows (null-safe compare so each partition's
+    first row counts as a run — cross-order run merges are ignored, an error bounded
+    by the order count), exact NDV, mean run length in milli-rows,
+    and the RLE/DICT/PLAIN rule. One unpivot + one rollup after the
+    windows; every window partition is one order's handful of lines,
+    so the profile never global-sorts."""
+    li = table(spark, sf_dir, "lineitem")
+    runs = li.select(
+        F.expr(
+            "CASE WHEN NOT (l_returnflag <=> LAG(l_returnflag) OVER"
+            " (PARTITION BY l_orderkey ORDER BY l_linenumber,"
+            " l_returnflag, l_linestatus, l_suppkey))"
+            " THEN 1 ELSE 0 END"
+        ).alias("r_rf"),
+        F.expr(
+            "CASE WHEN NOT (l_linestatus <=> LAG(l_linestatus) OVER"
+            " (PARTITION BY l_orderkey ORDER BY l_linenumber,"
+            " l_returnflag, l_linestatus, l_suppkey))"
+            " THEN 1 ELSE 0 END"
+        ).alias("r_ls"),
+        F.expr(
+            "CASE WHEN NOT (l_suppkey <=> LAG(l_suppkey) OVER"
+            " (PARTITION BY l_orderkey ORDER BY l_linenumber,"
+            " l_returnflag, l_linestatus, l_suppkey))"
+            " THEN 1 ELSE 0 END"
+        ).alias("r_sk"),
+        "l_returnflag",
+        "l_linestatus",
+        "l_suppkey",
+    )
+    unp = runs.select(
+        F.expr(
+            "stack(3,"
+            " 'l_returnflag', r_rf, l_returnflag,"
+            " 'l_linestatus', r_ls, l_linestatus,"
+            " 'l_suppkey', r_sk, CAST(l_suppkey AS STRING))"
+            " AS (col_name, is_new, val)"
+        )
+    )
+    prof = unp.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_new").cast("bigint").alias("n_runs"),
+        F.countDistinct("val").cast("bigint").alias("ndv"),
+    )
+    return prof.select(
+        "col_name",
+        "n",
+        "n_runs",
+        "ndv",
+        F.expr("CAST(n * 1000 DIV n_runs AS BIGINT)").alias(
+            "avg_run_milli"
+        ),
+        F.expr(
+            "CASE WHEN n * 1000 DIV n_runs >= 4000 THEN 'RLE'"
+            " WHEN ndv * 10 <= n THEN 'DICT'"
+            " ELSE 'PLAIN' END"
+        ).alias("encoding"),
+    ).orderBy("col_name")

@@ -901,3 +901,99 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("fold", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified allocation — allocate a sample budget
+# across strata proportional to N_h * sigma_h (minimum-variance
+# design), not just N_h. Variances come from one pass of exact
+# integer/DECIMAL moments; IEEE sqrt is correctly rounded so sigma is
+# bit-identical cross-engine; weights floor to fixed point BEFORE the
+# ratio so the final allocation is pure integer math.
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+
+@query(
+    "q_neyman_allocation",
+    f"""
+    WITH cents AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    mom AS (
+        SELECT segment, COUNT(*) AS n,
+               SUM(c) AS s1,
+               SUM(CAST(c AS DECIMAL(38,0)) * c) AS s2
+        FROM cents GROUP BY segment),
+    sig AS (
+        SELECT segment, n,
+               sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1
+                         AS DOUBLE)) / n AS sigma_c,
+               CAST(floor(n * (sqrt(CAST(n * s2
+                        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) / n))
+                    AS BIGINT) AS w_fp
+        FROM mom)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_pop,
+           CAST(floor(sigma_c) AS BIGINT) AS sigma_c_floor,
+           w_fp,
+           CAST(w_fp * {_NEY_BUDGET} // SUM(w_fp) OVER () AS BIGINT)
+               AS neyman_alloc,
+           CAST(n * {_NEY_BUDGET} // SUM(n) OVER () AS BIGINT)
+               AS proportional_alloc
+    FROM sig ORDER BY segment
+    """,
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a 1000-draw budget across market
+    segments: stratum weight w = N·σ from one pass of exact moments
+    (the variance cancellation N·S2 − S1² stays in DECIMAL — the
+    q_ols_elasticity lesson), σ via IEEE-correctly-rounded sqrt,
+    weights floored to integers before the DIV ratio so allocations
+    hash exactly. The proportional column shows what naive
+    allocation would do — the delta is the variance the optimal
+    design saves. One fact join + one 5-row window."""
+    from ..catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    )
+    mom = cents.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("s2"),
+    )
+    sig = mom.select(
+        "segment",
+        "n",
+        F.expr(
+            "sqrt(CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+            " AS DOUBLE)) / n"
+        ).alias("sigma_c"),
+        F.expr(
+            "CAST(floor(n * (sqrt(CAST(n * s2"
+            " - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)) / n))"
+            " AS BIGINT)"
+        ).alias("w_fp"),
+    )
+    return sig.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_pop"),
+        F.expr("CAST(floor(sigma_c) AS BIGINT)").alias("sigma_c_floor"),
+        "w_fp",
+        F.expr(
+            f"CAST(w_fp * {_NEY_BUDGET} DIV SUM(w_fp) OVER ()"
+            " AS BIGINT)"
+        ).alias("neyman_alloc"),
+        F.expr(
+            f"CAST(n * {_NEY_BUDGET} DIV SUM(n) OVER () AS BIGINT)"
+        ).alias("proportional_alloc"),
+    ).orderBy("segment")
