@@ -283,6 +283,9 @@ HEADLINE = [
     "q_mmr_rerank",                  # serving-time diversity rerank
     "q_neyman_allocation",           # optimal stratified design
     "q_encoding_profile",            # RLE/DICT layout advisor
+    "q_chisq_residuals",             # per-cell dependence drill-down
+    "q_quantization_error",          # int8 reconstruction cost
+    "q_new_vs_returning",            # growth accounting by day
 ]
 
 

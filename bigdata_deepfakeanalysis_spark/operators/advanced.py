@@ -4381,3 +4381,70 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning users by day — the growth-accounting split: each
+# day's actives decompose into first-ever-seen and returning. First
+# appearance is one MIN rollup per user (the q_heaps_law idiom on
+# users instead of terms); no day ever rescans history.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_new_vs_returning",
+    f"""
+    WITH {EVENTS_US_CTE},
+    user_day AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us),
+    first_day AS (
+        SELECT user_id, MIN(day) AS day FROM user_day GROUP BY user_id),
+    news AS (
+        SELECT day, COUNT(*) AS n_new FROM first_day GROUP BY day),
+    actives AS (
+        SELECT day, COUNT(*) AS n_active FROM user_day GROUP BY day)
+    SELECT strftime(a.day, '%Y-%m-%d') AS day,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(a.n_active - COALESCE(n.n_new, 0) AS BIGINT)
+               AS n_returning,
+           CAST(COALESCE(n.n_new, 0) * 1000000 // a.n_active AS BIGINT)
+               AS new_share_ppm
+    FROM actives a LEFT JOIN news n ON a.day = n.day
+    ORDER BY day LIMIT 45
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever day) and
+    returning: one distinct to (user, day) grain, one MIN rollup for
+    first appearances, one day-grain join — the growth-accounting
+    decomposition without any cumulative rescan or window over
+    history. First 45 days shown; new_share_ppm trending to zero is
+    the saturation signal."""
+    ev = table(spark, sf_dir, "events")
+    user_day = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_day = user_day.groupBy("user_id").agg(F.min("day").alias("day"))
+    news = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    actives = user_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return (
+        actives.join(news, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.expr(
+                "CAST(n_active - COALESCE(n_new, 0) AS BIGINT)"
+            ).alias("n_returning"),
+            F.expr(
+                "CAST(COALESCE(n_new, 0) * 1000000 DIV n_active"
+                " AS BIGINT)"
+            ).alias("new_share_ppm"),
+        )
+        .orderBy("day")
+        .limit(45)
+    )

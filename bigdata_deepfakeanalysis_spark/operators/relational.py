@@ -5785,3 +5785,73 @@ def q_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square standardized residuals — the per-cell diagnostic behind
+# q_chi2_independence: which (segment, priority) cells actually drive
+# the dependence? r = (observed − expected)/sqrt(expected) with the
+# expectation an exact-operand rational; residuals floored to milli
+# units so the matrix hashes exactly.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_chisq_residuals",
+    """
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cells AS (
+        SELECT segment, priority, COUNT(*) AS o
+        FROM joined GROUP BY segment, priority),
+    m AS (
+        SELECT segment, priority, o,
+               SUM(o) OVER (PARTITION BY segment) AS row_n,
+               SUM(o) OVER (PARTITION BY priority) AS col_n,
+               SUM(o) OVER () AS n
+        FROM cells)
+    SELECT segment, priority, CAST(o AS BIGINT) AS observed,
+           CAST(row_n * col_n // n AS BIGINT) AS expected_floor,
+           CAST(floor((o - CAST(row_n AS DOUBLE) * col_n / n)
+                      / sqrt(CAST(row_n AS DOUBLE) * col_n / n)
+                      * 1000) AS BIGINT) AS residual_milli
+    FROM m ORDER BY segment, priority
+    """,
+)
+def q_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized residual per contingency cell of segment ×
+    order-priority: expected = row·col/n as one exact-operand double
+    chain (integer row/col/n margins from windows over the 25-cell
+    table), residual = (o − e)/√e floored to milli. |r| > 2 names the
+    cells that drive a significant chi-square — the drill-down the
+    scalar test can't give. All windows post-agg."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cells = joined.groupBy("segment", "priority").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    m = cells.select(
+        "segment",
+        "priority",
+        "o",
+        F.expr("SUM(o) OVER (PARTITION BY segment)").alias("row_n"),
+        F.expr("SUM(o) OVER (PARTITION BY priority)").alias("col_n"),
+        F.expr("SUM(o) OVER ()").alias("n"),
+    )
+    return m.select(
+        "segment",
+        "priority",
+        F.col("o").cast("bigint").alias("observed"),
+        F.expr("CAST(row_n * col_n DIV n AS BIGINT)").alias(
+            "expected_floor"
+        ),
+        F.expr(
+            "CAST(floor((o - CAST(row_n AS DOUBLE) * col_n / n)"
+            " / sqrt(CAST(row_n AS DOUBLE) * col_n / n)"
+            " * 1000) AS BIGINT)"
+        ).alias("residual_milli"),
+    ).orderBy("segment", "priority")

@@ -1567,3 +1567,80 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, vec_id long, rel long, max_sim_prev long,"
         " mmr_score long",
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Quantization-error audit — what does int8 scalar quantization cost
+# this embedding set? Per-label reconstruction error of the SQ8 map
+# q = round-to-floor(x·127/amax), dequant = q·amax/127, in exact
+# 1e-9 fixed point. The measurement behind the q_ann_sq8_rescore
+# design choice; run it before committing an index to int8.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quantization_error",
+    """
+    WITH amax AS (
+        SELECT MAX(a) AS m FROM (
+            SELECT MAX(abs(CAST(x AS DOUBLE))) AS a
+            FROM embeddings, UNNEST(embedding) AS t(x))),
+    errs AS (
+        SELECT e.label,
+               (SELECT SUM(CAST(floor(abs(
+                       CAST(e.embedding[pos_i + 1] AS DOUBLE)
+                       - floor(CAST(e.embedding[pos_i + 1] AS DOUBLE)
+                               * 127 / a.m) * a.m / 127)
+                       * 1000000000) AS BIGINT))
+                FROM (SELECT UNNEST(range(0, 64)) AS pos_i)) AS abs_err_fp
+        FROM embeddings e CROSS JOIN amax a)
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(abs_err_fp) AS BIGINT) AS sum_abs_err_nano,
+           CAST(SUM(abs_err_fp) // (COUNT(*) * 64) AS BIGINT)
+               AS mean_abs_err_nano
+    FROM errs GROUP BY label ORDER BY label
+    """,
+)
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization reconstruction error per label:
+    global amax from one stats pass (broadcast scalar), per-
+    coordinate |x − dequant(x)| with the quantizer spelled as
+    floor(x·127/amax) on both engines (floor, never CAST — Spark
+    truncates where DuckDB rounds), errors floored to 1e-9 fixed
+    point and rolled up per label. One scan + one broadcast + one
+    rollup; mean_abs_err_nano vs coordinate scale (~1e8 nano) reads
+    directly as relative error. Pairs with q_ann_sq8_rescore: this
+    measures what that design pays, before rescoring buys it back."""
+    from ..catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    amax = emb.select(
+        F.explode("embedding").alias("x")
+    ).agg(F.max(F.abs(F.expr("CAST(x AS DOUBLE)"))).alias("m"))
+    errs = emb.crossJoin(F.broadcast(amax)).select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding, x ->"
+            " CAST(floor(abs(CAST(x AS DOUBLE)"
+            " - floor(CAST(x AS DOUBLE) * 127 / m) * m / 127)"
+            " * 1000000000) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("abs_err_fp"),
+    )
+    return (
+        errs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("abs_err_fp").cast("bigint").alias("sum_abs_err_nano"),
+            F.expr(
+                "CAST(SUM(abs_err_fp) DIV (COUNT(*) * 64) AS BIGINT)"
+            ).alias("mean_abs_err_nano"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            "sum_abs_err_nano",
+            "mean_abs_err_nano",
+        )
+        .orderBy("label")
+    )
