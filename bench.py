@@ -286,6 +286,8 @@ HEADLINE = [
     "q_chisq_residuals",             # per-cell dependence drill-down
     "q_quantization_error",          # int8 reconstruction cost
     "q_new_vs_returning",            # growth accounting by day
+    "q_cohens_d",                    # effect size next to the z
+    "q_seasonality_strength",        # dow variance decomposition
 ]
 
 

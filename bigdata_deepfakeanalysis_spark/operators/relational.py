@@ -5855,3 +5855,165 @@ def q_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000) AS BIGINT)"
         ).alias("residual_milli"),
     ).orderBy("segment", "priority")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size — the magnitude companion of q_ab_test's
+# z-score: standardized mean difference between two segments' order
+# values with pooled variance, every moment exact, one sqrt. A/B
+# significance without effect size is how teams ship noise.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cohens_d",
+    """
+    WITH cents AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    mom AS (
+        SELECT segment, COUNT(*) AS n, SUM(v) AS s1,
+               SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2
+        FROM cents GROUP BY segment),
+    wide AS (
+        SELECT MAX(CASE WHEN segment = 'BUILDING' THEN n END) AS n1,
+               MAX(CASE WHEN segment = 'BUILDING' THEN s1 END) AS a1,
+               MAX(CASE WHEN segment = 'BUILDING' THEN s2 END) AS b1,
+               MAX(CASE WHEN segment = 'MACHINERY' THEN n END) AS n2,
+               MAX(CASE WHEN segment = 'MACHINERY' THEN s1 END) AS a2,
+               MAX(CASE WHEN segment = 'MACHINERY' THEN s2 END) AS b2
+        FROM mom)
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(a1 // n1 - a2 // n2 AS BIGINT) AS mean_diff_c_floor,
+           CAST(floor((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)
+                / sqrt(((CAST(b1 AS DOUBLE)
+                         - CAST(a1 AS DOUBLE) / n1 * a1)
+                      + (CAST(b2 AS DOUBLE)
+                         - CAST(a2 AS DOUBLE) / n2 * a2))
+                       / (n1 + n2 - 2))
+                * 1000000) AS BIGINT) AS cohens_d_micro
+    FROM wide
+    """,
+)
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d between BUILDING and MACHINERY order values: group
+    moments in exact BIGINT/DECIMAL cents, pooled SD from the
+    two-group sum-of-squares identity (SS = S2 − S1²/n, each term an
+    exact-operand double chain), d floored to micro units. One fact
+    join + one 2-row rollup; read alongside q_ab_test — z says
+    "real", d says "big enough to matter"."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    mom = cents.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("s2"),
+    )
+    wide = mom.agg(
+        F.expr("MAX(CASE WHEN segment = 'BUILDING' THEN n END)").alias("n1"),
+        F.expr("MAX(CASE WHEN segment = 'BUILDING' THEN s1 END)").alias("a1"),
+        F.expr("MAX(CASE WHEN segment = 'BUILDING' THEN s2 END)").alias("b1"),
+        F.expr("MAX(CASE WHEN segment = 'MACHINERY' THEN n END)").alias("n2"),
+        F.expr("MAX(CASE WHEN segment = 'MACHINERY' THEN s1 END)").alias("a2"),
+        F.expr("MAX(CASE WHEN segment = 'MACHINERY' THEN s2 END)").alias("b2"),
+    )
+    return wide.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.expr("CAST(a1 DIV n1 - a2 DIV n2 AS BIGINT)").alias(
+            "mean_diff_c_floor"
+        ),
+        F.expr(
+            "CAST(floor((CAST(a1 AS DOUBLE) / n1 - CAST(a2 AS DOUBLE) / n2)"
+            " / sqrt(((CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) / n1 * a1)"
+            " + (CAST(b2 AS DOUBLE) - CAST(a2 AS DOUBLE) / n2 * a2))"
+            " / (n1 + n2 - 2)) * 1000000) AS BIGINT)"
+        ).alias("cohens_d_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality strength (eta-squared) — how much of daily revenue
+# variance does day-of-week explain? Classic variance decomposition
+# SS_between/SS_total in integer ppm off exact daily cents; the
+# one-number answer to "is the weekly pattern worth modeling".
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_seasonality_strength",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               isodow(o_orderdate) AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1, 2),
+    mom AS (
+        SELECT dow, COUNT(*) AS n, SUM(rev_c) AS s1,
+               SUM(CAST(rev_c AS DECIMAL(38,0)) * rev_c) AS s2
+        FROM daily GROUP BY dow),
+    tot AS (
+        SELECT SUM(n) AS n, SUM(s1) AS s1,
+               SUM(s2) AS s2,
+               SUM(CAST(s1 AS DECIMAL(38,0)) * s1 / n) AS between_raw
+        FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(floor((CAST(between_raw AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) / n * s1)
+                / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                * 1000000) AS BIGINT) AS eta2_ppm
+    FROM tot
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eta-squared of day-of-week on daily revenue: SS_between =
+    Σ s1_g²/n_g − S1²/N over the 7 dow groups, SS_total = S2 − S1²/N,
+    ratio floored to ppm. Daily cents are exact; the 7-group moment
+    table is the only shuffled object; the decomposition itself is
+    row-local arithmetic on one row. eta² near zero says the weekly
+    seasonal index (q_seasonal_index) would be modeling noise."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("rev_c")
+    )
+    mom = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("s1"),
+        F.expr("SUM(CAST(rev_c AS DECIMAL(38,0)) * rev_c)").alias("s2"),
+    )
+    tot = mom.agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.expr("SUM(CAST(s1 AS DECIMAL(38,0)) * s1 / n)").alias(
+            "between_raw"
+        ),
+    )
+    return tot.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(floor((CAST(between_raw AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) / n * s1)"
+            " / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)"
+            " * 1000000) AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
