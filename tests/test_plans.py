@@ -817,3 +817,37 @@ def test_acf_lag_join_is_broadcast_over_day_series(spark):
     plan = _plan(all_queries()["q_acf_daily_revenue"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_ci_is_single_scan_conditional_agg(spark):
+    """q_bootstrap_ci: the 100 replicates must NOT materialize as an
+    explode/cross-join of the fact table — the plan has exactly one
+    orders scan feeding a wide HashAggregate, no Generate and no
+    nested-loop join before the aggregate."""
+    plan = _plan(all_queries()["q_bootstrap_ci"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_silhouette_broadcasts_centroid_table(spark):
+    """q_centroid_silhouette: the (label, dim) centroid-sum table is
+    broadcast into the per-point explode — a shuffle join there would
+    re-shuffle the whole exploded fact stream."""
+    plan = _plan(all_queries()["q_centroid_silhouette"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_vocab_jaccard_broadcasts_sizes(spark):
+    """q_source_vocab_jaccard: per-source vocab sizes join broadcast;
+    only the term-keyed intersection self-join may shuffle."""
+    plan = _plan(all_queries()["q_source_vocab_jaccard"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorized_mean_bounds_are_broadcast(spark):
+    """q_winsorized_mean: the per-group P5/P95 boundary table joins
+    broadcast — the clamp is row-local, never a shuffled join."""
+    plan = _plan(all_queries()["q_winsorized_mean"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
