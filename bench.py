@@ -288,6 +288,7 @@ HEADLINE = [
     "q_new_vs_returning",            # growth accounting by day
     "q_cohens_d",                    # effect size next to the z
     "q_seasonality_strength",        # dow variance decomposition
+    "q_rake_keywords",               # unsupervised keyphrases
 ]
 
 

@@ -4047,3 +4047,109 @@ def q_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction — stopword-delimited candidate phrases,
+# word degree/frequency statistics over the whole corpus, phrase
+# score = sum(deg(w)/freq(w)) in integer milli units (DIV per term,
+# identical truncation both engines). The unsupervised keyphrase
+# extractor (Rose et al. 2010) as two rollups and a join — no NLP
+# runtime anywhere.
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 15
+
+# stopword-delimited phrase list, space-normalized — shared stopword
+# set with token_stats (_STOPWORDS)
+_RAKE_PHRASES = (
+    "filter(transform(split(regexp_replace(lower(text),"
+    " '\\\\b(the|a|of|and|in)\\\\b', '|'), '[|]'),"
+    " p -> trim(regexp_replace(regexp_replace(p, '[^a-z0-9 ]', ' '),"
+    " ' +', ' '))), p -> p != '')"
+)
+_RAKE_PHRASES_SQL = (
+    "list_filter(list_transform(string_split_regex("
+    "regexp_replace(lower(text), '\\b(the|a|of|and|in)\\b', '|', 'g'),"
+    " '[|]'), p -> trim(regexp_replace(regexp_replace(p,"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), p -> p <> '')"
+)
+
+
+@query(
+    "q_rake_keywords",
+    f"""
+    WITH phrases AS (
+        SELECT UNNEST({_RAKE_PHRASES_SQL}) AS phrase FROM documents),
+    pw AS (
+        SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w,
+               len(string_split(phrase, ' ')) AS plen
+        FROM phrases),
+    stats AS (
+        SELECT w, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+        FROM pw GROUP BY w),
+    distinct_p AS (
+        SELECT phrase, COUNT(*) AS n_occ FROM phrases GROUP BY phrase),
+    scored AS (
+        SELECT d.phrase, d.n_occ,
+               CAST(SUM(s.deg * 1000 // s.freq) AS BIGINT) AS score_milli
+        FROM (SELECT phrase, UNNEST(string_split(phrase, ' ')) AS w
+              FROM distinct_p) t
+        JOIN distinct_p d ON t.phrase = d.phrase
+        JOIN stats s ON t.w = s.w
+        GROUP BY d.phrase, d.n_occ)
+    SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score_milli
+    FROM scored
+    ORDER BY score_milli DESC, phrase LIMIT {_RAKE_TOP}
+    """,
+)
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_RAKE_TOP} RAKE keyphrases: candidate phrases are the
+    stopword/punctuation-delimited runs (row-local regex split, no
+    NLP library), word degree = sum of host-phrase lengths and word
+    frequency come from one rollup, and each distinct phrase scores
+    sum(deg·1000 DIV freq) through a word-keyed join. Longer
+    multi-word phrases win by construction — the RAKE property. At
+    100 TB the word-stats table is vocabulary-sized and broadcasts;
+    phrases never pairwise-join."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    phrases = docs.select(
+        F.explode(F.expr(_RAKE_PHRASES)).alias("phrase")
+    )
+    pw = phrases.select(
+        "phrase",
+        F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    stats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    distinct_p = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    scored = (
+        distinct_p.select(
+            "phrase",
+            "n_occ",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(stats), "w")
+        .groupBy("phrase", "n_occ")
+        .agg(
+            F.expr("CAST(SUM(deg * 1000 DIV freq) AS BIGINT)").alias(
+                "score_milli"
+            )
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            F.col("n_occ").cast("bigint").alias("n_occ"),
+            "score_milli",
+        )
+        .orderBy(F.desc("score_milli"), "phrase")
+        .limit(_RAKE_TOP)
+    )
