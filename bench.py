@@ -289,6 +289,8 @@ HEADLINE = [
     "q_cohens_d",                    # effect size next to the z
     "q_seasonality_strength",        # dow variance decomposition
     "q_rake_keywords",               # unsupervised keyphrases
+    "q_incremental_file_pickup",     # modifiedAfter listing prune
+    "q_batch_retrieval",             # multi-query one-pass scoring
 ]
 
 

@@ -983,3 +983,53 @@ def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("group")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental directory pickup — the batch-ingest idiom for "only
+# files that landed since the last run": two staged parquet batches
+# with controlled mtimes, read back through recursiveFileLookup +
+# modifiedAfter so listing-level pruning (not a filter!) drops the
+# old batch before any bytes are scanned.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_incremental_file_pickup",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_nationkey >= 13
+    ORDER BY n_nationkey
+    """,
+)
+def q_incremental_file_pickup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """modifiedAfter ingest: the 'old' batch (nationkey < 13) is
+    staged with a 2020 mtime, the 'new' batch with a 2024 mtime, and
+    the read lists the whole tree but keeps only files modified after
+    2022 — Spark's file-index prunes at LISTING time, so the old
+    batch contributes zero scan tasks (the cheap cursor for daily
+    landing zones when a transactional table format isn't in play;
+    the registered CDC/snapshot ops are the upgrade path). Oracle =
+    the new batch's predicate on the base table."""
+    import os
+
+    base = staging_dir("incremental_pickup")
+    nat = table(spark, sf_dir, "nation")
+    old_dir, new_dir = str(base / "old"), str(base / "new")
+    nat.where(F.col("n_nationkey") < 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").parquet(old_dir)
+    nat.where(F.col("n_nationkey") >= 13).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).coalesce(1).write.mode("overwrite").parquet(new_dir)
+    old_t = 1577836800  # 2020-01-01
+    new_t = 1717200000  # 2024-06-01
+    for d, t in ((old_dir, old_t), (new_dir, new_t)):
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("modifiedAfter", "2022-01-01T00:00:00")
+        .parquet(str(base))
+        .orderBy("n_nationkey")
+    )

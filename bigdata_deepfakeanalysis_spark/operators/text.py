@@ -4153,3 +4153,111 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_milli"), "phrase")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch multi-query retrieval — score MANY queries in one plan: a
+# broadcast (qid, term) query table joins the postings once, per-
+# (qid, doc) integer tf·idf scores, top-3 per query from a qid-
+# partitioned window. The multi-tenant serving shape: query count
+# scales the broadcast, never the corpus scans.
+# ---------------------------------------------------------------------------
+
+_BATCHQ = [
+    (1, "table"), (1, "spark"),
+    (2, "data"), (2, "query"),
+    (3, "join"), (3, "group"),
+]
+_BATCHQ_SQL = ", ".join(f"({q}, '{t}')" for q, t in _BATCHQ)
+
+
+@query(
+    "q_batch_retrieval",
+    f"""
+    WITH qt AS (
+        SELECT * FROM (VALUES {_BATCHQ_SQL}) AS v(qid, term)),
+    toks AS (
+        SELECT doc_id, UNNEST({{toks}}) AS w FROM documents),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+        SELECT t.doc_id, t.w, COUNT(*) AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM qt) q ON t.w = q.term
+        GROUP BY t.doc_id, t.w),
+    idf AS (
+        SELECT w, CAST(floor(ln(CAST(n.n AS DOUBLE)
+                                / COUNT(DISTINCT doc_id)) * 1000000)
+                       AS BIGINT) AS idf_fp
+        FROM tf CROSS JOIN n_docs n GROUP BY w, n.n),
+    scored AS (
+        SELECT q.qid, t.doc_id,
+               CAST(SUM(t.tf * i.idf_fp) AS BIGINT) AS score_fp,
+               COUNT(*) AS n_terms_hit
+        FROM tf t JOIN idf i ON t.w = i.w JOIN qt q ON t.w = q.term
+        GROUP BY q.qid, t.doc_id)
+    SELECT CAST(qid AS INT) AS qid, doc_id,
+           CAST(n_terms_hit AS BIGINT) AS n_terms_hit, score_fp,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT qid, doc_id, n_terms_hit, score_fp,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score_fp DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= 3 ORDER BY qid, rk
+    """.replace("{toks}", _TOKS_SQL),
+)
+def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three queries scored in ONE pass: the (qid, term) table is a
+    plan-time broadcast literal, postings are filtered to the union
+    of all query terms before any aggregation, scores are integer
+    tf·idf_fp (the q_rrf_fusion fixed-point idf), and each query's
+    top-3 comes from a qid-partitioned window — never a global sort.
+    Adding the 4th..1000th query changes only the broadcast; the
+    corpus is still scanned once. The batch-serving counterpart of
+    the single-probe q_bm25_topdocs."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    qt = docs.sparkSession.createDataFrame(
+        _BATCHQ, "qid int, term string"
+    )
+    terms = sorted({t for _, t in _BATCHQ})
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("w"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        toks.where(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .groupBy("w", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "w",
+            F.expr(
+                "CAST(floor(ln(CAST(n AS DOUBLE) / df) * 1000000)"
+                " AS BIGINT)"
+            ).alias("idf_fp"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(F.broadcast(qt), F.col("w") == F.col("term"))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.expr("CAST(SUM(tf * idf_fp) AS BIGINT)").alias("score_fp"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_fp"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            "doc_id",
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+            "score_fp",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("qid", "rk")
+    )

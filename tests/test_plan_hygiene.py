@@ -50,6 +50,7 @@ EAGER_BUILD = {
     "q_bpe_merges",
     # staged-write builds (write during DataFrame construction)
     "q_schema_evolution_scan",
+    "q_incremental_file_pickup",
     "q_dynamic_partition_overwrite",
     "q_compaction_execute",
     "q_jdbc_roundtrip",
