@@ -291,6 +291,9 @@ HEADLINE = [
     "q_rake_keywords",               # unsupervised keyphrases
     "q_incremental_file_pickup",     # modifiedAfter listing prune
     "q_batch_retrieval",             # multi-query one-pass scoring
+    "q_l_diversity",                 # homogeneity-attack audit
+    "q_retention_audit",             # TTL partition sweep
+    "q_table_checksum",              # replication content hash
 ]
 
 

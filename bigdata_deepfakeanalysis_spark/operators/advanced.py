@@ -4448,3 +4448,193 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(45)
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit — k-anonymity's necessary companion: a QI group
+# can be k-large yet leak if everyone shares the same sensitive
+# value. Per (nation, segment) group: size, distinct sensitive
+# values (order-priority band of the customer's orders), and the
+# most-frequent-value share in ppm; the release flag is the
+# distinct-l >= L rule.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@query(
+    "q_l_diversity",
+    f"""
+    WITH joined AS (
+        SELECT CAST(c.c_nationkey AS VARCHAR) AS nat,
+               c.c_mktsegment AS seg,
+               o.o_orderpriority AS sens
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+    per_val AS (
+        SELECT nat, seg, sens, COUNT(*) AS n
+        FROM joined GROUP BY nat, seg, sens),
+    per_grp AS (
+        SELECT nat, seg,
+               CAST(SUM(n) AS BIGINT) AS group_n,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               CAST(MAX(n) AS BIGINT) AS top_val_n
+        FROM per_val GROUP BY nat, seg)
+    SELECT nat AS nat_qi, seg AS seg_qi, group_n, l_distinct,
+           CAST(top_val_n * 1000000 // group_n AS BIGINT)
+               AS top_share_ppm,
+           l_distinct >= {_LDIV_L} AS diverse_flag
+    FROM per_grp ORDER BY nat_qi, seg_qi
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity (L={_LDIV_L}) over the same
+    (nation, segment) QI as q_k_anonymity, with order priority as the
+    sensitive attribute: per-group distinct sensitive count, the
+    dominant value's share in ppm (the homogeneity-attack measure),
+    and the release flag. Two nested rollups, no windows; at scale
+    this is one shuffle to the (QI, sensitive) grain then group-
+    table-sized work. Read with q_k_anonymity — size alone is not
+    privacy."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    joined = c.join(o, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    per_val = joined.groupBy("nat", "seg", "sens").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_grp = per_val.groupBy("nat", "seg").agg(
+        F.sum("n").cast("bigint").alias("group_n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("n").cast("bigint").alias("top_val_n"),
+    )
+    return per_grp.select(
+        F.col("nat").alias("nat_qi"),
+        F.col("seg").alias("seg_qi"),
+        "group_n",
+        "l_distinct",
+        F.expr(
+            "CAST(top_val_n * 1000000 DIV group_n AS BIGINT)"
+        ).alias("top_share_ppm"),
+        (F.col("l_distinct") >= _LDIV_L).alias("diverse_flag"),
+    ).orderBy("nat_qi", "seg_qi")
+
+
+# ---------------------------------------------------------------------------
+# Retention/TTL audit — the governance sweep before a deletion run:
+# per order-month, rows past a fixed TTL cutoff, the month's share of
+# expired mass, and whether the whole partition can drop (everything
+# expired → metadata-only delete) or needs a rewrite.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_retention_audit",
+    """
+    WITH base AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS month,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS expired
+        FROM orders),
+    per_month AS (
+        SELECT month, COUNT(*) AS n_rows,
+               CAST(SUM(expired) AS BIGINT) AS n_expired
+        FROM base GROUP BY month)
+    SELECT month, CAST(n_rows AS BIGINT) AS n_rows, n_expired,
+           CAST(n_expired * 1000000 // n_rows AS BIGINT)
+               AS expired_share_ppm,
+           CASE WHEN n_expired = n_rows THEN 'DROP_PARTITION'
+                WHEN n_expired = 0 THEN 'KEEP'
+                ELSE 'REWRITE' END AS action
+    FROM per_month ORDER BY month
+    """,
+)
+def q_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL sweep over order months against a fixed 1998-01-01 cutoff
+    (mid-range for this fixture's 1995-2001 span): per month-
+    partition row counts, expired counts, expired share in ppm, and
+    the DROP_PARTITION / REWRITE / KEEP action a retention job would
+    take — month-aligned data makes every expired partition a
+    metadata-only drop, which is exactly why layout and retention
+    policy must agree. One rollup; the action column is row-local."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            1,
+        )
+        .otherwise(0)
+        .alias("expired"),
+    )
+    per_month = base.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("expired").cast("bigint").alias("n_expired"),
+    )
+    return per_month.select(
+        "month",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "n_expired",
+        F.expr(
+            "CAST(n_expired * 1000000 DIV n_rows AS BIGINT)"
+        ).alias("expired_share_ppm"),
+        F.expr(
+            "CASE WHEN n_expired = n_rows THEN 'DROP_PARTITION'"
+            " WHEN n_expired = 0 THEN 'KEEP'"
+            " ELSE 'REWRITE' END"
+        ).alias("action"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Table checksum — order-independent content fingerprint for
+# replication / migration verification: each row canonicalizes to a
+# string, hashes to a 32-bit word, and the table's checksum is the
+# exact BIGINT sum (commutative, so partitioning and row order can't
+# change it). Two tables diff by comparing one row.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_table_checksum",
+    """
+    WITH rows_c AS (
+        SELECT ('0x' || substr(md5(
+                   CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                   CAST(c_nationkey AS VARCHAR) || '|' ||
+                   CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+                   || '|' || c_mktsegment), 1, 8))::BIGINT AS h
+        FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) AS BIGINT) AS checksum,
+           CAST(MIN(h) AS BIGINT) AS min_h,
+           CAST(MAX(h) AS BIGINT) AS max_h
+    FROM rows_c
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum of customer: canonical row string (money
+    snapped to DECIMAL(18,2) so both engines print identically — the
+    q_analyze_stats lesson), md5 → 32-bit word, order-independent
+    BIGINT sum plus min/max sentinels. Replicas, migrations, and
+    engine ports verify by comparing this one row; the sum form
+    means the check is partial-aggregation-friendly and immune to
+    row order and partitioning. One scan, one agg."""
+    c = table(spark, sf_dir, "customer")
+    rows_c = c.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat("
+            "CAST(c_custkey AS STRING), '|', c_name, '|',"
+            "CAST(c_nationkey AS STRING), '|',"
+            "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING),"
+            " '|', c_mktsegment)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h")
+    )
+    return rows_c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("h").cast("bigint").alias("checksum"),
+        F.min("h").cast("bigint").alias("min_h"),
+        F.max("h").cast("bigint").alias("max_h"),
+    )
