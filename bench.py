@@ -294,6 +294,8 @@ HEADLINE = [
     "q_l_diversity",                 # homogeneity-attack audit
     "q_retention_audit",             # TTL partition sweep
     "q_table_checksum",              # replication content hash
+    "q_catalog_census",              # warehouse discovery scan
+    "q_embedding_drift",             # batch centroid-shift check
 ]
 
 

@@ -2024,3 +2024,106 @@ def q_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift between batches — per-label centroid shift between
+# the even/odd vec_id halves (proxy for model-version or time-window
+# batches): ||mu_a - mu_b||^2 as the exact rational
+# ||n_b*s_a - n_a*s_b||^2 / (n_a*n_b)^2, so drift is measured without
+# ever materializing float centroids. The ML-ops check before mixing
+# two featurizer runs in one index.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_embedding_drift",
+    """
+    WITH xq AS (
+        SELECT vec_id, label, vec_id % 2 AS half, pos,
+               CAST(floor(CAST(embedding[pos + 1] AS DOUBLE) * 16384)
+                    AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos)),
+    sums AS (
+        SELECT label, half, pos, CAST(SUM(q) AS BIGINT) AS s
+        FROM xq GROUP BY label, half, pos),
+    ns AS (
+        SELECT label, half, COUNT(*) AS n
+        FROM (SELECT DISTINCT vec_id, label, vec_id % 2 AS half
+              FROM embeddings) GROUP BY label, half),
+    wide AS (
+        SELECT a.label, a.pos, a.s AS sa, b.s AS sb, na.n AS na, nb.n AS nb
+        FROM sums a
+        JOIN sums b ON a.label = b.label AND a.pos = b.pos
+                   AND a.half = 0 AND b.half = 1
+        JOIN ns na ON na.label = a.label AND na.half = 0
+        JOIN ns nb ON nb.label = a.label AND nb.half = 1),
+    d AS (
+        SELECT label, na, nb,
+               CAST(SUM((nb * sa - na * sb) * (nb * sa - na * sb))
+                    AS DOUBLE)
+                   / (CAST(na AS DOUBLE) * nb * na * nb) AS drift2
+        FROM wide GROUP BY label, na, nb)
+    SELECT CAST(label AS INT) AS label,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(floor(drift2) AS BIGINT) AS drift2_floor
+    FROM d ORDER BY label
+    """,
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid shift per label between even/odd vec_id halves:
+    integer coordinate sums per (label, half, dim), squared shift via
+    the common-denominator identity ||n_b·s_a − n_a·s_b||²/(n_a·n_b)²
+    (every numerator term an exact BIGINT; one double division
+    chain), floored for the hash. Near-zero drift says the halves
+    come from the same distribution — the green light for merging
+    featurizer batches into one ANN index. Everything is hash aggs
+    over (label, half, dim) — 1,280 rows — plus one broadcast-sized
+    join."""
+    emb = table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                " * 16384) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    sums = xq.groupBy("label", "half", "pos").agg(
+        F.sum("q").cast("bigint").alias("s")
+    )
+    ns = emb.select(
+        "label", (F.col("vec_id") % 2).alias("half")
+    ).groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = sums.where(F.col("half") == 0).select(
+        "label", "pos", F.col("s").alias("sa")
+    )
+    b = sums.where(F.col("half") == 1).select(
+        "label", "pos", F.col("s").alias("sb")
+    )
+    na = ns.where(F.col("half") == 0).select(
+        "label", F.col("n").alias("na")
+    )
+    nb = ns.where(F.col("half") == 1).select(
+        "label", F.col("n").alias("nb")
+    )
+    wide = (
+        a.join(b, ["label", "pos"])
+        .join(F.broadcast(na), "label")
+        .join(F.broadcast(nb), "label")
+    )
+    d = wide.groupBy("label", "na", "nb").agg(
+        F.expr(
+            "CAST(SUM((nb * sa - na * sb) * (nb * sa - na * sb))"
+            " AS DOUBLE) / (CAST(na AS DOUBLE) * nb * na * nb)"
+        ).alias("drift2")
+    )
+    return d.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.expr("CAST(floor(drift2) AS BIGINT)").alias("drift2_floor"),
+    ).orderBy("label")

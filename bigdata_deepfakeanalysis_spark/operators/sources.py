@@ -1033,3 +1033,59 @@ def q_incremental_file_pickup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(str(base))
         .orderBy("n_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog census — one row per registered table: row count and column
+# count. The discovery query every catalog/metastore UI runs first;
+# ten independent count aggregates union into one result, each a
+# count-star parquet scan (statistics-only at the footer level).
+# ---------------------------------------------------------------------------
+
+_CENSUS_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _census_branch(t: str) -> str:
+    # the engine's events surface includes the ts_ns normalization
+    # column (catalog.table) — describe events_us, not raw events
+    src_t = (
+        "(SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts,"
+        " epoch_ns(ts) AS ts_ns, user_id, event_type, value, props"
+        " FROM events)" if t == "events" else t
+    )
+    return (
+        f"SELECT '{t}' AS table_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT)"
+        f" FROM (DESCRIBE SELECT * FROM {src_t})) AS n_cols FROM {src_t}"
+    )
+
+
+@query(
+    "q_catalog_census",
+    " UNION ALL ".join(_census_branch(t) for t in _CENSUS_TABLES)
+    + " ORDER BY table_name",
+)
+def q_catalog_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row and column counts for every table in the engine's catalog,
+    one result row each, unioned and ordered. Each branch is a
+    count-star over parquet — Spark answers it from row-group
+    statistics without materializing columns — and the column count
+    is schema metadata, free at plan time. The first query any data
+    catalog issues against a new warehouse."""
+    from functools import reduce
+
+    dfs = []
+    for t in _CENSUS_TABLES:
+        df = table(spark, sf_dir, t)
+        dfs.append(
+            df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+                F.lit(t).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).cast("bigint").alias("n_cols"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), dfs).orderBy("table_name")
