@@ -296,6 +296,8 @@ HEADLINE = [
     "q_table_checksum",              # replication content hash
     "q_catalog_census",              # warehouse discovery scan
     "q_embedding_drift",             # batch centroid-shift check
+    "q_price_index",                 # Laspeyres composite index
+    "q_dup_flow_matrix",             # cross-source dup provenance
 ]
 
 

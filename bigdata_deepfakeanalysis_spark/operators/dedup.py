@@ -2285,3 +2285,79 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication flow matrix — WHERE do the near-dups come
+# from? LSH candidate pairs joined to their sources: (source_a,
+# source_b) pair counts with canonical ordering, separating
+# within-source republication from cross-source copying. The
+# provenance readout a curation team reads before deciding which
+# source to drop.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dup_flow_matrix",
+    f"""
+    WITH {AUG_DOCS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    {_MINHASH_PAIRS_CTE.strip()},
+    src AS (SELECT doc_id, source FROM aug_docs),
+    flows AS (
+        SELECT LEAST(sa.source, sb.source) AS source_a,
+               GREATEST(sa.source, sb.source) AS source_b,
+               COUNT(*) AS n_pairs
+        FROM pairs p
+        JOIN src sa ON p.doc_a = sa.doc_id
+        JOIN src sb ON p.doc_b = sb.doc_id
+        GROUP BY 1, 2)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+           source_a = source_b AS within_source
+    FROM flows ORDER BY n_pairs DESC, source_a, source_b LIMIT 25
+    """,
+)
+def q_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 near-dup flows between sources: the MinHash+LSH
+    candidate pairs (same pipeline as q_dedup_components) join their
+    endpoints' sources — two broadcast-sized joins on the pair table
+    — and roll up to a canonically-ordered (source_a, source_b)
+    matrix with a within-source flag. Heavy off-diagonal cells name
+    the mirror/scraper relationships; heavy diagonals are
+    republication inside one source. Cost beyond the banded join is
+    pair-table-sized."""
+    docs = aug_docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_bands(docs, k=12, band_rows=3))
+    src = docs.select("doc_id", "source")
+    flows = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        flows.select(
+            "source_a",
+            "source_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("source_a") == F.col("source_b")).alias(
+                "within_source"
+            ),
+        )
+        .orderBy(F.desc("n_pairs"), "source_a", "source_b")
+        .limit(25)
+    )

@@ -6017,3 +6017,78 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("eta2_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index — base-year-basket inflation between 1996 and
+# 2000: per-part unit prices floored to cents, base-year quantities
+# as weights, index = sum(p1*q0)/sum(p0*q0) in ppm. The econ-style
+# composite index as two rollups + one part-keyed join.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_price_index",
+    """
+    WITH px AS (
+        SELECT l_partkey AS pk,
+               EXTRACT(year FROM l_shipdate) AS yr,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_c,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) IN (1996, 2000)
+        GROUP BY 1, 2),
+    base AS (
+        SELECT pk, rev_c * 1 // qty AS p0, qty AS q0
+        FROM px WHERE yr = 1996 AND qty > 0),
+    cur AS (
+        SELECT pk, rev_c * 1 // qty AS p1
+        FROM px WHERE yr = 2000 AND qty > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(b.p0 * b.q0) AS BIGINT) AS basket_base_c,
+           CAST(SUM(c.p1 * b.q0) AS BIGINT) AS basket_cur_c,
+           CAST(SUM(c.p1 * b.q0) * 1000000 // SUM(b.p0 * b.q0)
+                AS BIGINT) AS laspeyres_ppm
+    FROM base b JOIN cur c ON b.pk = c.pk
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres index (base 1996, current 2000) over the common-part
+    basket: per-part unit price = revenue cents DIV quantity (floored
+    identically both engines), base-year quantities weight both
+    baskets, index in ppm from one exact integer ratio. Two filtered
+    rollups and one part-keyed join — the composite-index shape used
+    for price, cost, and CPI-style metrics at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    px = (
+        li.where(F.year("l_shipdate").isin(1996, 2000))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("rev_c"),
+            F.expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias(
+                "qty"
+            ),
+        )
+    )
+    base = px.where((F.col("yr") == 1996) & (F.col("qty") > 0)).select(
+        "pk",
+        F.expr("rev_c DIV qty").alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    cur = px.where((F.col("yr") == 2000) & (F.col("qty") > 0)).select(
+        "pk", F.expr("rev_c DIV qty").alias("p1")
+    )
+    return base.join(cur, "pk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.expr("CAST(SUM(p0 * q0) AS BIGINT)").alias("basket_base_c"),
+        F.expr("CAST(SUM(p1 * q0) AS BIGINT)").alias("basket_cur_c"),
+        F.expr(
+            "CAST(SUM(p1 * q0) * 1000000 DIV SUM(p0 * q0) AS BIGINT)"
+        ).alias("laspeyres_ppm"),
+    )
