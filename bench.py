@@ -298,6 +298,8 @@ HEADLINE = [
     "q_embedding_drift",             # batch centroid-shift check
     "q_price_index",                 # Laspeyres composite index
     "q_dup_flow_matrix",             # cross-source dup provenance
+    "q_fisher_scores",               # dimension-level attribution
+    "q_intradoc_redundancy",         # row-local template detector
 ]
 
 

@@ -332,3 +332,93 @@ def q_occlusion_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_top.cell").alias("top_cell"),
         F.col("_top.contrib").alias("top_contrib"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Fisher discriminability scores — which embedding DIMENSIONS carry
+# the label signal? Per-dimension Fisher ratio (between-class
+# variance of class means over mean within-class variance) from one
+# pass of exact (label, dim) integer moments. The model-free feature
+# attribution that tells you which channels a probe/classifier will
+# lean on — the global complement of the per-sample occlusion map.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_fisher_scores",
+    """
+    WITH xq AS (
+        SELECT label, pos_i AS pos,
+               CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE) * 16384)
+                    AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos_i)),
+    cls AS (
+        SELECT pos, label, COUNT(*) AS n, SUM(q) AS s1,
+               SUM(CAST(q AS DECIMAL(38,0)) * q) AS s2
+        FROM xq GROUP BY pos, label),
+    per_dim AS (
+        SELECT pos,
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               -- between: sum_c n_c*(mu_c - mu)^2, via sum n*mu^2 - N*mu^2
+               CAST(SUM(CAST(s1 AS DOUBLE) / n * s1) AS DOUBLE)
+                   - CAST(SUM(s1) AS DOUBLE) / SUM(n) * SUM(s1)
+                   AS between_ss,
+               -- within: sum_c (s2_c - s1_c^2/n_c)
+               CAST(SUM(CAST(s2 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) / n * s1) AS DOUBLE)
+                   AS within_ss
+        FROM cls GROUP BY pos)
+    SELECT CAST(pos AS INT) AS dim,
+           CAST(floor(between_ss / within_ss * 1000000) AS BIGINT)
+               AS fisher_micro
+    FROM per_dim
+    ORDER BY fisher_micro DESC, dim LIMIT 10
+    """,
+)
+def q_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most label-discriminative embedding dimensions by the
+    Fisher ratio: per-(dim, label) integer moments in one pass
+    (quantized 2^14 coordinates, squares in DECIMAL), between- and
+    within-class sums of squares assembled from exact-operand double
+    chains, ratio floored to micro units. A 640-row moment table is
+    all that shuffles. Reads as global feature importance next to
+    q_occlusion_sensitivity's per-sample maps; dims that top this
+    list should dominate q_centroid_classifier's margins."""
+    from .catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    xq = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                " * 16384) AS BIGINT))"
+            )
+        ).alias("pos", "q"),
+    )
+    cls = xq.groupBy("pos", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.expr("SUM(CAST(q AS DECIMAL(38,0)) * q)").alias("s2"),
+    )
+    per_dim = cls.groupBy("pos").agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.expr(
+            "CAST(SUM(CAST(s1 AS DOUBLE) / n * s1) AS DOUBLE)"
+            " - CAST(SUM(s1) AS DOUBLE) / SUM(n) * SUM(s1)"
+        ).alias("between_ss"),
+        F.expr(
+            "CAST(SUM(CAST(s2 AS DOUBLE)"
+            " - CAST(s1 AS DOUBLE) / n * s1) AS DOUBLE)"
+        ).alias("within_ss"),
+    )
+    return (
+        per_dim.select(
+            F.col("pos").cast("int").alias("dim"),
+            F.expr(
+                "CAST(floor(between_ss / within_ss * 1000000) AS BIGINT)"
+            ).alias("fisher_micro"),
+        )
+        .orderBy(F.desc("fisher_micro"), "dim")
+        .limit(10)
+    )

@@ -615,3 +615,86 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "label_a", "label_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document redundancy — array set algebra as the template
+# detector: split each doc's token array in half, overlap coefficient
+# |A∩B| / min(|A|,|B|) between the halves' vocabularies in ppm. High
+# overlap = the second half restates the first (boilerplate,
+# templates, generated filler). Pure row-local array_intersect /
+# array_distinct — zero shuffles before the final top-k.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_intradoc_redundancy",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w <> '') AS ts
+        FROM documents),
+    halves AS (
+        SELECT doc_id,
+               list_distinct(ts[1 : len(ts) // 2]) AS a,
+               list_distinct(ts[len(ts) // 2 + 1 : len(ts)]) AS b
+        FROM toks WHERE len(ts) >= 8),
+    m AS (
+        SELECT doc_id,
+               len(a) AS na, len(b) AS nb,
+               len(list_intersect(a, b)) AS inter
+        FROM halves)
+    SELECT doc_id, CAST(na AS BIGINT) AS n_vocab_a,
+           CAST(nb AS BIGINT) AS n_vocab_b,
+           CAST(inter AS BIGINT) AS n_shared,
+           CAST(inter * 1000000 // LEAST(na, nb) AS BIGINT)
+               AS overlap_ppm
+    FROM m WHERE na > 0 AND nb > 0
+    ORDER BY overlap_ppm DESC, doc_id LIMIT 20
+    """,
+)
+def q_intradoc_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 self-redundant documents: first-half vs second-half
+    vocabulary overlap coefficient from row-local slice →
+    array_distinct → array_intersect (the array set-algebra tier —
+    no explode, no join, whole-stage codegen end to end). Documents
+    near 1e6 ppm repeat their own first half; a cheap pre-filter
+    before the shingle-based boilerplate machinery
+    (q_boilerplate_suppress) runs."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')"
+        ).alias("ts"),
+    )
+    halves = toks.where(F.expr("size(ts) >= 8")).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(slice(ts, 1, size(ts) DIV 2))"
+        ).alias("a"),
+        F.expr(
+            "array_distinct(slice(ts, size(ts) DIV 2 + 1,"
+            " size(ts) - size(ts) DIV 2))"
+        ).alias("b"),
+    )
+    m = halves.select(
+        "doc_id",
+        F.size("a").alias("na"),
+        F.size("b").alias("nb"),
+        F.size(F.array_intersect("a", "b")).alias("inter"),
+    )
+    return (
+        m.where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "doc_id",
+            F.col("na").cast("bigint").alias("n_vocab_a"),
+            F.col("nb").cast("bigint").alias("n_vocab_b"),
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.expr(
+                "CAST(inter * 1000000 DIV LEAST(na, nb) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+        .orderBy(F.desc("overlap_ppm"), "doc_id")
+        .limit(20)
+    )
