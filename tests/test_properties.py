@@ -635,3 +635,79 @@ def test_centroid_silhouette_separation_is_sane(spark):
     assert len(df) == 10
     assert df["mean_sil_micro"].between(-1_000_000, 1_000_000).all()
     assert df["frac_separated_ppm"].between(0, 1_000_000).all()
+
+
+def test_table_checksum_is_partitioning_invariant(spark):
+    """The checksum is a commutative BIGINT sum — recomputing it over
+    an adversarially repartitioned input must give the identical
+    value."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    ref = all_queries()["q_table_checksum"](spark, SF_DIR).collect()[0]
+    h = (
+        "CAST(conv(substr(md5(concat("
+        "CAST(c_custkey AS STRING), '|', c_name, '|',"
+        "CAST(c_nationkey AS STRING), '|',"
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING),"
+        " '|', c_mktsegment)), 1, 8), 16, 10) AS BIGINT)"
+    )
+    shuffled = (
+        table(spark, SF_DIR, "customer")
+        .repartition(17, "c_mktsegment")
+        .select(F.expr(h).alias("h"))
+        .agg(F.sum("h").alias("checksum"))
+        .collect()[0]
+    )
+    assert shuffled["checksum"] == ref["checksum"]
+
+
+def test_mmr_rerank_is_relevant_and_diverse(spark):
+    """MMR invariants: 5 distinct picks, pick #1 is the relevance
+    argmax (no prior set, max_sim_prev = 0), and every row satisfies
+    the scoring identity score = 7·rel − 3·max_sim_prev (sims may be
+    negative — the embeddings are roughly centered)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_mmr_rerank"](spark, SF_DIR).toPandas()
+    assert len(df) == 5
+    assert df["vec_id"].nunique() == 5
+    first = df[df["rank"] == 1].iloc[0]
+    assert first["max_sim_prev"] == 0
+    assert first["rel"] == df["rel"].max()
+    assert (
+        df["mmr_score"] == 7 * df["rel"] - 3 * df["max_sim_prev"]
+    ).all()
+
+
+def test_incremental_pickup_prunes_at_listing(spark):
+    """modifiedAfter must drop the old batch from the FILE LIST, not
+    filter rows later — the returned DataFrame's inputFiles contain
+    only the new batch's file."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_incremental_file_pickup"](spark, SF_DIR)
+    files = df.inputFiles()
+    assert files, "expected at least one input file"
+    assert all("/new/" in f for f in files), files
+
+
+def test_rake_top_phrase_is_multiword(spark):
+    """RAKE's defining property: degree-weighted scoring prefers
+    multi-word phrases — the top keyphrase must contain a space, and
+    scores must be positive."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_rake_keywords"](spark, SF_DIR).toPandas()
+    assert (df["score_milli"] > 0).all()
+    assert " " in df.iloc[0]["phrase"]
