@@ -300,6 +300,8 @@ HEADLINE = [
     "q_dup_flow_matrix",             # cross-source dup provenance
     "q_fisher_scores",               # dimension-level attribution
     "q_intradoc_redundancy",         # row-local template detector
+    "q_tokenizer_fertility",         # subwords/word mixture factor
+    "q_span_corruption_plan",        # T5 denoising mask audit
 ]
 
 

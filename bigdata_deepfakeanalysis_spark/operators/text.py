@@ -4261,3 +4261,142 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — subwords per word, the number
+# that decides how much compute each language really costs: a lang
+# with fertility 2.1 burns 2.1x the sequence length per word of a
+# fertility-1.0 lang, and equal-token mixtures must correct for it.
+# Reuses token_stats' BPE-ish ceil(len/4) subword estimate.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_tokenizer_fertility",
+    f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                    w -> CAST(ceil(length(w) / {_BPE_CHUNK}.0) AS BIGINT)))
+                    AS BIGINT) AS n_sub
+        FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_sub) * 1000000 // SUM(n_words) AS BIGINT)
+               AS fertility_ppm
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword fertility per language: corpus-level subwords/words in
+    integer ppm from the shared ceil(len/{_BPE_CHUNK}) BPE-ish
+    estimator (token_stats). One row-local pass + one rollup. The
+    correction factor equal-token mixture budgeting
+    (q_mixture_resample / q_temperature_mixture) should divide by —
+    high-fertility languages get fewer WORDS per token of budget."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr(
+            f"CAST(aggregate(split(text, ' '), CAST(0 AS BIGINT),"
+            f" (acc, w) -> acc + CAST(ceil(length(w) / {_BPE_CHUNK}.0)"
+            f" AS BIGINT)) AS BIGINT)"
+        ).alias("n_sub"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.expr(
+                "CAST(SUM(n_sub) * 1000000 DIV SUM(n_words) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption plan (T5-style) — deterministic 15% span masking
+# over each doc's token stream: block-aligned spans (~3 tokens) drawn
+# from a seeded hash, with per-doc mask/span counts. The denoising-
+# objective sampler as a row-local plan: no RNG state, re-runnable,
+# auditable before any sequence pair is materialized.
+# ---------------------------------------------------------------------------
+
+_SPAN_BLOCK = 3    # tokens per maskable block
+_SPAN_PCT = 15     # percent of blocks masked
+
+
+def _span_mask(doc: str, i: str) -> str:
+    """Shared Spark-side mask predicate for block i of doc."""
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({doc} AS STRING), '|',"
+        f" CAST({i} DIV {_SPAN_BLOCK} AS STRING))), 1, 8), 16, 10)"
+        f" AS BIGINT) % 100 < {_SPAN_PCT}"
+    )
+
+
+@query(
+    "q_span_corruption_plan",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+    planned AS (
+        SELECT doc_id, len(ts) AS n_tokens,
+               len(list_filter(range(0, len(ts)), i ->
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                      CAST(i // {_SPAN_BLOCK} AS VARCHAR)), 1, 8))::BIGINT)
+                   % 100 < {_SPAN_PCT})) AS n_masked,
+               len(list_filter(range(0, len(ts)), i ->
+                   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                      CAST(i // {_SPAN_BLOCK} AS VARCHAR)), 1, 8))::BIGINT)
+                    % 100 < {_SPAN_PCT})
+                   AND (i % {_SPAN_BLOCK} = 0 OR i = 0))) AS n_spans
+        FROM toks WHERE len(ts) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_masked) AS BIGINT) AS n_masked,
+           CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+           CAST(SUM(n_masked) * 1000000 // SUM(n_tokens) AS BIGINT)
+               AS masked_ppm
+    FROM planned
+    """,
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising plan: each ~{_SPAN_BLOCK}-token block masks
+    iff a seeded hash of (doc_id, block) lands under {_SPAN_PCT}% —
+    append-stable, engine-independent, no RNG. Reports corpus totals
+    and the realized mask rate in ppm (should sit near
+    {_SPAN_PCT}0000); span starts are block boundaries inside masked
+    blocks. Everything is row-local HOFs over the token array — the
+    expensive step (emitting input/target pairs) consumes exactly
+    this plan, so auditing it first is free."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("ts"))
+    mask = _span_mask("doc_id", "i")
+    planned = toks.where(F.expr("size(ts) > 0")).select(
+        "doc_id",
+        F.expr("size(ts)").alias("n_tokens"),
+        F.expr(
+            f"size(filter(sequence(0, size(ts) - 1), i -> {mask}))"
+        ).alias("n_masked"),
+        F.expr(
+            f"size(filter(sequence(0, size(ts) - 1), i -> ({mask})"
+            f" AND (i % {_SPAN_BLOCK} = 0 OR i = 0)))"
+        ).alias("n_spans"),
+    )
+    return planned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_masked").cast("bigint").alias("n_masked"),
+        F.sum("n_spans").cast("bigint").alias("n_spans"),
+        F.expr(
+            "CAST(SUM(n_masked) * 1000000 DIV SUM(n_tokens) AS BIGINT)"
+        ).alias("masked_ppm"),
+    )
