@@ -302,6 +302,8 @@ HEADLINE = [
     "q_intradoc_redundancy",         # row-local template detector
     "q_tokenizer_fertility",         # subwords/word mixture factor
     "q_span_corruption_plan",        # T5 denoising mask audit
+    "q_order_to_ship_latency",       # SLA percentile profile
+    "q_fk_fanout_profile",           # join multiplicity histogram
 ]
 
 

@@ -6092,3 +6092,121 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(p1 * q0) * 1000000 DIV SUM(p0 * q0) AS BIGINT)"
         ).alias("laspeyres_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship latency — fulfillment SLA profile per priority: days
+# from order date to FIRST line shipment, exact integer percentiles
+# snapped from R-7 interpolation. The operational-latency shape
+# (ticket resolution, delivery, approval flows) on TPC-H columns.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_order_to_ship_latency",
+    """
+    WITH first_ship AS (
+        SELECT l_orderkey, MIN(l_shipdate) AS ship
+        FROM lineitem GROUP BY l_orderkey),
+    lat AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(f.ship AS DATE)) AS days
+        FROM orders o JOIN first_ship f ON o.o_orderkey = f.l_orderkey)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(floor(round(quantile_cont(CAST(days AS DOUBLE), 0.5), 9))
+                AS BIGINT) AS p50_days,
+           CAST(floor(round(quantile_cont(CAST(days AS DOUBLE), 0.95), 9))
+                AS BIGINT) AS p95_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY priority ORDER BY priority
+    """,
+)
+def q_order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days from order to first shipment per priority: one MIN rollup
+    on lineitem, one key join, integer day deltas, and per-group
+    R-7 percentiles floored after the 9-digit snap (the established
+    cross-engine percentile form). The SLA readout that shows whether
+    URGENT actually ships faster — and the generic latency-profile
+    operator for any request→fulfillment pair of tables."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship")
+    )
+    lat = o.join(
+        first_ship, o.o_orderkey == first_ship.l_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("ship").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.expr(
+                "CAST(floor(round(percentile(CAST(days AS DOUBLE),"
+                " 0.5D), 9)) AS BIGINT)"
+            ).alias("p50_days"),
+            F.expr(
+                "CAST(floor(round(percentile(CAST(days AS DOUBLE),"
+                " 0.95D), 9)) AS BIGINT)"
+            ).alias("p95_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FK fanout profile — the join-cardinality histogram a planner (or a
+# reviewer) wants before writing orders ⋈ lineitem: how many lines
+# per order, as a distribution. Two rollups; the histogram is
+# fanout-domain-sized.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_fk_fanout_profile",
+    """
+    WITH fanout AS (
+        SELECT l_orderkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey),
+    hist AS (
+        SELECT n_lines, COUNT(*) AS n_orders
+        FROM fanout GROUP BY n_lines)
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(n_lines * n_orders AS BIGINT) AS n_rows_out,
+           CAST(n_orders * 1000000 // SUM(n_orders) OVER () AS BIGINT)
+               AS share_ppm
+    FROM hist ORDER BY n_lines
+    """,
+)
+def q_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order fanout distribution: per-key counts, then a
+    histogram over the (bounded) fanout domain with each bucket's
+    contribution to the joined row count and its ppm share. Expected
+    join size = sum(n_rows_out); a long tail here is the skew the
+    AQE/salting operators (q_salted_join, q_hotkey_split_join)
+    exist for. Complements q_join_size_estimate (which predicts from
+    per-key histograms) with the key-multiplicity view."""
+    li = table(spark, sf_dir, "lineitem")
+    fanout = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    hist = fanout.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return hist.select(
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.expr("CAST(n_lines * n_orders AS BIGINT)").alias("n_rows_out"),
+        F.expr(
+            "CAST(n_orders * 1000000 DIV SUM(n_orders) OVER ()"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("n_lines")
