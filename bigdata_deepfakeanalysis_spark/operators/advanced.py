@@ -4293,8 +4293,6 @@ def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     all integer (DIV). Spark's weekday() is 0=Monday, DuckDB's isodow
     1=Monday — the +1 encodes the convention. One shuffle to at most
     168 cells; the share windows run over those cells."""
-    from pyspark.sql.window import Window
-
     ev = table(spark, sf_dir, "events")
     cells = ev.groupBy(
         (F.weekday("ts") + 1).alias("dow"),

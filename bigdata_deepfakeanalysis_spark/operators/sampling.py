@@ -875,7 +875,6 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit shuffles once to at most K·|langs| cells, and the share
     windows run over those cells."""
     from ..catalog import table
-    from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
     folded = docs.select(

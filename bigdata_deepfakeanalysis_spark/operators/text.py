@@ -3779,8 +3779,6 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs surface as 'und', one rollup to the (actual, predicted)
     matrix plus per-actual row shares in ppm (DIV). The matrix is at
     most |langs|² rows — every window runs post-agg."""
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents")
     pred = predict_lang(lang_scores(docs)).select("doc_id", "pred_lang")
     cm = (
@@ -4112,8 +4110,6 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-word phrases win by construction — the RAKE property. At
     100 TB the word-stats table is vocabulary-sized and broadcasts;
     phrases never pairwise-join."""
-    from pyspark.sql.window import Window
-
     docs = table(spark, sf_dir, "documents")
     phrases = docs.select(
         F.explode(F.expr(_RAKE_PHRASES)).alias("phrase")
