@@ -304,6 +304,8 @@ HEADLINE = [
     "q_span_corruption_plan",        # T5 denoising mask audit
     "q_order_to_ship_latency",       # SLA percentile profile
     "q_fk_fanout_profile",           # join multiplicity histogram
+    "q_ts_feature_matrix",           # leakage-safe forecast features
+    "q_effective_sample_size",       # Kish ESS weighting diagnostic
 ]
 
 

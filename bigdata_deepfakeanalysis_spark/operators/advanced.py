@@ -4636,3 +4636,82 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").cast("bigint").alias("min_h"),
         F.max("h").cast("bigint").alias("max_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series feature matrix — the supervised-learning view of daily
+# revenue: lag-1/lag-7 values, 7-day trailing mean (excluding today),
+# and day-of-week, per day. What a forecasting pipeline feeds its
+# regressor; every window runs post-agg on the daily grain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ts_feature_matrix",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               isodow(o_orderdate) AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS y_c
+        FROM orders GROUP BY 1, 2),
+    feat AS (
+        SELECT day, dow, y_c,
+               LAG(y_c, 1) OVER w AS lag1_c,
+               LAG(y_c, 7) OVER w AS lag7_c,
+               CAST(SUM(y_c) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                    // COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS trail7_mean_c
+        FROM daily
+        WINDOW w AS (ORDER BY day))
+    SELECT strftime(day, '%Y-%m-%d') AS day, CAST(dow AS INT) AS dow,
+           y_c, lag1_c, lag7_c, trail7_mean_c
+    FROM feat WHERE lag7_c IS NOT NULL
+    ORDER BY day LIMIT 40
+    """,
+)
+def q_ts_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting feature matrix over daily revenue: target in exact
+    cents, lag-1/lag-7, trailing-7 mean that EXCLUDES the current row
+    (no target leakage — the frame ends at 1 PRECEDING), day-of-week
+    (ISO). Rows before a full lag-7 history are dropped, first 40
+    emitted. The leakage-safe frame is the point: a naive rolling
+    mean that includes today gives a regressor its own target."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("y_c")
+    )
+    w = Window.orderBy("day")
+    feat = daily.select(
+        "day",
+        "dow",
+        "y_c",
+        F.lag("y_c", 1).over(w).alias("lag1_c"),
+        F.lag("y_c", 7).over(w).alias("lag7_c"),
+        F.expr(
+            "CAST(SUM(y_c) OVER (ORDER BY day"
+            " ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+            " DIV COUNT(*) OVER (ORDER BY day"
+            " ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)"
+        ).alias("trail7_mean_c"),
+    )
+    return (
+        feat.where(F.col("lag7_c").isNotNull())
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("int").alias("dow"),
+            "y_c",
+            "lag1_c",
+            "lag7_c",
+            "trail7_mean_c",
+        )
+        .orderBy("day")
+        .limit(40)
+    )

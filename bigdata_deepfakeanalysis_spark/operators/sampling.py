@@ -996,3 +996,69 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n * {_NEY_BUDGET} DIV SUM(n) OVER () AS BIGINT)"
         ).alias("proportional_alloc"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size — the diagnostic for any importance-weighted
+# estimate: ESS = (Σw)² / Σw² tells you how many equal-weight samples
+# your weighted set is actually worth. Exact integer moments in
+# cents; per segment plus ESS/n efficiency in ppm.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_effective_sample_size",
+    """
+    WITH w AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS wt
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    mom AS (
+        SELECT segment, COUNT(*) AS n,
+               SUM(wt) AS s1,
+               SUM(CAST(wt AS DECIMAL(38,0)) * wt) AS s2
+        FROM w GROUP BY segment)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(s1 AS DOUBLE) / s2 * s1) AS BIGINT)
+               AS ess_floor,
+           CAST(floor(CAST(s1 AS DOUBLE) / s2 * s1 / n * 1000000)
+                AS BIGINT) AS efficiency_ppm
+    FROM mom ORDER BY segment
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per segment with order value as the
+    importance weight: ESS = S1²/S2 from one pass of exact integer/
+    DECIMAL moments (the double chain is s1/s2*s1 — two operations on
+    exact operands, then floor), and ESS/n in ppm as the efficiency
+    of the weighting. Efficiency far below 1e6 warns that a weighted
+    estimator (Horvitz-Thompson totals in q_sample_estimate, the
+    q_weighted_sample draws) carries far less information than its
+    row count suggests."""
+    from ..catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("wt"),
+    )
+    mom = w.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wt").alias("s1"),
+        F.expr("SUM(CAST(wt AS DECIMAL(38,0)) * wt)").alias("s2"),
+    )
+    return mom.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(floor(CAST(s1 AS DOUBLE) / s2 * s1) AS BIGINT)"
+        ).alias("ess_floor"),
+        F.expr(
+            "CAST(floor(CAST(s1 AS DOUBLE) / s2 * s1 / n * 1000000)"
+            " AS BIGINT)"
+        ).alias("efficiency_ppm"),
+    ).orderBy("segment")
