@@ -306,6 +306,8 @@ HEADLINE = [
     "q_fk_fanout_profile",           # join multiplicity histogram
     "q_ts_feature_matrix",           # leakage-safe forecast features
     "q_effective_sample_size",       # Kish ESS weighting diagnostic
+    "q_anova_f",                     # k-group variance decomposition
+    "q_theil_index",                 # decomposable inequality index
 ]
 
 

@@ -6210,3 +6210,215 @@ def q_fk_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("n_lines")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F — does order value differ across order priorities?
+# The k-group generalization of q_ab_test/q_cohens_d: variance
+# decomposition from exact whole-dollar moments (sum-of-squares via
+# the S2 − S1²/n identity, every division an integer DIV), a single
+# double chain only for the final F ratio. One scan, one 5-row
+# rollup — the screening test you run before per-group deep dives.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_anova_f",
+    """
+    WITH d AS (
+        SELECT o_orderpriority AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   // 100 AS v
+        FROM orders),
+    mom AS (
+        SELECT grp, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2
+        FROM d GROUP BY grp),
+    parts AS (
+        SELECT n, s1, s2,
+               CAST(s1 AS HUGEINT) * s1 // n AS gsq
+        FROM mom),
+    tot AS (
+        SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s1) AS t1,
+               SUM(gsq) AS gsq, SUM(s2 - gsq) AS ssw
+        FROM parts)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(nn AS BIGINT) AS n_total,
+           CAST(gsq - CAST(t1 AS HUGEINT) * t1 // nn AS BIGINT) AS ssb,
+           CAST(ssw AS BIGINT) AS ssw,
+           CAST(floor(CAST(gsq - CAST(t1 AS HUGEINT) * t1 // nn
+                           AS DOUBLE)
+                      / (k - 1) / ssw * (nn - k) * 1000) AS BIGINT)
+               AS f_milli,
+           CAST(CAST(gsq - CAST(t1 AS HUGEINT) * t1 // nn
+                     AS HUGEINT) * 1000000
+                // (gsq - CAST(t1 AS HUGEINT) * t1 // nn + ssw)
+                AS BIGINT) AS eta2_ppm
+    FROM tot
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value (whole dollars, cents floored
+    away identically in both engines) across the five order
+    priorities. Group moments n/S1/S2 are exact BIGINTs; per-group
+    S1² routes through DECIMAL(38,0) before an integer DIV so the
+    sum-of-squares identity never touches a double; SSB/SSW and
+    eta² (ppm) are exact integers, and only the final F statistic
+    is one IEEE chain (floored to milli). 100 TB: one map-side
+    combine into a k-row rollup — no shuffle wider than k."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100"
+        ).alias("v"),
+    )
+    mom = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.expr("SUM(v * v)").alias("s2"),
+    )
+    parts = mom.select(
+        "n",
+        "s1",
+        "s2",
+        F.expr("CAST(s1 AS DECIMAL(38,0)) * s1 DIV n").alias("gsq"),
+    )
+    tot = parts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("t1"),
+        F.sum("gsq").alias("gsq"),
+        F.expr("SUM(s2 - gsq)").alias("ssw"),
+    )
+    return tot.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("nn").cast("bigint").alias("n_total"),
+        F.expr(
+            "CAST(gsq - CAST(t1 AS DECIMAL(38,0)) * t1 DIV nn AS BIGINT)"
+        ).alias("ssb"),
+        F.col("ssw").cast("bigint").alias("ssw"),
+        F.expr(
+            "CAST(floor(CAST(gsq - CAST(t1 AS DECIMAL(38,0)) * t1 DIV nn"
+            " AS DOUBLE) / (k - 1) / ssw * (nn - k) * 1000) AS BIGINT)"
+        ).alias("f_milli"),
+        F.expr(
+            "CAST(CAST(gsq - CAST(t1 AS DECIMAL(38,0)) * t1 DIV nn"
+            " AS DECIMAL(38,0)) * 1000000"
+            " DIV (gsq - CAST(t1 AS DECIMAL(38,0)) * t1 DIV nn + ssw)"
+            " AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil index with between/within decomposition — the inequality
+# measure that, unlike q_gini_concentration, decomposes EXACTLY into
+# a between-segment and a within-segment term. Per-row entropy terms
+# are fixed-point floored BIGINTs (the only order-safe way to sum
+# doubles across rows), so the whole statistic is deterministic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_theil_index",
+    """
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY o.o_custkey, c.c_mktsegment),
+    grp AS (
+        SELECT segment, COUNT(*) AS ng, SUM(x) AS xg
+        FROM cust GROUP BY segment),
+    terms AS (
+        SELECT c.segment,
+               CAST(floor(CAST(c.x AS DOUBLE)
+                          * (ln(CAST(c.x AS DOUBLE))
+                             - ln(CAST(g.xg AS DOUBLE) / g.ng))
+                          * 1000) AS BIGINT) AS t
+        FROM cust c JOIN grp g ON c.segment = g.segment),
+    gsum AS (
+        SELECT SUM(t) AS within_fix FROM terms),
+    gtot AS (
+        SELECT SUM(ng) AS n, SUM(xg) AS xx FROM grp),
+    btween AS (
+        SELECT SUM(CAST(floor(CAST(xg AS DOUBLE)
+                              * (ln(CAST(xg AS DOUBLE) / ng)
+                                 - ln(CAST(xx AS DOUBLE) / n))
+                              * 1000) AS BIGINT)) AS between_fix,
+               MAX(n) AS n, MAX(xx) AS xx
+        FROM grp, gtot)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(floor(CAST(within_fix AS DOUBLE) / xx * 1000)
+                AS BIGINT) AS theil_within_micro,
+           CAST(floor(CAST(between_fix AS DOUBLE) / xx * 1000)
+                AS BIGINT) AS theil_between_micro,
+           CAST(floor(CAST(within_fix + between_fix AS DOUBLE)
+                      / xx * 1000) AS BIGINT) AS theil_total_micro
+    FROM gsum, btween
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T over customer lifetime revenue (exact cents), split
+    into within-segment and between-segment inequality. Each row's
+    x·ln(x/μ_g) term is floored to fixed-point milli units BEFORE
+    summing — double SUM across rows is order-dependent, a floored
+    BIGINT sum is not — so both engines reach the identical integer.
+    The ln operands are exact (integer x, single division Xg/ng),
+    the idiom this repo's parity gotchas sanction. 100 TB: customer
+    rollup shuffles once on custkey; the 5-row group table joins
+    back by broadcast; nothing else is wider than k."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grp = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("ng"), F.sum("x").alias("xg")
+    )
+    terms = cust.join(F.broadcast(grp), "segment").select(
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE)"
+            " * (ln(CAST(x AS DOUBLE)) - ln(CAST(xg AS DOUBLE) / ng))"
+            " * 1000) AS BIGINT)"
+        ).alias("t")
+    )
+    gsum = terms.agg(F.sum("t").alias("within_fix"))
+    gtot = grp.agg(
+        F.sum("ng").alias("n"), F.sum("xg").alias("xx")
+    )
+    btween = (
+        grp.join(F.broadcast(gtot))
+        .select(
+            F.expr(
+                "CAST(floor(CAST(xg AS DOUBLE)"
+                " * (ln(CAST(xg AS DOUBLE) / ng)"
+                "    - ln(CAST(xx AS DOUBLE) / n)) * 1000) AS BIGINT)"
+            ).alias("b"),
+            "n",
+            "xx",
+        )
+        .groupBy("n", "xx")
+        .agg(F.sum("b").alias("between_fix"))
+    )
+    return gsum.join(F.broadcast(btween)).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr(
+            "CAST(floor(CAST(within_fix AS DOUBLE) / xx * 1000) AS BIGINT)"
+        ).alias("theil_within_micro"),
+        F.expr(
+            "CAST(floor(CAST(between_fix AS DOUBLE) / xx * 1000)"
+            " AS BIGINT)"
+        ).alias("theil_between_micro"),
+        F.expr(
+            "CAST(floor(CAST(within_fix + between_fix AS DOUBLE)"
+            " / xx * 1000) AS BIGINT)"
+        ).alias("theil_total_micro"),
+    )
