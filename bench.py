@@ -308,6 +308,9 @@ HEADLINE = [
     "q_effective_sample_size",       # Kish ESS weighting diagnostic
     "q_anova_f",                     # k-group variance decomposition
     "q_theil_index",                 # decomposable inequality index
+    "q_cuped_variance_reduction",    # pre-period covariate adjustment
+    "q_knee_detection",              # concentration-curve elbow
+    "q_runs_test",                   # daily-revenue randomness check
 ]
 
 

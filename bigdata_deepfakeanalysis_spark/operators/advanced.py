@@ -4715,3 +4715,90 @@ def q_ts_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — is daily revenue's above/below-mean
+# sequence random, or does it trend/oscillate? The nonparametric
+# sanity check behind every "is this metric drifting" alert; signs
+# and run counts are exact integers, only the final z is a double.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS nn, SUM(rev_c) AS s1 FROM daily),
+    signs AS (
+        SELECT day,
+               CASE WHEN rev_c > s1 // nn THEN 1 ELSE 0 END AS sgn
+        FROM daily, tot),
+    lagged AS (
+        SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM signs),
+    runs AS (
+        SELECT COUNT(*) AS nn, SUM(sgn) AS n1,
+               COUNT(*) - SUM(sgn) AS n2,
+               1 + SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END) AS r
+        FROM lagged)
+    SELECT CAST(nn AS BIGINT) AS n_days,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           CAST(r AS BIGINT) AS runs,
+           CAST(floor((r - (CAST(2 * n1 * n2 AS DOUBLE) / nn + 1))
+                / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * (2 * n1 * n2 - nn)
+                       / nn / nn / (nn - 1)) * 1000) AS BIGINT)
+               AS z_milli
+    FROM runs
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test on daily revenue vs its floored mean (S1 DIV N —
+    exact, so the above/below signs are identical cross-engine;
+    equal-to-mean counts as below). Runs counted by a LAG sign-change
+    sum; z from the classic mean/variance formula as one IEEE chain,
+    floored to milli. The window is the post-agg daily grain (~2.4k
+    rows), the sanctioned tiny-single-partition shape. A |z| >> 0
+    says the series trends (too few runs) or oscillates (too many) —
+    either way, naive day-over-day alerts will misfire."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("rev_c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("nn"), F.sum("rev_c").alias("s1")
+    )
+    signs = daily.join(F.broadcast(tot)).select(
+        "day",
+        F.expr(
+            "CASE WHEN rev_c > s1 DIV nn THEN 1 ELSE 0 END"
+        ).alias("sgn"),
+    )
+    lagged = signs.select(
+        "sgn", F.lag("sgn").over(Window.orderBy("day")).alias("prev")
+    )
+    runs = lagged.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("sgn").alias("n1"),
+        F.expr("COUNT(*) - SUM(sgn)").alias("n2"),
+        F.expr(
+            "1 + SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END)"
+        ).alias("r"),
+    )
+    return runs.select(
+        F.col("nn").cast("bigint").alias("n_days"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("r").cast("bigint").alias("runs"),
+        F.expr(
+            "CAST(floor((r - (CAST(2 * n1 * n2 AS DOUBLE) / nn + 1))"
+            " / sqrt(CAST(2 * n1 * n2 AS DOUBLE) * (2 * n1 * n2 - nn)"
+            " / nn / nn / (nn - 1)) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

@@ -6422,3 +6422,213 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / xx * 1000) AS BIGINT)"
         ).alias("theil_total_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction — the modern experimentation workhorse:
+# how much A/B variance does a pre-period covariate remove?
+# theta = cov(pre,post)/var(pre) and the achievable reduction rho²,
+# all from ONE pass of exact integer/DECIMAL moments per customer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cuped_variance_reduction",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey),
+    mom AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM cust),
+    stats AS (
+        SELECT n,
+               CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / n * sy AS cov,
+               CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / n * sx AS vx,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy AS vy
+        FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(floor(cov / vx * 1000000) AS BIGINT) AS theta_micro,
+           CAST(floor(cov / vx * cov / vy * 1000000) AS BIGINT)
+               AS rho2_ppm
+    FROM stats
+    """,
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED: per-customer pre-period (orders before 1998-01-01,
+    mid-range of this corpus's 1995–2001 span) and post-period
+    revenue in exact cents; theta and the variance-reduction factor
+    rho² from raw moments — sums BIGINT, cross/square sums routed
+    through DECIMAL(38,0) so nothing inexact is ever summed across
+    rows; the two emitted statistics are single IEEE chains over
+    those exact operands, floored to fixed point. 100 TB: one
+    custkey shuffle into a 1-row moment rollup; adjusting the metric
+    afterwards is a broadcast of two scalars."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'"
+            " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'"
+            " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("y"),
+    )
+    mom = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+    )
+    stats = mom.select(
+        "n",
+        F.expr(
+            "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / n * sy"
+        ).alias("cov"),
+        F.expr(
+            "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / n * sx"
+        ).alias("vx"),
+        F.expr(
+            "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy"
+        ).alias("vy"),
+    )
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.expr("CAST(floor(cov / vx * 1000000) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(
+            "CAST(floor(cov / vx * cov / vy * 1000000) AS BIGINT)"
+        ).alias("rho2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Knee/elbow detection — where does the brand concentration curve
+# bend? Max-distance-to-chord in exact integer cross-product form
+# over the cumulative revenue curve; the principled way to pick
+# "how many top brands matter" instead of eyeballing the Pareto.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_knee_detection",
+    """
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               SUM(CAST(floor(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                              * 100) AS BIGINT)) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand),
+    curve AS (
+        SELECT brand, rev_c,
+               ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand) AS rk,
+               SUM(rev_c) OVER (ORDER BY rev_c DESC, brand) AS cum,
+               COUNT(*) OVER () AS nb,
+               SUM(rev_c) OVER () AS tot
+        FROM rev),
+    dev AS (
+        SELECT brand, rev_c, rk,
+               CAST(cum AS HUGEINT) * 1000000 // tot AS cum_share_ppm,
+               cum * nb - tot * rk AS d
+        FROM curve),
+    flagged AS (
+        SELECT brand, rev_c, rk, cum_share_ppm, d,
+               MAX(d) OVER () AS max_d
+        FROM dev),
+    knee AS (
+        SELECT brand, rev_c, rk, cum_share_ppm, d,
+               MIN(CASE WHEN d = max_d THEN rk END) OVER () AS knee_rk
+        FROM flagged)
+    SELECT CAST(rk AS BIGINT) AS rk, brand,
+           CAST(rev_c AS BIGINT) AS rev_c,
+           CAST(cum_share_ppm AS BIGINT) AS cum_share_ppm,
+           CAST(d AS BIGINT) AS dev,
+           CAST(CASE WHEN rk = knee_rk THEN 1 ELSE 0 END AS INT)
+               AS is_knee
+    FROM knee ORDER BY rk
+    """,
+)
+def q_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knee of the brand cumulative-revenue curve: rank the ~25
+    brands by exact integer cents (per-row floor of the DECIMAL
+    price×discount product — identical in both engines), then the
+    chord-distance argmax in cross-product form cum·n − tot·rk, an
+    exact BIGINT, no doubles anywhere. Ties break to the smallest
+    rank. 100 TB: the fact scan rolls up to one row per brand; every
+    window runs on that ~25-row table."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.expr(
+                "SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * CAST(1 - l_discount AS DECIMAL(18,4)) * 100)"
+                " AS BIGINT))"
+            ).alias("rev_c")
+        )
+    )
+    curve = rev.select(
+        "brand",
+        "rev_c",
+        F.expr(
+            "ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand)"
+        ).alias("rk"),
+        F.expr(
+            "SUM(rev_c) OVER (ORDER BY rev_c DESC, brand)"
+        ).alias("cum"),
+        F.expr("COUNT(*) OVER ()").alias("nb"),
+        F.expr("SUM(rev_c) OVER ()").alias("tot"),
+    )
+    dev = curve.select(
+        "brand",
+        "rev_c",
+        "rk",
+        F.expr(
+            "CAST(cum AS DECIMAL(38,0)) * 1000000 DIV tot"
+        ).alias("cum_share_ppm"),
+        F.expr("cum * nb - tot * rk").alias("d"),
+    )
+    flagged = dev.select(
+        "brand",
+        "rev_c",
+        "rk",
+        "cum_share_ppm",
+        "d",
+        F.expr("MAX(d) OVER ()").alias("max_d"),
+    )
+    knee = flagged.select(
+        "brand",
+        "rev_c",
+        "rk",
+        "cum_share_ppm",
+        "d",
+        F.expr(
+            "MIN(CASE WHEN d = max_d THEN rk END) OVER ()"
+        ).alias("knee_rk"),
+    )
+    return knee.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        "brand",
+        F.col("rev_c").cast("bigint").alias("rev_c"),
+        F.col("cum_share_ppm").cast("bigint").alias("cum_share_ppm"),
+        F.col("d").cast("bigint").alias("dev"),
+        F.expr(
+            "CAST(CASE WHEN rk = knee_rk THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_knee"),
+    ).orderBy("rk")
