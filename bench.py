@@ -311,6 +311,9 @@ HEADLINE = [
     "q_cuped_variance_reduction",    # pre-period covariate adjustment
     "q_knee_detection",              # concentration-curve elbow
     "q_runs_test",                   # daily-revenue randomness check
+    "q_markov_entropy_rate",         # next-event predictability
+    "q_conformal_interval",          # distribution-free intervals
+    "q_price_volume_mix",            # revenue bridge decomposition
 ]
 
 

@@ -4802,3 +4802,102 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nn / nn / (nn - 1)) * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate — how predictable is the next event given the
+# current one? The one-number summary of q_markov_transitions'
+# matrix: H = Σ_i (n_i/T)·H_i in bits/transition, vs the uniform
+# ceiling log2(k). Per-cell entropy terms are fixed-point floored
+# BIGINTs before summing, so the statistic is order-independent.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_markov_entropy_rate",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, epoch_ns(ts)//1000 AS us, event_id, event_type
+        FROM events_us),
+    trans AS (
+        SELECT LAG(event_type) OVER w AS prev_event,
+               event_type AS next_event
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    pc AS (
+        SELECT prev_event, next_event, COUNT(*) AS n_pair
+        FROM trans WHERE prev_event IS NOT NULL
+        GROUP BY prev_event, next_event),
+    tot AS (
+        SELECT prev_event, SUM(n_pair) AS n_from FROM pc
+        GROUP BY prev_event),
+    cells AS (
+        SELECT p.n_pair,
+               CAST(floor(CAST(p.n_pair AS DOUBLE)
+                          * (ln(CAST(t.n_from AS DOUBLE))
+                             - ln(CAST(p.n_pair AS DOUBLE)))
+                          / ln(2) * 1000) AS BIGINT) AS h_fix
+        FROM pc p JOIN tot t USING (prev_event)),
+    agg AS (
+        SELECT SUM(n_pair) AS t, SUM(h_fix) AS s,
+               (SELECT COUNT(*) FROM tot) AS k
+        FROM cells)
+    SELECT CAST(k AS BIGINT) AS n_states,
+           CAST(t AS BIGINT) AS n_transitions,
+           CAST(floor(CAST(s AS DOUBLE) / t * 1000) AS BIGINT)
+               AS entropy_rate_micro,
+           CAST(floor(ln(CAST(k AS DOUBLE)) / ln(2) * 1000000)
+                AS BIGINT) AS uniform_entropy_micro
+    FROM agg
+    """,
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event chain in micro-bits per
+    transition: each transition cell contributes n_ij·log2(n_i/n_ij),
+    floored to milli-bit·count fixed point BEFORE the sum (double
+    sums across rows are order-dependent; floored BIGINT sums are
+    not), then normalized by total transitions. ln operands are
+    exact integers, the sanctioned stable chain. Compare against
+    log2(k): the gap is the predictability a next-event model can
+    exploit. 100 TB: per-user windows partition cleanly; the cell
+    table is k² rows regardless of corpus size."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = (
+        seq.withColumn("prev_event", F.lag("event_type").over(w))
+        .where(F.col("prev_event").isNotNull())
+        .select("prev_event", F.col("event_type").alias("next_event"))
+    )
+    pc = trans.groupBy("prev_event", "next_event").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    tot = pc.groupBy("prev_event").agg(F.sum("n_pair").alias("n_from"))
+    cells = pc.join(F.broadcast(tot), "prev_event").select(
+        "n_pair",
+        F.expr(
+            "CAST(floor(CAST(n_pair AS DOUBLE)"
+            " * (ln(CAST(n_from AS DOUBLE)) - ln(CAST(n_pair AS DOUBLE)))"
+            " / ln(2) * 1000) AS BIGINT)"
+        ).alias("h_fix"),
+    )
+    k = tot.agg(F.count(F.lit(1)).alias("k"))
+    agg = cells.agg(
+        F.sum("n_pair").alias("t"), F.sum("h_fix").alias("s")
+    ).join(F.broadcast(k))
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_states"),
+        F.col("t").cast("bigint").alias("n_transitions"),
+        F.expr(
+            "CAST(floor(CAST(s AS DOUBLE) / t * 1000) AS BIGINT)"
+        ).alias("entropy_rate_micro"),
+        F.expr(
+            "CAST(floor(ln(CAST(k AS DOUBLE)) / ln(2) * 1000000)"
+            " AS BIGINT)"
+        ).alias("uniform_entropy_micro"),
+    )

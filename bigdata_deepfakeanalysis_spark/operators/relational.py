@@ -6632,3 +6632,239 @@ def q_knee_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN rk = knee_rk THEN 1 ELSE 0 END AS INT)"
         ).alias("is_knee"),
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals — distribution-free 90%
+# intervals around a per-priority mean model: train half fits the
+# mean, calibration half supplies the ceil(0.9(n+1))-th absolute
+# residual as the radius. Everything is an exact integer; the only
+# sort is an order-statistic window partitioned by the group key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_conformal_interval",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS grp, o_orderkey % 2 AS fold,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM orders),
+    model AS (
+        SELECT grp, COUNT(*) AS n_train,
+               SUM(v) // COUNT(*) AS mu_c
+        FROM base WHERE fold = 0 GROUP BY grp),
+    calib AS (
+        SELECT b.grp, abs(b.v - m.mu_c) AS r
+        FROM base b JOIN model m ON b.grp = m.grp
+        WHERE b.fold = 1),
+    ranked AS (
+        SELECT grp, r,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n_cal
+        FROM calib),
+    thresh AS (
+        SELECT grp, n_cal, r AS q90_c
+        FROM ranked WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+    cov AS (
+        SELECT c.grp,
+               SUM(CASE WHEN c.r <= t.q90_c THEN 1 ELSE 0 END) AS hits
+        FROM calib c JOIN thresh t ON c.grp = t.grp
+        GROUP BY c.grp)
+    SELECT m.grp AS priority,
+           CAST(m.n_train AS BIGINT) AS n_train,
+           CAST(t.n_cal AS BIGINT) AS n_cal,
+           CAST(m.mu_c AS BIGINT) AS mu_c,
+           CAST(t.q90_c AS BIGINT) AS q90_c,
+           CAST(c.hits * 1000000 // t.n_cal AS BIGINT) AS coverage_ppm
+    FROM model m JOIN thresh t ON m.grp = t.grp
+                 JOIN cov c ON m.grp = c.grp
+    ORDER BY priority
+    """,
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% intervals per order priority: fold by
+    o_orderkey parity (deterministic), train-half floored-cents mean
+    as the point model, calibration-half absolute residuals ranked
+    within each group — the value at position ceil(0.9(n+1)) is the
+    conformal radius regardless of tie ordering, so ROW_NUMBER ties
+    are harmless. Empirical calibration coverage (>= 900000 ppm by
+    construction) is emitted as the self-check. 100 TB: the only
+    sort is partitioned by the group key; the model and thresholds
+    broadcast back."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_orderkey") % 2).alias("fold"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    model = (
+        base.where(F.col("fold") == 0)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.expr("SUM(v) DIV COUNT(*)").alias("mu_c"),
+        )
+    )
+    calib = (
+        base.where(F.col("fold") == 1)
+        .join(F.broadcast(model), "grp")
+        .select("grp", F.expr("abs(v - mu_c)").alias("r"))
+    )
+    wg = Window.partitionBy("grp")
+    ranked = calib.select(
+        "grp",
+        "r",
+        F.row_number().over(wg.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n_cal"),
+    )
+    thresh = ranked.where(
+        F.expr("rn = (9 * (n_cal + 1) + 9) DIV 10")
+    ).select("grp", "n_cal", F.col("r").alias("q90_c"))
+    cov = (
+        calib.join(F.broadcast(thresh), "grp")
+        .groupBy("grp")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN r <= q90_c THEN 1 ELSE 0 END)"
+            ).alias("hits")
+        )
+    )
+    return (
+        model.join(thresh, "grp")
+        .join(cov, "grp")
+        .select(
+            F.col("grp").alias("priority"),
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("mu_c").cast("bigint").alias("mu_c"),
+            F.col("q90_c").cast("bigint").alias("q90_c"),
+            F.expr(
+                "CAST(hits * 1000000 DIV n_cal AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price–volume–mix bridge — the finance decomposition of a revenue
+# change: per brand, how much of 1996→1997 delta came from unit-price
+# movement vs quantity movement vs their interaction. Division-free
+# form (q0·R1 DIV q1 − R0) keeps every integer division over positive
+# operands, so Spark DIV and DuckDB // agree; the mix term is the
+# exact remainder, making the bridge sum to the delta by construction.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_price_volume_mix",
+    """
+    WITH by_year AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01'
+                    THEN 0 ELSE 1 END AS yr,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT)
+                   AS qty,
+               SUM(CAST(floor(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                              * 100) AS BIGINT)) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+    wide AS (
+        SELECT brand,
+               MAX(CASE WHEN yr = 0 THEN qty END) AS q0,
+               MAX(CASE WHEN yr = 0 THEN rev_c END) AS r0,
+               MAX(CASE WHEN yr = 1 THEN qty END) AS q1,
+               MAX(CASE WHEN yr = 1 THEN rev_c END) AS r1
+        FROM by_year GROUP BY brand),
+    eff AS (
+        SELECT brand, q0, q1, r0, r1,
+               CAST(CAST(q0 AS HUGEINT) * r1 // q1 - r0 AS BIGINT)
+                   AS price_eff_c,
+               CAST(CAST(r0 AS HUGEINT) * q1 // q0 - r0 AS BIGINT)
+                   AS volume_eff_c
+        FROM wide WHERE q0 > 0 AND q1 > 0)
+    SELECT brand,
+           CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+           CAST(r0 AS BIGINT) AS rev0_c, CAST(r1 AS BIGINT) AS rev1_c,
+           CAST(r1 - r0 AS BIGINT) AS delta_c,
+           price_eff_c, volume_eff_c,
+           CAST(r1 - r0 - price_eff_c - volume_eff_c AS BIGINT)
+               AS mix_eff_c
+    FROM eff ORDER BY brand
+    """,
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge per brand between ship-years 1996 and 1997:
+    price effect q0·(p1−p0) and volume effect (q1−q0)·p0 computed in
+    the division-free form q0·R1 DIV q1 − R0 / R0·q1 DIV q0 − R0
+    (positive operands only — signed floor-vs-truncate divergence
+    between engines never arises), with the mix/interaction term as
+    the exact integer remainder so price+volume+mix == delta always.
+    Quantities and revenue cents are exact DECIMAL-snapped integers.
+    100 TB: fact scan with a ship-date pushdown, one brand-year
+    rollup, 25-row pivot."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    by_year = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'"
+                " THEN 0 ELSE 1 END"
+            ).alias("yr"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT)"
+            ).alias("qty"),
+            F.expr(
+                "SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * CAST(1 - l_discount AS DECIMAL(18,4)) * 100)"
+                " AS BIGINT))"
+            ).alias("rev_c"),
+        )
+    )
+    wide = by_year.groupBy("brand").agg(
+        F.expr("MAX(CASE WHEN yr = 0 THEN qty END)").alias("q0"),
+        F.expr("MAX(CASE WHEN yr = 0 THEN rev_c END)").alias("r0"),
+        F.expr("MAX(CASE WHEN yr = 1 THEN qty END)").alias("q1"),
+        F.expr("MAX(CASE WHEN yr = 1 THEN rev_c END)").alias("r1"),
+    )
+    eff = wide.where((F.col("q0") > 0) & (F.col("q1") > 0)).select(
+        "brand",
+        "q0",
+        "q1",
+        "r0",
+        "r1",
+        F.expr(
+            "CAST(CAST(q0 AS DECIMAL(38,0)) * r1 DIV q1 - r0 AS BIGINT)"
+        ).alias("price_eff_c"),
+        F.expr(
+            "CAST(CAST(r0 AS DECIMAL(38,0)) * q1 DIV q0 - r0 AS BIGINT)"
+        ).alias("volume_eff_c"),
+    )
+    return eff.select(
+        "brand",
+        F.col("q0").cast("bigint").alias("q0"),
+        F.col("q1").cast("bigint").alias("q1"),
+        F.col("r0").cast("bigint").alias("rev0_c"),
+        F.col("r1").cast("bigint").alias("rev1_c"),
+        F.expr("CAST(r1 - r0 AS BIGINT)").alias("delta_c"),
+        "price_eff_c",
+        "volume_eff_c",
+        F.expr(
+            "CAST(r1 - r0 - price_eff_c - volume_eff_c AS BIGINT)"
+        ).alias("mix_eff_c"),
+    ).orderBy("brand")
