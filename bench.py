@@ -314,6 +314,9 @@ HEADLINE = [
     "q_markov_entropy_rate",         # next-event predictability
     "q_conformal_interval",          # distribution-free intervals
     "q_price_volume_mix",            # revenue bridge decomposition
+    "q_dsir_resample",               # hashed-LM importance selection
+    "q_diff_in_diff",                # quasi-experimental interaction
+    "q_ams_f2_sketch",               # self-join size estimator
 ]
 
 

@@ -6868,3 +6868,139 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(r1 - r0 - price_eff_c - volume_eff_c AS BIGINT)"
         ).alias("mix_eff_c"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the quasi-experimental workhorse:
+# treated vs control segment, pre vs post period, the interaction
+# term is the causal estimate. Four cells of exact moments from one
+# scan; only the final DiD and its z cross into doubles.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_diff_in_diff",
+    """
+    WITH cells AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treat,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    mom AS (
+        SELECT treat, post, COUNT(*) AS n, SUM(v) AS s,
+               SUM(CAST(v AS HUGEINT) * v) AS q
+        FROM cells GROUP BY treat, post),
+    wide AS (
+        SELECT MAX(CASE WHEN treat=1 AND post=1 THEN n END) AS n11,
+               MAX(CASE WHEN treat=1 AND post=1 THEN s END) AS s11,
+               MAX(CASE WHEN treat=1 AND post=1 THEN q END) AS q11,
+               MAX(CASE WHEN treat=1 AND post=0 THEN n END) AS n10,
+               MAX(CASE WHEN treat=1 AND post=0 THEN s END) AS s10,
+               MAX(CASE WHEN treat=1 AND post=0 THEN q END) AS q10,
+               MAX(CASE WHEN treat=0 AND post=1 THEN n END) AS n01,
+               MAX(CASE WHEN treat=0 AND post=1 THEN s END) AS s01,
+               MAX(CASE WHEN treat=0 AND post=1 THEN q END) AS q01,
+               MAX(CASE WHEN treat=0 AND post=0 THEN n END) AS n00,
+               MAX(CASE WHEN treat=0 AND post=0 THEN s END) AS s00,
+               MAX(CASE WHEN treat=0 AND post=0 THEN q END) AS q00
+        FROM mom),
+    stats AS (
+        SELECT n11, n10, n01, n00,
+               CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10
+               - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+                   AS did,
+               (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) / n11 * s11)
+                   / (n11 - 1) / n11
+               + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) / n10 * s10)
+                   / (n10 - 1) / n10
+               + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) / n01 * s01)
+                   / (n01 - 1) / n01
+               + (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) / n00 * s00)
+                   / (n00 - 1) / n00 AS var_did
+        FROM wide)
+    SELECT CAST(n11 AS BIGINT) AS n_treat_post,
+           CAST(n10 AS BIGINT) AS n_treat_pre,
+           CAST(n01 AS BIGINT) AS n_ctrl_post,
+           CAST(n00 AS BIGINT) AS n_ctrl_pre,
+           CAST(floor(did * 1000) AS BIGINT) AS did_milli_c,
+           CAST(floor(did / sqrt(var_did) * 1000) AS BIGINT) AS z_milli
+    FROM stats
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on order value: BUILDING (treated)
+    vs MACHINERY (control), pre/post the 1998-01-01 mid-corpus
+    split. Cell moments n/S/Q are exact (squares DECIMAL(38,0)-
+    routed); DiD and its large-sample z use per-cell variance-of-
+    mean terms — each a single IEEE chain over exact operands,
+    identical text in both engines, floored to fixed point. The
+    caveat every DiD carries (parallel-trends assumption) lives with
+    the consumer; the engine's job is the exact interaction term.
+    100 TB: one fact scan, a 4-row rollup, a 1-row answer."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.expr(
+                "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+            ).alias("treat"),
+            F.expr(
+                "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'"
+                " THEN 1 ELSE 0 END"
+            ).alias("post"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    mom = cells.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.expr("SUM(CAST(v AS DECIMAL(38,0)) * v)").alias("q"),
+    )
+    wide = mom.agg(
+        *[
+            F.expr(
+                f"MAX(CASE WHEN treat={t} AND post={p} THEN {col} END)"
+            ).alias(f"{col}{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+            for col in ("n", "s", "q")
+        ]
+    )
+    stats = wide.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10"
+            " - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)"
+        ).alias("did"),
+        F.expr(
+            "(CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE) / n11 * s11)"
+            " / (n11 - 1) / n11"
+            " + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE) / n10 * s10)"
+            " / (n10 - 1) / n10"
+            " + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE) / n01 * s01)"
+            " / (n01 - 1) / n01"
+            " + (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE) / n00 * s00)"
+            " / (n00 - 1) / n00"
+        ).alias("var_did"),
+    )
+    return stats.select(
+        F.col("n11").cast("bigint").alias("n_treat_post"),
+        F.col("n10").cast("bigint").alias("n_treat_pre"),
+        F.col("n01").cast("bigint").alias("n_ctrl_post"),
+        F.col("n00").cast("bigint").alias("n_ctrl_pre"),
+        F.expr("CAST(floor(did * 1000) AS BIGINT)").alias("did_milli_c"),
+        F.expr(
+            "CAST(floor(did / sqrt(var_did) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

@@ -894,3 +894,138 @@ def q_datasketches_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("theta_inter_est", "exact_inter").alias("theta_inter_ok"),
         ok("theta_diff_est", "exact_diff").alias("theta_diff_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch — the Alon–Matias–Szegedy second-frequency-moment
+# estimator, the sketch that prices self-join sizes before running
+# them: 32 random-sign counters from one md5 per row, estimate =
+# mean of squared counters, emitted NEXT TO the exact F2 so the
+# oracle checks both halves and the error column is self-auditing.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_ams_f2_sketch",
+    """
+    WITH h AS (
+        SELECT (('0x' || substr(md5('ams|' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT) AS word
+        FROM orders),
+    z AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN (word // 1) % 2 = 1 THEN 1 ELSE -1 END) AS z0,
+               SUM(CASE WHEN (word // 2) % 2 = 1 THEN 1 ELSE -1 END) AS z1,
+               SUM(CASE WHEN (word // 4) % 2 = 1 THEN 1 ELSE -1 END) AS z2,
+               SUM(CASE WHEN (word // 8) % 2 = 1 THEN 1 ELSE -1 END) AS z3,
+               SUM(CASE WHEN (word // 16) % 2 = 1 THEN 1 ELSE -1 END) AS z4,
+               SUM(CASE WHEN (word // 32) % 2 = 1 THEN 1 ELSE -1 END) AS z5,
+               SUM(CASE WHEN (word // 64) % 2 = 1 THEN 1 ELSE -1 END) AS z6,
+               SUM(CASE WHEN (word // 128) % 2 = 1 THEN 1 ELSE -1 END) AS z7,
+               SUM(CASE WHEN (word // 256) % 2 = 1 THEN 1 ELSE -1 END) AS z8,
+               SUM(CASE WHEN (word // 512) % 2 = 1 THEN 1 ELSE -1 END) AS z9,
+               SUM(CASE WHEN (word // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS z10,
+               SUM(CASE WHEN (word // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS z11,
+               SUM(CASE WHEN (word // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS z12,
+               SUM(CASE WHEN (word // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS z13,
+               SUM(CASE WHEN (word // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS z14,
+               SUM(CASE WHEN (word // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS z15,
+               SUM(CASE WHEN (word // 65536) % 2 = 1 THEN 1 ELSE -1 END) AS z16,
+               SUM(CASE WHEN (word // 131072) % 2 = 1 THEN 1 ELSE -1 END) AS z17,
+               SUM(CASE WHEN (word // 262144) % 2 = 1 THEN 1 ELSE -1 END) AS z18,
+               SUM(CASE WHEN (word // 524288) % 2 = 1 THEN 1 ELSE -1 END) AS z19,
+               SUM(CASE WHEN (word // 1048576) % 2 = 1 THEN 1 ELSE -1 END) AS z20,
+               SUM(CASE WHEN (word // 2097152) % 2 = 1 THEN 1 ELSE -1 END) AS z21,
+               SUM(CASE WHEN (word // 4194304) % 2 = 1 THEN 1 ELSE -1 END) AS z22,
+               SUM(CASE WHEN (word // 8388608) % 2 = 1 THEN 1 ELSE -1 END) AS z23,
+               SUM(CASE WHEN (word // 16777216) % 2 = 1 THEN 1 ELSE -1 END) AS z24,
+               SUM(CASE WHEN (word // 33554432) % 2 = 1 THEN 1 ELSE -1 END) AS z25,
+               SUM(CASE WHEN (word // 67108864) % 2 = 1 THEN 1 ELSE -1 END) AS z26,
+               SUM(CASE WHEN (word // 134217728) % 2 = 1 THEN 1 ELSE -1 END) AS z27,
+               SUM(CASE WHEN (word // 268435456) % 2 = 1 THEN 1 ELSE -1 END) AS z28,
+               SUM(CASE WHEN (word // 536870912) % 2 = 1 THEN 1 ELSE -1 END) AS z29,
+               SUM(CASE WHEN (word // 1073741824) % 2 = 1 THEN 1 ELSE -1 END) AS z30,
+               SUM(CASE WHEN (word // 2147483648) % 2 = 1 THEN 1 ELSE -1 END) AS z31
+        FROM h),
+    exact AS (
+        SELECT COUNT(*) AS n_keys,
+               SUM(CAST(c AS HUGEINT) * c) AS f2
+        FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey))
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(f2 AS BIGINT) AS exact_f2,
+           CAST((z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4 + z5 * z5 + z6 * z6 + z7 * z7 + z8 * z8 + z9 * z9 + z10 * z10 + z11 * z11 + z12 * z12 + z13 * z13 + z14 * z14 + z15 * z15 + z16 * z16 + z17 * z17 + z18 * z18 + z19 * z19 + z20 * z20 + z21 * z21 + z22 * z22 + z23 * z23 + z24 * z24 + z25 * z25 + z26 * z26 + z27 * z27 + z28 * z28 + z29 * z29 + z30 * z30 + z31 * z31) // 32 AS BIGINT) AS ams_est,
+           CAST(CAST(abs((z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4 + z5 * z5 + z6 * z6 + z7 * z7 + z8 * z8 + z9 * z9 + z10 * z10 + z11 * z11 + z12 * z12 + z13 * z13 + z14 * z14 + z15 * z15 + z16 * z16 + z17 * z17 + z18 * z18 + z19 * z19 + z20 * z20 + z21 * z21 + z22 * z22 + z23 * z23 + z24 * z24 + z25 * z25 + z26 * z26 + z27 * z27 + z28 * z28 + z29 * z29 + z30 * z30 + z31 * z31) // 32 - f2) AS HUGEINT) * 1000000
+                // f2 AS BIGINT) AS rel_err_ppm
+    FROM z, exact
+    """,
+)
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 over o_custkey: one md5 per row yields 32 deterministic
+    sign bits (the repo's 128-bit-membership idiom), each driving a
+    +/-1 counter folded map-side in a single pass; the estimator is
+    the mean of squared counters, all integer arithmetic. The exact
+    F2 (sum of squared key frequencies, DECIMAL-routed) rides along
+    so the driver hash pins BOTH the sketch and its ground truth,
+    and rel_err_ppm audits the estimator's accuracy in-band. 100 TB:
+    counters are 32 BIGINTs merged associatively — the mergeable-
+    sketch shape; the exact half is one key rollup."""
+    o = table(spark, sf_dir, "orders")
+    h = o.select(
+        F.expr(
+            "CAST(conv(substr(md5(concat('ams|',"
+            " CAST(o_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("word")
+    )
+    z = h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("SUM(CASE WHEN (word DIV 1) % 2 = 1 THEN 1 ELSE -1 END)").alias("z0"),
+        F.expr("SUM(CASE WHEN (word DIV 2) % 2 = 1 THEN 1 ELSE -1 END)").alias("z1"),
+        F.expr("SUM(CASE WHEN (word DIV 4) % 2 = 1 THEN 1 ELSE -1 END)").alias("z2"),
+        F.expr("SUM(CASE WHEN (word DIV 8) % 2 = 1 THEN 1 ELSE -1 END)").alias("z3"),
+        F.expr("SUM(CASE WHEN (word DIV 16) % 2 = 1 THEN 1 ELSE -1 END)").alias("z4"),
+        F.expr("SUM(CASE WHEN (word DIV 32) % 2 = 1 THEN 1 ELSE -1 END)").alias("z5"),
+        F.expr("SUM(CASE WHEN (word DIV 64) % 2 = 1 THEN 1 ELSE -1 END)").alias("z6"),
+        F.expr("SUM(CASE WHEN (word DIV 128) % 2 = 1 THEN 1 ELSE -1 END)").alias("z7"),
+        F.expr("SUM(CASE WHEN (word DIV 256) % 2 = 1 THEN 1 ELSE -1 END)").alias("z8"),
+        F.expr("SUM(CASE WHEN (word DIV 512) % 2 = 1 THEN 1 ELSE -1 END)").alias("z9"),
+        F.expr("SUM(CASE WHEN (word DIV 1024) % 2 = 1 THEN 1 ELSE -1 END)").alias("z10"),
+        F.expr("SUM(CASE WHEN (word DIV 2048) % 2 = 1 THEN 1 ELSE -1 END)").alias("z11"),
+        F.expr("SUM(CASE WHEN (word DIV 4096) % 2 = 1 THEN 1 ELSE -1 END)").alias("z12"),
+        F.expr("SUM(CASE WHEN (word DIV 8192) % 2 = 1 THEN 1 ELSE -1 END)").alias("z13"),
+        F.expr("SUM(CASE WHEN (word DIV 16384) % 2 = 1 THEN 1 ELSE -1 END)").alias("z14"),
+        F.expr("SUM(CASE WHEN (word DIV 32768) % 2 = 1 THEN 1 ELSE -1 END)").alias("z15"),
+        F.expr("SUM(CASE WHEN (word DIV 65536) % 2 = 1 THEN 1 ELSE -1 END)").alias("z16"),
+        F.expr("SUM(CASE WHEN (word DIV 131072) % 2 = 1 THEN 1 ELSE -1 END)").alias("z17"),
+        F.expr("SUM(CASE WHEN (word DIV 262144) % 2 = 1 THEN 1 ELSE -1 END)").alias("z18"),
+        F.expr("SUM(CASE WHEN (word DIV 524288) % 2 = 1 THEN 1 ELSE -1 END)").alias("z19"),
+        F.expr("SUM(CASE WHEN (word DIV 1048576) % 2 = 1 THEN 1 ELSE -1 END)").alias("z20"),
+        F.expr("SUM(CASE WHEN (word DIV 2097152) % 2 = 1 THEN 1 ELSE -1 END)").alias("z21"),
+        F.expr("SUM(CASE WHEN (word DIV 4194304) % 2 = 1 THEN 1 ELSE -1 END)").alias("z22"),
+        F.expr("SUM(CASE WHEN (word DIV 8388608) % 2 = 1 THEN 1 ELSE -1 END)").alias("z23"),
+        F.expr("SUM(CASE WHEN (word DIV 16777216) % 2 = 1 THEN 1 ELSE -1 END)").alias("z24"),
+        F.expr("SUM(CASE WHEN (word DIV 33554432) % 2 = 1 THEN 1 ELSE -1 END)").alias("z25"),
+        F.expr("SUM(CASE WHEN (word DIV 67108864) % 2 = 1 THEN 1 ELSE -1 END)").alias("z26"),
+        F.expr("SUM(CASE WHEN (word DIV 134217728) % 2 = 1 THEN 1 ELSE -1 END)").alias("z27"),
+        F.expr("SUM(CASE WHEN (word DIV 268435456) % 2 = 1 THEN 1 ELSE -1 END)").alias("z28"),
+        F.expr("SUM(CASE WHEN (word DIV 536870912) % 2 = 1 THEN 1 ELSE -1 END)").alias("z29"),
+        F.expr("SUM(CASE WHEN (word DIV 1073741824) % 2 = 1 THEN 1 ELSE -1 END)").alias("z30"),
+        F.expr("SUM(CASE WHEN (word DIV 2147483648) % 2 = 1 THEN 1 ELSE -1 END)").alias("z31"),
+    )
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.expr("SUM(CAST(c AS DECIMAL(38,0)) * c)").alias("f2"),
+        )
+    )
+    return z.join(F.broadcast(exact)).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("f2").cast("bigint").alias("exact_f2"),
+        F.expr("CAST((z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4 + z5 * z5 + z6 * z6 + z7 * z7 + z8 * z8 + z9 * z9 + z10 * z10 + z11 * z11 + z12 * z12 + z13 * z13 + z14 * z14 + z15 * z15 + z16 * z16 + z17 * z17 + z18 * z18 + z19 * z19 + z20 * z20 + z21 * z21 + z22 * z22 + z23 * z23 + z24 * z24 + z25 * z25 + z26 * z26 + z27 * z27 + z28 * z28 + z29 * z29 + z30 * z30 + z31 * z31) DIV 32 AS BIGINT)").alias("ams_est"),
+        F.expr(
+            "CAST(CAST(abs((z0 * z0 + z1 * z1 + z2 * z2 + z3 * z3 + z4 * z4 + z5 * z5 + z6 * z6 + z7 * z7 + z8 * z8 + z9 * z9 + z10 * z10 + z11 * z11 + z12 * z12 + z13 * z13 + z14 * z14 + z15 * z15 + z16 * z16 + z17 * z17 + z18 * z18 + z19 * z19 + z20 * z20 + z21 * z21 + z22 * z22 + z23 * z23 + z24 * z24 + z25 * z25 + z26 * z26 + z27 * z27 + z28 * z28 + z29 * z29 + z30 * z30 + z31 * z31) DIV 32 - f2) AS DECIMAL(38,0))"
+            " * 1000000 DIV f2 AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )

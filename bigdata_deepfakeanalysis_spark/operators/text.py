@@ -4396,3 +4396,135 @@ def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_masked) * 1000000 DIV SUM(n_tokens) AS BIGINT)"
         ).alias("masked_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling — Data Selection via Importance
+# Resampling (Xie et al. 2023): score every candidate document by
+# the log-likelihood ratio of a hashed-unigram model trained on a
+# target domain vs the raw pool, then keep the top of the ranking.
+# The hashed feature space (1024 md5 buckets) is what makes this the
+# 100 TB shape: the model is a fixed-size broadcast table no matter
+# how large the corpus grows.
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_TOPK = 25
+
+
+@query(
+    "q_dsir_resample",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               (('0x' || substr(md5('dsir|' || w), 1, 8))::BIGINT)
+                   % {_DSIR_B} AS b
+        FROM (SELECT doc_id, source, unnest({_TOKS_SQL}) AS w
+              FROM documents)),
+    raw AS (
+        SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+    tgt AS (
+        SELECT b, COUNT(*) AS ct FROM toks
+        WHERE source = 'src0' GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM toks) AS nr,
+               (SELECT COUNT(*) FROM toks WHERE source = 'src0') AS nt),
+    model AS (
+        SELECT r.b,
+               CAST(floor((ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                           - ln(CAST(nt + {_DSIR_B} AS DOUBLE))
+                           - ln(CAST(r.cr + 1 AS DOUBLE))
+                           + ln(CAST(nr + {_DSIR_B} AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS lr_fix
+        FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot),
+    scored AS (
+        SELECT k.doc_id, k.source, COUNT(*) AS n_tokens,
+               SUM(m.lr_fix) AS llr_fix
+        FROM toks k JOIN model m ON k.b = m.b
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id, k.source)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(llr_fix AS BIGINT) AS llr_fix,
+           CAST(floor(CAST(llr_fix AS DOUBLE) / n_tokens) AS BIGINT)
+               AS llr_per_tok_micro
+    FROM scored
+    ORDER BY CAST(llr_fix AS DOUBLE) / n_tokens DESC, doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: add-one-smoothed hashed-unigram LMs for
+    the target domain (source 'src0') and the raw pool, per-bucket
+    log ratios floored to micro-nat fixed point (order-safe integer
+    sums from there on), candidates ranked by per-token LLR (one
+    exact-operand division — cross-engine stable) with doc_id
+    tie-break, top-25 kept. 100 TB: token counts roll up into a
+    1024-row model that broadcasts; no shuffle is wider than the
+    doc-grain rollup."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(_TOKS)).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            f"CAST(conv(substr(md5(concat('dsir|', w)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {_DSIR_B}"
+        ).alias("b"),
+    ).localCheckpoint(eager=True)
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.expr(
+            "SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)"
+        ).alias("nt"),
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"CAST(floor((ln(CAST(COALESCE(ct, CAST(0 AS BIGINT))"
+                f" + 1 AS DOUBLE))"
+                f" - ln(CAST(nt + {_DSIR_B} AS DOUBLE))"
+                f" - ln(CAST(cr + 1 AS DOUBLE))"
+                f" + ln(CAST(nr + {_DSIR_B} AS DOUBLE)))"
+                f" * 1000000) AS BIGINT)"
+            ).alias("lr_fix"),
+        )
+    )
+    scored = (
+        toks.where(F.col("source") != "src0")
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_fix").alias("llr_fix"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("llr_fix").cast("bigint").alias("llr_fix"),
+            F.expr(
+                "CAST(floor(CAST(llr_fix AS DOUBLE) / n_tokens)"
+                " AS BIGINT)"
+            ).alias("llr_per_tok_micro"),
+        )
+        .orderBy(
+            F.expr("CAST(llr_fix AS DOUBLE) / n_tokens").desc(),
+            "doc_id",
+        )
+        .limit(_DSIR_TOPK)
+    )
