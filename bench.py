@@ -317,6 +317,9 @@ HEADLINE = [
     "q_dsir_resample",               # hashed-LM importance selection
     "q_diff_in_diff",                # quasi-experimental interaction
     "q_ams_f2_sketch",               # self-join size estimator
+    "q_curriculum_plan",             # easy-to-hard token phasing
+    "q_hill_tail_index",             # Pareto exponent of the tail
+    "q_overdispersion",              # Poisson vs NB count check
 ]
 
 

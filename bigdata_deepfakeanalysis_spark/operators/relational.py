@@ -7004,3 +7004,153 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(did / sqrt(var_did) * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator — how heavy is the right tail of order
+# values? gamma = mean ln(x_i/x_threshold) over the top-k order
+# statistics; alpha = 1/gamma is the Pareto exponent that decides
+# whether variance even exists. Top-k via TakeOrdered (no global
+# sort); per-term logs floored to fixed point before the sum.
+# ---------------------------------------------------------------------------
+
+_HILL_K = 100
+
+
+@query(
+    "q_hill_tail_index",
+    f"""
+    WITH topk AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+        FROM orders
+        ORDER BY v DESC, o_orderkey LIMIT {_HILL_K + 1}),
+    thr AS (
+        SELECT MIN(v) AS x_thr FROM topk),
+    terms AS (
+        SELECT CAST(floor((ln(CAST(v AS DOUBLE))
+                           - ln(CAST(x_thr AS DOUBLE))) * 1000000)
+                    AS BIGINT) AS t
+        FROM topk, thr WHERE v > x_thr)
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST((SELECT x_thr FROM thr) AS BIGINT) AS x_thr_c,
+           CAST(SUM(t) AS BIGINT) AS sum_ln_micro,
+           CAST(SUM(t) // COUNT(*) AS BIGINT) AS gamma_micro,
+           CAST(COUNT(*) * 1000000000000 // SUM(t) AS BIGINT)
+               AS alpha_micro
+    FROM terms
+    """,
+)
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator over the top-100 order values: threshold is the
+    (k+1)-th order statistic, each ln(x/x_thr) term is floored to
+    micro-nats before summing (order-safe), gamma and alpha are
+    integer divisions of exact operands. Ties at the threshold are
+    excluded by the strict v > x_thr (identically in both engines),
+    so which tied rows the LIMIT picked is irrelevant. alpha < 2
+    would mean infinite variance — the check that decides whether
+    mean-based dashboards on this metric lie. 100 TB: top-k is
+    TakeOrdered, never a global sort."""
+    o = table(spark, sf_dir, "orders")
+    topk = (
+        o.select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+            "o_orderkey",
+        )
+        .orderBy(F.desc("v"), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .select("v")
+    )
+    thr = topk.agg(F.min("v").alias("x_thr"))
+    terms = (
+        topk.join(F.broadcast(thr))
+        .where(F.col("v") > F.col("x_thr"))
+        .select(
+            F.expr(
+                "CAST(floor((ln(CAST(v AS DOUBLE))"
+                " - ln(CAST(x_thr AS DOUBLE))) * 1000000) AS BIGINT)"
+            ).alias("t"),
+            "x_thr",
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.min("x_thr").cast("bigint").alias("x_thr_c"),
+        F.sum("t").cast("bigint").alias("sum_ln_micro"),
+        F.expr("CAST(SUM(t) DIV COUNT(*) AS BIGINT)").alias(
+            "gamma_micro"
+        ),
+        F.expr(
+            "CAST(COUNT(*) * 1000000000000 DIV SUM(t) AS BIGINT)"
+        ).alias("alpha_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion index — var/mean of orders-per-customer by segment:
+# the one-number check that decides Poisson vs negative-binomial
+# before anyone models counts. Exact moments, one double chain.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_overdispersion",
+    """
+    WITH cnt AS (
+        SELECT c.c_mktsegment AS segment, c.c_custkey,
+               COUNT(o.o_orderkey) AS k
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, c.c_custkey),
+    mom AS (
+        SELECT segment, COUNT(*) AS n, SUM(k) AS s1,
+               SUM(k * k) AS s2
+        FROM cnt GROUP BY segment)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           CAST(s1 AS BIGINT) AS n_orders,
+           CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                      / (n - 1) / (CAST(s1 AS DOUBLE) / n) * 1000)
+                AS BIGINT) AS dispersion_milli,
+           CAST(floor(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                       / (n - 1) / (CAST(s1 AS DOUBLE) / n) - 1)
+                      * sqrt((n - 1) / CAST(2 AS DOUBLE)) * 1000)
+                AS BIGINT) AS z_milli
+    FROM mom ORDER BY segment
+    """,
+)
+def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion index D = var/mean of orders-per-customer per
+    segment (LEFT JOIN keeps zero-order customers — dropping them
+    biases D up), with the large-sample z for D=1. Counts are exact
+    BIGINTs; D and z are single IEEE chains over those operands,
+    floored to milli. D >> 1 says customer activity is clumped and
+    Poisson rate models will underestimate tails. 100 TB: one
+    custkey rollup then a k-row segment rollup."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cnt = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(F.count("o_orderkey").alias("k"))
+    )
+    mom = cnt.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s1"),
+        F.expr("SUM(k * k)").alias("s2"),
+    )
+    return mom.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s1").cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST(floor((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)"
+            " / (n - 1) / (CAST(s1 AS DOUBLE) / n) * 1000) AS BIGINT)"
+        ).alias("dispersion_milli"),
+        F.expr(
+            "CAST(floor(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)"
+            " / (n - 1) / (CAST(s1 AS DOUBLE) / n) - 1)"
+            " * sqrt((n - 1) / CAST(2 AS DOUBLE)) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    ).orderBy("segment")

@@ -4528,3 +4528,100 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_DSIR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum plan — stage training data easy→hard: score every doc
+# (type-token ratio as the difficulty proxy), rank, and cut into
+# three phases of equal TOKEN budget (not doc count — budgets are
+# what the trainer consumes). Cumulative-sum windows over the
+# doc-grain rollup; cuts are exact integer comparisons cum·3 vs T.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_curriculum_plan",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(list_distinct({_TOKS_SQL})) * 1000000
+                   // len({_TOKS_SQL}) AS ttr_ppm
+        FROM documents
+        WHERE len({_TOKS_SQL}) > 0),
+    ranked AS (
+        SELECT doc_id, n_tokens, ttr_ppm,
+               SUM(n_tokens) OVER (ORDER BY ttr_ppm, doc_id) AS cum,
+               SUM(n_tokens) OVER () AS t
+        FROM scored),
+    phased AS (
+        SELECT CASE WHEN cum * 3 <= t THEN 1
+                    WHEN cum * 3 <= 2 * t THEN 2
+                    ELSE 3 END AS phase,
+               n_tokens, ttr_ppm
+        FROM ranked)
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm,
+           CAST(MAX(ttr_ppm) AS BIGINT) AS max_ttr_ppm,
+           CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS avg_ttr_ppm
+    FROM phased GROUP BY phase ORDER BY phase
+    """,
+)
+def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy→hard curriculum over the corpus: type-token ratio in ppm
+    (low TTR = repetitive = easy) orders the docs, a running token
+    cumsum cuts three phases of equal token budget via the exact
+    integer test cum·3 ≤ T. Each phase row reports its doc count,
+    token mass, and TTR envelope — the manifest a staged training
+    run consumes. 100 TB: scoring is row-local array algebra; the
+    ranking window runs on the doc-grain (id, n_tokens, score)
+    projection, and the production form range-partitions that
+    rollup exactly like q_global_rownum."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKS})").alias("n_tokens"),
+        F.expr(
+            f"size(array_distinct({_TOKS})) * 1000000"
+            f" DIV size({_TOKS})"
+        ).alias("ttr_ppm"),
+    ).where(F.col("n_tokens") > 0)
+    ranked = scored.select(
+        "doc_id",
+        "n_tokens",
+        "ttr_ppm",
+        F.expr(
+            "SUM(n_tokens) OVER (ORDER BY ttr_ppm, doc_id)"
+        ).alias("cum"),
+        F.expr("SUM(n_tokens) OVER ()").alias("t"),
+    )
+    phased = ranked.select(
+        F.expr(
+            "CASE WHEN cum * 3 <= t THEN 1"
+            " WHEN cum * 3 <= 2 * t THEN 2 ELSE 3 END"
+        ).alias("phase"),
+        "n_tokens",
+        "ttr_ppm",
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.min("ttr_ppm").cast("bigint").alias("min_ttr_ppm"),
+            F.max("ttr_ppm").cast("bigint").alias("max_ttr_ppm"),
+            F.expr(
+                "CAST(SUM(ttr_ppm) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_ttr_ppm"),
+        )
+        .select(
+            F.col("phase").cast("int").alias("phase"),
+            "n_docs",
+            "tokens",
+            "min_ttr_ppm",
+            "max_ttr_ppm",
+            "avg_ttr_ppm",
+        )
+        .orderBy("phase")
+    )
