@@ -320,6 +320,9 @@ HEADLINE = [
     "q_curriculum_plan",             # easy-to-hard token phasing
     "q_hill_tail_index",             # Pareto exponent of the tail
     "q_overdispersion",              # Poisson vs NB count check
+    "q_shapley_attribution",         # exact coalition channel credit
+    "q_wilcoxon_signed_rank",        # paired nonparametric shift
+    "q_logrank_test",                # survival-curve comparison
 ]
 
 

@@ -4901,3 +4901,294 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("uniform_entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley channel attribution — the game-theoretic answer to "which
+# channel actually drives conversion": with 3 channels the 8
+# coalition values are exact conversion rates (ppm), and each
+# channel's Shapley value is a closed-form weighted sum of the four
+# marginal contributions. No sampling, no approximation — the 2^k
+# coalition table IS the sufficient statistic, and it stays 8 rows
+# at any corpus size.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_shapley_attribution",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS has_c,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS has_v,
+               MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS has_s,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id),
+    coal AS (
+        SELECT has_c + 2 * has_v + 4 * has_s AS mask,
+               COUNT(*) AS n, SUM(conv) AS k
+        FROM per_user GROUP BY 1),
+    v AS (
+        SELECT
+            MAX(CASE WHEN mask=0 THEN k*1000000//n ELSE NULL END) AS v0,
+            MAX(CASE WHEN mask=1 THEN k*1000000//n ELSE NULL END) AS v1,
+            MAX(CASE WHEN mask=2 THEN k*1000000//n ELSE NULL END) AS v2,
+            MAX(CASE WHEN mask=3 THEN k*1000000//n ELSE NULL END) AS v3,
+            MAX(CASE WHEN mask=4 THEN k*1000000//n ELSE NULL END) AS v4,
+            MAX(CASE WHEN mask=5 THEN k*1000000//n ELSE NULL END) AS v5,
+            MAX(CASE WHEN mask=6 THEN k*1000000//n ELSE NULL END) AS v6,
+            MAX(CASE WHEN mask=7 THEN k*1000000//n ELSE NULL END) AS v7
+        FROM coal),
+    g AS (
+        SELECT COALESCE(v0,0) AS v0, COALESCE(v1,0) AS v1,
+               COALESCE(v2,0) AS v2, COALESCE(v3,0) AS v3,
+               COALESCE(v4,0) AS v4, COALESCE(v5,0) AS v5,
+               COALESCE(v6,0) AS v6, COALESCE(v7,0) AS v7
+        FROM v)
+    SELECT channel, CAST(solo_v_ppm AS BIGINT) AS solo_v_ppm,
+           CAST(phi6_ppm AS BIGINT) AS phi6_ppm,
+           CAST(floor(CAST(phi6_ppm AS DOUBLE) / 6) AS BIGINT)
+               AS phi_ppm
+    FROM (
+        SELECT 'click' AS channel, v1 AS solo_v_ppm,
+               2*(v1-v0) + (v3-v2) + (v5-v4) + 2*(v7-v6) AS phi6_ppm
+        FROM g
+        UNION ALL
+        SELECT 'view', v2,
+               2*(v2-v0) + (v3-v1) + (v6-v4) + 2*(v7-v5) FROM g
+        UNION ALL
+        SELECT 'signup', v4,
+               2*(v4-v0) + (v5-v1) + (v6-v2) + 2*(v7-v3) FROM g)
+    ORDER BY channel
+    """,
+)
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley values for click/view/signup exposure toward
+    purchase conversion: coalition value v(S) = conversion rate (ppm,
+    integer DIV) of users exposed to exactly S; Shapley weights for
+    k=3 reduce to (2,1,1,2)/6 over the four marginals, so 6·phi is a
+    pure-integer combination and the final /6 is one floored double.
+    Empty coalitions default to 0 (guarded COALESCE — at this
+    corpus's exposure density all 8 cells are populated). 100 TB:
+    one user-grain rollup shuffles; everything after is an 8-row
+    pivot."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.expr(
+                f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+            ).alias(a)
+            for t, a in [
+                ("click", "has_c"),
+                ("view", "has_v"),
+                ("signup", "has_s"),
+                ("purchase", "conv"),
+            ]
+        ]
+    )
+    coal = (
+        per_user.select(
+            F.expr("has_c + 2 * has_v + 4 * has_s").alias("mask"),
+            "conv",
+        )
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    )
+    v = coal.agg(
+        *[
+            F.expr(
+                f"MAX(CASE WHEN mask={m} THEN k*1000000 DIV n"
+                f" ELSE NULL END)"
+            ).alias(f"v{m}")
+            for m in range(8)
+        ]
+    )
+    g = v.select(
+        *[F.expr(f"COALESCE(v{m}, 0)").alias(f"v{m}") for m in range(8)]
+    )
+    phis = g.select(
+        F.expr(
+            "stack(3,"
+            " 'click', v1,"
+            "   2*(v1-v0) + (v3-v2) + (v5-v4) + 2*(v7-v6),"
+            " 'view', v2,"
+            "   2*(v2-v0) + (v3-v1) + (v6-v4) + 2*(v7-v5),"
+            " 'signup', v4,"
+            "   2*(v4-v0) + (v5-v1) + (v6-v2) + 2*(v7-v3))"
+            " AS (channel, solo_v_ppm, phi6_ppm)"
+        )
+    )
+    return phis.select(
+        "channel",
+        F.col("solo_v_ppm").cast("bigint").alias("solo_v_ppm"),
+        F.col("phi6_ppm").cast("bigint").alias("phi6_ppm"),
+        F.expr(
+            "CAST(floor(CAST(phi6_ppm AS DOUBLE) / 6) AS BIGINT)"
+        ).alias("phi_ppm"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — the hypothesis-test companion of q_kaplan_meier:
+# do BUILDING and MACHINERY customers differ in time-to-second-order?
+# At each event time the observed-vs-expected group-1 deaths use the
+# hypergeometric mean/variance; per-time terms are fixed-point
+# floored so the O−E and V sums are exact integers.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_logrank_test",
+    """
+    WITH seq AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS od,
+               ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+                                  ORDER BY o.o_orderdate, o.o_orderkey)
+                   AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    lives AS (
+        SELECT CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END AS g,
+               CASE WHEN MAX(CASE WHEN rn = 2 THEN od END) IS NULL
+                    THEN date_diff('day',
+                                   MAX(CASE WHEN rn = 1 THEN od END),
+                                   DATE '2001-12-31')
+                    ELSE date_diff('day',
+                                   MAX(CASE WHEN rn = 1 THEN od END),
+                                   MAX(CASE WHEN rn = 2 THEN od END))
+                    END AS dur,
+               CASE WHEN MAX(CASE WHEN rn = 2 THEN od END) IS NULL
+                    THEN 0 ELSE 1 END AS ev
+        FROM seq GROUP BY o_custkey, seg),
+    tot AS (
+        SELECT COUNT(*) AS nt, SUM(g) AS nt1 FROM lives),
+    perdur AS (
+        SELECT dur, COUNT(*) AS na, SUM(g) AS n1,
+               SUM(ev) AS d, SUM(ev * g) AS d1
+        FROM lives GROUP BY dur),
+    risk AS (
+        SELECT dur, d, d1,
+               nt - COALESCE(SUM(na) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS r,
+               nt1 - COALESCE(SUM(n1) OVER (ORDER BY dur
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS r1
+        FROM perdur, tot),
+    terms AS (
+        SELECT d1,
+               CAST(floor(CAST(d AS DOUBLE) * r1 / r * 1000000)
+                    AS BIGINT) AS e_fix,
+               CAST(floor(CAST(d AS DOUBLE) * r1 / r * (r - r1) / r
+                          * (r - d) / (r - 1) * 1000000)
+                    AS BIGINT) AS v_fix
+        FROM risk WHERE d > 0 AND r > 1),
+    agg AS (
+        SELECT SUM(d1) AS o1, SUM(e_fix) AS e, SUM(v_fix) AS v
+        FROM terms)
+    SELECT CAST((SELECT nt1 FROM tot) AS BIGINT) AS n_treat,
+           CAST((SELECT nt - nt1 FROM tot) AS BIGINT) AS n_ctrl,
+           CAST(o1 AS BIGINT) AS observed_1,
+           CAST(e AS BIGINT) AS expected_1_micro,
+           CAST(v AS BIGINT) AS variance_micro,
+           CAST(floor(CAST(o1 * 1000000 - e AS DOUBLE)
+                / sqrt(CAST(v AS DOUBLE) * 1000000) * 1000) AS BIGINT)
+               AS z_milli
+    FROM agg
+    """,
+)
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of time-to-second-order between BUILDING
+    (group 1) and MACHINERY customers, administratively censored at
+    2001-12-31 (past the corpus's last date, so censoring is
+    deterministic). Each event day contributes the hypergeometric
+    expectation d·r1/r and variance d·(r1/r)·(1−r1/r)·(r−d)/(r−1),
+    floored to micro fixed point before summing — both sums exact
+    BIGINTs, one final IEEE z chain. At-risk counts come from the
+    KM-style reverse-cumulative window over the day-grain rollup
+    (~2.2k rows at any corpus size). 100 TB: one custkey window for
+    first/second orders, then everything is per-day."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    seq = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("od"),
+            F.row_number()
+            .over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    lives = seq.groupBy("o_custkey", "seg").agg(
+        F.expr("MAX(CASE WHEN rn = 1 THEN od END)").alias("d1st"),
+        F.expr("MAX(CASE WHEN rn = 2 THEN od END)").alias("d2nd"),
+    ).select(
+        F.expr("CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END").alias(
+            "g"
+        ),
+        F.expr(
+            "CASE WHEN d2nd IS NULL"
+            " THEN datediff(DATE '2001-12-31', d1st)"
+            " ELSE datediff(d2nd, d1st) END"
+        ).alias("dur"),
+        F.expr("CASE WHEN d2nd IS NULL THEN 0 ELSE 1 END").alias("ev"),
+    )
+    tot = lives.agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("g").alias("nt1")
+    )
+    perdur = lives.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("g").alias("n1"),
+        F.sum("ev").alias("d"),
+        F.expr("SUM(ev * g)").alias("d1"),
+    )
+    risk = perdur.join(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "d1",
+        F.expr(
+            "nt - COALESCE(SUM(na) OVER (ORDER BY dur"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ).alias("r"),
+        F.expr(
+            "nt1 - COALESCE(SUM(n1) OVER (ORDER BY dur"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        ).alias("r1"),
+    )
+    terms = risk.where((F.col("d") > 0) & (F.col("r") > 1)).select(
+        "d1",
+        F.expr(
+            "CAST(floor(CAST(d AS DOUBLE) * r1 / r * 1000000)"
+            " AS BIGINT)"
+        ).alias("e_fix"),
+        F.expr(
+            "CAST(floor(CAST(d AS DOUBLE) * r1 / r * (r - r1) / r"
+            " * (r - d) / (r - 1) * 1000000) AS BIGINT)"
+        ).alias("v_fix"),
+    )
+    agg = terms.agg(
+        F.sum("d1").alias("o1"),
+        F.sum("e_fix").alias("e"),
+        F.sum("v_fix").alias("v"),
+    )
+    return agg.join(F.broadcast(tot)).select(
+        F.col("nt1").cast("bigint").alias("n_treat"),
+        F.expr("CAST(nt - nt1 AS BIGINT)").alias("n_ctrl"),
+        F.col("o1").cast("bigint").alias("observed_1"),
+        F.col("e").cast("bigint").alias("expected_1_micro"),
+        F.col("v").cast("bigint").alias("variance_micro"),
+        F.expr(
+            "CAST(floor(CAST(o1 * 1000000 - e AS DOUBLE)"
+            " / sqrt(CAST(v AS DOUBLE) * 1000000) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    )

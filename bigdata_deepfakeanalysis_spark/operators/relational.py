@@ -7154,3 +7154,123 @@ def q_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * sqrt((n - 1) / CAST(2 AS DOUBLE)) * 1000) AS BIGINT)"
         ).alias("z_milli"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test — the paired nonparametric companion of
+# q_diff_in_diff: did per-customer revenue shift pre→post, without
+# assuming normality? Doubled average ranks (2r̄ = 2·RANK + ties − 1)
+# keep tie handling exactly integral; run per segment so the rank
+# windows partition.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_wilcoxon_signed_rank",
+    """
+    WITH cust AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey,
+               CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS pre_c,
+               CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS post_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_custkey),
+    diffs AS (
+        SELECT segment, post_c - pre_c AS d, abs(post_c - pre_c) AS ad
+        FROM cust WHERE post_c <> pre_c),
+    ranked AS (
+        SELECT segment, d, ad,
+               2 * RANK() OVER (PARTITION BY segment ORDER BY ad)
+                   + COUNT(*) OVER (PARTITION BY segment, ad) - 1 AS r2
+        FROM diffs),
+    ties AS (
+        SELECT segment, SUM(m*m*m - m) AS tie_sum
+        FROM (SELECT segment, ad, COUNT(*) AS m FROM diffs
+              GROUP BY segment, ad)
+        GROUP BY segment),
+    agg AS (
+        SELECT r.segment, COUNT(*) AS n,
+               SUM(CASE WHEN r.d > 0 THEN r.r2 ELSE 0 END) AS t2,
+               MAX(t.tie_sum) AS tie_sum
+        FROM ranked r JOIN ties t ON r.segment = t.segment
+        GROUP BY r.segment)
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(t2 AS BIGINT) AS w_plus_x2,
+           CAST(n * (n + 1) // 2 AS BIGINT) AS e_w_x2,
+           CAST(floor((t2 - CAST(n * (n + 1) AS DOUBLE) / 2)
+                / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6
+                       - CAST(tie_sum AS DOUBLE) / 12) * 1000)
+                AS BIGINT) AS z_milli
+    FROM agg ORDER BY segment
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank per segment on paired per-customer
+    pre/post revenue (zero differences dropped per the classic
+    procedure). Average ranks are carried doubled — 2r̄ = 2·RANK +
+    tiecount − 1 is always an integer — so W+ (doubled), its
+    expectation, and the tie-corrected variance are exact until the
+    one final z chain. 100 TB: ranks partition by segment; the tie
+    table is a (segment, |d|) rollup."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'"
+                " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("pre_c"),
+            F.expr(
+                "CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'"
+                " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("post_c"),
+        )
+    )
+    diffs = cust.where(F.col("post_c") != F.col("pre_c")).select(
+        "segment",
+        F.expr("post_c - pre_c").alias("d"),
+        F.expr("abs(post_c - pre_c)").alias("ad"),
+    )
+    ranked = diffs.select(
+        "segment",
+        "d",
+        F.expr(
+            "2 * RANK() OVER (PARTITION BY segment ORDER BY ad)"
+            " + COUNT(*) OVER (PARTITION BY segment, ad) - 1"
+        ).alias("r2"),
+    )
+    ties = (
+        diffs.groupBy("segment", "ad")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .groupBy("segment")
+        .agg(F.expr("SUM(m*m*m - m)").alias("tie_sum"))
+    )
+    agg = (
+        ranked.join(F.broadcast(ties), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END)"
+            ).alias("t2"),
+            F.max("tie_sum").alias("tie_sum"),
+        )
+    )
+    return agg.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("t2").cast("bigint").alias("w_plus_x2"),
+        F.expr("CAST(n * (n + 1) DIV 2 AS BIGINT)").alias("e_w_x2"),
+        F.expr(
+            "CAST(floor((t2 - CAST(n * (n + 1) AS DOUBLE) / 2)"
+            " / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6"
+            " - CAST(tie_sum AS DOUBLE) / 12) * 1000) AS BIGINT)"
+        ).alias("z_milli"),
+    ).orderBy("segment")
