@@ -323,6 +323,9 @@ HEADLINE = [
     "q_shapley_attribution",         # exact coalition channel credit
     "q_wilcoxon_signed_rank",        # paired nonparametric shift
     "q_logrank_test",                # survival-curve comparison
+    "q_eb_shrinkage",                # beta-binomial rate pooling
+    "q_mcnemar_filters",             # paired filter disagreement
+    "q_rank_biased_overlap",         # top-weighted rank similarity
 ]
 
 

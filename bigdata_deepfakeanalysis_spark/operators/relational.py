@@ -7274,3 +7274,242 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(tie_sum AS DOUBLE) / 12) * 1000) AS BIGINT)"
         ).alias("z_milli"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage — per-brand return rates shrunk toward
+# the prior a beta-binomial method-of-moments fit implies: the
+# standard fix for "the worst brand is just the smallest sample".
+# Per-brand rates are integer ppm, the prior fit is one IEEE chain,
+# and each shrunken rate is one more — nothing inexact is summed.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_eb_shrinkage",
+    """
+    WITH br AS (
+        SELECT p.p_brand AS brand, COUNT(*) AS n,
+               SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS k
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand),
+    rates AS (
+        SELECT brand, n, k, k * 1000000 // n AS p_ppm FROM br),
+    mom AS (
+        SELECT COUNT(*) AS nb, SUM(p_ppm) AS s1,
+               SUM(p_ppm * p_ppm) AS s2
+        FROM rates),
+    prior AS (
+        SELECT (CAST(s1 AS DOUBLE) / nb)
+                   * (1000000 - CAST(s1 AS DOUBLE) / nb)
+                   / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / nb * s1)
+                      / (nb - 1))
+                   - 1 AS ab,
+               ((CAST(s1 AS DOUBLE) / nb)
+                   * (1000000 - CAST(s1 AS DOUBLE) / nb)
+                   / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / nb * s1)
+                      / (nb - 1))
+                   - 1) * (CAST(s1 AS DOUBLE) / nb) / 1000000 AS a
+        FROM mom)
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           CAST(k AS BIGINT) AS n_returns,
+           CAST(p_ppm AS BIGINT) AS raw_ppm,
+           CAST(floor((k + a) / (n + ab) * 1000000) AS BIGINT)
+               AS shrunk_ppm
+    FROM rates, prior
+    ORDER BY brand
+    """,
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-binomial empirical Bayes on per-brand return rates:
+    method-of-moments prior (alpha, alpha+beta) from the unweighted
+    mean/variance of the integer-ppm brand rates, then each brand's
+    posterior mean (k+a)/(n+a+b). The prior scalars are doubles but
+    derive from exact integer moments through one written-once IEEE
+    chain, so both engines broadcast the identical pair. Shrinkage
+    is visible in-band: small-n brands land near the prior mean,
+    large-n brands keep their raw rate. 100 TB: one fact rollup,
+    a 25-row moment pass, a broadcast of two scalars."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    br = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)"
+            ).alias("k"),
+        )
+    )
+    rates = br.select(
+        "brand", "n", "k", F.expr("k * 1000000 DIV n").alias("p_ppm")
+    )
+    mom = rates.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("p_ppm").alias("s1"),
+        F.expr("SUM(p_ppm * p_ppm)").alias("s2"),
+    )
+    _AB = (
+        "(CAST(s1 AS DOUBLE) / nb)"
+        " * (1000000 - CAST(s1 AS DOUBLE) / nb)"
+        " / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / nb * s1)"
+        " / (nb - 1)) - 1"
+    )
+    prior = mom.select(
+        F.expr(_AB).alias("ab"),
+        F.expr(
+            f"({_AB}) * (CAST(s1 AS DOUBLE) / nb) / 1000000"
+        ).alias("a"),
+    )
+    return (
+        rates.join(F.broadcast(prior))
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.col("k").cast("bigint").alias("n_returns"),
+            F.col("p_ppm").cast("bigint").alias("raw_ppm"),
+            F.expr(
+                "CAST(floor((k + a) / (n + ab) * 1000000) AS BIGINT)"
+            ).alias("shrunk_ppm"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap — how similar are this year's and last year's
+# brand-revenue rankings, weighted toward the top? RBO with p=0.9,
+# evaluated EXACTLY: p^(d-1) = 9^(d-1)/10^(d-1) as integer literals,
+# so no cross-engine pow() drift can exist. Overlap-at-depth comes
+# from the max-rank trick (brand in both prefixes iff max(ra,rb)<=d).
+# ---------------------------------------------------------------------------
+
+_RBO_SPINE = "(1, 1, 1), (2, 9, 10), (3, 81, 100), (4, 729, 1000), (5, 6561, 10000), (6, 59049, 100000), (7, 531441, 1000000), (8, 4782969, 10000000), (9, 43046721, 100000000), (10, 387420489, 1000000000), (11, 3486784401, 10000000000), (12, 31381059609, 100000000000), (13, 282429536481, 1000000000000), (14, 2541865828329, 10000000000000), (15, 22876792454961, 100000000000000), (16, 205891132094649, 1000000000000000), (17, 1853020188851841, 10000000000000000), (18, 16677181699666569, 100000000000000000), (19, 150094635296999121, 1000000000000000000), (20, 1350851717672992089, 10000000000000000000), (21, 12157665459056928801, 100000000000000000000), (22, 109418989131512359209, 1000000000000000000000), (23, 984770902183611232881, 10000000000000000000000), (24, 8862938119652501095929, 100000000000000000000000), (25, 79766443076872509863361, 1000000000000000000000000)"
+
+
+@query(
+    "q_rank_biased_overlap",
+    f"""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01'
+                    THEN 0 ELSE 1 END AS yr,
+               SUM(CAST(floor(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l.l_discount AS DECIMAL(18,4))
+                              * 100) AS BIGINT)) AS rev_c
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+    ra AS (
+        SELECT brand, ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand)
+                   AS r FROM rev WHERE yr = 0),
+    rb AS (
+        SELECT brand, ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand)
+                   AS r FROM rev WHERE yr = 1),
+    m AS (
+        SELECT GREATEST(ra.r, rb.r) AS mx
+        FROM ra JOIN rb ON ra.brand = rb.brand),
+    spine(d, p9, p10) AS (VALUES {_RBO_SPINE}),
+    ov AS (
+        SELECT s.d, s.p9, s.p10, COUNT(m.mx) AS o
+        FROM spine s LEFT JOIN m ON m.mx <= s.d
+        WHERE s.d <= (SELECT COUNT(*) FROM m)
+        GROUP BY s.d, s.p9, s.p10),
+    terms AS (
+        SELECT d, o,
+               CAST(p9 AS HUGEINT) * o * 1000000000000 // (p10 * d)
+                   AS t
+        FROM ov)
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_brands,
+           CAST((SELECT o FROM ov WHERE d = 5) AS BIGINT)
+               AS overlap_at_5,
+           CAST((SELECT o FROM ov WHERE d = 10) AS BIGINT)
+               AS overlap_at_10,
+           CAST(SUM(t) // 10000000 AS BIGINT) AS rbo_micro
+    FROM terms
+    """,
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO (p=0.9) between the 1996 and 1997 brand-revenue rankings:
+    overlap at each depth d is the count of brands whose max(rank_a,
+    rank_b) <= d — one GREATEST per brand, no per-depth set algebra —
+    and the geometric weights are exact integer rationals 9^(d-1)/
+    10^(d-1) from a literal spine, so the whole statistic is integer
+    DIV arithmetic end to end (the one place pow() would have risked
+    engine drift). Evaluated to full depth over the complete brand
+    roster, this is exact RBO, not the truncated lower bound. 100 TB:
+    rankings live on the 25-row brand rollup; the spine join is a
+    broadcast nested loop over 25x25."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'"
+                " THEN 0 ELSE 1 END"
+            ).alias("yr"),
+        )
+        .agg(
+            F.expr(
+                "SUM(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * CAST(1 - l_discount AS DECIMAL(18,4)) * 100)"
+                " AS BIGINT))"
+            ).alias("rev_c")
+        )
+    )
+    ra = rev.where(F.col("yr") == 0).select(
+        "brand",
+        F.expr("ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand)").alias(
+            "r_a"
+        ),
+    )
+    rb = rev.where(F.col("yr") == 1).select(
+        "brand",
+        F.expr("ROW_NUMBER() OVER (ORDER BY rev_c DESC, brand)").alias(
+            "r_b"
+        ),
+    )
+    m = ra.join(rb, "brand").select(
+        F.expr("GREATEST(r_a, r_b)").alias("mx")
+    )
+    nb = m.agg(F.count(F.lit(1)).alias("nb"))
+    spine = spark.sql(
+        f"SELECT * FROM VALUES {_RBO_SPINE} AS t(d, p9, p10)"
+    )
+    ov = (
+        spine.join(F.broadcast(nb))
+        .where(F.col("d") <= F.col("nb"))
+        .join(m, F.expr("mx <= d"), "left")
+        .groupBy("d", "p9", "p10", "nb")
+        .agg(F.count("mx").alias("o"))
+    )
+    terms = ov.select(
+        "d",
+        "o",
+        "nb",
+        F.expr(
+            "CAST(p9 AS DECIMAL(38,0)) * o * 1000000000000"
+            " DIV (CAST(p10 AS DECIMAL(38,0)) * d)"
+        ).alias("t"),
+    )
+    return terms.agg(
+        F.max("nb").cast("bigint").alias("n_brands"),
+        F.expr("MAX(CASE WHEN d = 5 THEN o END)")
+        .cast("bigint")
+        .alias("overlap_at_5"),
+        F.expr("MAX(CASE WHEN d = 10 THEN o END)")
+        .cast("bigint")
+        .alias("overlap_at_10"),
+        F.expr("CAST(SUM(t) DIV 10000000 AS BIGINT)").alias(
+            "rbo_micro"
+        ),
+    )

@@ -4625,3 +4625,85 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired filter comparison — do two quality filters disagree
+# more than chance? The right test when both filters judge the SAME
+# documents (a two-proportion z on the marginals is wrong there);
+# only the discordant cells carry information. All-integer chi².
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_mcnemar_filters",
+    f"""
+    WITH flags AS (
+        SELECT CASE WHEN len({_TOKS_SQL}) >= 30 THEN 1 ELSE 0 END
+                   AS f_len,
+               CASE WHEN len(list_distinct({_TOKS_SQL})) * 1000000
+                         >= 500000 * len({_TOKS_SQL})
+                    THEN 1 ELSE 0 END AS f_ttr
+        FROM documents
+        WHERE len({_TOKS_SQL}) > 0),
+    cells AS (
+        SELECT COUNT(*) AS n,
+               SUM(f_len * f_ttr) AS both_pass,
+               SUM(f_len * (1 - f_ttr)) AS only_len,
+               SUM((1 - f_len) * f_ttr) AS only_ttr,
+               SUM((1 - f_len) * (1 - f_ttr)) AS neither
+        FROM flags)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(both_pass AS BIGINT) AS both_pass,
+           CAST(only_len AS BIGINT) AS only_len,
+           CAST(only_ttr AS BIGINT) AS only_ttr,
+           CAST(neither AS BIGINT) AS neither,
+           CAST((only_len - only_ttr) * (only_len - only_ttr) * 1000
+                // (only_len + only_ttr) AS BIGINT) AS chi2_milli,
+           CAST((abs(only_len - only_ttr) - 1)
+                * (abs(only_len - only_ttr) - 1) * 1000
+                // (only_len + only_ttr) AS BIGINT) AS chi2_cc_milli
+    FROM cells
+    """,
+)
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between a length filter (>= 30 tokens) and a
+    lexical-diversity filter (TTR >= 0.5, evaluated as the integer
+    cross-multiplication distinct·1e6 >= 0.5e6·total — no division
+    at all) over the same documents. chi² = (b−c)²/(b+c) and its
+    continuity-corrected form are pure-integer milli values. The
+    discordant cells also tell you WHICH filter is stricter, not
+    just that they differ. 100 TB: row-local flags, one 1-row
+    rollup — embarrassingly map-side."""
+    docs = table(spark, sf_dir, "documents")
+    flags = docs.select(
+        F.expr(
+            f"CASE WHEN size({_TOKS}) >= 30 THEN 1 ELSE 0 END"
+        ).alias("f_len"),
+        F.expr(
+            f"CASE WHEN size(array_distinct({_TOKS})) * 1000000"
+            f" >= 500000 * size({_TOKS}) THEN 1 ELSE 0 END"
+        ).alias("f_ttr"),
+    ).where(F.expr(f"size({_TOKS}) > 0"))
+    cells = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(f_len * f_ttr)").alias("both_pass"),
+        F.expr("SUM(f_len * (1 - f_ttr))").alias("only_len"),
+        F.expr("SUM((1 - f_len) * f_ttr)").alias("only_ttr"),
+        F.expr("SUM((1 - f_len) * (1 - f_ttr))").alias("neither"),
+    )
+    return cells.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("both_pass").cast("bigint").alias("both_pass"),
+        F.col("only_len").cast("bigint").alias("only_len"),
+        F.col("only_ttr").cast("bigint").alias("only_ttr"),
+        F.col("neither").cast("bigint").alias("neither"),
+        F.expr(
+            "CAST((only_len - only_ttr) * (only_len - only_ttr) * 1000"
+            " DIV (only_len + only_ttr) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST((abs(only_len - only_ttr) - 1)"
+            " * (abs(only_len - only_ttr) - 1) * 1000"
+            " DIV (only_len + only_ttr) AS BIGINT)"
+        ).alias("chi2_cc_milli"),
+    )
