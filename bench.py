@@ -326,6 +326,9 @@ HEADLINE = [
     "q_eb_shrinkage",                # beta-binomial rate pooling
     "q_mcnemar_filters",             # paired filter disagreement
     "q_rank_biased_overlap",         # top-weighted rank similarity
+    "q_direct_standardization",      # segment-mix-adjusted means
+    "q_cem_att",                     # coarsened exact matching
+    "q_granger_lag1",                # cross-lag predictive gain
 ]
 
 

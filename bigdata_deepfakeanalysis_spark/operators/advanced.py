@@ -5192,3 +5192,146 @@ def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / sqrt(CAST(v AS DOUBLE) * 1000000) * 1000) AS BIGINT)"
         ).alias("z_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Granger lag-1 causality — does yesterday's ORDER COUNT predict
+# today's revenue beyond yesterday's revenue? Restricted (AR-1) vs
+# unrestricted (AR-1 + cross lag) OLS, both solved in closed form
+# from one pass of exact daily moments; the F for the added
+# regressor is the Granger statistic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_granger_lag1",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS y,
+               COUNT(*) AS x
+        FROM orders GROUP BY 1),
+    lagged AS (
+        SELECT y,
+               LAG(y) OVER (ORDER BY day) AS y1,
+               LAG(x) OVER (ORDER BY day) AS x1
+        FROM daily),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               SUM(y) AS sy, SUM(y1) AS s1, SUM(x1) AS s2,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(y1 AS HUGEINT) * y1) AS s11,
+               SUM(CAST(x1 AS HUGEINT) * x1) AS s22,
+               SUM(CAST(y AS HUGEINT) * y1) AS sy1,
+               SUM(CAST(y AS HUGEINT) * x1) AS sy2,
+               SUM(CAST(y1 AS HUGEINT) * x1) AS s12
+        FROM lagged WHERE y1 IS NOT NULL AND x1 IS NOT NULL),
+    cen AS (
+        SELECT n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy AS myy,
+               CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1 AS m11,
+               CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) / n * s2 AS m22,
+               CAST(sy1 AS DOUBLE) - CAST(sy AS DOUBLE) / n * s1 AS m1y,
+               CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) / n * s2 AS m2y,
+               CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s2 AS m12
+        FROM mom),
+    fit AS (
+        SELECT n, myy,
+               myy - m1y / m11 * m1y AS sse1,
+               myy - ((m1y * m22 - m2y * m12) * m1y
+                      + (m2y * m11 - m1y * m12) * m2y)
+                     / (m11 * m22 - m12 * m12) AS sse2,
+               (m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12) AS b2
+        FROM cen)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(floor(b2 * 1000000) AS BIGINT) AS cross_coef_micro,
+           CAST(floor((sse1 - sse2) / (sse2 / (n - 3)) * 1000)
+                AS BIGINT) AS f_milli,
+           CAST(floor((sse1 - sse2) / myy * 1000000) AS BIGINT)
+               AS r2_gain_ppm
+    FROM fit
+    """,
+)
+def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger test at lag 1 on the daily grain: F for adding
+    yesterday's order count to an AR(1) of daily revenue. Raw
+    moments are exact (cross products DECIMAL(38,0)-routed), the
+    centered moments / normal-equation solve / SSEs are one shared
+    cascade of IEEE chains written identically in both engines, and
+    only floored fixed-point values are emitted. The 2x2 solve is
+    Cramer's rule — no iteration, no library. 100 TB: one scan to
+    the ~2.4k-row daily grain; the lag window is the sanctioned
+    tiny-post-agg shape."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("y"),
+        F.count(F.lit(1)).alias("x"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).where(F.col("y1").isNotNull() & F.col("x1").isNotNull())
+    mom = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y)").alias("syy"),
+        F.expr("SUM(CAST(y1 AS DECIMAL(38,0)) * y1)").alias("s11"),
+        F.expr("SUM(CAST(x1 AS DECIMAL(38,0)) * x1)").alias("s22"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * y1)").alias("sy1"),
+        F.expr("SUM(CAST(y AS DECIMAL(38,0)) * x1)").alias("sy2"),
+        F.expr("SUM(CAST(y1 AS DECIMAL(38,0)) * x1)").alias("s12"),
+    )
+    cen = mom.select(
+        "n",
+        F.expr(
+            "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy"
+        ).alias("myy"),
+        F.expr(
+            "CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1"
+        ).alias("m11"),
+        F.expr(
+            "CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) / n * s2"
+        ).alias("m22"),
+        F.expr(
+            "CAST(sy1 AS DOUBLE) - CAST(sy AS DOUBLE) / n * s1"
+        ).alias("m1y"),
+        F.expr(
+            "CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) / n * s2"
+        ).alias("m2y"),
+        F.expr(
+            "CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s2"
+        ).alias("m12"),
+    )
+    fit = cen.select(
+        "n",
+        "myy",
+        F.expr("myy - m1y / m11 * m1y").alias("sse1"),
+        F.expr(
+            "myy - ((m1y * m22 - m2y * m12) * m1y"
+            " + (m2y * m11 - m1y * m12) * m2y)"
+            " / (m11 * m22 - m12 * m12)"
+        ).alias("sse2"),
+        F.expr(
+            "(m2y * m11 - m1y * m12) / (m11 * m22 - m12 * m12)"
+        ).alias("b2"),
+    )
+    return fit.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr("CAST(floor(b2 * 1000000) AS BIGINT)").alias(
+            "cross_coef_micro"
+        ),
+        F.expr(
+            "CAST(floor((sse1 - sse2) / (sse2 / (n - 3)) * 1000)"
+            " AS BIGINT)"
+        ).alias("f_milli"),
+        F.expr(
+            "CAST(floor((sse1 - sse2) / myy * 1000000) AS BIGINT)"
+        ).alias("r2_gain_ppm"),
+    )

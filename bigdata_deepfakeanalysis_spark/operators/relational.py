@@ -7513,3 +7513,227 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rbo_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct standardization — the Simpson's-paradox guard: compare mean
+# order value across priorities AFTER forcing every priority onto
+# the same segment mix. Per-(priority,segment) means weighted by the
+# global segment shares; per-cell terms floored to fixed point so
+# the 5-term sums are exact.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_direct_standardization",
+    """
+    WITH base AS (
+        SELECT o.o_orderpriority AS prio, c.c_mktsegment AS seg,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cell AS (
+        SELECT prio, seg, COUNT(*) AS n, SUM(v) AS s
+        FROM base GROUP BY prio, seg),
+    segw AS (
+        SELECT seg, SUM(n) AS ns FROM cell GROUP BY seg),
+    tot AS (
+        SELECT SUM(ns) AS nt FROM segw),
+    terms AS (
+        SELECT c.prio,
+               c.n, c.s,
+               CAST(floor(CAST(w.ns AS DOUBLE) / t.nt
+                          * (CAST(c.s AS DOUBLE) / c.n) * 1000)
+                    AS BIGINT) AS adj_fix
+        FROM cell c JOIN segw w ON c.seg = w.seg, tot t)
+    SELECT prio AS priority,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           CAST(SUM(s) // SUM(n) AS BIGINT) AS raw_mean_c,
+           CAST(SUM(adj_fix) AS BIGINT) AS adj_mean_milli_c,
+           CAST(SUM(adj_fix) // 1000 - SUM(s) // SUM(n) AS BIGINT)
+               AS shift_c
+    FROM terms GROUP BY prio ORDER BY priority
+    """,
+)
+def q_direct_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-standardized mean order value per priority: each
+    (priority, segment) cell contributes share(segment)·mean(cell),
+    floored to milli-cent fixed point before the 5-term sum (the
+    order-safe way), with global segment shares as the standard
+    population. raw vs adjusted shows how much of any priority gap
+    is just segment mix. 100 TB: one fact rollup to 25 cells, a
+    broadcast of 5 weights."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    cell = base.groupBy("prio", "seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    segw = cell.groupBy("seg").agg(F.sum("n").alias("ns"))
+    tot = segw.agg(F.sum("ns").alias("nt"))
+    terms = (
+        cell.join(F.broadcast(segw), "seg")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "prio",
+            "n",
+            "s",
+            F.expr(
+                "CAST(floor(CAST(ns AS DOUBLE) / nt"
+                " * (CAST(s AS DOUBLE) / n) * 1000) AS BIGINT)"
+            ).alias("adj_fix"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("prio").alias("priority"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_orders"),
+            F.expr("CAST(SUM(s) DIV SUM(n) AS BIGINT)").alias(
+                "raw_mean_c"
+            ),
+            F.sum("adj_fix").cast("bigint").alias("adj_mean_milli_c"),
+            F.expr(
+                "CAST(SUM(adj_fix) DIV 1000 - SUM(s) DIV SUM(n)"
+                " AS BIGINT)"
+            ).alias("shift_c"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching — the causal-inference preprocessing step:
+# coarsen covariates into bins, keep only cells where treated and
+# control coexist, estimate the ATT as the treated-weighted mean of
+# in-cell outcome differences. Deterministic bins, exact counts,
+# fixed-point cell terms.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cem_att",
+    """
+    WITH cust AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS treat,
+               CAST(floor(CAST(c.c_acctbal AS DECIMAL(18,2)) / 2000)
+                    AS BIGINT) AS bal_bin,
+               c.c_nationkey AS nat,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS y
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal,
+                 c.c_nationkey),
+    cells AS (
+        SELECT bal_bin, nat,
+               SUM(treat) AS nt, COUNT(*) - SUM(treat) AS nc,
+               SUM(CASE WHEN treat = 1 THEN y ELSE 0 END) AS st,
+               SUM(CASE WHEN treat = 0 THEN y ELSE 0 END) AS sc
+        FROM cust GROUP BY bal_bin, nat),
+    matched AS (
+        SELECT nt, nc, st, sc,
+               CAST(floor(CAST(nt AS DOUBLE)
+                          * (CAST(st AS DOUBLE) / nt
+                             - CAST(sc AS DOUBLE) / nc) * 1000)
+                    AS BIGINT) AS term_fix
+        FROM cells WHERE nt > 0 AND nc > 0),
+    unmatched AS (
+        SELECT COALESCE(SUM(CASE WHEN nc = 0 THEN nt ELSE 0 END), 0)
+                   AS t_dropped,
+               COALESCE(SUM(CASE WHEN nt = 0 THEN nc ELSE 0 END), 0)
+                   AS c_dropped
+        FROM cells)
+    SELECT CAST(SUM(nt) AS BIGINT) AS n_treat_matched,
+           CAST(SUM(nc) AS BIGINT) AS n_ctrl_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT t_dropped FROM unmatched) AS BIGINT)
+               AS n_treat_dropped,
+           CAST((SELECT c_dropped FROM unmatched) AS BIGINT)
+               AS n_ctrl_dropped,
+           CAST(floor(CAST(SUM(term_fix) AS DOUBLE) / SUM(nt))
+                AS BIGINT) AS att_milli_c
+    FROM matched
+    """,
+)
+def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened exact matching of BUILDING (treated) vs MACHINERY
+    (control) customers on (account-balance bin of width 2000,
+    nation), outcome = lifetime revenue in cents. Cells lacking
+    either group are dropped (and counted — silent pruning is how
+    matching estimates lie); the ATT is the treated-weighted mean of
+    in-cell mean differences, each cell term floored to milli-cents
+    before the exact sum. 100 TB: one custkey rollup, then a
+    ~125-cell table; no row ever meets another row."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    cust = (
+        c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment", "c_acctbal", "c_nationkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.expr(
+                "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+            ).alias("treat"),
+            F.expr(
+                "CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 2000)"
+                " AS BIGINT)"
+            ).alias("bal_bin"),
+            F.col("c_nationkey").alias("nat"),
+            "y",
+        )
+    )
+    cells = cust.groupBy("bal_bin", "nat").agg(
+        F.sum("treat").alias("nt"),
+        F.expr("COUNT(*) - SUM(treat)").alias("nc"),
+        F.expr("SUM(CASE WHEN treat = 1 THEN y ELSE 0 END)").alias("st"),
+        F.expr("SUM(CASE WHEN treat = 0 THEN y ELSE 0 END)").alias("sc"),
+    )
+    matched = cells.where((F.col("nt") > 0) & (F.col("nc") > 0)).select(
+        "nt",
+        "nc",
+        F.expr(
+            "CAST(floor(CAST(nt AS DOUBLE)"
+            " * (CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)"
+            " * 1000) AS BIGINT)"
+        ).alias("term_fix"),
+    )
+    unmatched = cells.agg(
+        F.expr(
+            "COALESCE(SUM(CASE WHEN nc = 0 THEN nt ELSE 0 END), 0)"
+        ).alias("t_dropped"),
+        F.expr(
+            "COALESCE(SUM(CASE WHEN nt = 0 THEN nc ELSE 0 END), 0)"
+        ).alias("c_dropped"),
+    )
+    return (
+        matched.agg(
+            F.sum("nt").cast("bigint").alias("n_treat_matched"),
+            F.sum("nc").cast("bigint").alias("n_ctrl_matched"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.expr(
+                "CAST(floor(CAST(SUM(term_fix) AS DOUBLE) / SUM(nt))"
+                " AS BIGINT)"
+            ).alias("att_milli_c"),
+        )
+        .join(F.broadcast(unmatched))
+        .select(
+            "n_treat_matched",
+            "n_ctrl_matched",
+            "n_cells",
+            F.col("t_dropped").cast("bigint").alias("n_treat_dropped"),
+            F.col("c_dropped").cast("bigint").alias("n_ctrl_dropped"),
+            "att_milli_c",
+        )
+    )
