@@ -329,6 +329,8 @@ HEADLINE = [
     "q_direct_standardization",      # segment-mix-adjusted means
     "q_cem_att",                     # coarsened exact matching
     "q_granger_lag1",                # cross-lag predictive gain
+    "q_burrows_delta",               # source stylometry distance
+    "q_split_half_reliability",      # quality-score stability
 ]
 
 

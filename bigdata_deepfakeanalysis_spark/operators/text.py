@@ -4707,3 +4707,228 @@ def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (only_len + only_ttr) AS BIGINT)"
         ).alias("chi2_cc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta — computational stylometry's standard authorship
+# distance: per-source relative frequencies of the corpus's top-30
+# words, standardized per word across sources, pairwise mean
+# absolute difference. The classic "same author/pipeline?" signal —
+# here it answers "which sources share a generator".
+# ---------------------------------------------------------------------------
+
+_BD_TOPW = 30
+_BD_TOPPAIRS = 10
+
+
+@query(
+    "q_burrows_delta",
+    f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS_SQL}) AS w FROM documents),
+    topw AS (
+        SELECT w FROM toks GROUP BY w
+        ORDER BY COUNT(*) DESC, w LIMIT {_BD_TOPW}),
+    src_tot AS (
+        SELECT source, COUNT(*) AS nt FROM toks GROUP BY source),
+    freq AS (
+        SELECT s.source, t.w,
+               COALESCE(cnt.c, 0) * 1000000 // s.nt AS f_ppm
+        FROM src_tot s
+        CROSS JOIN topw t
+        LEFT JOIN (SELECT source, w, COUNT(*) AS c FROM toks
+                   JOIN topw USING (w) GROUP BY source, w) cnt
+             ON cnt.source = s.source AND cnt.w = t.w),
+    stats AS (
+        SELECT w, COUNT(*) AS ns, SUM(f_ppm) AS s1,
+               SUM(f_ppm * f_ppm) AS s2
+        FROM freq GROUP BY w),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b, a.w,
+               CAST(floor(abs(a.f_ppm - b.f_ppm)
+                    / sqrt((CAST(st.s2 AS DOUBLE)
+                            - CAST(st.s1 AS DOUBLE) / st.ns * st.s1)
+                           / (st.ns - 1)) * 1000) AS BIGINT) AS t
+        FROM freq a JOIN freq b ON a.w = b.w AND a.source < b.source
+        JOIN stats st ON st.w = a.w),
+    delta AS (
+        SELECT src_a, src_b,
+               SUM(t) // COUNT(*) AS delta_milli
+        FROM pairs GROUP BY src_a, src_b)
+    SELECT src_a, src_b, CAST(delta_milli AS BIGINT) AS delta_milli
+    FROM delta
+    ORDER BY delta_milli, src_a, src_b
+    LIMIT {_BD_TOPPAIRS}
+    """,
+)
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta over the 20 sources: top-30 corpus words
+    (TakeOrdered), dense per-source frequency matrix in integer ppm
+    (the source×word spine is a broadcast nested loop over 20×30 —
+    never a shuffled cartesian), per-word cross-source sd from exact
+    moments, pairwise |Δf|/sd terms floored to milli before the
+    integer mean. Ten closest pairs emitted — at 100 TB the
+    pairwise stage is still sources² × 30 rows, independent of
+    corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.expr(_TOKS)).alias("w")
+    ).localCheckpoint(eager=True)
+    topw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_BD_TOPW)
+        .select("w")
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("nt"))
+    cnt = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.expr(
+                "COALESCE(c, CAST(0 AS BIGINT)) * 1000000 DIV nt"
+            ).alias("f_ppm"),
+        )
+    )
+    stats = freq.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum("f_ppm").alias("s1"),
+        F.expr("SUM(f_ppm * f_ppm)").alias("s2"),
+    )
+    a = freq.select(
+        F.col("source").alias("src_a"), "w", F.col("f_ppm").alias("fa")
+    )
+    b = freq.select(
+        F.col("source").alias("src_b"), "w", F.col("f_ppm").alias("fb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .join(F.broadcast(stats), "w")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                "CAST(floor(abs(fa - fb)"
+                " / sqrt((CAST(s2 AS DOUBLE)"
+                " - CAST(s1 AS DOUBLE) / ns * s1) / (ns - 1))"
+                " * 1000) AS BIGINT)"
+            ).alias("t"),
+        )
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.expr("CAST(SUM(t) DIV COUNT(*) AS BIGINT)").alias(
+            "delta_milli"
+        ))
+        .orderBy("delta_milli", "src_a", "src_b")
+        .limit(_BD_TOPPAIRS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-half reliability — is the TTR quality score measuring a
+# stable property of a document or sampling noise? Score each doc's
+# odd- and even-position token halves separately, correlate across
+# the corpus, and Spearman-Brown-correct to full length. The
+# measurement-theory check every learned-or-heuristic quality
+# filter should publish.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_split_half_reliability",
+    f"""
+    WITH halves AS (
+        SELECT doc_id,
+               list_filter({_TOKS_SQL},
+                           (w, i) -> i % 2 = 1) AS odd_t,
+               list_filter({_TOKS_SQL},
+                           (w, i) -> i % 2 = 0) AS even_t
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               len(list_distinct(odd_t)) * 1000000 // len(odd_t) AS x,
+               len(list_distinct(even_t)) * 1000000 // len(even_t)
+                   AS y
+        FROM halves
+        WHERE len(odd_t) > 0 AND len(even_t) > 0),
+    mom AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy,
+               SUM(x * y) AS sxy
+        FROM scored),
+    r AS (
+        SELECT n,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / n * sy)
+               / sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / n * sx)
+               / sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy)
+                   AS rho
+        FROM mom)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(floor(rho * 1000000) AS BIGINT) AS half_corr_micro,
+           CAST(floor(2 * rho / (1 + rho) * 1000000) AS BIGINT)
+               AS spearman_brown_micro
+    FROM r
+    """,
+)
+def q_split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half reliability of the TTR quality score: odd/even
+    token positions score independently (integer ppm), Pearson r
+    between halves from exact moments, Spearman-Brown 2r/(1+r)
+    projects to full-document reliability. Low reliability means
+    the filter is re-rolling dice per document — a curation
+    threshold on it would be noise, not signal. 100 TB: the halves
+    are row-local lambda filters; one 1-row moment rollup."""
+    docs = table(spark, sf_dir, "documents")
+    halves = docs.select(
+        "doc_id",
+        F.expr(
+            f"filter({_TOKS}, (w, i) -> i % 2 = 0)"
+        ).alias("odd_t"),
+        F.expr(
+            f"filter({_TOKS}, (w, i) -> i % 2 = 1)"
+        ).alias("even_t"),
+    )
+    scored = halves.where(
+        (F.expr("size(odd_t)") > 0) & (F.expr("size(even_t)") > 0)
+    ).select(
+        F.expr(
+            "size(array_distinct(odd_t)) * 1000000 DIV size(odd_t)"
+        ).alias("x"),
+        F.expr(
+            "size(array_distinct(even_t)) * 1000000 DIV size(even_t)"
+        ).alias("y"),
+    )
+    mom = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.expr("SUM(x * x)").alias("sxx"),
+        F.expr("SUM(y * y)").alias("syy"),
+        F.expr("SUM(x * y)").alias("sxy"),
+    )
+    r = mom.select(
+        "n",
+        F.expr(
+            "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) / n * sy)"
+            " / sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / n * sx)"
+            " / sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) / n * sy)"
+        ).alias("rho"),
+    )
+    return r.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr("CAST(floor(rho * 1000000) AS BIGINT)").alias(
+            "half_corr_micro"
+        ),
+        F.expr(
+            "CAST(floor(2 * rho / (1 + rho) * 1000000) AS BIGINT)"
+        ).alias("spearman_brown_micro"),
+    )
