@@ -331,6 +331,10 @@ HEADLINE = [
     "q_granger_lag1",                # cross-lag predictive gain
     "q_burrows_delta",               # source stylometry distance
     "q_split_half_reliability",      # quality-score stability
+    "q_dead_dimension_audit",        # embedding liveness/energy
+    "q_rate_mix_decomposition",      # ratio-metric bridge
+    "q_quantile_treatment_effect",   # distributional effect profile
+    "q_simpson_reversal",            # aggregation-artifact screen
 ]
 
 

@@ -7737,3 +7737,359 @@ def q_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             "att_milli_c",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate–mix decomposition — the ratio-metric sibling of
+# q_price_volume_mix: a change in the overall return rate splits
+# into "segment rates moved" vs "volume shifted between segments"
+# vs interaction, per priority cell. Division-free signed terms;
+# only the final ppm rescale is a (signed-safe) floored double.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_rate_mix_decomposition",
+    """
+    WITH base AS (
+        SELECT o.o_orderpriority AS prio,
+               CASE WHEN l.l_shipdate < TIMESTAMP '1997-01-01'
+                    THEN 0 ELSE 1 END AS yr,
+               CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'),
+    cell AS (
+        SELECT prio, yr, COUNT(*) AS n, SUM(r) AS k
+        FROM base GROUP BY prio, yr),
+    tot AS (
+        SELECT yr, SUM(n) AS nt FROM cell GROUP BY yr),
+    wide AS (
+        SELECT c.prio,
+               MAX(CASE WHEN c.yr = 0
+                   THEN c.n * 1000000 // t.nt END) AS w0,
+               MAX(CASE WHEN c.yr = 1
+                   THEN c.n * 1000000 // t.nt END) AS w1,
+               MAX(CASE WHEN c.yr = 0
+                   THEN c.k * 1000000 // c.n END) AS r0,
+               MAX(CASE WHEN c.yr = 1
+                   THEN c.k * 1000000 // c.n END) AS r1
+        FROM cell c JOIN tot t ON c.yr = t.yr
+        GROUP BY c.prio)
+    SELECT prio AS priority,
+           CAST(w0 AS BIGINT) AS w0_ppm, CAST(w1 AS BIGINT) AS w1_ppm,
+           CAST(r0 AS BIGINT) AS r0_ppm, CAST(r1 AS BIGINT) AS r1_ppm,
+           CAST(floor(CAST((w1 - w0) * r0 AS DOUBLE) / 1000000)
+                AS BIGINT) AS mix_eff_ppm,
+           CAST(floor(CAST(w0 * (r1 - r0) AS DOUBLE) / 1000000)
+                AS BIGINT) AS rate_eff_ppm,
+           CAST(floor(CAST((w1 - w0) * (r1 - r0) AS DOUBLE) / 1000000)
+                AS BIGINT) AS cross_eff_ppm
+    FROM wide ORDER BY priority
+    """,
+)
+def q_rate_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate bridge 1996→1997 by order priority: per-cell
+    weights (line share) and rates in integer ppm, then Laspeyres-
+    style mix (Δw·r0), rate (w0·Δr), and interaction terms. The
+    signed products stay integers; the 1e-6 rescale uses floor on a
+    double — not DIV — because Spark DIV truncates and DuckDB //
+    floors on negatives. Tells a metrics owner whether 'returns got
+    worse' means behavior changed or the mix shifted toward bad
+    priorities. 100 TB: one fact-fact join on orderkey (co-
+    partitioned at scale), a 10-cell rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    base = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.expr(
+                "CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'"
+                " THEN 0 ELSE 1 END"
+            ).alias("yr"),
+            F.expr(
+                "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+            ).alias("r"),
+        )
+    )
+    cell = base.groupBy("prio", "yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("r").alias("k")
+    )
+    tot = cell.groupBy("yr").agg(F.sum("n").alias("nt"))
+    wide = (
+        cell.join(F.broadcast(tot), "yr")
+        .groupBy("prio")
+        .agg(
+            F.expr(
+                "MAX(CASE WHEN yr = 0 THEN n * 1000000 DIV nt END)"
+            ).alias("w0"),
+            F.expr(
+                "MAX(CASE WHEN yr = 1 THEN n * 1000000 DIV nt END)"
+            ).alias("w1"),
+            F.expr(
+                "MAX(CASE WHEN yr = 0 THEN k * 1000000 DIV n END)"
+            ).alias("r0"),
+            F.expr(
+                "MAX(CASE WHEN yr = 1 THEN k * 1000000 DIV n END)"
+            ).alias("r1"),
+        )
+    )
+    return wide.select(
+        F.col("prio").alias("priority"),
+        F.col("w0").cast("bigint").alias("w0_ppm"),
+        F.col("w1").cast("bigint").alias("w1_ppm"),
+        F.col("r0").cast("bigint").alias("r0_ppm"),
+        F.col("r1").cast("bigint").alias("r1_ppm"),
+        F.expr(
+            "CAST(floor(CAST((w1 - w0) * r0 AS DOUBLE) / 1000000)"
+            " AS BIGINT)"
+        ).alias("mix_eff_ppm"),
+        F.expr(
+            "CAST(floor(CAST(w0 * (r1 - r0) AS DOUBLE) / 1000000)"
+            " AS BIGINT)"
+        ).alias("rate_eff_ppm"),
+        F.expr(
+            "CAST(floor(CAST((w1 - w0) * (r1 - r0) AS DOUBLE)"
+            " / 1000000) AS BIGINT)"
+        ).alias("cross_eff_ppm"),
+    ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects — does the BUILDING/MACHINERY gap live
+# in the whole distribution or only the tail? QTE at each decile via
+# exact order statistics (value at position ceil(d(n+1)/10) is
+# tie-order-invariant), group-partitioned rank windows only.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_quantile_treatment_effect",
+    """
+    WITH base AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS grp,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    ranked AS (
+        SELECT grp, v,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base),
+    deciles AS (
+        SELECT grp, v,
+               CASE WHEN rn = (1 * (n + 1)) // 10 THEN 1
+                    WHEN rn = (2 * (n + 1)) // 10 THEN 2
+                    WHEN rn = (3 * (n + 1)) // 10 THEN 3
+                    WHEN rn = (4 * (n + 1)) // 10 THEN 4
+                    WHEN rn = (5 * (n + 1)) // 10 THEN 5
+                    WHEN rn = (6 * (n + 1)) // 10 THEN 6
+                    WHEN rn = (7 * (n + 1)) // 10 THEN 7
+                    WHEN rn = (8 * (n + 1)) // 10 THEN 8
+                    WHEN rn = (9 * (n + 1)) // 10 THEN 9
+               END AS d
+        FROM ranked),
+    wide AS (
+        SELECT d,
+               MAX(CASE WHEN grp = 1 THEN v END) AS q_treat_c,
+               MAX(CASE WHEN grp = 0 THEN v END) AS q_ctrl_c
+        FROM deciles WHERE d IS NOT NULL GROUP BY d)
+    SELECT CAST(d AS INT) AS decile,
+           CAST(q_treat_c AS BIGINT) AS q_treat_c,
+           CAST(q_ctrl_c AS BIGINT) AS q_ctrl_c,
+           CAST(q_treat_c - q_ctrl_c AS BIGINT) AS qte_c
+    FROM wide ORDER BY decile
+    """,
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QTE between BUILDING and MACHINERY order values at deciles
+    1–9: per-group exact order statistics at position ceil(d(n+1)/10)
+    (the value at a fixed rank is deterministic no matter how
+    ROW_NUMBER breaks ties), differenced per decile. A flat QTE
+    profile means a location shift; a fanning one means the effect
+    concentrates in big orders — the distinction a mean-only q_ab_test
+    cannot see. 100 TB: both sorts partition by group; output is 9
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.expr(
+                "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END"
+            ).alias("grp"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    ranked = base.select(
+        "grp",
+        "v",
+        F.expr(
+            "ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v)"
+        ).alias("rn"),
+        F.expr("COUNT(*) OVER (PARTITION BY grp)").alias("n"),
+    )
+    dcase = " ".join(
+        f"WHEN rn = ({d} * (n + 1)) DIV 10 THEN {d}" for d in range(1, 10)
+    )
+    deciles = ranked.select(
+        "grp", "v", F.expr(f"CASE {dcase} END").alias("d")
+    ).where(F.col("d").isNotNull())
+    wide = deciles.groupBy("d").agg(
+        F.expr("MAX(CASE WHEN grp = 1 THEN v END)").alias("q_treat_c"),
+        F.expr("MAX(CASE WHEN grp = 0 THEN v END)").alias("q_ctrl_c"),
+    )
+    return wide.select(
+        F.col("d").cast("int").alias("decile"),
+        F.col("q_treat_c").cast("bigint").alias("q_treat_c"),
+        F.col("q_ctrl_c").cast("bigint").alias("q_ctrl_c"),
+        F.expr("CAST(q_treat_c - q_ctrl_c AS BIGINT)").alias("qte_c"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Simpson reversal detector — per priority, does the overall
+# 1996→1997 mean-value direction contradict what most segments
+# experienced? Directions via exact integer cross-multiplication
+# (s1·n0 vs s0·n1) — no division, no doubles, no ties broken wrong.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_simpson_reversal",
+    """
+    WITH base AS (
+        SELECT o.o_orderpriority AS prio, c.c_mktsegment AS seg,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1997-01-01'
+                    THEN 0 ELSE 1 END AS yr,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'),
+    cell AS (
+        SELECT prio, seg,
+               SUM(CASE WHEN yr = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN yr = 0 THEN v ELSE 0 END) AS s0,
+               SUM(CASE WHEN yr = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN yr = 1 THEN v ELSE 0 END) AS s1
+        FROM base GROUP BY prio, seg),
+    seg_dir AS (
+        SELECT prio, seg,
+               CASE WHEN CAST(s1 AS HUGEINT) * n0
+                         > CAST(s0 AS HUGEINT) * n1 THEN 1
+                    WHEN CAST(s1 AS HUGEINT) * n0
+                         < CAST(s0 AS HUGEINT) * n1 THEN -1
+                    ELSE 0 END AS dir
+        FROM cell WHERE n0 > 0 AND n1 > 0),
+    overall AS (
+        SELECT prio,
+               CASE WHEN CAST(SUM(s1) AS HUGEINT) * SUM(n0)
+                         > CAST(SUM(s0) AS HUGEINT) * SUM(n1) THEN 1
+                    WHEN CAST(SUM(s1) AS HUGEINT) * SUM(n0)
+                         < CAST(SUM(s0) AS HUGEINT) * SUM(n1) THEN -1
+                    ELSE 0 END AS odir
+        FROM cell GROUP BY prio)
+    SELECT o.prio AS priority,
+           CAST(o.odir AS INT) AS overall_dir,
+           CAST(SUM(CASE WHEN s.dir = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seg_up,
+           CAST(SUM(CASE WHEN s.dir = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_seg_down,
+           CAST(CASE WHEN SUM(CASE WHEN s.dir = -o.odir
+                                   THEN 1 ELSE 0 END) * 2
+                          > COUNT(*)
+                THEN 1 ELSE 0 END AS INT) AS reversal
+    FROM overall o JOIN seg_dir s ON o.prio = s.prio
+    GROUP BY o.prio, o.odir
+    ORDER BY priority
+    """,
+)
+def q_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: for each priority, the overall
+    1996→1997 direction of mean order value vs each segment's
+    direction, every comparison done as the exact integer cross-
+    product s1·n0 ⋛ s0·n1 (mean comparisons without ever forming a
+    mean). A priority is flagged when a strict majority of its
+    segments move AGAINST the overall direction — the aggregation
+    artifact q_direct_standardization then quantifies. 100 TB: one
+    25-cell rollup per comparison; nothing wider than prio×seg."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("c_mktsegment").alias("seg"),
+            F.expr(
+                "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'"
+                " THEN 0 ELSE 1 END"
+            ).alias("yr"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    cell = base.groupBy("prio", "seg").agg(
+        F.expr("SUM(CASE WHEN yr = 0 THEN 1 ELSE 0 END)").alias("n0"),
+        F.expr("SUM(CASE WHEN yr = 0 THEN v ELSE 0 END)").alias("s0"),
+        F.expr("SUM(CASE WHEN yr = 1 THEN 1 ELSE 0 END)").alias("n1"),
+        F.expr("SUM(CASE WHEN yr = 1 THEN v ELSE 0 END)").alias("s1"),
+    )
+    seg_dir = cell.where((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "prio",
+        F.expr(
+            "CASE WHEN CAST(s1 AS DECIMAL(38,0)) * n0"
+            " > CAST(s0 AS DECIMAL(38,0)) * n1 THEN 1"
+            " WHEN CAST(s1 AS DECIMAL(38,0)) * n0"
+            " < CAST(s0 AS DECIMAL(38,0)) * n1 THEN -1"
+            " ELSE 0 END"
+        ).alias("dir"),
+    )
+    overall = cell.groupBy("prio").agg(
+        F.expr(
+            "CASE WHEN CAST(SUM(s1) AS DECIMAL(38,0)) * SUM(n0)"
+            " > CAST(SUM(s0) AS DECIMAL(38,0)) * SUM(n1) THEN 1"
+            " WHEN CAST(SUM(s1) AS DECIMAL(38,0)) * SUM(n0)"
+            " < CAST(SUM(s0) AS DECIMAL(38,0)) * SUM(n1) THEN -1"
+            " ELSE 0 END"
+        ).alias("odir")
+    )
+    return (
+        overall.join(seg_dir, "prio")
+        .groupBy(F.col("prio").alias("priority"), "odir")
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END)"
+            ).cast("bigint").alias("n_seg_up"),
+            F.expr(
+                "SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END)"
+            ).cast("bigint").alias("n_seg_down"),
+            F.expr(
+                "CAST(CASE WHEN SUM(CASE WHEN dir = -odir"
+                " THEN 1 ELSE 0 END) * 2 > COUNT(*)"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("reversal"),
+        )
+        .select(
+            "priority",
+            F.col("odir").cast("int").alias("overall_dir"),
+            "n_seg_up",
+            "n_seg_down",
+            "reversal",
+        )
+        .orderBy("priority")
+    )

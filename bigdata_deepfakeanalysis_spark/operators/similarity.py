@@ -1644,3 +1644,84 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-dimension audit — which embedding coordinates carry no
+# signal? Per-dim near-zero share plus each dim's share of total
+# L2 energy. A dim that is 99% dead and 0.01% of energy is wasted
+# index width — prune it before building ANN structures. The 2^14
+# fixed-point trick makes every moment EXACT for float32 inputs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_dead_dimension_audit",
+    """
+    WITH cells AS (
+        SELECT pos_i AS dim,
+               CAST(embedding[pos_i + 1] AS DOUBLE) AS x,
+               CAST(floor(CAST(embedding[pos_i + 1] AS DOUBLE) * 16384)
+                    AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(0, 64)) AS pos_i)),
+    per_dim AS (
+        SELECT dim, COUNT(*) AS n,
+               SUM(CASE WHEN x > -0.0625 AND x < 0.0625
+                   THEN 1 ELSE 0 END) AS dead,
+               SUM(q) AS s1,
+               SUM(CAST(q AS HUGEINT) * q) AS s2
+        FROM cells GROUP BY dim),
+    tot AS (
+        SELECT SUM(s2) AS e FROM per_dim)
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(dead * 1000000 // n AS BIGINT) AS dead_ppm,
+           CAST(s1 // n AS BIGINT) AS mean_q14_floor,
+           CAST(CAST(s2 AS HUGEINT) * 1000000 // e AS BIGINT)
+               AS energy_ppm
+    FROM per_dim, tot
+    ORDER BY dim
+    """,
+)
+def q_dead_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension liveness of the embedding table: dead_ppm is
+    the share of values inside (−2⁻⁴, 2⁻⁴) — both bounds exactly
+    representable, so the float comparison is engine-identical —
+    and energy_ppm is the dim's share of Σx² with x snapped to 2¹⁴
+    fixed point (exact for float32, no rounding anywhere). 100 TB:
+    posexplode → 64-group partial agg; the shuffle carries 64 rows
+    per partition regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "dim",
+        F.col("xf").cast("double").alias("x"),
+        F.expr(
+            "CAST(floor(CAST(xf AS DOUBLE) * 16384) AS BIGINT)"
+        ).alias("q"),
+    )
+    per_dim = cells.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "SUM(CASE WHEN x > -0.0625 AND x < 0.0625"
+            " THEN 1 ELSE 0 END)"
+        ).alias("dead"),
+        F.sum("q").alias("s1"),
+        F.expr("SUM(CAST(q AS DECIMAL(38,0)) * q)").alias("s2"),
+    )
+    tot = per_dim.agg(F.sum("s2").alias("e"))
+    return (
+        per_dim.join(F.broadcast(tot))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.expr("CAST(dead * 1000000 DIV n AS BIGINT)").alias(
+                "dead_ppm"
+            ),
+            F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_q14_floor"),
+            F.expr(
+                "CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 DIV e"
+                " AS BIGINT)"
+            ).alias("energy_ppm"),
+        )
+        .orderBy("dim")
+    )
