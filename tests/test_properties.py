@@ -711,3 +711,144 @@ def test_rake_top_phrase_is_multiword(spark):
     df = all_queries()["q_rake_keywords"](spark, SF_DIR).toPandas()
     assert (df["score_milli"] > 0).all()
     assert " " in df.iloc[0]["phrase"]
+
+
+def test_shapley_efficiency_identity(spark):
+    """Shapley's defining axiom: the values sum to the grand-coalition
+    gain. In the 6x integer space this is EXACT: sum(phi6) ==
+    6*(v(all) - v(none)) would need v0/v7, but phi6 telescoping means
+    sum over channels equals 6*(v7 - v0) by construction — assert the
+    emitted columns obey it via the floor relation and per-channel
+    phi_ppm == floor(phi6/6)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_shapley_attribution"](spark, SF_DIR).toPandas()
+    assert len(df) == 3
+    import math
+
+    for _, row in df.iterrows():
+        assert row["phi_ppm"] == math.floor(row["phi6_ppm"] / 6)
+    # telescoping: sum over channels of phi6 = 2*(v7-v0)+...(=6*(v7-v0))
+    # v7 - v0 is not emitted, but the sum must be divisible into a
+    # plausible conversion-rate delta: |sum/6| <= 1e6 (rates are ppm).
+    assert abs(df["phi6_ppm"].sum()) <= 6_000_000
+
+
+def test_price_volume_mix_bridge_sums_exactly(spark):
+    """price + volume + mix == delta for every brand — the mix term is
+    defined as the exact remainder, so this is an identity, and the
+    divisions inside price/volume are positive-operand only."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_price_volume_mix"](spark, SF_DIR).toPandas()
+    assert len(df) > 0
+    assert (
+        df["price_eff_c"] + df["volume_eff_c"] + df["mix_eff_c"]
+        == df["delta_c"]
+    ).all()
+
+
+def test_rbo_bounds_and_self_overlap(spark):
+    """RBO lives in [0, 1] (micro units) and overlap-at-depth is
+    bounded by the depth itself."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_rank_biased_overlap"](spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    assert 0 <= row["rbo_micro"] <= 1_000_000
+    assert 0 <= row["overlap_at_5"] <= 5
+    assert 0 <= row["overlap_at_10"] <= 10
+
+
+def test_qte_deciles_monotone(spark):
+    """Order statistics must be nondecreasing in the decile for BOTH
+    groups — a violated monotonicity means the rank positions were
+    computed wrong."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = (
+        all_queries()["q_quantile_treatment_effect"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("decile")
+    )
+    assert len(df) == 9
+    assert df["q_treat_c"].is_monotonic_increasing
+    assert df["q_ctrl_c"].is_monotonic_increasing
+
+
+def test_knee_is_unique_and_on_curve(spark):
+    """Exactly one knee row; cumulative share hits 1e6 ppm at the last
+    rank; deviations are nonnegative at the knee (the curve is above
+    the chord for a concave concentration curve)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_knee_detection"](spark, SF_DIR).toPandas()
+    assert df["is_knee"].sum() == 1
+    last = df.sort_values("rk").iloc[-1]
+    assert last["cum_share_ppm"] == 1_000_000
+    knee = df[df["is_knee"] == 1].iloc[0]
+    assert knee["dev"] == df["dev"].max()
+
+
+def test_logrank_observed_within_events(spark):
+    """Group-1 observed events cannot exceed total events, and the
+    variance must be positive when both groups are at risk."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_logrank_test"](spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    assert row["n_treat"] > 0 and row["n_ctrl"] > 0
+    assert 0 <= row["observed_1"]
+    assert row["variance_micro"] > 0
+    # expected (micro) must lie between 0 and total-events * 1e6
+    assert 0 < row["expected_1_micro"]
+
+
+def test_theil_decomposition_adds_up(spark):
+    """Within + between (fixed-point) equals the total by definition
+    of the emitted columns; all parts nonnegative for a positive
+    revenue distribution (Theil T >= 0)."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_theil_index"](spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    assert row["theil_within_micro"] >= 0
+    assert row["theil_between_micro"] >= 0
+    # totals are floored separately; allow the 1-unit floor gap
+    assert (
+        abs(
+            row["theil_total_micro"]
+            - row["theil_within_micro"]
+            - row["theil_between_micro"]
+        )
+        <= 1
+    )
+
+
+def test_ams_f2_estimate_in_band(spark):
+    """With 32 sign counters the AMS mean-of-squares estimator has
+    relative std ~ sqrt(2/32) ~ 25%; assert the emitted rel error is
+    under 4 sigma (100%) — a deterministic fixture, so this is a
+    regression pin, not a flaky statistical test."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    from .conftest import SF_DIR
+
+    df = all_queries()["q_ams_f2_sketch"](spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    assert row["exact_f2"] > 0
+    assert row["rel_err_ppm"] <= 1_000_000
