@@ -335,6 +335,10 @@ HEADLINE = [
     "q_rate_mix_decomposition",      # ratio-metric bridge
     "q_quantile_treatment_effect",   # distributional effect profile
     "q_simpson_reversal",            # aggregation-artifact screen
+    "q_mixture_epoch_budget",        # data-constrained epoch plan
+    "q_vocab_coverage_curve",        # tokenizer sizing analysis
+    "q_session_timeout_sweep",       # sessionizer parameter sweep
+    "q_icc_customers",               # clustering-strength ICC(1)
 ]
 
 
@@ -457,6 +461,14 @@ def main() -> None:
                 "q_bootstrap_ci",
                 "q_grid_dbscan",
                 "q_bigram_perplexity",
+                # r5 session-3 stat machinery at 10x: Wilcoxon is the
+                # heaviest new shape (custkey rollup + segment-
+                # partitioned rank windows); Theil adds a broadcast
+                # group join over the same rollup; QTE is two
+                # group-partitioned order-statistic sorts
+                "q_wilcoxon_signed_rank",
+                "q_theil_index",
+                "q_quantile_treatment_effect",
             ]
             sf1_timings = {}
             for name in sf1_names:

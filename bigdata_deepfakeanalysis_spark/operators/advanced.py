@@ -5335,3 +5335,98 @@ def q_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor((sse1 - sse2) / myy * 1000000) AS BIGINT)"
         ).alias("r2_gain_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-timeout sweep — the parameter every sessionizer hardcodes,
+# actually measured: session counts and mean session size across a
+# ladder of inactivity timeouts, from ONE pass over the ordered
+# event gaps. Where the curve flattens is the right timeout.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_session_timeout_sweep",
+    f"""
+    WITH {EVENTS_US_CTE},
+    seq AS (
+        SELECT user_id, epoch_ns(ts)//1000 AS us, event_id
+        FROM events_us),
+    gaps AS (
+        SELECT us - LAG(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS gap_us
+        FROM seq),
+    agg AS (
+        SELECT COUNT(*) + (SELECT COUNT(DISTINCT user_id) FROM seq)
+                   - COUNT(gap_us) AS base_rows,
+               (SELECT COUNT(*) FROM seq) AS n_events,
+               (SELECT COUNT(DISTINCT user_id) FROM seq) AS n_users,
+               SUM(CASE WHEN gap_us > 300000000 THEN 1 ELSE 0 END)
+                   AS brk5,
+               SUM(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END)
+                   AS brk15,
+               SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+                   AS brk30,
+               SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+                   AS brk60,
+               SUM(CASE WHEN gap_us > 7200000000 THEN 1 ELSE 0 END)
+                   AS brk120
+        FROM gaps),
+    sweep(timeout_min, brk) AS (
+        SELECT 5, brk5 FROM agg UNION ALL
+        SELECT 15, brk15 FROM agg UNION ALL
+        SELECT 30, brk30 FROM agg UNION ALL
+        SELECT 60, brk60 FROM agg UNION ALL
+        SELECT 120, brk120 FROM agg)
+    SELECT CAST(timeout_min AS INT) AS timeout_min,
+           CAST(s.brk + a.n_users AS BIGINT) AS n_sessions,
+           CAST(a.n_events * 1000 // (s.brk + a.n_users) AS BIGINT)
+               AS events_per_session_milli
+    FROM sweep s, agg a
+    ORDER BY timeout_min
+    """,
+)
+def q_session_timeout_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization sensitivity: for timeouts of 5/15/30/60/120
+    minutes, session count = users + gaps exceeding the timeout —
+    five conditional sums over ONE windowed gap pass (running the
+    sessionizer five times would be five shuffles for the same
+    answer). Events-per-session in exact milli. The flattening
+    point of n_sessions is the defensible timeout; q_sessionize_events
+    then runs with it. 100 TB: one user-partitioned window, one
+    1-row rollup."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = seq.select(
+        "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    )
+    thresholds = [(5, 300), (15, 900), (30, 1800), (60, 3600), (120, 7200)]
+    agg = gaps.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.expr(
+                f"SUM(CASE WHEN gap_us > {s}000000 THEN 1 ELSE 0 END)"
+            ).alias(f"brk{m}")
+            for m, s in thresholds
+        ],
+    )
+    sweep = agg.select(
+        F.expr(
+            "stack(5, "
+            + ", ".join(f"{m}, brk{m}" for m, _ in thresholds)
+            + ") AS (timeout_min, brk)"
+        ),
+        "n_users",
+        "n_events",
+    )
+    return sweep.select(
+        F.col("timeout_min").cast("int").alias("timeout_min"),
+        F.expr("CAST(brk + n_users AS BIGINT)").alias("n_sessions"),
+        F.expr(
+            "CAST(n_events * 1000 DIV (brk + n_users) AS BIGINT)"
+        ).alias("events_per_session_milli"),
+    ).orderBy("timeout_min")

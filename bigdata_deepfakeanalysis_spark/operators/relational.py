@@ -8093,3 +8093,95 @@ def q_simpson_reversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation — how much of order-value variance is
+# BETWEEN customers vs within? ICC(1) with the unbalanced-design n0
+# correction; the statistic that decides whether "customer" is a
+# meaningful random effect (and how much clustered sampling inflates
+# variance). Exact moments; one IEEE chain per emitted value.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_icc_customers",
+    """
+    WITH cust AS (
+        SELECT o_custkey, COUNT(*) AS n, SUM(
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS s,
+               SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS HUGEINT)
+                   * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) AS q
+        FROM orders GROUP BY o_custkey),
+    mom AS (
+        SELECT COUNT(*) AS g, SUM(n) AS nn, SUM(s) AS st,
+               SUM(CAST(s AS HUGEINT) * s // n) AS gsq,
+               SUM(q) AS qt,
+               SUM(CAST(n AS HUGEINT) * n) AS nsq
+        FROM cust),
+    ms AS (
+        SELECT g, nn,
+               (CAST(gsq AS DOUBLE) - CAST(st AS DOUBLE) / nn * st)
+                   / (g - 1) AS msb,
+               (CAST(qt AS DOUBLE) - CAST(gsq AS DOUBLE)) / (nn - g)
+                   AS msw,
+               (nn - CAST(nsq AS DOUBLE) / nn) / (g - 1) AS n0
+        FROM mom)
+    SELECT CAST(g AS BIGINT) AS n_customers,
+           CAST(nn AS BIGINT) AS n_orders,
+           CAST(floor(n0 * 1000) AS BIGINT) AS n0_milli,
+           CAST(floor((msb - msw) / (msb + (n0 - 1) * msw) * 1000000)
+                AS BIGINT) AS icc_micro
+    FROM ms
+    """,
+)
+def q_icc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1) of order value clustered by customer: MSB/MSW from the
+    exact sum-of-squares identities (per-customer S²/n via integer
+    DIV — the same DECIMAL(38,0) routing as q_anova_f), unbalanced
+    group sizes handled by the standard n0 = (N − Σn²/N)/(G−1)
+    correction. An ICC near 0 says orders are exchangeable across
+    customers and customer-level clustering can be ignored; large
+    ICC says every per-order analysis needs clustered errors. 100 TB:
+    one custkey rollup, one 1-row moment pass."""
+    o = table(spark, sf_dir, "orders")
+    v = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"SUM({v})").alias("s"),
+        F.expr(f"SUM(CAST({v} AS DECIMAL(38,0)) * {v})").alias("q"),
+    )
+    mom = cust.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.expr(
+            "SUM(CAST(CAST(s AS DECIMAL(38,0)) * s DIV n"
+            " AS DECIMAL(38,0)))"
+        ).alias("gsq"),
+        F.sum("q").alias("qt"),
+        F.expr("SUM(CAST(n AS DECIMAL(38,0)) * n)").alias("nsq"),
+    )
+    ms = mom.select(
+        "g",
+        "nn",
+        F.expr(
+            "(CAST(gsq AS DOUBLE) - CAST(st AS DOUBLE) / nn * st)"
+            " / (g - 1)"
+        ).alias("msb"),
+        F.expr(
+            "(CAST(qt AS DOUBLE) - CAST(gsq AS DOUBLE)) / (nn - g)"
+        ).alias("msw"),
+        F.expr("(nn - CAST(nsq AS DOUBLE) / nn) / (g - 1)").alias("n0"),
+    )
+    return ms.select(
+        F.col("g").cast("bigint").alias("n_customers"),
+        F.col("nn").cast("bigint").alias("n_orders"),
+        F.expr("CAST(floor(n0 * 1000) AS BIGINT)").alias("n0_milli"),
+        F.expr(
+            "CAST(floor((msb - msw) / (msb + (n0 - 1) * msw)"
+            " * 1000000) AS BIGINT)"
+        ).alias("icc_micro"),
+    )

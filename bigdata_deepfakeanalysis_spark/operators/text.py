@@ -4932,3 +4932,155 @@ def q_split_half_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(2 * rho / (1 + rho) * 1000000) AS BIGINT)"
         ).alias("spearman_brown_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch budget — Muennighoff-style planning: given a
+# token budget of 2x the corpus and an equal per-source allocation,
+# how many epochs does each source repeat, capped at 4 (the point
+# where repeated data stops helping)? The allocator every
+# data-constrained training run needs, in exact integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 2
+_EPOCH_CAP_MILLI = 4000
+
+
+@query(
+    "q_mixture_epoch_budget",
+    f"""
+    WITH src AS (
+        SELECT source, SUM(len({_TOKS_SQL})) AS toks
+        FROM documents GROUP BY source),
+    tot AS (
+        SELECT COUNT(*) AS ns, SUM(toks) * {_EPOCH_BUDGET_X} AS budget
+        FROM src),
+    plan AS (
+        SELECT s.source, s.toks,
+               t.budget // t.ns AS share,
+               LEAST(CAST({_EPOCH_CAP_MILLI} AS BIGINT),
+                     (t.budget // t.ns) * 1000 // s.toks)
+                   AS epochs_milli
+        FROM src s, tot t)
+    SELECT source,
+           CAST(toks AS BIGINT) AS unique_tokens,
+           CAST(share AS BIGINT) AS budget_share,
+           CAST(epochs_milli AS BIGINT) AS epochs_milli,
+           CAST(toks * epochs_milli // 1000 AS BIGINT)
+               AS served_tokens,
+           CAST(CASE WHEN epochs_milli = {_EPOCH_CAP_MILLI}
+                THEN share - toks * {_EPOCH_CAP_MILLI} // 1000
+                ELSE 0 END AS BIGINT) AS stranded_budget
+    FROM plan ORDER BY source
+    """,
+)
+def q_mixture_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch allocation under a 2x-corpus token budget with equal
+    per-source shares: epochs (milli) = min(4.0, share/tokens), the
+    served token mass, and the budget stranded by the 4-epoch
+    repetition cap (signal to re-allocate toward data-rich sources).
+    All integer DIV over positive operands. 100 TB: the plan table
+    is one row per source — the scan is the only cost."""
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.expr(f"SUM(size({_TOKS}))").alias("toks")
+    )
+    tot = src.agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.expr(f"SUM(toks) * {_EPOCH_BUDGET_X}").alias("budget"),
+    )
+    plan = src.join(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr("budget DIV ns").alias("share"),
+        F.expr(
+            f"LEAST(CAST({_EPOCH_CAP_MILLI} AS BIGINT),"
+            f" (budget DIV ns) * 1000 DIV toks)"
+        ).alias("epochs_milli"),
+    )
+    return plan.select(
+        "source",
+        F.col("toks").cast("bigint").alias("unique_tokens"),
+        F.col("share").cast("bigint").alias("budget_share"),
+        F.col("epochs_milli").cast("bigint").alias("epochs_milli"),
+        F.expr("CAST(toks * epochs_milli DIV 1000 AS BIGINT)").alias(
+            "served_tokens"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN epochs_milli = {_EPOCH_CAP_MILLI}"
+            f" THEN share - toks * {_EPOCH_CAP_MILLI} DIV 1000"
+            f" ELSE 0 END AS BIGINT)"
+        ).alias("stranded_budget"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve — the tokenizer-sizing analysis: what
+# share of all token OCCURRENCES does a top-k vocabulary cover, for
+# a ladder of k? The knee of this curve is where vocab growth stops
+# paying; everything below it becomes <UNK>/byte-fallback traffic.
+# ---------------------------------------------------------------------------
+
+_VCC_LADDER = (5, 10, 20, 30)
+
+
+@query(
+    "q_vocab_coverage_curve",
+    f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    ranked AS (
+        SELECT c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+               SUM(c) OVER (ORDER BY c DESC, w) AS cum,
+               SUM(c) OVER () AS total,
+               COUNT(*) OVER () AS v
+        FROM vocab)
+    SELECT CAST(rk AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm,
+           CAST(v AS BIGINT) AS full_vocab,
+           CAST(total AS BIGINT) AS total_tokens
+    FROM ranked
+    WHERE rk IN ({", ".join(str(k) for k in _VCC_LADDER)})
+    ORDER BY vocab_size
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence coverage of the top-k word vocabulary at k ∈
+    {5, 10, 20, 30} (sized to this corpus's 31-word synthetic
+    vocabulary; a real corpus would ladder 1e3..1e6): frequency-
+    ranked cumsum over the vocab
+    rollup (ties broken by word so the curve is deterministic),
+    read off at the ladder points. Zipfian corpora saturate early —
+    the emitted curve quantifies exactly how early, which is the
+    input to choosing a BPE vocab size (q_bpe_merges builds the
+    merges; this decides how many are worth building). 100 TB: the
+    window runs on the vocab rollup, not the corpus; production form
+    range-partitions the vocab like q_global_rownum."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKS)).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = vocab.select(
+        "c",
+        F.expr("ROW_NUMBER() OVER (ORDER BY c DESC, w)").alias("rk"),
+        F.expr("SUM(c) OVER (ORDER BY c DESC, w)").alias("cum"),
+        F.expr("SUM(c) OVER ()").alias("total"),
+        F.expr("COUNT(*) OVER ()").alias("v"),
+    )
+    ladder = ", ".join(str(k) for k in _VCC_LADDER)
+    return (
+        ranked.where(F.expr(f"rk IN ({ladder})"))
+        .select(
+            F.col("rk").cast("bigint").alias("vocab_size"),
+            F.col("cum").cast("bigint").alias("covered_tokens"),
+            F.expr("CAST(cum * 1000000 DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+            F.col("v").cast("bigint").alias("full_vocab"),
+            F.col("total").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("vocab_size")
+    )
