@@ -339,6 +339,8 @@ HEADLINE = [
     "q_vocab_coverage_curve",        # tokenizer sizing analysis
     "q_session_timeout_sweep",       # sessionizer parameter sweep
     "q_icc_customers",               # clustering-strength ICC(1)
+    "q_mutual_nn_alignment",         # exact-integer mutual NN pairs
+    "q_age_period_cohort",           # APC mean-polish residuals
 ]
 
 

@@ -8185,3 +8185,104 @@ def q_icc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) AS BIGINT)"
         ).alias("icc_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Age–period–cohort mean polish — separate "customers acquired in
+# 1996 spend differently" (cohort) from "1998 was a bad year"
+# (period): grand/row/column effects removed from the cohort×period
+# mean matrix, residuals exposing cohort-specific period shocks.
+# Every effect is an exact fixed-point integer.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_age_period_cohort",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate)) AS cohort
+        FROM orders GROUP BY o_custkey),
+    base AS (
+        SELECT f.cohort,
+               EXTRACT(year FROM o.o_orderdate) AS period,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS v
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey),
+    cell AS (
+        SELECT cohort, period, COUNT(*) AS n,
+               SUM(v) * 1000 // COUNT(*) AS m
+        FROM base GROUP BY cohort, period),
+    g AS (
+        SELECT SUM(m) // COUNT(*) AS gm FROM cell),
+    rows_ AS (
+        SELECT cohort, SUM(m) // COUNT(*) AS rm FROM cell
+        GROUP BY cohort),
+    cols_ AS (
+        SELECT period, SUM(m) // COUNT(*) AS cm FROM cell
+        GROUP BY period)
+    SELECT CAST(c.cohort AS INT) AS cohort,
+           CAST(c.period AS INT) AS period,
+           CAST(c.n AS BIGINT) AS n_orders,
+           CAST(c.m AS BIGINT) AS mean_milli_c,
+           CAST(r.rm - g.gm AS BIGINT) AS cohort_eff_milli_c,
+           CAST(col.cm - g.gm AS BIGINT) AS period_eff_milli_c,
+           CAST(c.m - r.rm - col.cm + g.gm AS BIGINT)
+               AS residual_milli_c
+    FROM cell c
+    JOIN rows_ r ON c.cohort = r.cohort
+    JOIN cols_ col ON c.period = col.period, g
+    ORDER BY cohort, period
+    """,
+)
+def q_age_period_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sweep mean polish of the cohort×period order-value
+    matrix: cell means in milli-cents (integer DIV), unweighted
+    row/column effects relative to the grand cell mean, residual =
+    cell − row − col + grand (exact integer identity). Large
+    residuals are the cells where a cohort broke from the shared
+    period trend — the signal an additive APC story misses. 100 TB:
+    a custkey rollup for cohorts, then everything lives on the
+    ~50-cell matrix."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.expr("MIN(EXTRACT(year FROM o_orderdate))").alias("cohort")
+    )
+    base = o.join(firsts, "o_custkey").select(
+        "cohort",
+        F.expr("EXTRACT(year FROM o_orderdate)").alias("period"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    cell = base.groupBy("cohort", "period").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("SUM(v) * 1000 DIV COUNT(*)").alias("m"),
+    )
+    g = cell.agg(F.expr("SUM(m) DIV COUNT(*)").alias("gm"))
+    rows_ = cell.groupBy("cohort").agg(
+        F.expr("SUM(m) DIV COUNT(*)").alias("rm")
+    )
+    cols_ = cell.groupBy("period").agg(
+        F.expr("SUM(m) DIV COUNT(*)").alias("cm")
+    )
+    return (
+        cell.join(F.broadcast(rows_), "cohort")
+        .join(F.broadcast(cols_), "period")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("cohort").cast("int").alias("cohort"),
+            F.col("period").cast("int").alias("period"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("m").cast("bigint").alias("mean_milli_c"),
+            F.expr("CAST(rm - gm AS BIGINT)").alias(
+                "cohort_eff_milli_c"
+            ),
+            F.expr("CAST(cm - gm AS BIGINT)").alias(
+                "period_eff_milli_c"
+            ),
+            F.expr("CAST(m - rm - cm + gm AS BIGINT)").alias(
+                "residual_milli_c"
+            ),
+        )
+        .orderBy("cohort", "period")
+    )

@@ -1725,3 +1725,116 @@ def q_dead_dimension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest neighbors — the alignment primitive (translation
+# pairs, cross-encoder distillation, dataset linking): a pair is
+# kept only when each side is the other's nearest neighbor.
+# Distances are EXACT integers (2^14-snapped squared L2), so NN
+# choices cannot drift between engines.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_mutual_nn_alignment",
+    """
+    WITH qa AS (
+        SELECT vec_id AS a,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 16384)
+                             AS BIGINT)) AS q
+        FROM embeddings WHERE label = 0),
+    qb AS (
+        SELECT vec_id AS b,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 16384)
+                             AS BIGINT)) AS q
+        FROM embeddings WHERE label = 1),
+    pairs AS (
+        SELECT qa.a, qb.b,
+               list_sum(list_transform(range(1, len(qa.q) + 1),
+                   i -> (qa.q[i] - qb.q[i]) * (qa.q[i] - qb.q[i])))
+                   AS d2
+        FROM qa, qb),
+    nn_a AS (
+        SELECT a, b, d2 FROM (
+            SELECT a, b, d2,
+                   ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b)
+                       AS rn
+            FROM pairs) WHERE rn = 1),
+    nn_b AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   ROW_NUMBER() OVER (PARTITION BY b ORDER BY d2, a)
+                       AS rn
+            FROM pairs) WHERE rn = 1),
+    mutual AS (
+        SELECT nn_a.a, nn_a.b, nn_a.d2
+        FROM nn_a JOIN nn_b ON nn_a.a = nn_b.a AND nn_a.b = nn_b.b)
+    SELECT CAST(a AS BIGINT) AS vec_a, CAST(b AS BIGINT) AS vec_b,
+           CAST(d2 AS BIGINT) AS d2_q14,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n_mutual
+    FROM mutual
+    ORDER BY d2_q14, vec_a LIMIT 10
+    """,
+)
+def q_mutual_nn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-NN pairs between label-0 and label-1 embeddings:
+    coordinates snap to 2^14 fixed point (exact for float32), the
+    squared-L2 fold is a row-local integer HOF — zero doubles in the
+    entire distance computation, so the argmin and the mutual filter
+    are bit-deterministic. Ten closest mutual pairs plus the mutual
+    count. 100 TB: the demo cross pair-set is a broadcast nested
+    loop; the production form blocks both sides by LSH bucket first
+    (q_cosine_near_dup's index) and runs THIS query per bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    snap = (
+        "transform(embedding,"
+        " x -> CAST(floor(CAST(x AS DOUBLE) * 16384) AS BIGINT))"
+    )
+    qa = emb.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("a"), F.expr(snap).alias("qa")
+    )
+    qb = emb.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("b"), F.expr(snap).alias("qb")
+    )
+    pairs = qa.crossJoin(F.broadcast(qb)).select(
+        "a",
+        "b",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    nn_a = (
+        pairs.withColumn(
+            "rn",
+            F.expr("ROW_NUMBER() OVER (PARTITION BY a ORDER BY d2, b)"),
+        )
+        .where(F.col("rn") == 1)
+        .select("a", "b", "d2")
+    )
+    nn_b = (
+        pairs.withColumn(
+            "rn",
+            F.expr("ROW_NUMBER() OVER (PARTITION BY b ORDER BY d2, a)"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    )
+    mutual = nn_a.join(
+        nn_b,
+        (nn_a.a == nn_b.a2) & (nn_a.b == nn_b.b2),
+    ).select("a", "b", "d2")
+    return (
+        mutual.select(
+            F.col("a").cast("bigint").alias("vec_a"),
+            F.col("b").cast("bigint").alias("vec_b"),
+            F.col("d2").cast("bigint").alias("d2_q14"),
+            F.expr("CAST(COUNT(*) OVER () AS BIGINT)").alias(
+                "n_mutual"
+            ),
+        )
+        .orderBy("d2_q14", "vec_a")
+        .limit(10)
+    )
