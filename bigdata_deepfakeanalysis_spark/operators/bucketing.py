@@ -156,6 +156,52 @@ def q_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bucketed_semi_join",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(21,6))) AS DOUBLE)
+               AS sum_totalprice
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         WHERE l_discount > 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_bucketed_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free EXISTS over bucketed tables — the fourth leg of the
+    bucketing story (join elision, agg elision, scan elision, and now
+    SEMI-join elision): orders with at least one high-discount item,
+    rolled up per priority. Both scans expose HashPartitioning(orderkey,
+    8), so the LEFT SEMI sort-merge join (``merge`` hint — at 100 TB
+    neither fact side is broadcastable, so the hint encodes the
+    production plan rather than letting the toy-SF stats pick broadcast)
+    needs no Exchange on either side; the l_discount filter is pushed to
+    the lineitem scan and does not disturb the bucket distribution. The
+    oracle runs the identical IN-subquery over the plain parquet
+    (bucketing is a physical property only)."""
+    orders_t, lineitem_t = stage_bucketed(spark, sf_dir)
+    orders = spark.table(orders_t)
+    hot = (
+        spark.table(lineitem_t)
+        .where(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+        .hint("merge")
+    )
+    return (
+        orders.join(hot, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(21,6))) AS DOUBLE)"
+            ).alias("sum_totalprice"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 _LOOKUP_KEYS = (1, 7, 32, 69)
 
 

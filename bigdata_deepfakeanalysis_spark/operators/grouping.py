@@ -312,3 +312,76 @@ def q_stem_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_groups")
     )
+
+
+@query(
+    "q_extension_audit",
+    """
+    WITH keyed AS (
+        SELECT (CASE WHEN label % 2 = 0 THEN 'REAL' ELSE 'FAKE' END)
+               || '/img_' || CAST(vec_id AS VARCHAR)
+               || (CASE WHEN vec_id % 10 <= 5 THEN '.png'
+                        WHEN vec_id % 10 <= 7 THEN '.JPG'
+                        WHEN vec_id % 10 = 8 THEN '.txt'
+                        ELSE '' END) AS key
+        FROM embeddings),
+    parsed AS (
+        SELECT split_part(key, '/', 1) AS label,
+               LOWER(regexp_extract(key, '[.]([^./]+)$', 1)) AS ext
+        FROM keyed),
+    counted AS (
+        SELECT label, ext, COUNT(*) AS n_files
+        FROM parsed GROUP BY label, ext)
+    SELECT label, ext, ext IN ('png', 'jpg', 'jpeg') AS is_image,
+           CAST(n_files AS BIGINT) AS n_files,
+           CAST(n_files * 1000000 // SUM(n_files) OVER (PARTITION BY label)
+                AS BIGINT) AS share_ppm
+    FROM counted
+    ORDER BY label, ext
+    """,
+)
+def q_extension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension audit over demuxed keys (P1/P2's predicates turned into
+    a corpus-intake report): parse the prefix label (J4 demux) and the
+    lowercased extension out of each storage key — including uppercase
+    variants and extensionless decoys — and report, per (label, ext),
+    the file count, an is-image flag, and the integer parts-per-million
+    share of that label's corpus. This is the listing-time sanity check
+    a user runs BEFORE the reference's extension filters
+    (``src/extract_embedding.py:26-29`` hard-codes ``.png``; this shows
+    what such a filter would silently drop).
+
+    Scale shape: parsing is row-local codegen (split_part +
+    regexp_extract); one groupBy on (label, ext) with map-side partial
+    aggregation; the share window runs over the already-aggregated
+    handful of (label, ext) rows. Shares use the integer
+    ``n * 1000000 DIV total`` idiom end-to-end so both engines emit the
+    identical BIGINT (no double division anywhere)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vid, lab = F.col("vec_id"), F.col("label")
+    key = F.concat(
+        F.when(lab % 2 == 0, F.lit("REAL")).otherwise(F.lit("FAKE")),
+        F.lit("/img_"),
+        vid.cast("string"),
+        F.when(vid % 10 <= 5, F.lit(".png"))
+        .when(vid % 10 <= 7, F.lit(".JPG"))
+        .when(vid % 10 == 8, F.lit(".txt"))
+        .otherwise(F.lit("")),
+    )
+    parsed = emb.select(
+        demux_label(key).alias("label"),
+        F.lower(F.regexp_extract(key, r"[.]([^./]+)$", 1)).alias("ext"),
+    )
+    counted = parsed.groupBy("label", "ext").agg(
+        F.count(F.lit(1)).alias("n_files")
+    )
+    return counted.select(
+        "label",
+        "ext",
+        F.col("ext").isin("png", "jpg", "jpeg").alias("is_image"),
+        "n_files",
+        F.expr(
+            "CAST(n_files * 1000000 DIV SUM(n_files)"
+            " OVER (PARTITION BY label) AS BIGINT)"
+        ).alias("share_ppm"),
+    ).orderBy("label", "ext")

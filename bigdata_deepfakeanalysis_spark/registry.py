@@ -87,81 +87,82 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-5 rotation: EVERY slot is a never-driver-verified ORACLED
-    # query (rounds 1-4 banked 148 distinct graded rows; this window
-    # lifts the union to 198 of the registry). 45 slots come from the
-    # 69 never-verified oracled names, prioritized per the r4 VERDICT
-    # (Ed-Join + record linkage, JDBC/XML, recursive CTE, LATERAL,
-    # SCD2, global rownum, LPA, AUC family, band join, the BI family);
-    # 5 slots are new round-5 operators written so the five modules
-    # with no never-verified oracled name (bucketing, grouping,
-    # sampling, sketches, explainability) still contribute NEW union
-    # coverage instead of re-verifying a banked row. Residue for the
-    # round-6 window is planned in COVERAGE.md §window-plan.
-    # Disk-staging queries (sources, JDBC, stream sink) ride late so a
-    # staging-restricted run still verifies the pure-compute surface.
+    # Round-6 rotation (COVERAGE.md §window-plan, executed as planned):
+    # 48 slots are never-driver-verified ORACLED names — the heavy
+    # unverified dedup/graph/ANN/lakehouse machinery, the stats/eval
+    # family, the sampling allocators, and >=1 slot per module — and
+    # 2 slots are the formerly-`no_oracle` upgrades whose oracles
+    # landed in r4/r5 (q_hll_distinct_merge, q_ml_pipeline), deliberately
+    # re-windowed so their historic rows-only driver rows finally turn
+    # hash-green (VERDICT r5 finding 2). Three names are new round-6
+    # operators (chained windows, bucketed semi join, extension audit)
+    # written ONLY because their modules (batch_equiv, bucketing,
+    # grouping) had no never-verified oracled name left. Disk-staging
+    # queries ride last so a staging-restricted run still verifies the
+    # pure-compute surface. Residue is planned in COVERAGE.md.
     # ------------------------------------------------------------------
-    # dedup: the round-4 heavy machinery (Ed-Join + its E2E consumer)
-    "q_edit_distance_join",
-    "q_record_linkage",
-    "q_substring_span_dedup",
-    # graph
-    "q_lpa_communities",
-    # SQL surface (round-4 additions)
-    "q_recursive_cte_chain",
-    "q_lateral_topn",
-    "q_grouping_id_rollup",
-    "q_try_arithmetic",
-    "q_session_window_native",
-    # scale primitives
-    "q_global_rownum",
-    "q_quantile_band_join",
-    "q_equidepth_histogram",
-    "q_mad_outliers",
-    "q_skew_diagnosis",
-    "q_grid_knn_join",
-    "q_max_concurrency",
-    "q_merge_intervals",
-    "q_frequent_pairs",
-    # lakehouse
-    "q_snapshot_time_travel",
-    "q_snapshot_diff",
-    "q_scd2_join",
-    "q_ts_correlation_search",
-    # eval / profiling
-    "q_auc_evaluation",
-    "q_calibration_bins",
-    "q_drift_psi",
-    "q_benford_audit",
-    "q_entropy_profile",
-    # BI family
-    "q_rfm_segmentation",
-    "q_ab_test",
-    "q_abc_analysis",
-    "q_yoy_growth",
-    "q_contribution_share",
-    "q_touch_attribution",
-    # layout
-    "q_hilbert_layout",
-    "q_compaction_plan",
-    # UDF tier + text + arrays + similarity + multimodal
-    "q_pandas_udaf",
-    "q_pandas_scalar_udf",
-    "q_readability",
-    "q_map_metrics",
-    "q_ann_sq8_rescore",
-    "q_scene_cuts",
-    # new round-5 operators (one per otherwise-uncovered module)
-    "q_kmv_distinct",
-    "q_occlusion_sensitivity",
-    "q_stem_coverage",
-    "q_hash_bernoulli_sample",
-    "q_bucket_pruned_lookup",
-    # disk-staging tail: sources + transactional stream sink
-    "q_file_metadata",
-    "q_jdbc_roundtrip",
-    "q_xml_roundtrip",
-    "q_stream_jdbc_exactly_once",
+    # graph + dedup heavy machinery
+    "q_kcore",
+    "q_link_prediction",
+    "q_blocking_quality",
+    "q_containment_dedup",
+    "q_normalized_exact_dedup",
+    "q_bloom_prefilter_dedup",
+    # text-curation machinery
+    "q_sparse_cosine_pairs",
+    "q_winnowing_fingerprints",
+    "q_ngram_novelty",
+    # MLlib LSH joins + skew/interval joins
+    "q_mllib_minhash_join",
+    "q_mllib_brp_lsh_join",
+    "q_hotkey_split_join",
+    "q_interval_overlap_join",
+    # lakehouse / time series (advanced)
+    "q_merge_into_emulation",
+    "q_cusum_changepoint",
+    "q_linear_interpolation",
+    "q_rolling_zscore",
+    # arrays + similarity
+    "q_array_smooth",
+    "q_arrow_quantize",
+    # stats / eval family
+    "q_skyline_pareto",
+    "q_ols_elasticity",
+    "q_chi2_independence",
+    "q_gini_concentration",
+    "q_ks_drift",
+    "q_pr_curve_ap",
+    "q_decile_lift",
+    "q_weighted_median",
+    "q_centroid_classifier",
+    "q_mllib_summarizer",
+    "q_brier_profile",
+    "q_spearman_corr",
+    # sampling / mixture allocators
+    "q_bootstrap_ci",
+    "q_weighted_sample",
+    "q_sample_bias_audit",
+    "q_largest_remainder",
+    "q_stratified_kfold",
+    "q_dp_count_release",
+    # sketches (incl. the q_hll_distinct_merge no_oracle upgrade)
+    "q_hll_distinct_merge",
+    "q_approx_quantile_profile",
+    "q_bitmap_exact_distinct",
+    "q_approx_topk_terms",
+    # multimodal + explainability
+    "q_image_tiling",
+    "q_audio_vad_segments",
+    "q_fisher_scores",
+    # new round-6 operators (module-coverage slots)
+    "q_extension_audit",
+    "q_stream_chained_windows",
+    # formerly-no_oracle upgrade
+    "q_ml_pipeline",
+    # disk-staging tail
+    "q_bucketed_semi_join",
+    "q_compaction_execute",
+    "q_dynamic_partition_overwrite",
 ]
 
 

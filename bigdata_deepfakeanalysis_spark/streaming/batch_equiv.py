@@ -87,6 +87,40 @@ def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
+def chained_window_rollup(events: DataFrame) -> DataFrame:
+    """Chained time-window aggregation (Spark 3.4+ multiple stateful
+    operators): level 1 buckets events into per-(1-hour window, user)
+    counts; level 2 re-windows level 1's output via ``window_time`` into
+    6-hour rollups — active user-hours, total events, and the max
+    per-user hourly burst. In streaming this runs as TWO stacked
+    stateful aggregations in one query (the window_time event-time
+    column lets the second agg track the first's watermark); in batch
+    the identical plan is two ordinary hash aggregates. Counts and max
+    are integers, so batch / stream / oracle agree exactly.
+
+    Scale shape: level 1 shuffles on (window, user) with map-side
+    partial aggregation; level 2's input is one row per user-hour —
+    already tiny — so its shuffle is negligible. State per trigger is
+    bounded by the watermark on both levels."""
+    lvl1 = events.groupBy(
+        F.window("ts", "1 hour").alias("win"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        lvl1.groupBy(F.window(F.window_time("win"), "6 hours").alias("win6"))
+        .agg(
+            F.count(F.lit(1)).alias("n_user_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_hourly_burst"),
+        )
+        .select(
+            F.date_format("win6.start", _FMT).alias("win_start"),
+            "n_user_hours",
+            "n_events",
+            "max_hourly_burst",
+        )
+    )
+
+
 def dedup_keep_first(events: DataFrame) -> DataFrame:
     """Batch equivalent of ``dropDuplicatesWithinWatermark`` on
     (user_id, event_type): deterministic first-event survivor (min
@@ -351,6 +385,36 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.date_format(F.min("ts"), _FMT).alias("first_kept_ts"),
     )
+
+
+@query(
+    "q_stream_chained_windows",
+    f"""
+    WITH {EVENTS_US_CTE},
+    l1 AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS w1, user_id,
+               COUNT(*) AS n
+        FROM events_us GROUP BY 1, 2),
+    l2 AS (
+        SELECT time_bucket(INTERVAL '6 hours', w1) AS w6,
+               CAST(COUNT(*) AS BIGINT) AS n_user_hours,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(MAX(n) AS BIGINT) AS max_hourly_burst
+        FROM l1 GROUP BY 1)
+    SELECT strftime(w6, '{_FMT_DUCK}') AS win_start, n_user_hours,
+           n_events, max_hourly_burst
+    FROM l2 ORDER BY win_start
+    """,
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained windowed aggregation (window-over-window) — the oracle
+    re-buckets level 1's 1-hour buckets with a 6-hour time_bucket
+    (1-hour windows never straddle a 6-hour boundary, so re-bucketing
+    the window start equals Spark's window-over-window_time); the
+    streaming form of the same plan is asserted batch≡stream in
+    tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    return chained_window_rollup(ev).orderBy("win_start")
 
 
 @query(

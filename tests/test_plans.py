@@ -128,6 +128,19 @@ def test_bucketed_agg_has_no_exchange_below_first_aggregate(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_bucketed_semi_join_has_no_exchange_below_join(spark):
+    """The LEFT SEMI merge join over the two bucketed scans must run
+    with zero Exchange under it: the l_discount filter preserves the
+    lineitem scan's HashPartitioning(l_orderkey, 8), so neither side
+    reshuffles. Only the tiny post-join priority rollup may shuffle."""
+    plan = _plan(all_queries()["q_bucketed_semi_join"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan and "LeftSemi" in plan
+    assert "Bucketed: true" in plan
+    join_idx = plan.find("SortMergeJoin")
+    # everything below the join (scans + filter + sorts) is exchange-free
+    assert "Exchange" not in plan[join_idx:], plan[join_idx:]
+
+
 def test_window_topk_uses_two_phase_group_limit(spark):
     """rank<=k over a window must plan WindowGroupLimit Partial BEFORE
     the hash Exchange (each mapper forwards at most k rows per group —

@@ -88,6 +88,37 @@ def test_stream_matches_batch(spark, name):
         assert (abs(b[c] - s[c]) < 1e-9).all()
 
 
+def test_chained_windows_match_batch_up_to_watermark(spark):
+    """Two STACKED streaming aggregations in one query (window over
+    window_time, Spark 3.4+ multiple stateful operators): with a
+    0-second watermark and append mode, every 6-hour rollup whose
+    window CLOSED at or before the final global watermark (= max event
+    ts) must equal the batch form exactly; the trailing open window
+    must not have emitted. Counts only — equality is exact."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    ev = table(spark, SF_SMALL, "events")
+    batch = BE.chained_window_rollup(ev).toPandas()
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    closes = pd.to_datetime(batch["win_start"]) + pd.Timedelta(hours=6)
+    expected = batch[closes <= mx]
+
+    stream = BE.stream_events(spark, SF_SMALL).withWatermark(
+        "ts", "0 seconds"
+    )
+    BE.run_stream_once(
+        BE.chained_window_rollup(stream), "chained_sink", mode="append"
+    )
+    streamed = spark.table("chained_sink").toPandas()
+
+    b = expected.sort_values("win_start").reset_index(drop=True)
+    s = streamed.sort_values("win_start").reset_index(drop=True)
+    assert len(b) == len(s) > 0
+    assert len(b) < len(batch)  # the open tail window did not emit
+    assert (b[b.columns].values == s[b.columns].values).all()
+
+
 def test_stream_stream_join_matches_batch(spark):
     """Watermarked stream-stream interval join == batch interval join.
     Integer join keys and µs lags — equality is exact."""
