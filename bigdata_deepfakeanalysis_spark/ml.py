@@ -106,15 +106,15 @@ def pca2d(df: DataFrame, vec_col: str = "embedding", k: int = 2) -> tuple:
     coords = model.transform(feat).withColumn(
         "_coords", vector_to_array("_pca")
     )
-    return coords, list(model.explainedVariance)
+    return coords, list(model.explainedVariance), model
 
 
-@query("q_pca_explained_variance")  # rows-only: eigensolver is engine-local
-def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 — PCA(2) coords + explained-variance ratios. Invariants
-    (tests): ratios descending, each in (0,1], sum <= 1; coords finite."""
-    emb = table(spark, sf_dir, "embeddings")
-    coords, ev = pca2d(emb)
+def pca2d_coords(
+    df: DataFrame, vec_col: str = "embedding", k: int = 2
+) -> DataFrame:
+    """The per-row product surface (vec_id, label, pc1, pc2, ev1, ev2)
+    — what a user plots; engine-local up to eigenvector sign."""
+    coords, ev, _ = pca2d(df, vec_col, k)
     out = coords.select(
         "vec_id",
         "label",
@@ -122,6 +122,53 @@ def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("_coords", 2).alias("pc2"),
     )
     return out.withColumn("ev1", F.lit(ev[0])).withColumn("ev2", F.lit(ev[1]))
+
+
+@query(
+    "q_pca_explained_variance",
+    """
+    SELECT 2 AS k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ev_descending_in_range, TRUE AS ev_sum_le_1,
+           TRUE AS coords_finite, TRUE AS components_orthonormal
+    FROM embeddings
+    """,
+)
+def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — PCA(2) fit summary, upgraded from rows-only in r6 (r5
+    VERDICT stretch item): the deterministic half (k, row count) hashes
+    against the oracle directly, and every engine-local guarantee
+    enters the hash as a boolean the oracle expects to be literally
+    TRUE — explained-variance ratios descending and each in (0,1],
+    their sum <= 1, every projected coordinate finite, and the 64x2
+    principal-component matrix orthonormal (max |PᵀP - I| < 1e-9,
+    checked on the driver over the k*k Gram of the loadings — 4
+    doubles, not data-sized). The per-row coords remain available via
+    :func:`pca2d_coords` and keep their own invariant test."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    coords, ev, model = pca2d(emb)
+    ev_desc = bool(0.0 < ev[1] <= ev[0] <= 1.0)
+    ev_sum = bool(ev[0] + ev[1] <= 1.0)
+    pc = model.pc.toArray()  # (dim, k) loadings — tiny, driver-side
+    gram = pc.T @ pc
+    ortho = bool(np.abs(gram - np.eye(pc.shape[1])).max() < 1e-9)
+    finite = (
+        ~F.isnan("pc1") & ~F.isnan("pc2")
+        & (F.abs("pc1") < float("inf")) & (F.abs("pc2") < float("inf"))
+    )
+    per_row = coords.select(
+        F.element_at("_coords", 1).alias("pc1"),
+        F.element_at("_coords", 2).alias("pc2"),
+    )
+    return per_row.agg(
+        F.lit(2).alias("k"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(ev_desc).alias("ev_descending_in_range"),
+        F.lit(ev_sum).alias("ev_sum_le_1"),
+        F.bool_and(finite).alias("coords_finite"),
+        F.lit(ortho).alias("components_orthonormal"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -559,11 +606,46 @@ def kmeans_profile(
     )
 
 
-@query("q_kmeans_clusters")  # rows-only: cluster assignment engine-local
+@query(
+    "q_kmeans_clusters",
+    """
+    SELECT 8 AS n_clusters, CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS sizes_partition_corpus, TRUE AS sizes_desc,
+           TRUE AS dist_finite
+    FROM embeddings
+    """,
+)
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding clustering profile (k=8). Invariants (tests): k rows,
-    sizes sum to corpus size, deterministic across runs (same seed)."""
-    return kmeans_profile(table(spark, sf_dir, "embeddings"))
+    """Embedding clustering summary (k=8), upgraded from rows-only in
+    r6 (r5 VERDICT stretch item): the deterministic half (cluster
+    count, corpus size) hashes directly; the engine-local assignment
+    enters the hash as booleans the oracle expects to be TRUE — the
+    per-cluster sizes partition the corpus exactly, the size-ranked
+    relabeling is actually descending, and every mean centroid
+    distance is finite and non-negative. Hashing the raw sizes was
+    rejected as fixture-brittle (they move with any MLlib
+    initialization change). The per-cluster profile stays available
+    via :func:`kmeans_profile` with its own determinism test."""
+    prof = kmeans_profile(table(spark, sf_dir, "embeddings"))
+    corpus_n = table(spark, sf_dir, "embeddings").count()
+    lagged = F.lag("n").over(Window.orderBy("rank"))
+    flags = prof.select(
+        "rank",
+        "n",
+        "mean_dist",
+        F.coalesce(lagged >= F.col("n"), F.lit(True)).alias("desc_ok"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.sum("n").cast("bigint").alias("n_points"),
+        (F.sum("n") == F.lit(corpus_n)).alias("sizes_partition_corpus"),
+        F.bool_and("desc_ok").alias("sizes_desc"),
+        F.bool_and(
+            ~F.isnan("mean_dist")
+            & (F.col("mean_dist") >= 0)
+            & (F.col("mean_dist") < float("inf"))
+        ).alias("dist_finite"),
+    )
 
 
 # ---------------------------------------------------------------------------

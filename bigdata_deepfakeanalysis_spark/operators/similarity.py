@@ -740,13 +740,51 @@ def ivf_assign(
     return model, assigned
 
 
-@query("q_ann_ivf_recall")  # rows-only: engine-local clustering + recall
+@query(
+    "q_ann_ivf_recall",
+    f"""
+    WITH {_QCELLS_CTE.strip()},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(q.qval * c.qval) AS dot
+        FROM cells q JOIN cells c
+          ON q.pos = c.pos AND q.vec_id < 10 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id),
+    scored AS (
+        SELECT query_id, cand_id, {_COS_SQL} AS cosine
+        FROM dots
+        JOIN norms nq ON query_id = nq.vec_id
+        JOIN norms nc ON cand_id = nc.vec_id),
+    ranked AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id) AS rk
+        FROM scored)
+    SELECT query_id,
+           STRING_AGG(CAST(cand_id AS VARCHAR), ',' ORDER BY rk)
+               AS exact_top3,
+           TRUE AS recall1_in_range, TRUE AS recall4_in_range,
+           TRUE AS recall_monotone
+    FROM ranked WHERE rk <= 3
+    GROUP BY query_id ORDER BY query_id
+    """,
+)
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall vs the exact top-3: queries probe their nearest 1 vs 4
     quantizer cells (nprobe is IVF's recall knob, as tables/probes are
     LSH's). Candidates are scored with the double JVM dot; recall is
     |IVF∩exact|/3 per query. Tests assert nprobe=4 ≥ nprobe=1 in the
-    mean."""
+    mean.
+
+    Upgraded from rows-only in r6 (r5 VERDICT stretch item): the
+    exact-top-k side IS oracle-expressible — per query the oracle
+    recomputes the exact fixed-point-cosine top-3 and hashes the
+    ordered id list; the engine-local IVF side enters the hash as
+    booleans the oracle expects to be TRUE (each recall in [0,1], and
+    per-query recall(nprobe=4) >= recall(nprobe=1) — a theorem, not a
+    heuristic: a larger probe set is a candidate superset, and any
+    exact-top-3 member present in the candidates is by definition in
+    the candidate top-3)."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
@@ -754,7 +792,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         q_ann_cosine_topk(spark, sf_dir)
         .where(F.col("rk") <= k)
-        .select("query_id", "cand_id")
+        .select("query_id", "cand_id", "rk")
     )
 
     model, assigned = ivf_assign(emb)
@@ -818,25 +856,46 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "cand_id")
         )
 
-    def recall(found: DataFrame, strategy: str) -> DataFrame:
+    def overlap(found: DataFrame, col: str) -> DataFrame:
         return (
             exact.join(found, ["query_id", "cand_id"], "left_semi")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_overlap"))
-            .join(exact.groupBy("query_id").count(), "query_id", "right")
+            .join(
+                exact.select("query_id").distinct(), "query_id", "right"
+            )
             .select(
-                F.lit(strategy).alias("strategy"),
                 "query_id",
-                F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-                (F.coalesce("n_overlap", F.lit(0)) / F.col("count"))
-                .alias("recall"),
+                F.coalesce("n_overlap", F.lit(0)).alias(col),
             )
         )
 
+    exact_str = exact.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "cand_id"))),
+                lambda x: x.cand_id.cast("string"),
+            ),
+            ",",
+        ).alias("exact_top3")
+    )
+    n1 = overlap(ivf_top(1), "n1")
+    n4 = overlap(ivf_top(4), "n4")
     return (
-        recall(ivf_top(1), "nprobe1")
-        .unionByName(recall(ivf_top(4), "nprobe4"))
-        .orderBy("strategy", "query_id")
+        exact_str.join(n1, "query_id")
+        .join(n4, "query_id")
+        .select(
+            "query_id",
+            "exact_top3",
+            ((F.col("n1") >= 0) & (F.col("n1") <= k)).alias(
+                "recall1_in_range"
+            ),
+            ((F.col("n4") >= 0) & (F.col("n4") <= k)).alias(
+                "recall4_in_range"
+            ),
+            (F.col("n4") >= F.col("n1")).alias("recall_monotone"),
+        )
+        .orderBy("query_id")
     )
 
 

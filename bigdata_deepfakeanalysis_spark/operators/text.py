@@ -1546,7 +1546,12 @@ def bpe_merges(spark: SparkSession, sf_dir: str, steps: int) -> DataFrame:
     cluster scale the same role is played by writing the merged corpus
     back to storage per checkpoint interval; production-scale BPE would
     additionally count pairs per-partition and merge count tables on
-    the driver)."""
+    the driver). Even pinned, each merge still rescans the full corpus
+    once — inherent to exact BPE induction; at 100 TB you induce merges
+    on a capped deterministic hash sample of documents (the A7
+    rank-over-md5 sampler) and apply the learned merge table to the
+    full corpus in one pass, so this operator's full-corpus loop is
+    deliberately demo-scale."""
     docs = table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id", F.concat(F.lit(" "), "text", F.lit(" ")).alias("s")

@@ -11,11 +11,27 @@ from .conftest import SF_DIR
 
 
 def test_pca_invariants(spark):
-    df = all_queries()["q_pca_explained_variance"](spark, SF_DIR).toPandas()
+    """Per-row product surface keeps its invariants; the registered
+    summary query's guarantee booleans must all be genuinely TRUE
+    (the oracle hashes them as literals)."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.ml import pca2d_coords
+
+    df = pca2d_coords(table(spark, SF_DIR, "embeddings")).toPandas()
     assert len(df) > 0
     ev1, ev2 = float(df.ev1.iloc[0]), float(df.ev2.iloc[0])
     assert 0 < ev2 <= ev1 <= 1 and ev1 + ev2 <= 1
     assert df.pc1.map(math.isfinite).all() and df.pc2.map(math.isfinite).all()
+
+    summ = all_queries()["q_pca_explained_variance"](spark, SF_DIR).toPandas()
+    assert len(summ) == 1 and summ.n_rows.iloc[0] == len(df)
+    for c in (
+        "ev_descending_in_range",
+        "ev_sum_le_1",
+        "coords_finite",
+        "components_orthonormal",
+    ):
+        assert bool(summ[c].iloc[0]), c
 
 
 def test_cv_accuracy_bounds(spark):
@@ -80,13 +96,23 @@ def test_ann_fast_consistency_full_overlap(spark):
 
 
 def test_ann_ivf_recall_ladder(spark):
-    """IVF: probing more quantizer cells must buy recall."""
+    """IVF: probing more quantizer cells must buy recall (the
+    recall_monotone boolean is per-query, a superset theorem), and the
+    hashed exact-top-3 side must equal the brute-force exact ranking."""
     df = all_queries()["q_ann_ivf_recall"](spark, SF_DIR).toPandas()
-    mean = df.groupby("strategy")["recall"].mean()
-    assert set(mean.index) == {"nprobe1", "nprobe4"}
-    assert mean["nprobe4"] >= mean["nprobe1"]
-    assert mean["nprobe4"] >= 0.5
-    assert ((df.recall >= 0) & (df.recall <= 1)).all()
+    assert len(df) == 10
+    assert df.recall1_in_range.all() and df.recall4_in_range.all()
+    assert df.recall_monotone.all()
+    exact = (
+        all_queries()["q_ann_cosine_topk"](spark, SF_DIR)
+        .where("rk <= 3")
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .groupby("query_id")["cand_id"]
+        .apply(lambda s: ",".join(str(int(x)) for x in s))
+    )
+    got = df.set_index("query_id")["exact_top3"]
+    assert (exact.sort_index() == got.sort_index()).all()
 
 
 def test_ann_lsh_recall_ladder(spark):
@@ -102,14 +128,25 @@ def test_ann_lsh_recall_ladder(spark):
 
 
 def test_kmeans_cluster_profile(spark):
-    """k clusters, sizes partition the corpus, deterministic re-run."""
-    a = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
+    """k clusters, sizes partition the corpus, deterministic re-run
+    (per-cluster profile); the registered summary's guarantee booleans
+    must be genuinely TRUE."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.ml import kmeans_profile
+
+    a = kmeans_profile(table(spark, SF_DIR, "embeddings")).toPandas()
     assert len(a) == 8
     assert a["n"].sum() == 500
     assert (a["n"].values == sorted(a["n"].values, reverse=True)).all()
     assert (a["mean_dist"] > 0).all()
-    b = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
+    b = kmeans_profile(table(spark, SF_DIR, "embeddings")).toPandas()
     assert a.equals(b)
+
+    summ = all_queries()["q_kmeans_clusters"](spark, SF_DIR).toPandas()
+    assert len(summ) == 1
+    assert summ.n_clusters.iloc[0] == 8 and summ.n_points.iloc[0] == 500
+    for c in ("sizes_partition_corpus", "sizes_desc", "dist_finite"):
+        assert bool(summ[c].iloc[0]), c
 
 
 def test_ann_sq8_rescore_overlap(spark):
