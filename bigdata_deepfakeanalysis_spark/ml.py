@@ -265,22 +265,103 @@ def cv_separability(
     return out
 
 
-@query("q_logreg_cv_separability")  # rows-only: solver paths engine-local
+def _cv_fold_sizes(emb: DataFrame, n_folds: int, seed: int = 42) -> DataFrame:
+    """Per-fold test-set sizes under the rank-over-md5 fold scheme —
+    fully deterministic and oracle-replayable (DuckDB computes the
+    identical md5 ranks), plus the fold=-1 total row."""
+    fold = (
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("vec_id")))
+            )
+        )
+        % n_folds
+    )
+    per = (
+        emb.select(fold.alias("fold"))
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
+    )
+    total = emb.agg(
+        F.lit(-1).alias("fold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+    )
+    return per.unionByName(total)
+
+
+def _cv_hashed(folds: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join CV accuracies with the deterministic fold sizes and reduce
+    the engine-local accuracies to the boolean the oracle expects
+    (the q_ml_pipeline upgrade pattern)."""
+    mean_row = folds.groupBy("estimator").agg(
+        F.lit(-1).alias("fold"), F.avg("accuracy").alias("accuracy")
+    )
+    all_rows = folds.unionByName(mean_row)
+    return (
+        all_rows.join(sizes, "fold")
+        .select(
+            "estimator",
+            "fold",
+            "n_test",
+            ((F.col("accuracy") >= 0) & (F.col("accuracy") <= 1)).alias(
+                "accuracy_in_range"
+            ),
+        )
+        .orderBy("fold")
+    )
+
+
+@query(
+    "q_logreg_cv_separability",
+    """
+    WITH folds AS (
+        SELECT CAST(ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY md5('42' || '|' || CAST(vec_id AS VARCHAR)))
+               % 5 AS INT) AS fold
+        FROM embeddings)
+    SELECT 'logreg' AS estimator, fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+           TRUE AS accuracy_in_range
+    FROM folds GROUP BY fold
+    UNION ALL
+    SELECT 'logreg', -1, CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
+    ORDER BY fold
+    """,
+)
 def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M6 — 5-fold logistic-regression separability per fold + mean row.
-    Invariant (tests): accuracy in [0,1]."""
+    """M6 — 5-fold logistic-regression separability, upgraded from
+    rows-only in r6: the fold scheme is rank-over-md5 (X5), so the
+    per-fold test sizes are oracle-replayable and hash directly; the
+    engine-local solver accuracies enter the hash as booleans the
+    oracle expects to be TRUE (each fold accuracy and the fold=-1 mean
+    in [0,1]). The raw per-fold accuracies remain available via
+    :func:`cv_separability` with their own invariant test."""
     emb = table(spark, sf_dir, "embeddings")
     # 1 partition: the sf-fixture is a few hundred rows — see the
     # n_partitions note in cv_separability (a cluster-scale caller
     # passes None and sizes via shuffle.partitions)
     folds = cv_separability(emb, "logreg", n_partitions=1)
-    mean_row = folds.groupBy("estimator").agg(
-        F.lit(-1).alias("fold"), F.avg("accuracy").alias("accuracy")
-    )
-    return folds.unionByName(mean_row).orderBy("fold")
+    return _cv_hashed(folds, _cv_fold_sizes(emb, n_folds=5))
 
 
-@query("q_tree_cv_separability")  # rows-only
+@query(
+    "q_tree_cv_separability",
+    """
+    WITH base AS (
+        SELECT label, vec_id FROM embeddings
+        WHERE vec_id < 200 AND label < 3),
+    folds AS (
+        SELECT CAST(ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY md5('42' || '|' || CAST(vec_id AS VARCHAR)))
+               % 2 AS INT) AS fold
+        FROM base)
+    SELECT 'gbt' AS estimator, fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+           TRUE AS accuracy_in_range
+    FROM folds GROUP BY fold
+    UNION ALL
+    SELECT 'gbt', -1, CAST(COUNT(*) AS BIGINT), TRUE FROM base
+    ORDER BY fold
+    """,
+)
 def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 — boosting variant: MLlib GBTClassifier with the reference's
     XGBClassifier params mapped (``src/compare_embeddings_vs_features
@@ -291,13 +372,16 @@ def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``gbt_max_iter=4`` are latency caps for the fixture — the
     reference's full run is 300 iterations over all classes (one
     distributed fit per class per fold per iteration, which is the knob
-    that matters at test scale)."""
+    that matters at test scale). Upgraded from rows-only in r6 the same
+    way as the logreg variant: deterministic md5-fold test sizes hash
+    directly, accuracies enter as in-range booleans."""
     emb = table(spark, sf_dir, "embeddings").where(
         (F.col("vec_id") < 200) & (F.col("label") < 3)
     )
-    return cv_separability(
+    folds = cv_separability(
         emb, "gbt", n_folds=2, gbt_max_iter=4, n_partitions=1
-    ).orderBy("fold")
+    )
+    return _cv_hashed(folds, _cv_fold_sizes(emb, n_folds=2))
 
 
 # ---------------------------------------------------------------------------

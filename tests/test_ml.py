@@ -35,12 +35,23 @@ def test_pca_invariants(spark):
 
 
 def test_cv_accuracy_bounds(spark):
+    """Raw accuracies stay in range (the property the registered
+    query's booleans assert); the hashed surface carries the
+    deterministic fold sizes."""
+    from bigdata_deepfakeanalysis_spark.catalog import table
+    from bigdata_deepfakeanalysis_spark.ml import cv_separability
+
+    folds = cv_separability(
+        table(spark, SF_DIR, "embeddings"), "logreg", n_partitions=1
+    ).toPandas()
+    assert len(folds) == 5
+    assert ((folds.accuracy >= 0) & (folds.accuracy <= 1)).all()
+
     df = all_queries()["q_logreg_cv_separability"](spark, SF_DIR).toPandas()
-    assert ((df.accuracy >= 0) & (df.accuracy <= 1)).all()
+    assert df.accuracy_in_range.all()
     mean_row = df[df.fold == -1]
-    folds = df[df.fold >= 0]
-    assert len(folds) == 5 and len(mean_row) == 1
-    assert abs(float(mean_row.accuracy.iloc[0]) - folds.accuracy.mean()) < 1e-9
+    assert len(mean_row) == 1 and int(mean_row.n_test.iloc[0]) == 500
+    assert int(df[df.fold >= 0].n_test.sum()) == 500  # folds partition
 
 
 def test_cka_bounds(spark, duck):
