@@ -173,6 +173,10 @@ HEADLINE = [
     "q_stream_chained_windows",      # stacked window-over-window aggs
     "q_bucketed_semi_join",          # zero-Exchange LEFT SEMI merge join
     "q_extension_audit",             # extension/label intake audit
+    "q_stream_static_anti_join",     # broadcast blocklist anti join
+    "q_bucketed_window_rank",        # zero-Exchange bucket-key window
+    "q_key_depth_audit",             # malformed-key intake guard
+    "q_null_skew_shunt_join",        # NULL-key skew shunt outer join
     "q_weighted_sample",             # Efraimidis-Spirakis draws
     "q_ks_drift",                    # exact two-sample KS per segment
     "q_linear_interpolation",        # hourly lerp gap fill

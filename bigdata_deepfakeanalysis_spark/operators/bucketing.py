@@ -202,6 +202,66 @@ def q_bucketed_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_bucketed_window_rank",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey, l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_returnflag,
+                                           l_extendedprice, l_partkey,
+                                           l_suppkey) AS rk
+        FROM lineitem)
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(21,6))) AS DOUBLE)
+               AS first_line_revenue
+    FROM ranked WHERE rk = 1
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_bucketed_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free window function over a bucketed scan — the fifth
+    leg of the bucketing story: ROW_NUMBER partitioned by the bucket
+    key needs HashPartitioning(l_orderkey, 8), which the bucketed scan
+    already provides, so the per-order line ranking runs with NO
+    Exchange below the Window (only an in-partition sort on
+    (orderkey, linenumber) — the write's sortBy(orderkey) pre-orders
+    the major key). At 100 TB this is every per-entity sequence
+    operator (sessionization, first-touch, dedup-keep-first) running
+    without re-shuffling the fact table. First line item per order,
+    rolled up per return flag; the oracle runs the identical window
+    over the plain parquet."""
+    _, lineitem_t = stage_bucketed(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    li = spark.table(lineitem_t)
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    # the tie-break covers every emitted column so rows tying on the
+    # full key are interchangeable and both engines pick the same values
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_returnflag", "l_extendedprice",
+        "l_partkey", "l_suppkey",
+    )
+    ranked = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(21,6))) AS DOUBLE)"
+            ).alias("first_line_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 _LOOKUP_KEYS = (1, 7, 32, 69)
 
 

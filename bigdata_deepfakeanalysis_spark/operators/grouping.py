@@ -385,3 +385,72 @@ def q_extension_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " OVER (PARTITION BY label) AS BIGINT)"
         ).alias("share_ppm"),
     ).orderBy("label", "ext")
+
+
+@query(
+    "q_key_depth_audit",
+    """
+    WITH keyed AS (
+        SELECT CASE vec_id % 4
+                 WHEN 0 THEN 'img_' || CAST(vec_id AS VARCHAR) || '.png'
+                 WHEN 1 THEN 'proj/img_' || CAST(vec_id AS VARCHAR)
+                             || '.png'
+                 WHEN 2 THEN 'proj/train/img_' || CAST(vec_id AS VARCHAR)
+                             || '.png'
+                 ELSE 'proj//img_' || CAST(vec_id AS VARCHAR) || '.png'
+               END AS key
+        FROM embeddings),
+    parsed AS (
+        SELECT key,
+               CAST(len(string_split(key, '/')) - 1 AS INT) AS depth,
+               len(list_filter(string_split(key, '/'), s -> s = '')) > 0
+                   AS malformed
+        FROM keyed)
+    SELECT depth, malformed,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MIN(key) AS example_key
+    FROM parsed
+    GROUP BY depth, malformed
+    ORDER BY depth, malformed
+    """,
+)
+def q_key_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-depth + malformed-key audit over storage keys: split
+    each key on '/', report the nesting depth, flag keys with EMPTY
+    path segments (double slashes — the listing bug that silently
+    breaks prefix demux and stem parses), and give a witness key per
+    (depth, malformed) cell. The intake guard a user runs before the
+    reference's fixed-depth directory walks
+    (``src/extract_embedding.py:19-24`` assumes exactly
+    project/split/label nesting and would mis-parse every shallow or
+    double-slash key here).
+
+    Scale shape: split + size + exists are row-local codegen HOFs; one
+    groupBy over a handful of (depth, malformed) cells with map-side
+    partial aggregation. No window, no join, no UDF."""
+    emb = table(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    sid = vid.cast("string")
+    key = (
+        F.when(vid % 4 == 0, F.concat(F.lit("img_"), sid, F.lit(".png")))
+        .when(vid % 4 == 1, F.concat(F.lit("proj/img_"), sid, F.lit(".png")))
+        .when(
+            vid % 4 == 2,
+            F.concat(F.lit("proj/train/img_"), sid, F.lit(".png")),
+        )
+        .otherwise(F.concat(F.lit("proj//img_"), sid, F.lit(".png")))
+    )
+    segs = F.split(F.col("key"), "/")
+    parsed = emb.select(key.alias("key")).select(
+        "key",
+        (F.size(segs) - 1).cast("int").alias("depth"),
+        F.exists(segs, lambda s: s == "").alias("malformed"),
+    )
+    return (
+        parsed.groupBy("depth", "malformed")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("key").alias("example_key"),
+        )
+        .orderBy("depth", "malformed")
+    )

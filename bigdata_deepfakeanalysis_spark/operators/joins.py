@@ -592,3 +592,72 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+@query(
+    "q_null_skew_shunt_join",
+    """
+    WITH o AS (
+        SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL
+                    ELSE o_custkey END AS cust_n,
+               o_totalprice
+        FROM orders)
+    SELECT COALESCE(c_mktsegment, '__unattributed__') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(21,6))) AS DOUBLE)
+               AS revenue
+    FROM o LEFT JOIN customer ON cust_n = c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q_null_skew_shunt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key shunt around a left outer join — the classic skew fix
+    for null-heavy foreign keys: NULL join keys can never match, yet a
+    naive LEFT JOIN shuffles every NULL row into ONE reducer (all NULLs
+    hash alike), the worst possible hot key at 100 TB. The shunt splits
+    the fact scan: non-null keys go through the (merge-hinted — at
+    scale neither fact side broadcasts) join; NULL-key rows bypass it
+    entirely and re-enter as a union with null-filled dimension
+    columns. Results are identical to the naive plan by construction —
+    which is exactly what the oracle checks by running the naive LEFT
+    JOIN. The plan test asserts the NULL branch reaches the union
+    without touching the join."""
+    from ..catalog import table
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_n"),
+        "o_totalprice",
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    matched = (
+        orders.where(F.col("cust_n").isNotNull())
+        .join(
+            cust.hint("merge"),
+            F.col("cust_n") == F.col("c_custkey"),
+            "left",
+        )
+        .select("c_mktsegment", "o_totalprice")
+    )
+    shunted = orders.where(F.col("cust_n").isNull()).select(
+        F.lit(None).cast("string").alias("c_mktsegment"), "o_totalprice"
+    )
+    return (
+        matched.unionByName(shunted)
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("__unattributed__")).alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(21,6))) AS DOUBLE)"
+            ).alias("revenue"),
+        )
+        .orderBy("segment")
+    )

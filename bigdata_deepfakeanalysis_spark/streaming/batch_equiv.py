@@ -229,6 +229,27 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_anti_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static ANTI join: drop events from blocklisted users
+    (negative account balance) — the streaming filter-by-dimension
+    pattern (fraud/abuse suppression). The static blocklist is
+    broadcast, so the stream side never shuffles; rolled up per
+    event_type with a decimal-exact value sum."""
+    blocklist = customer.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        events.join(F.broadcast(blocklist), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming wiring (the readStream side of the same transformations)
 # ---------------------------------------------------------------------------
@@ -455,6 +476,28 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     cust = table(spark, sf_dir, "customer")
     return stream_static_join(ev, cust).orderBy("c_mktsegment")
+
+
+@query(
+    "q_stream_static_anti_join",
+    f"""
+    WITH {EVENTS_US_CTE}
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events_us
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                          WHERE c_acctbal < 0)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_static_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast ANTI join (blocklist suppression) — the
+    oracle runs the equivalent NOT IN over the same tables (event
+    user_ids and custkeys are non-null, so anti join ≡ NOT IN); the
+    streaming form is asserted batch≡stream in tests/test_streaming.py."""
+    ev = table(spark, sf_dir, "events")
+    cust = table(spark, sf_dir, "customer")
+    return stream_static_anti_join(ev, cust).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

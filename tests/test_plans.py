@@ -141,6 +141,34 @@ def test_bucketed_semi_join_has_no_exchange_below_join(spark):
     assert "Exchange" not in plan[join_idx:], plan[join_idx:]
 
 
+def test_bucketed_window_rank_has_no_exchange_below_window(spark):
+    """ROW_NUMBER partitioned by the bucket key must run on the bucketed
+    scan's HashPartitioning(l_orderkey, 8) — no Exchange between the
+    Window and the scan (only an in-partition sort); the only shuffle
+    is the tiny post-filter rollup."""
+    plan = _plan(all_queries()["q_bucketed_window_rank"](spark, SF_DIR))
+    assert "Bucketed: true" in plan
+    win_idx = plan.find("Window")
+    scan_idx = plan.find("FileScan")
+    assert win_idx != -1 and scan_idx > win_idx, plan
+    assert "Exchange" not in plan[win_idx:scan_idx], plan[win_idx:scan_idx]
+
+
+def test_null_shunt_join_bypasses_join_for_null_keys(spark):
+    """The NULL-key branch must reach the Union WITHOUT passing through
+    the join: the plan has a Union whose second child is a
+    scan+filter(isnull) subtree containing no SortMergeJoin, and the
+    join subtree filters to isnotnull (so no NULL ever shuffles to the
+    all-NULLs reducer)."""
+    plan = _plan(all_queries()["q_null_skew_shunt_join"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan and "Union" in plan
+    join_idx = plan.find("SortMergeJoin")
+    assert "isnotnull" in plan[join_idx:], "join side must drop NULL keys"
+    # the shunt branch: an isnull filter that appears AFTER (below) the
+    # join subtree in the formatted plan and feeds the union directly
+    assert "isnull" in plan.replace("isnotnull", ""), plan
+
+
 def test_window_topk_uses_two_phase_group_limit(spark):
     """rank<=k over a window must plan WindowGroupLimit Partial BEFORE
     the hash Exchange (each mapper forwards at most k rows per group —

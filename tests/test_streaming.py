@@ -47,6 +47,13 @@ _CASES = {
         ["c_mktsegment"],
         ["sum_value"],
     ),
+    "stream_static_anti": (
+        lambda spark, ev: BE.stream_static_anti_join(
+            ev, table(spark, SF_SMALL, "customer")
+        ),
+        ["event_type"],
+        ["sum_value"],
+    ),
 }
 
 
