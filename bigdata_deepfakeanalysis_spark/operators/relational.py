@@ -2434,7 +2434,10 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     production form samples or uses the GK sketch
     (q_approx_quantile_profile) for boundaries and assigns buckets by
     range comparison instead — this operator is the exact reference
-    those approximations are validated against."""
+    those approximations are validated against. Accordingly it is NOT
+    in the bench HEADLINE/sf1 sets since r6 (the workload bench times
+    the scale-safe twin q_quantile_band_join); it stays oracle-checked
+    by pytest and was driver-graded hash-green in the r5 window."""
     li = table(spark, sf_dir, "lineitem")
     tiled = li.select(
         F.col("l_extendedprice").alias("v"),
