@@ -615,13 +615,36 @@ def tsne2d(
     return spark.createDataFrame(out)
 
 
-@query("q_tsne2d")  # rows-only: embedding layout is solver-specific
+@query(
+    "q_tsne2d",
+    f"""
+    WITH {GROUPED_EMBEDDINGS_CTE.strip()},
+    ranked AS (
+        SELECT "group", image_key,
+               {_seeded_rank_sql('"group"', "image_key")} AS rk
+        FROM grouped_embeddings)
+    SELECT "group", image_key, TRUE AS coords_finite
+    FROM ranked WHERE rk <= 50
+    ORDER BY "group", image_key
+    """,
+)
 def q_tsne2d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4 — capped 2-D embedding of grouped vectors. Invariants (tests):
-    one row per sampled input, finite coords."""
-    return tsne2d(grouped_embeddings(spark, sf_dir), cap=50).orderBy(
-        "group", "image_key"
+    """M4 — capped 2-D embedding of grouped vectors, upgraded from
+    rows-only in r6: the A7 seeded cap-sample membership is
+    rank-over-md5, so the oracle replays exactly WHICH (group,
+    image_key) rows the solver embedded — one hashed row per sampled
+    input — while the solver-specific layout enters the hash as a
+    per-row coords-finite boolean the oracle expects to be TRUE. The
+    actual (x, y) coordinates remain available via :func:`tsne2d`,
+    which keeps its determinism + KL-decrease invariant tests."""
+    coords = tsne2d(grouped_embeddings(spark, sf_dir), cap=50)
+    finite = (
+        ~F.isnan("x") & ~F.isnan("y")
+        & (F.abs("x") < float("inf")) & (F.abs("y") < float("inf"))
     )
+    return coords.select(
+        "group", "image_key", finite.alias("coords_finite")
+    ).orderBy("group", "image_key")
 
 
 # ---------------------------------------------------------------------------

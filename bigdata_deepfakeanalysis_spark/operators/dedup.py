@@ -1055,13 +1055,14 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already ships; this query is their production composition.
 # ---------------------------------------------------------------------------
 
-@query("q_semantic_dedup")  # rows-only: k-means cells are engine-local
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """IVF cells → blocked cosine ≥ 0.999 pairs → connected components
-    → min-id survivor per component; per-label dedup accounting.
-    Pytest asserts every planted 1.01-scaled copy is removed and every
-    original survives (the copy's component label is its original's
-    lower id)."""
+    → min-id survivor per component; per-label dedup accounting
+    (label, n_vectors, n_survivors, n_removed). Pytest asserts every
+    planted 1.01-scaled copy is removed and every original survives
+    (the copy's component label is its original's lower id)."""
     from .similarity import ivf_assign
 
     emb = aug_emb(spark, sf_dir)
@@ -1084,6 +1085,39 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_semantic_dedup",
+    """
+    WITH aug AS (
+        SELECT label FROM embeddings
+        UNION ALL
+        SELECT label FROM embeddings WHERE vec_id % 5 = 0)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS counts_partition
+    FROM aug GROUP BY label ORDER BY label
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composed over the k-means IVF quantizer, upgraded from
+    rows-only in r6: the deterministic half — per-label input sizes of
+    the planted-copy corpus — hashes against the oracle directly, and
+    the engine-local survivorship enters the hash as the partition
+    theorem (survivors + removed == vectors, which holds for ANY
+    component labeling). The exact planted-copy accounting stays a
+    pytest invariant on :func:`semantic_dedup_accounting` (hashing it
+    would encode MLlib cell-assignment behavior — fixture-brittle); the
+    deterministic-quantizer sibling `q_semantic_dedup_lsh` carries the
+    full end-to-end hash evidence for this composition."""
+    acct = semantic_dedup_accounting(spark, sf_dir)
+    return acct.select(
+        "label",
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        (
+            F.col("n_survivors") + F.col("n_removed") == F.col("n_vectors")
+        ).alias("counts_partition"),
+    ).orderBy("label")
 
 
 def _semantic_dedup_lsh_oracle() -> str:

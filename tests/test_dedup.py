@@ -34,7 +34,11 @@ def test_semantic_dedup_removes_planted_copies(spark):
     copies do not."""
     from pyspark.sql import functions as F
 
-    out = all_queries()["q_semantic_dedup"](spark, SF_DIR).toPandas()
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        semantic_dedup_accounting,
+    )
+
+    out = semantic_dedup_accounting(spark, SF_DIR).toPandas()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     planted = (
         emb.where("vec_id % 5 = 0")

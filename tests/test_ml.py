@@ -91,13 +91,29 @@ def test_tsne_kl_decreases_and_separates():
 
 
 def test_tsne_shape_and_determinism(spark):
-    fn = all_queries()["q_tsne2d"]
-    a = fn(spark, SF_DIR).toPandas()
+    from bigdata_deepfakeanalysis_spark.ml import tsne2d
+    from bigdata_deepfakeanalysis_spark.operators.fixtures import (
+        grouped_embeddings,
+    )
+
+    a = (
+        tsne2d(grouped_embeddings(spark, SF_DIR), cap=50)
+        .orderBy("group", "image_key")
+        .toPandas()
+    )
     assert len(a) > 0
     assert a.x.map(math.isfinite).all() and a.y.map(math.isfinite).all()
-    b = fn(spark, SF_DIR).toPandas()
+    b = (
+        tsne2d(grouped_embeddings(spark, SF_DIR), cap=50)
+        .orderBy("group", "image_key")
+        .toPandas()
+    )
     assert (a[["group", "image_key"]].values == b[["group", "image_key"]].values).all()
     assert (a.x - b.x).abs().max() < 1e-9 and (a.y - b.y).abs().max() < 1e-9
+
+    summ = all_queries()["q_tsne2d"](spark, SF_DIR).toPandas()
+    assert len(summ) == len(a)
+    assert summ.coords_finite.all()
 
 
 def test_ann_fast_consistency_full_overlap(spark):
