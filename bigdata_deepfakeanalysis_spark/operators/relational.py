@@ -5668,7 +5668,13 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapped to whole cents with ceil/floor so the clamp is integer,
     broadcast back for a row-local LEAST/GREATEST, and the final mean
     is one IEEE division of exact BIGINTs. No sorts beyond the stats
-    aggregate; the clamp join broadcasts |groups| rows."""
+    aggregate; the clamp join broadcasts |groups| rows.
+
+    r6: the whole query runs off the distinct (grp, cents, freq) table
+    — percentiles in FREQUENCY form (bit-identical Percentile path),
+    and the clamp/mean as freq-weighted integer sums (interleaved sf1
+    A/B, 3 rounds: raw 4.5-8.4 s vs freq 2.1-3.4 s, outputs
+    identical)."""
     li = table(spark, sf_dir, "lineitem")
     cents = li.select(
         F.col("l_returnflag").alias("grp"),
@@ -5677,16 +5683,18 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("c"),
     )
-    bounds = cents.groupBy("grp").agg(
+    vc = cents.groupBy("grp", "c").agg(F.count(F.lit(1)).alias("freq"))
+    bounds = vc.groupBy("grp").agg(
         F.expr(
-            "ceil(round(percentile(CAST(c AS DOUBLE), 0.05D), 9))"
+            "ceil(round(percentile(CAST(c AS DOUBLE), 0.05D, freq), 9))"
         ).alias("lo_c"),
         F.expr(
-            "floor(round(percentile(CAST(c AS DOUBLE), 0.95D), 9))"
+            "floor(round(percentile(CAST(c AS DOUBLE), 0.95D, freq), 9))"
         ).alias("hi_c"),
     )
-    clamped = cents.join(F.broadcast(bounds), "grp").select(
+    clamped = vc.join(F.broadcast(bounds), "grp").select(
         "grp",
+        "freq",
         F.expr(
             "CAST(LEAST(GREATEST(CAST(c AS DOUBLE), lo_c), hi_c)"
             " AS BIGINT)"
@@ -5695,10 +5703,10 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clamped.groupBy("grp")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("wc").cast("bigint").alias("sum_wins_c"),
+            F.sum("freq").cast("bigint").alias("n"),
+            F.expr("CAST(SUM(wc * freq) AS BIGINT)").alias("sum_wins_c"),
             F.expr(
-                "CAST(SUM(wc) AS DOUBLE) / (COUNT(*) * 100)"
+                "CAST(SUM(wc * freq) AS DOUBLE) / (SUM(freq) * 100)"
             ).alias("winsorized_mean"),
         )
         .select(
