@@ -495,6 +495,19 @@ def main() -> None:
                 "q_ann_lsh_recall",
                 "q_ann_sq8_rescore",
             ]
+            # Warm the OS page cache with one pass per sf1 table (same
+            # warm-cache policy as the sf0.1 headline section, and the
+            # realistic cluster condition): r6 change — the previous
+            # cold-cache policy let a co-tenant IO spike during the
+            # first parquet read inflate a row 7x (a 14.5 s
+            # q_minhash_near_dup reading whose interleaved recheck was
+            # 1.9 s), which reads as a phantom regression in a
+            # round-over-round diff.
+            for t in TABLES:
+                try:  # sf1 stages only the tables the section queries
+                    table(spark, str(sf1), t).count()
+                except Exception:
+                    pass
             sf1_timings = {}
             for name in sf1_names:
                 best = None
@@ -511,7 +524,10 @@ def main() -> None:
                 "note": (
                     "10x key-shifted sf0.1 facts + content-perturbed"
                     " documents/embeddings (tools/stage_sf1.py), dims"
-                    " as-is; cold table cache; perf evidence only"
+                    " as-is; warm OS page cache since r6 (one count()"
+                    " pass per table; was cold in r3-r5 — compare sf1"
+                    " rows across rounds with the same policy only);"
+                    " perf evidence only"
                 ),
             }
     except Exception as e:  # noqa: BLE001 — reported, never swallowed
