@@ -753,19 +753,107 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(blocked, "bucket", 0.999).orderBy("vec_a", "vec_b")
 
 
-@query("q_cosine_near_dup_ivf")  # rows-only: k-means cells engine-local
-def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine near-dup blocked by the IVF coarse-quantizer cell
-    (``similarity.ivf_assign`` — MLlib k-means, broadcast centroids):
-    the production blocking when an IVF index already exists. Cluster
-    assignment is engine-local, so the driver check is rows-only;
-    pytest asserts the pair set covers every planted scaled copy (a
-    scaled vector has cosine 1 with its original and k-means assigns
-    both to the same centroid)."""
+def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw IVF-cell-blocked near-dup pair set (vec_a, vec_b,
+    cosine) — the production operator. Cells are engine-local (MLlib
+    k-means), so this surface is verified by pytest invariants
+    (planted-copy coverage) and by the subset theorem hashed in
+    ``q_cosine_near_dup_ivf`` below."""
     from .similarity import ivf_assign
 
     _, assigned = ivf_assign(aug_emb(spark, sf_dir), vec_col="vec")
-    return cosine_pairs(assigned, "cell", 0.999).orderBy("vec_a", "vec_b")
+    return cosine_pairs(assigned, "cell", 0.999)
+
+
+@query(
+    "q_cosine_near_dup_ivf",
+    f"""
+    WITH {AUG_EMB_CTE.strip()},
+    samp AS (
+        SELECT vec_id, vec FROM aug_emb
+        WHERE md5(CAST(vec_id AS VARCHAR)) < '8'),
+    qv AS (
+        SELECT vec_id,
+               list_transform(vec,
+                   x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
+        FROM samp),
+    cells AS (
+        SELECT vec_id, pos, q[pos + 1] AS qval
+        FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
+    norms AS (
+        SELECT vec_id, SUM(qval * qval) AS n2 FROM cells GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               SUM(a.qval * b.qval) AS dot
+        FROM cells a
+        JOIN cells b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (SQRT(CAST(na.n2 AS DOUBLE))
+                    * SQRT(CAST(nb.n2 AS DOUBLE))), 9) AS cosine,
+           TRUE AS ivf_subset_ok
+    FROM dots
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE ROUND(CAST(dot AS DOUBLE)
+                / (SQRT(CAST(na.n2 AS DOUBLE))
+                   * SQRT(CAST(nb.n2 AS DOUBLE))), 9) >= 0.999
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup blocked by the IVF coarse-quantizer cell
+    (``similarity.ivf_assign`` — MLlib k-means, broadcast centroids):
+    the production blocking when an IVF index already exists.
+
+    Upgraded from rows-only in r7 (the registry's last rows-only
+    query — r6 VERDICT task 3), via the q_semantic_dedup
+    deterministic-half pattern: the hashed rows are the EXACT
+    all-pairs quantized-cosine >= 0.999 set restricted to a
+    deterministic md5-prefix audit sample (md5(vec_id) < '8', ~1/2 of
+    the corpus — append-stable, zero-shuffle, replayed verbatim by the
+    oracle), and the engine-local IVF half enters the hash as ONE
+    theorem boolean: the IVF pair set restricted to the sample is a
+    SUBSET of the hashed exact set. That is a theorem, not an
+    engine-behavior claim — ``cosine_pairs`` emits only pairs whose
+    fixed-point cosine clears the threshold, and the exact set contains
+    ALL in-sample pairs clearing it, whatever the k-means cells did.
+    Recall (planted-copy coverage) stays a pytest invariant
+    (tests/test_dedup.py) because k-means cell assignment is genuinely
+    engine-local. The audit sample bounds the quadratic verification
+    at any SF; the unsampled production pair set is
+    ``ivf_cosine_pairs`` above."""
+    aug = aug_emb(spark, sf_dir)
+    samp = aug.where(F.md5(F.col("vec_id").cast("string")) < "8")
+    exact = cosine_pairs(
+        samp.withColumn("_blk", F.lit(1)), "_blk", 0.999
+    ).localCheckpoint(eager=True)
+
+    ivf = ivf_cosine_pairs(spark, sf_dir)
+    samp_ids = samp.select(F.col("vec_id"))
+    ivf_samp = (
+        ivf.join(
+            samp_ids.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi"
+        ).join(
+            samp_ids.withColumnRenamed("vec_id", "vec_b"), "vec_b", "left_semi"
+        )
+    )
+    viol = (
+        ivf_samp.join(
+            exact.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_viol"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(viol))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cosine",
+            (F.col("n_viol") == 0).alias("ivf_subset_ok"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # ---------------------------------------------------------------------------

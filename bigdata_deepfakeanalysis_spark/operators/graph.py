@@ -191,8 +191,24 @@ def copurchase_top_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned checkpoint; on a cluster a parquet/bucketed table), then
     amortize it across algorithms. Determinism of the full tie-break
     makes the cache a pure optimization — every oracle recomputes the
-    same set in SQL."""
-    key = (spark.sparkContext.applicationId, str(sf_dir))
+    same set in SQL.
+
+    Cache hygiene (r7, advisor finding): the sf_dir key is
+    realpath-normalized so relative/absolute spellings of the same
+    directory share one entry, and on every lookup entries whose
+    applicationId no longer matches the live session are evicted
+    (unpersisting their pinned checkpoint blocks) — a module-global
+    with no eviction would otherwise pin dead sessions' partitions for
+    process lifetime."""
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _EDGE_CACHE if k[0] != app_id]:
+        try:
+            _EDGE_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # dead JVM handle — dropping the reference is enough
+    key = (app_id, os.path.realpath(str(sf_dir)))
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -218,8 +234,9 @@ def copurchase_top_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TRI_EDGES)
         .localCheckpoint(eager=True)
     )
-    _EDGE_CACHE[key] = top_e
-    return top_e
+    # setdefault: if a concurrent first call raced us here, keep the
+    # winner and let our duplicate build be garbage-collected.
+    return _EDGE_CACHE.setdefault(key, top_e)
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:

@@ -772,7 +772,10 @@ def ivf_assign(
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall vs the exact top-3: queries probe their nearest 1 vs 4
     quantizer cells (nprobe is IVF's recall knob, as tables/probes are
-    LSH's). Candidates are scored with the double JVM dot; recall is
+    LSH's). Candidates are scored with the SAME fixed-point
+    quantize/dot_fixed/cosine_fixed metric (and cand_id tie-break) as
+    the exact reference — metric consistency is what makes the
+    monotonicity boolean a theorem (r7, advisor finding); recall is
     |IVF∩exact|/3 per query. Tests assert nprobe=4 ≥ nprobe=1 in the
     mean.
 
@@ -796,11 +799,22 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     model, assigned = ivf_assign(emb)
+    # Candidate side pre-quantized ONCE: the IVF ranking below must use
+    # the SAME quantize/dot_fixed/cosine_fixed metric (and cand_id
+    # tie-break) as the exact reference from q_ann_cosine_topk —
+    # otherwise the recall-monotonicity "theorem" leaks: a near-tie
+    # ordered differently by a double-precision candidate metric could
+    # drop an exact-top-3 member from the larger probe set's top-3.
+    # With one shared metric the guarantee is airtight: an exact-top-3
+    # member has at most 2 global superiors, so it ranks <= 3 in ANY
+    # candidate subset containing it — membership in the candidate
+    # top-3 reduces to candidate-set membership, and nprobe=4's
+    # candidate set is a superset of nprobe=1's.
     corpus = assigned.select(
         F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("cvec"),
         "cell",
-    )
+        quantize("embedding").alias("cq"),
+    ).withColumn("nc", dot_fixed("cq", "cq"))
 
     # rank cells per query by distance to the (broadcast-sized) centroids
     centroids = [
@@ -830,6 +844,9 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .alias("cell_rk"),
         )
+        .withColumn("qq", quantize("qvec"))
+        .withColumn("nq", dot_fixed("qq", "qq"))
+        .drop("qvec")
     )
 
     def ivf_top(nprobe: int) -> DataFrame:
@@ -837,16 +854,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = (
             corpus.join(F.broadcast(probes), "cell")
             .where(F.col("cand_id") != F.col("query_id"))
+            .withColumn("dot", dot_fixed("qq", "cq"))
             .select(
                 "query_id",
                 "cand_id",
-                (
-                    dot_fast(F.col("qvec"), F.col("cvec"))
-                    / (
-                        F.sqrt(dot_fast(F.col("qvec"), F.col("qvec")))
-                        * F.sqrt(dot_fast(F.col("cvec"), F.col("cvec")))
-                    )
-                ).alias("cosine"),
+                cosine_fixed("dot", "nq", "nc").alias("cosine"),
             )
         )
         w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")

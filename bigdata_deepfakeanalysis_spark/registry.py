@@ -87,82 +87,84 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-6 rotation (COVERAGE.md §window-plan, executed as planned):
-    # 48 slots are never-driver-verified ORACLED names — the heavy
-    # unverified dedup/graph/ANN/lakehouse machinery, the stats/eval
-    # family, the sampling allocators, and >=1 slot per module — and
-    # 2 slots are the formerly-`no_oracle` upgrades whose oracles
-    # landed in r4/r5 (q_hll_distinct_merge, q_ml_pipeline), deliberately
-    # re-windowed so their historic rows-only driver rows finally turn
-    # hash-green (VERDICT r5 finding 2). Three names are new round-6
-    # operators (chained windows, bucketed semi join, extension audit)
-    # written ONLY because their modules (batch_equiv, bucketing,
-    # grouping) had no never-verified oracled name left. Disk-staging
-    # queries ride last so a staging-restricted run still verifies the
-    # pure-compute surface. Residue is planned in COVERAGE.md.
+    # Round-7 rotation (COVERAGE.md §window-plan): closes the ENTIRE
+    # stale-`no_oracle` tail — the 7 names whose last driver word is a
+    # null row from r1/r3 (q_approx_distinct, q_ann_fast_consistency,
+    # q_gradcam_surrogate, q_kmeans_clusters, q_pca_explained_variance,
+    # q_logreg_cv_separability, q_tree_cv_separability) all re-graded
+    # under their now-landed hash oracles — plus q_ann_ivf_recall (r6
+    # oracle upgrade, never graded), the four pre-authored module
+    # representatives, the five r6 deferrals, graph residue,
+    # text/retrieval, the stats residue, one never-graded
+    # representative from every remaining module (incl. the r7-upgraded
+    # q_cosine_near_dup_ivf — the registry's last rows-only query, now
+    # hash-oracled), and 4 BI-family names. The COVERAGE r7 plan listed
+    # 60 names for 50 slots; the 18 deferred BI names lead the r8 list.
+    # Disk-staging queries ride last so a staging-restricted run still
+    # verifies the pure-compute surface.
     # ------------------------------------------------------------------
-    # graph + dedup heavy machinery
-    "q_kcore",
-    "q_link_prediction",
-    "q_blocking_quality",
-    "q_containment_dedup",
-    "q_normalized_exact_dedup",
-    "q_bloom_prefilter_dedup",
-    # text-curation machinery
-    "q_sparse_cosine_pairs",
-    "q_winnowing_fingerprints",
-    "q_ngram_novelty",
-    # MLlib LSH joins + skew/interval joins
-    "q_mllib_minhash_join",
-    "q_mllib_brp_lsh_join",
-    "q_hotkey_split_join",
-    "q_interval_overlap_join",
-    # lakehouse / time series (advanced)
-    "q_merge_into_emulation",
-    "q_cusum_changepoint",
-    "q_linear_interpolation",
-    "q_rolling_zscore",
-    # arrays + similarity
-    "q_array_smooth",
-    "q_arrow_quantize",
-    # stats / eval family
-    "q_skyline_pareto",
-    "q_ols_elasticity",
-    "q_chi2_independence",
-    "q_gini_concentration",
-    "q_ks_drift",
-    "q_pr_curve_ap",
-    "q_decile_lift",
-    "q_weighted_median",
-    "q_centroid_classifier",
-    "q_mllib_summarizer",
-    "q_brier_profile",
-    "q_spearman_corr",
-    # sampling / mixture allocators
-    "q_bootstrap_ci",
-    "q_weighted_sample",
-    "q_sample_bias_audit",
-    "q_largest_remainder",
-    "q_stratified_kfold",
-    "q_dp_count_release",
-    # sketches (incl. the q_hll_distinct_merge no_oracle upgrade)
-    "q_hll_distinct_merge",
-    "q_approx_quantile_profile",
-    "q_bitmap_exact_distinct",
-    "q_approx_topk_terms",
-    # multimodal + explainability
-    "q_image_tiling",
-    "q_audio_vad_segments",
-    "q_fisher_scores",
-    # new round-6 operators (module-coverage slots)
-    "q_extension_audit",
-    "q_stream_chained_windows",
-    # formerly-no_oracle upgrade
-    "q_ml_pipeline",
-    # disk-staging tail
-    "q_bucketed_semi_join",
-    "q_compaction_execute",
-    "q_dynamic_partition_overwrite",
+    # stale no_oracle tail — the 7 null rows from r1/r3, closed here
+    "q_approx_distinct",
+    "q_ann_fast_consistency",
+    "q_gradcam_surrogate",
+    "q_kmeans_clusters",
+    "q_pca_explained_variance",
+    "q_logreg_cv_separability",
+    "q_tree_cv_separability",
+    # r6 oracle upgrade, never driver-graded
+    "q_ann_ivf_recall",
+    # r7 oracle upgrade — the last rows-only query, now hash-oracled
+    "q_cosine_near_dup_ivf",
+    # pre-authored module representatives (batch_equiv, bucketing,
+    # grouping, joins had no never-verified oracled residue left)
+    "q_stream_static_anti_join",
+    "q_bucketed_window_rank",
+    "q_key_depth_audit",
+    "q_null_skew_shunt_join",
+    # r6 deferrals (advanced / graph / relational)
+    "q_degree_powerlaw",
+    "q_session_path_ngrams",
+    "q_time_weighted_avg",
+    "q_upset_overlaps",
+    "q_peak_detection",
+    # graph residue
+    "q_modularity",
+    "q_bfs_distance",
+    "q_local_clustering",
+    # text / retrieval
+    "q_bigram_perplexity",
+    "q_rrf_fusion",
+    "q_ndcg_mrr",
+    "q_heaps_law",
+    "q_zipf_fit",
+    "q_inverted_index",
+    "q_knn_classifier",
+    "q_mmr_rerank",
+    # stats residue
+    "q_anova_f",
+    "q_theil_index",
+    "q_cuped_variance_reduction",
+    "q_wilcoxon_signed_rank",
+    "q_quantile_treatment_effect",
+    "q_diff_in_diff",
+    "q_shapley_attribution",
+    "q_logrank_test",
+    "q_grid_dbscan",
+    "q_target_encoding",
+    # BI family (4 of 22 — the rest lead the r8 window)
+    "q_histogram_profile",
+    "q_percentile_trend",
+    "q_lorenz_deciles",
+    "q_rolling_median",
+    # one never-graded representative per remaining module
+    "q_centroid_similarity",      # arrays
+    "q_effective_sample_size",    # sampling
+    "q_ams_f2_sketch",            # sketches
+    "q_join_size_estimate",       # skew
+    "q_frame_sample",             # multimodal
+    "q_partition_advisor",        # layout
+    # disk-staging tail (sources last)
+    "q_schema_evolution_scan",
 ]
 
 

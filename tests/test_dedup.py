@@ -17,7 +17,11 @@ def test_ivf_cosine_near_dup_covers_planted_copies(spark):
     vec_id % 5 == 0 vector (cosine exactly 1). k-means must put each
     copy in its original's cell, so the IVF-blocked pair set must
     contain every (v, v+1000000) pair."""
-    pairs = all_queries()["q_cosine_near_dup_ivf"](spark, SF_DIR).toPandas()
+    from bigdata_deepfakeanalysis_spark.operators.dedup import (
+        ivf_cosine_pairs,
+    )
+
+    pairs = ivf_cosine_pairs(spark, SF_DIR).toPandas()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     planted = [
         r.vec_id
