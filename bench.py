@@ -494,6 +494,16 @@ def main() -> None:
                 "q_ann_cosine_topk",
                 "q_ann_lsh_recall",
                 "q_ann_sq8_rescore",
+                # r7 (r6 VERDICT task 6): one more graph row — k-core
+                # peeling rides the shared checkpointed co-purchase
+                # edge build (graph.copurchase_top_edges), so this row
+                # evidences the materialize-once claim at 10x — and one
+                # streaming row: the stacked window-over-window rollup
+                # (level-1 tumbling agg -> level-2 re-window) at 10x
+                # events, the micro-batch shape Structured Streaming
+                # executes
+                "q_kcore",
+                "q_stream_chained_windows",
             ]
             # Warm the OS page cache with one pass per sf1 table (same
             # warm-cache policy as the sf0.1 headline section, and the

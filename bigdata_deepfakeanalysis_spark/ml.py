@@ -266,9 +266,13 @@ def cv_separability(
 
 
 def _cv_fold_sizes(emb: DataFrame, n_folds: int, seed: int = 42) -> DataFrame:
-    """Per-fold test-set sizes under the rank-over-md5 fold scheme —
-    fully deterministic and oracle-replayable (DuckDB computes the
-    identical md5 ranks), plus the fold=-1 total row."""
+    """Per-(fold, label) test-set composition under the rank-over-md5
+    fold scheme — fully deterministic and oracle-replayable (DuckDB
+    computes the identical md5 ranks), plus the (fold=-1, label=-1)
+    grand-total row. r7 strengthening (advisor finding): hashing the
+    per-fold LABEL composition, not just fold totals, makes a
+    hash-green row attest the full stratification structure the CV
+    claims — each fold's class balance is replayed by the oracle."""
     fold = (
         F.row_number().over(
             Window.partitionBy("label").orderBy(
@@ -278,12 +282,13 @@ def _cv_fold_sizes(emb: DataFrame, n_folds: int, seed: int = 42) -> DataFrame:
         % n_folds
     )
     per = (
-        emb.select(fold.alias("fold"))
-        .groupBy("fold")
+        emb.select(fold.alias("fold"), F.col("label").cast("int").alias("label"))
+        .groupBy("fold", "label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
     )
     total = emb.agg(
         F.lit(-1).alias("fold"),
+        F.lit(-1).alias("label"),
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
     )
     return per.unionByName(total)
@@ -302,12 +307,13 @@ def _cv_hashed(folds: DataFrame, sizes: DataFrame) -> DataFrame:
         .select(
             "estimator",
             "fold",
+            "label",
             "n_test",
             ((F.col("accuracy") >= 0) & (F.col("accuracy") <= 1)).alias(
                 "accuracy_in_range"
             ),
         )
-        .orderBy("fold")
+        .orderBy("fold", "label")
     )
 
 
@@ -317,14 +323,16 @@ def _cv_hashed(folds: DataFrame, sizes: DataFrame) -> DataFrame:
     WITH folds AS (
         SELECT CAST(ROW_NUMBER() OVER (PARTITION BY label
                    ORDER BY md5('42' || '|' || CAST(vec_id AS VARCHAR)))
-               % 5 AS INT) AS fold
+               % 5 AS INT) AS fold,
+               CAST(label AS INT) AS label
         FROM embeddings)
-    SELECT 'logreg' AS estimator, fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+    SELECT 'logreg' AS estimator, fold, label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
            TRUE AS accuracy_in_range
-    FROM folds GROUP BY fold
+    FROM folds GROUP BY fold, label
     UNION ALL
-    SELECT 'logreg', -1, CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
-    ORDER BY fold
+    SELECT 'logreg', -1, -1, CAST(COUNT(*) AS BIGINT), TRUE FROM embeddings
+    ORDER BY fold, label
     """,
 )
 def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,8 +341,11 @@ def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-fold test sizes are oracle-replayable and hash directly; the
     engine-local solver accuracies enter the hash as booleans the
     oracle expects to be TRUE (each fold accuracy and the fold=-1 mean
-    in [0,1]). The raw per-fold accuracies remain available via
-    :func:`cv_separability` with their own invariant test."""
+    in [0,1]). r7 strengthens the hashed half (advisor finding): the
+    oracle now replays the per-(fold, label) composition — the full
+    stratification structure — not just fold totals. The raw per-fold
+    accuracies remain available via :func:`cv_separability` with their
+    own invariant test."""
     emb = table(spark, sf_dir, "embeddings")
     # 1 partition: the sf-fixture is a few hundred rows — see the
     # n_partitions note in cv_separability (a cluster-scale caller
@@ -352,14 +363,16 @@ def q_logreg_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds AS (
         SELECT CAST(ROW_NUMBER() OVER (PARTITION BY label
                    ORDER BY md5('42' || '|' || CAST(vec_id AS VARCHAR)))
-               % 2 AS INT) AS fold
+               % 2 AS INT) AS fold,
+               CAST(label AS INT) AS label
         FROM base)
-    SELECT 'gbt' AS estimator, fold, CAST(COUNT(*) AS BIGINT) AS n_test,
+    SELECT 'gbt' AS estimator, fold, label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
            TRUE AS accuracy_in_range
-    FROM folds GROUP BY fold
+    FROM folds GROUP BY fold, label
     UNION ALL
-    SELECT 'gbt', -1, CAST(COUNT(*) AS BIGINT), TRUE FROM base
-    ORDER BY fold
+    SELECT 'gbt', -1, -1, CAST(COUNT(*) AS BIGINT), TRUE FROM base
+    ORDER BY fold, label
     """,
 )
 def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +387,8 @@ def q_tree_cv_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed fit per class per fold per iteration, which is the knob
     that matters at test scale). Upgraded from rows-only in r6 the same
     way as the logreg variant: deterministic md5-fold test sizes hash
-    directly, accuracies enter as in-range booleans."""
+    directly, accuracies enter as in-range booleans; r7 adds the
+    per-(fold, label) composition to the hash (advisor finding)."""
     emb = table(spark, sf_dir, "embeddings").where(
         (F.col("vec_id") < 200) & (F.col("label") < 3)
     )
@@ -1452,7 +1466,13 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     maps to the pooled p0, the max to the pooled p100 (visible in the
     normed_min/normed_max columns). Parity: percent_rank is a ratio
     of exact ranks, the lerp is IEEE on snapped constants, sums are
-    DECIMAL-routed."""
+    DECIMAL-routed.
+
+    Freq-form percentile lever (r6 VERDICT stretch): audited, NOT
+    applied — o_totalprice is ~unique per row (sf0.1: 150,000 rows /
+    149,743 distinct), so the pre-counted value table the lever needs
+    would be as large as the input; the single reference-decile pass
+    stays as-is."""
     o = table(spark, sf_dir, "orders")
     ref = o.agg(
         F.expr(

@@ -742,7 +742,8 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle mirrors the identical bucket derivation (integer
     arithmetic — signs can never disagree between engines), so the
     check stays hash-exact. The k-means IVF-cell variant is
-    ``q_cosine_near_dup_ivf`` (rows-only: cells are engine-local)."""
+    ``q_cosine_near_dup_ivf`` (hash-oracled since r7 via a sampled
+    exact set + subset theorem)."""
     from .similarity import lsh_bucket, quantize
 
     blocked = (

@@ -4944,7 +4944,14 @@ def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly p50/p95/p99 of order totals per priority (first year):
     exact R-7 percentiles per cell, ROUND-snapped — the tail-trend
     report an SLO dashboard plots; the GK sketch swaps in at scale as
-    everywhere in the percentile family."""
+    everywhere in the percentile family.
+
+    Freq-form percentile lever (r6 VERDICT stretch): audited, NOT
+    applied — the lever pays off when raw rows >> distinct values
+    (q_mad_outliers: 6M rows / 583k prices), but o_totalprice is
+    ~unique per row (sf0.1: 22,712 filtered rows / 22,707 distinct),
+    so a pre-counted value table would be the same size as the input
+    and the extra aggregate a pure loss."""
     o = table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.expr("TIMESTAMP '1996-01-01'")
     )
@@ -5590,7 +5597,12 @@ def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-local band = count of boundaries below — no global sort, the
     q_quantile_band_join scale idiom), then cumulative spend share in
     integer ppm over the 10-row band table. Read with
-    q_gini_concentration: this is the curve, that is its area."""
+    q_gini_concentration: this is the curve, that is its area.
+
+    Freq-form percentile lever (r6 VERDICT stretch): audited, NOT
+    applied — the percentile input is already the per-customer rollup
+    and its spends are ~unique (sf0.1: 14,999 customers / 14,998
+    distinct cent values), so there is nothing to pre-count."""
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.expr(

@@ -37,6 +37,11 @@ FACTS = {
     "orders": "o_orderkey",
     "documents": "doc_id",
     "embeddings": "vec_id",
+    # r7 (r6 VERDICT task 6): the streaming sf1 row needs 10x events.
+    # event_id shifts per copy; ts and user_id stay — 10x event DENSITY
+    # over the same time range and user population, which is what a
+    # windowed-rollup scale row should measure.
+    "events": "event_id",
 }
 
 _AZ = "abcdefghijklmnopqrstuvwxyz"
@@ -93,7 +98,21 @@ def stage(spark) -> Path:
     for tbl, key in FACTS.items():
         if _staged(out, tbl):
             continue
-        src = table(spark, SRC, tbl)
+        if tbl == "events":
+            # RAW read, not catalog.table: the catalog normalizes ts
+            # (timestamp + ts_ns columns), but the staged copy must
+            # keep the source's physical shape (ts as INT64) so
+            # catalog.table's EVENTS_READ_SCHEMA + magnitude
+            # normalization apply identically to the staged dir.
+            from bigdata_deepfakeanalysis_spark.catalog import (
+                EVENTS_READ_SCHEMA,
+            )
+
+            src = spark.read.schema(EVENTS_READ_SCHEMA).parquet(
+                f"{SRC}/events.parquet"
+            )
+        else:
+            src = table(spark, SRC, tbl)
         scaled = None
         for i in range(COPIES):
             c = _perturb(
@@ -106,7 +125,7 @@ def stage(spark) -> Path:
             table(spark, SRC, tbl).write.mode("overwrite").parquet(
                 str(out / f"{tbl}.parquet")
             )
-    marker.write_bytes(b"v2-docs-embeddings")
+    marker.write_bytes(b"v3-events")
     return out
 
 
