@@ -2825,7 +2825,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf slope over the top-{_ZIPF_TOP} terms: log-log OLS of
     frequency on rank with deterministic (count DESC, term) ranking.
     Corpus QA signal — heavily templated or deduplicate-starved text
-    shows a flattened slope."""
+    shows a flattened slope.
+
+    r7 scale fix: the top-{_ZIPF_TOP} cut is orderBy().limit() —
+    TakeOrderedAndProject, a distributed partial top-k where every
+    partition ships at most k rows — and only the surviving k rows
+    pass through the rank window. The previous form ranked the ENTIRE
+    vocab through one partition-less row_number window (a
+    single-partition sort of every distinct term — the q_equidepth
+    anti-pattern) just to keep k of them; at web-corpus vocab sizes
+    (1e8+ distinct tokens with typos/URLs) that window is the job's
+    bottleneck, while TakeOrdered stays O(k) per partition.
+    Plan-tested in tests/test_plans.py."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -2834,10 +2845,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), "term")
+    top = counted.orderBy(F.desc("c"), "term").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("c"), "term")  # over <= _ZIPF_TOP rows
     pts = (
-        counted.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _ZIPF_TOP)
+        top.withColumn("rk", F.row_number().over(w))
         .select(
             F.expr(
                 "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) AS BIGINT)"
@@ -3505,11 +3516,22 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law fit V(n) = K*n^beta over the corpus in doc_id order:
     per-term first-occurrence doc via one MIN rollup (never a running
     distinct over raw tokens), per-doc new-vocab and token counts,
-    cumulative curves from two post-agg windows over doc-count rows,
-    then the shared integer-moment OLS (ln values snapped to 1e-6
-    fixed point, cancellations in exact DECIMAL). beta well below 1
-    means the corpus still yields vocabulary sublinearly — the
-    diminishing-returns diagnostic for data acquisition."""
+    cumulative curves over the per-doc rollup, then the shared
+    integer-moment OLS (ln values snapped to 1e-6 fixed point,
+    cancellations in exact DECIMAL). beta well below 1 means the
+    corpus still yields vocabulary sublinearly — the
+    diminishing-returns diagnostic for data acquisition.
+
+    r7 scale fix: the cumulative curves run as TWO-PASS prefix sums
+    (the q_global_rownum idiom) — range-repartition the per-doc
+    rollup on doc_id, cumulate WITHIN each partition (window
+    partitioned by spark_partition_id), then add broadcast
+    per-partition offsets (a 16-row driver-side table). The previous
+    form cumulated through one partition-less window — a
+    single-partition sort of one row per DOCUMENT, which at 1e9 docs
+    is the job's bottleneck. Range partitioning preserves doc_id
+    order across partitions, so the two-pass values are identical to
+    the global window's. Plan-tested in tests/test_plans.py."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -3521,17 +3543,41 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_new"))
     )
-    w = Window.orderBy("doc_id")
-    curve = (
+    base = (
         doc_tok.join(firsts, "doc_id", "left")
         .select(
             "doc_id",
             "n_toks",
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
         )
+    )
+    parted = base.repartitionByRange(16, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    _off = (
+        "COALESCE(SUM({c}) OVER (ORDER BY _pid ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(
+            F.sum("n_toks").alias("_t"),
+            F.sum("n_new").alias("_v"),
+        )
         .select(
-            F.sum("n_toks").over(w).alias("cum_toks"),
-            F.sum("n_new").over(w).alias("cum_vocab"),
+            "_pid",
+            F.expr(_off.format(c="_t")).alias("_t_off"),
+            F.expr(_off.format(c="_v")).alias("_v_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy("doc_id")
+    curve = (
+        parted.withColumn("_ct", F.sum("n_toks").over(w_local))
+        .withColumn("_cv", F.sum("n_new").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("_ct") + F.col("_t_off")).alias("cum_toks"),
+            (F.col("_cv") + F.col("_v_off")).alias("cum_vocab"),
         )
     )
     pts = curve.where(F.col("cum_vocab") > 0).select(

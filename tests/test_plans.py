@@ -941,3 +941,30 @@ def test_logrank_risk_windows_run_on_day_grain(spark):
     plan = _plan(all_queries()["q_logrank_test"](spark, SF_DIR))
     assert "HashAggregate" in plan
     assert "o_custkey" in plan
+
+
+def test_zipf_topk_is_take_ordered_not_global_window(spark):
+    """The top-k vocab cut must plan as TakeOrderedAndProject (each
+    partition ships at most k rows); the only row_number window runs
+    AFTER the limit, over <= k rows — never a partition-less ranking
+    of the full vocab (r7 scale fix)."""
+    plan = _plan(all_queries()["q_zipf_fit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the ranking window must sit above the limit in the plan tree
+    # (formatted plans print parents first)
+    win_idx = plan.find("row_number()")
+    lim_idx = plan.find("TakeOrderedAndProject")
+    assert win_idx != -1 and win_idx < lim_idx, plan
+
+
+def test_heaps_law_cumsum_is_two_pass_range_partitioned(spark):
+    """The per-doc cumulative curves must window WITHIN range
+    partitions (_pid in the window spec) with broadcast offsets — the
+    q_global_rownum idiom — never one partition-less window over a
+    row-per-document input (r7 scale fix). Only the 16-row offsets
+    table may use an unpartitioned window."""
+    plan = _plan(all_queries()["q_heaps_law"](spark, SF_DIR))
+    idx = plan.find("sum(n_toks")
+    assert idx != -1, plan
+    assert "_pid" in plan[idx : idx + 300], plan[idx : idx + 300]
+    assert "rangepartitioning" in plan.lower(), plan
