@@ -1006,6 +1006,50 @@ def q_auc_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
+def _two_pass_rn(df: DataFrame, order_cols, n_parts: int = 16) -> DataFrame:
+    """Global row numbers over ``order_cols`` via range-repartition +
+    per-partition rank + broadcast offsets (the q_global_rownum idiom;
+    r7 shared helper) — identical values to a partition-less
+    row_number window, without the single-partition sort of the whole
+    input. Adds column ``rn`` (bigint)."""
+    parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.expr(
+                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            ).alias("_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+# Exact NTILE(k) bucket from a global row number rn over n rows: the
+# first n % k buckets take ceil(n/k) rows, the rest floor(n/k) — the
+# same allocation the window function computes, expressed as row-local
+# arithmetic over (rn, broadcast n). greatest(q, 1) guards the unused
+# second branch when n < k (lazy CASE still type-checks the division).
+def _ntile_expr(k: int) -> str:
+    return (
+        f"CAST(CASE WHEN rn <= (n_tot % {k}) * (n_tot DIV {k} + 1)"
+        f" THEN (rn - 1) DIV (n_tot DIV {k} + 1) + 1"
+        f" ELSE (n_tot % {k}) + (rn - (n_tot % {k}) * (n_tot DIV {k} + 1)"
+        f" - 1) DIV greatest(n_tot DIV {k}, 1) + 1 END AS INT)"
+    )
+
+
+
 _CAL_BINS = 10
 
 
@@ -1037,12 +1081,20 @@ _CAL_BINS = 10
 )
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability-diagram bins for the same fixed probe as
-    ``q_auc_evaluation``: score deciles (NTILE over the deterministic
-    (score, vec_id) order), per-bin counts, score range, and positive
-    rate — AUC measures ranking quality, this measures whether score
-    MAGNITUDE tracks outcome frequency, and together they are the
-    standard model-evaluation pair. Integer scores end-to-end; the one
-    double (pos_rate) is a single exact division."""
+    ``q_auc_evaluation``: score deciles (exact NTILE allocation over
+    the deterministic (score, vec_id) order), per-bin counts, score
+    range, and positive rate — AUC measures ranking quality, this
+    measures whether score MAGNITUDE tracks outcome frequency, and
+    together they are the standard model-evaluation pair. Integer
+    scores end-to-end; the one double (pos_rate) is a single exact
+    division.
+
+    r7 scale fix: the decile assignment no longer runs the NTILE
+    window over the full scored corpus on one partition — global row
+    numbers come from the two-pass range-partition form
+    (:func:`_two_pass_rn`) and the NTILE bucket is recovered exactly
+    from (rn, broadcast count) arithmetic (:func:`_ntile_expr`),
+    bit-identical to the window function's allocation."""
     from .operators.similarity import quantize
 
     w = _auc_probe_weights()
@@ -1060,9 +1112,11 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("score"),
     )
-    binned = scored.withColumn(
-        "bin",
-        F.expr(f"NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id)"),
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n_tot"))
+    binned = (
+        _two_pass_rn(scored, ["score", "vec_id"])
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("bin", F.expr(_ntile_expr(_CAL_BINS)))
     )
     return (
         binned.groupBy("bin")
@@ -1933,9 +1987,13 @@ def q_brier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reliability is the gap column, resolution is the spread of
     pos_rate across bins, and the global Brier score is
     sum(brier_fp)/(n_total*1e12) — all recoverable from integer
-    columns without a single cross-engine double sum. Same sanctioned
-    global-window shape as q_calibration_bins (the probe set is
-    bounded); everything else is one rollup."""
+    columns without a single cross-engine double sum.
+
+    r7 scale fix (with q_calibration_bins): the rank-percentile
+    forecast and the decile assignment both derive from the two-pass
+    global row number (:func:`_two_pass_rn`) plus a broadcast count —
+    no partition-less ROW_NUMBER/NTILE/COUNT() OVER () windows over
+    the full scored corpus; everything else is one rollup."""
     from .operators.similarity import quantize
 
     w = _auc_probe_weights()
@@ -1953,15 +2011,17 @@ def q_brier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         ).alias("score"),
     )
-    prob = scored.select(
-        "pos",
-        F.expr(
-            "CAST(ROW_NUMBER() OVER (ORDER BY score, vec_id) * 1000000"
-            " DIV (COUNT(*) OVER () + 1) AS BIGINT)"
-        ).alias("p_ppm"),
-        F.expr(
-            f"NTILE({_CAL_BINS}) OVER (ORDER BY score, vec_id)"
-        ).alias("bin"),
+    n_tot = scored.agg(F.count(F.lit(1)).alias("n_tot"))
+    prob = (
+        _two_pass_rn(scored, ["score", "vec_id"])
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "pos",
+            F.expr(
+                "CAST(rn * 1000000 DIV (n_tot + 1) AS BIGINT)"
+            ).alias("p_ppm"),
+            F.expr(_ntile_expr(_CAL_BINS)).alias("bin"),
+        )
     )
     return (
         prob.groupBy("bin")

@@ -3769,21 +3769,49 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact revenue, classify by cumulative share — A carries
     the first 80% of revenue, B to 95%, C the tail. The comparison is
     integer-free of rounding (cum*100 <= tot*80 over DECIMALs), so
-    class boundaries are exact. The ranking window is a global sort
-    over the per-part rollup (one row per part — the small table), not
-    the fact stream."""
+    class boundaries are exact. The cumulative runs over the per-part
+    rollup, not the fact stream — and since r7 as a TWO-PASS prefix
+    sum (range-repartition on (rev DESC, l_partkey), cumulate within
+    partitions, broadcast offsets — the q_global_rownum idiom),
+    because the part dimension itself scales with SF: at 100 TB a
+    partition-less window over one row per part is a single-partition
+    sort of hundreds of millions of rows. The revenue total is a
+    broadcast scalar, not a SUM() OVER () window."""
+    from pyspark.sql.window import Window
+
     li = table(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
         F.expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)))").alias("rev")
     )
-    ranked = part_rev.select(
-        "l_partkey",
-        "rev",
-        F.expr(
-            "SUM(rev) OVER (ORDER BY rev DESC, l_partkey"
-            " ROWS UNBOUNDED PRECEDING)"
-        ).alias("cum_rev"),
-        F.expr("SUM(rev) OVER ()").alias("tot_rev"),
+    tot = part_rev.agg(F.sum("rev").alias("tot_rev"))
+    parted = part_rev.repartitionByRange(
+        16, F.desc("rev"), F.asc("l_partkey")
+    ).withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum("rev").alias("_r"))
+        .select(
+            "_pid",
+            F.expr(
+                "COALESCE(SUM(_r) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING),"
+                " CAST(0 AS DECIMAL(28,2)))"
+            ).alias("_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    )
+    ranked = (
+        parted.withColumn("_c", F.sum("rev").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev",
+            (F.col("_c") + F.col("_off")).alias("cum_rev"),
+            "tot_rev",
+        )
     )
     classed = ranked.select(
         F.when(

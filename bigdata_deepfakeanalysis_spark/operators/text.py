@@ -4626,9 +4626,14 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer test cum·3 ≤ T. Each phase row reports its doc count,
     token mass, and TTR envelope — the manifest a staged training
     run consumes. 100 TB: scoring is row-local array algebra; the
-    ranking window runs on the doc-grain (id, n_tokens, score)
-    projection, and the production form range-partitions that
-    rollup exactly like q_global_rownum."""
+    running cumsum is the TWO-PASS prefix-sum form (r7 — previously
+    only documented): range-repartition the doc-grain rollup on
+    (ttr_ppm, doc_id), cumulate within each partition, add broadcast
+    per-partition offsets (q_global_rownum idiom), and the corpus
+    token total is a broadcast scalar instead of a partition-less
+    SUM() OVER () window."""
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -4638,14 +4643,33 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV size({_TOKS})"
         ).alias("ttr_ppm"),
     ).where(F.col("n_tokens") > 0)
-    ranked = scored.select(
-        "doc_id",
-        "n_tokens",
-        "ttr_ppm",
-        F.expr(
-            "SUM(n_tokens) OVER (ORDER BY ttr_ppm, doc_id)"
-        ).alias("cum"),
-        F.expr("SUM(n_tokens) OVER ()").alias("t"),
+    tot = scored.agg(F.sum("n_tokens").alias("t"))
+    parted = scored.repartitionByRange(16, "ttr_ppm", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_n"))
+        .select(
+            "_pid",
+            F.expr(
+                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            ).alias("_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy("ttr_ppm", "doc_id")
+    ranked = (
+        parted.withColumn("_c", F.sum("n_tokens").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr_ppm",
+            (F.col("_c") + F.col("_off")).alias("cum"),
+            "t",
+        )
     )
     phased = ranked.select(
         F.expr(

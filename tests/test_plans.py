@@ -968,3 +968,25 @@ def test_heaps_law_cumsum_is_two_pass_range_partitioned(spark):
     assert idx != -1, plan
     assert "_pid" in plan[idx : idx + 300], plan[idx : idx + 300]
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_two_pass_rewrites_window_within_range_partitions(spark):
+    """The r7 de-globalized cumulative/ranking queries (curriculum
+    token cumsum, ABC Pareto cumsum, calibration/Brier decile ranks)
+    must window WITHIN range partitions (_pid in the spec) and carry a
+    rangepartitioning Exchange — never a partition-less window over
+    corpus-scaling input. NTILE must be gone entirely from the
+    calibration pair (recovered arithmetically from the two-pass rn)."""
+    for name, probe in [
+        ("q_curriculum_plan", "Window [sum(n_tokens"),
+        ("q_abc_analysis", "Window [sum(rev"),
+        ("q_calibration_bins", "row_number()"),
+        ("q_brier_profile", "row_number()"),
+    ]:
+        plan = _plan(all_queries()[name](spark, SF_DIR))
+        idx = plan.find(probe)
+        assert idx != -1, (name, plan)
+        assert "_pid" in plan[idx : idx + 300], (name, plan[idx : idx + 300])
+        assert "rangepartitioning" in plan.lower(), name
+        if name in ("q_calibration_bins", "q_brier_profile"):
+            assert "ntile" not in plan.lower(), name
