@@ -1006,33 +1006,10 @@ def q_auc_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fold")
 
 
-def _two_pass_rn(df: DataFrame, order_cols, n_parts: int = 16) -> DataFrame:
-    """Global row numbers over ``order_cols`` via range-repartition +
-    per-partition rank + broadcast offsets (the q_global_rownum idiom;
-    r7 shared helper) — identical values to a partition-less
-    row_number window, without the single-partition sort of the whole
-    input. Adds column ``rn`` (bigint)."""
-    parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    offsets = (
-        parted.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
-            "_pid",
-            F.expr(
-                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
-                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
-            ).alias("_off"),
-        )
-    )
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
-        parted.withColumn("_lrn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
-    )
+# r7 shared primitive — lives in operators.parity so relational/text
+# reuse it without import cycles; kept under the old local name for
+# the calibration/Brier call sites below.
+from .operators.parity import two_pass_rownum as _two_pass_rn  # noqa: E402
 
 
 # Exact NTILE(k) bucket from a global row number rn over n rows: the

@@ -90,3 +90,38 @@ def md5_order(key_expr: str, seed: int = 42) -> Column:
 
 def md5_order_sql(key_expr: str, seed: int = 42) -> str:
     return f"md5(concat('{seed}', '|', CAST(({key_expr}) AS VARCHAR)))"
+
+
+def two_pass_rownum(df, order_cols, n_parts: int = 16):
+    """Global row numbers over ``order_cols`` via range-repartition +
+    per-partition rank + broadcast offsets — identical values to a
+    partition-less row_number window, without the single-partition
+    sort of the whole input (the q_global_rownum idiom, extracted in
+    r7 as the shared primitive behind every de-globalized
+    ranking/cumsum: curriculum plan, ABC Pareto, calibration deciles,
+    Brier forecast ranks, sequence gaps, vocab coverage). Adds column
+    ``rn`` (bigint). The per-partition offsets table is n_parts rows —
+    driver-broadcast KBs at any scale."""
+    from pyspark.sql.window import Window
+
+    parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.expr(
+                "COALESCE(SUM(_n) OVER (ORDER BY _pid ROWS BETWEEN"
+                " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            ).alias("_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("_lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -2940,27 +2940,37 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 largest holes in the orderkey sequence (TPC-H orderkeys
     are deliberately sparse — 8 of every 32 — so the fixture has real
     gaps): gaps-and-islands via the k - ROW_NUMBER() trick, island
-    spans, then LEAD to read each hole's bounds. The everyday
+    spans, then each hole's bounds from the next island. The everyday
     did-we-lose-a-batch audit.
 
-    Scale note: the global ROW_NUMBER here funnels one partition —
-    the production form runs the same arithmetic per range-partition
-    and stitches boundaries (the q_global_rownum two-pass idiom);
-    this registered form is the validation reference for it."""
+    r7 scale fix (previously only documented): both rankings run the
+    two-pass range-partition form — the key ranking via
+    ``parity.two_pass_rownum`` (the key space scales with SF; a
+    partition-less ROW_NUMBER sorts every key on one partition), and
+    the LEAD over islands (for TPC-H's 8-of-32 sparsity the island
+    count ALSO scales with the keys) as a two-pass rank plus an rn+1
+    equi-self-join — the distributed form of LEAD."""
+    from .parity import two_pass_rownum
+
     orders = table(spark, sf_dir, "orders")
-    islands = orders.select(F.col("o_orderkey").alias("k")).withColumn(
-        "grp", F.expr("k - ROW_NUMBER() OVER (ORDER BY k)")
-    )
+    islands = two_pass_rownum(
+        orders.select(F.col("o_orderkey").alias("k")), ["k"]
+    ).withColumn("grp", F.col("k") - F.col("rn"))
     spans = islands.groupBy("grp").agg(
         F.min("k").alias("island_start"),
         F.max("k").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     )
-    gaps = spans.select(
+    s_rn = two_pass_rownum(
+        spans.select("island_start", "island_end"), ["island_start"]
+    )
+    nxt = s_rn.select(
+        (F.col("rn") - 1).alias("rn"),
+        F.col("island_start").alias("next_start"),
+    )
+    gaps = s_rn.join(nxt, "rn", "left").select(
         (F.col("island_end") + 1).alias("gap_start"),
-        (
-            F.expr("LEAD(island_start) OVER (ORDER BY island_start)") - 1
-        ).alias("gap_end"),
+        (F.col("next_start") - 1).alias("gap_end"),
     )
     return (
         gaps.where(F.col("gap_end").isNotNull())

@@ -5132,18 +5132,55 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     read off at the ladder points. Zipfian corpora saturate early —
     the emitted curve quantifies exactly how early, which is the
     input to choosing a BPE vocab size (q_bpe_merges builds the
-    merges; this decides how many are worth building). 100 TB: the
-    window runs on the vocab rollup, not the corpus; production form
-    range-partitions the vocab like q_global_rownum."""
+    merges; this decides how many are worth building).
+
+    r7 scale fix (previously only documented): the rank and running
+    coverage both come from ONE two-pass range-partition pass over
+    the vocab rollup — local row_number + local cumsum within each
+    (c DESC, w) range partition, plus broadcast per-partition count
+    and mass offsets — and the totals are a broadcast scalar, not
+    COUNT()/SUM() OVER () windows. A web-corpus vocab (1e8+ distinct
+    tokens) never funnels one partition."""
+    from pyspark.sql.window import Window
+
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.expr(_TOKS)).alias("w"))
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    ranked = vocab.select(
-        "c",
-        F.expr("ROW_NUMBER() OVER (ORDER BY c DESC, w)").alias("rk"),
-        F.expr("SUM(c) OVER (ORDER BY c DESC, w)").alias("cum"),
-        F.expr("SUM(c) OVER ()").alias("total"),
-        F.expr("COUNT(*) OVER ()").alias("v"),
+    tots = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    parted = vocab.repartitionByRange(16, F.desc("c"), F.asc("w")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    _off = (
+        "COALESCE(SUM({m}) OVER (ORDER BY _pid ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("c").alias("_m"),
+        )
+        .select(
+            "_pid",
+            F.expr(_off.format(m="_n")).alias("_rk_off"),
+            F.expr(_off.format(m="_m")).alias("_cum_off"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy(F.desc("c"), F.asc("w"))
+    ranked = (
+        parted.withColumn("_lrk", F.row_number().over(w_local))
+        .withColumn("_lcum", F.sum("c").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "c",
+            (F.col("_lrk") + F.col("_rk_off")).alias("rk"),
+            (F.col("_lcum") + F.col("_cum_off")).alias("cum"),
+            "total",
+            "v",
+        )
     )
     ladder = ", ".join(str(k) for k in _VCC_LADDER)
     return (
