@@ -114,12 +114,10 @@ HEADLINE = [
     "q_edit_distance_join",          # Ed-Join prefix-filter similarity join
     "q_snapshot_time_travel",        # MVCC manifest snapshot reads
     "q_skew_diagnosis",              # exact-ppm hot-key report
-    # q_equidepth_histogram is deliberately NOT a headline row (r6): it
-    # is the global-NTILE validation reference for the scale-safe
-    # production twin q_quantile_band_join (benched below) and plans a
-    # sanctioned single-partition sort — still oracle-checked by pytest
-    # and driver-graded (r5 window); a workload bench should time the
-    # shape you'd actually run at scale.
+    # back in the headline set since r7: the exact equi-depth histogram
+    # now runs the two-pass rownum + arithmetic-NTILE form (no
+    # single-partition sort) — bit-identical buckets, scale-safe plan.
+    "q_equidepth_histogram",
     "q_drift_psi",                   # population-stability drift
     "q_scd2_join",                   # SCD2 temporal dimension join
     "q_global_rownum",               # two-pass global row numbering
@@ -453,15 +451,13 @@ def main() -> None:
                 "q5_regional_revenue", "q1_pricing_summary", "q3_top_orders",
                 "q_window_topk_per_group",  # two-phase WindowGroupLimit at 10x
                 "q_mad_outliers",           # exact medians at 10x facts
-                # the scale-safe percentile shape at 10x (r6): broadcast
-                # GK boundaries + band join — the production twin of the
-                # global-NTILE validation reference q_equidepth_histogram
-                # (which r6 moved out of the bench: its sanctioned
-                # single-partition sort dominated sf1 wall-time at
-                # ~11 s while measuring a shape no one runs at scale;
-                # it remains oracle-checked in pytest and was
-                # driver-graded hash-green in the r5 window)
+                # the scale-safe percentile shapes at 10x: broadcast GK
+                # boundaries + band join, and (since r7) the exact
+                # equi-depth histogram re-expressed as two-pass rownum +
+                # arithmetic NTILE — sf1 warm ~2.7 s vs ~11 s for the
+                # r5 global-NTILE form it replaces bit-identically.
                 "q_quantile_band_join",
+                "q_equidepth_histogram",
                 # dedup / graph at 10x (r4 VERDICT item 5): the 100 TB
                 # claims, measured beyond sf0.1. documents/embeddings
                 # copies are content-perturbed (tools/stage_sf1.py) so

@@ -1012,18 +1012,9 @@ def q_auc_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.parity import two_pass_rownum as _two_pass_rn  # noqa: E402
 
 
-# Exact NTILE(k) bucket from a global row number rn over n rows: the
-# first n % k buckets take ceil(n/k) rows, the rest floor(n/k) — the
-# same allocation the window function computes, expressed as row-local
-# arithmetic over (rn, broadcast n). greatest(q, 1) guards the unused
-# second branch when n < k (lazy CASE still type-checks the division).
-def _ntile_expr(k: int) -> str:
-    return (
-        f"CAST(CASE WHEN rn <= (n_tot % {k}) * (n_tot DIV {k} + 1)"
-        f" THEN (rn - 1) DIV (n_tot DIV {k} + 1) + 1"
-        f" ELSE (n_tot % {k}) + (rn - (n_tot % {k}) * (n_tot DIV {k} + 1)"
-        f" - 1) DIV greatest(n_tot DIV {k}, 1) + 1 END AS INT)"
-    )
+# Exact NTILE(k) from (rn, broadcast n_tot) — shared via parity with
+# two_pass_rownum; old local name kept for the call sites below.
+from .operators.parity import ntile_expr as _ntile_expr  # noqa: E402
 
 
 

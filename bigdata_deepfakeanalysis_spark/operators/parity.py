@@ -125,3 +125,19 @@ def two_pass_rownum(df, order_cols, n_parts: int = 16):
         .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+# Exact NTILE(k) bucket from a global row number rn over n_tot rows:
+# the first n % k buckets take ceil(n/k) rows, the rest floor(n/k) —
+# the same allocation the window function computes, expressed as
+# row-local arithmetic over (rn, broadcast n_tot). Pairs with
+# two_pass_rownum to give exact equi-depth tiles without a global
+# single-partition sort. greatest(q, 1) guards the unused second
+# branch when n < k (lazy CASE still type-checks the division).
+def ntile_expr(k: int) -> str:
+    return (
+        f"CAST(CASE WHEN rn <= (n_tot % {k}) * (n_tot DIV {k} + 1)"
+        f" THEN (rn - 1) DIV (n_tot DIV {k} + 1) + 1"
+        f" ELSE (n_tot % {k}) + (rn - (n_tot % {k}) * (n_tot DIV {k} + 1)"
+        f" - 1) DIV greatest(n_tot DIV {k}, 1) + 1 END AS INT)"
+    )

@@ -2424,27 +2424,32 @@ _EQD_BUCKETS = 8
     """,
 )
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth price histogram: NTILE({_EQD_BUCKETS}) over a
-    deterministic total order (price, orderkey, linenumber — the key
-    suffix makes tile assignment engine-exact), per-bucket count,
-    boundaries, and decimal-exact sum.
+    """Equi-depth price histogram: exact NTILE({_EQD_BUCKETS})
+    allocation over a deterministic total order (price, orderkey,
+    linenumber — the key suffix makes tile assignment engine-exact),
+    per-bucket count, boundaries, and decimal-exact sum.
 
-    The global NTILE sort is the documented cost (one range-partition
-    sort — same class as any global ORDER BY); at 100 TB the
-    production form samples or uses the GK sketch
-    (q_approx_quantile_profile) for boundaries and assigns buckets by
-    range comparison instead — this operator is the exact reference
-    those approximations are validated against. Accordingly it is NOT
-    in the bench HEADLINE/sf1 sets since r6 (the workload bench times
-    the scale-safe twin q_quantile_band_join); it stays oracle-checked
-    by pytest and was driver-graded hash-green in the r5 window."""
+    r7 scale fix (was the registry's one sanctioned global-NTILE
+    sort through r6): tile assignment now runs the two-pass
+    range-partition row-number (``parity.two_pass_rownum``) and
+    recovers the identical NTILE bucket from (rn, broadcast total)
+    arithmetic (``parity.ntile_expr``) — bit-identical allocation,
+    no single-partition sort, so the exact histogram itself now
+    scales like any global ORDER BY. The GK-sketch form
+    (q_approx_quantile_profile) and the band-join twin
+    (q_quantile_band_join) remain the approximate production pair
+    this exact reference validates."""
+    from .parity import ntile_expr, two_pass_rownum
+
     li = table(spark, sf_dir, "lineitem")
-    tiled = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.expr(
-            f"NTILE({_EQD_BUCKETS}) OVER (ORDER BY l_extendedprice,"
-            f" l_orderkey, l_linenumber)"
-        ).alias("bucket"),
+    vals = li.select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    n_tot = vals.agg(F.count(F.lit(1)).alias("n_tot"))
+    tiled = (
+        two_pass_rownum(vals, ["v", "l_orderkey", "l_linenumber"])
+        .crossJoin(F.broadcast(n_tot))
+        .select("v", F.expr(ntile_expr(_EQD_BUCKETS)).alias("bucket"))
     )
     return (
         tiled.groupBy("bucket")

@@ -652,6 +652,19 @@ def test_global_rownum_never_windows_the_corpus_on_one_partition(spark):
     assert "_pid" in spec, spec
 
 
+def test_equidepth_histogram_never_sorts_on_one_partition(spark):
+    """r7: the exact equi-depth tiles come from the two-pass rownum +
+    arithmetic-NTILE form — the corpus ranking window is partitioned
+    by the range-partition id and no NTILE window remains; only the
+    16-row offsets table may use an unpartitioned window."""
+    plan = _plan(all_queries()["q_equidepth_histogram"](spark, SF_DIR))
+    assert "ntile" not in plan.lower(), plan
+    idx = plan.find("row_number()")
+    assert idx != -1, plan
+    spec = plan[idx : idx + 300]
+    assert "_pid" in spec, spec
+
+
 def test_scene_cuts_single_data_shuffle(spark):
     """The LAG window shuffles once on media_id; the rollup reuses that
     partitioning — the only other Exchange is the presentation sort."""
