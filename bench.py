@@ -173,6 +173,7 @@ HEADLINE = [
     "q_extension_audit",             # extension/label intake audit
     "q_stream_static_anti_join",     # broadcast blocklist anti join
     "q_bucketed_window_rank",        # zero-Exchange bucket-key window
+    "q_bucket_coalesced_join",       # 8-bkt x 4-bkt coalesced merge join
     "q_key_depth_audit",             # malformed-key intake guard
     "q_null_skew_shunt_join",        # NULL-key skew shunt outer join
     "q_weighted_sample",             # Efraimidis-Spirakis draws
@@ -310,6 +311,7 @@ HEADLINE = [
     "q_price_index",                 # Laspeyres composite index
     "q_dup_flow_matrix",             # cross-source dup provenance
     "q_fisher_scores",               # dimension-level attribution
+    "q_permutation_importance",      # md5-permutation probe importance
     "q_intradoc_redundancy",         # row-local template detector
     "q_tokenizer_fertility",         # subwords/word mixture factor
     "q_span_corruption_plan",        # T5 denoising mask audit

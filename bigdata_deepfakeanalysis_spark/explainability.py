@@ -422,3 +422,120 @@ def q_fisher_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fisher_micro"), "dim")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Permutation feature importance (r7) — the model-agnostic attribution
+# the reference approximates per-image with Grad-CAM/occlusion
+# (src/gradcam_dynamic.py), here computed dataset-wide: break the
+# feature/label pairing of ONE dimension and measure the drop in the
+# fixed linear probe's class separation. The permutation is a
+# deterministic md5-bucketed cyclic shift, so the whole audit —
+# including the "random" shuffle — replays bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+
+_PFI_DIMS = list(range(0, 64, 4))  # 16 audited dimensions
+# w_j and the hex-bucket key spelled identically in both engines (the
+# q_auc probe weights): 2*digit - 17 via 1-based instr -> "- 19".
+_PFI_W = (
+    "2 * instr('0123456789abcdef',"
+    " substr(md5('auc|' || CAST(dim AS {s})), 1, 1)) - 19"
+)
+
+
+@query(
+    "q_permutation_importance",
+    f"""
+    WITH dims AS (SELECT UNNEST(range(0, 64, 4)) AS dim),
+    long AS (
+        SELECT e.vec_id,
+               CASE WHEN e.label < 5 THEN 1 ELSE -1 END AS s,
+               d.dim,
+               CAST(floor(CAST(e.embedding[d.dim + 1] AS DOUBLE)
+                          * 1048576.0) AS BIGINT) AS q,
+               md5('perm|' || CAST(e.vec_id AS VARCHAR)) AS h
+        FROM embeddings e CROSS JOIN dims d),
+    shifted AS (
+        SELECT s, dim, q,
+               COALESCE(LEAD(q) OVER w, FIRST_VALUE(q) OVER w) AS qp
+        FROM long
+        WINDOW w AS (PARTITION BY dim, substr(h, 1, 2)
+                     ORDER BY h, vec_id))
+    SELECT CAST(dim AS INT) AS dim,
+           CAST({_PFI_W.format(s="VARCHAR")} AS BIGINT) AS w,
+           CAST(SUM(s * q) AS BIGINT) AS base_contrib,
+           CAST(SUM(s * qp) AS BIGINT) AS perm_contrib,
+           CAST(({_PFI_W.format(s="VARCHAR")})
+                * (SUM(s * q) - SUM(s * qp)) AS BIGINT) AS importance
+    FROM shifted GROUP BY dim ORDER BY dim
+    """,
+)
+def q_permutation_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation feature importance over the fixed md5 linear probe
+    (the q_auc_evaluation model): for each audited dimension, permute
+    its values across rows and report the change in the probe's class
+    separation SUM(sign * w_j * q_j) — the standard model-agnostic
+    importance (Breiman 2001), made hash-replayable by a DETERMINISTIC
+    permutation: rows are md5-bucketed (256 buckets on the first two
+    hex chars of md5('perm|' || vec_id)) and cyclically shifted one
+    position in md5 order within each (dim, bucket). Because the probe
+    is linear, importance_j collapses to w_j * (Σ s·q_j − Σ s·q_j^perm)
+    — exact BIGINT end-to-end.
+
+    Scale design: the shift windows are PARTITIONED BY (dim, bucket) —
+    bounded ~n/256 rows each (widen the hex prefix at larger corpora);
+    no corpus-wide window, one explode (16 audited dims), one rollup.
+    The same machinery permutes any column against any metric; the
+    linear collapse here is what makes the oracle exact."""
+    from .catalog import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = ", ".join(
+        f"struct({j} AS dim, CAST(floor(CAST(embedding[{j}] AS DOUBLE)"
+        f" * 1048576.0) AS BIGINT) AS q)"
+        for j in _PFI_DIMS
+    )
+    long = emb.select(
+        "vec_id",
+        F.expr("CASE WHEN label < 5 THEN 1 ELSE -1 END").alias("s"),
+        F.expr(
+            "md5(concat('perm|', CAST(vec_id AS STRING)))"
+        ).alias("h"),
+        F.explode(F.expr(f"array({pairs})")).alias("e"),
+    ).select("vec_id", "s", "h", "e.dim", "e.q")
+
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("dim", F.substring("h", 1, 2)).orderBy(
+        "h", "vec_id"
+    )
+    shifted = long.select(
+        "s",
+        "dim",
+        "q",
+        F.coalesce(
+            F.lead("q").over(wd),
+            F.first("q").over(
+                wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).alias("qp"),
+    )
+    w_expr = _PFI_W.format(s="STRING")
+    return (
+        shifted.groupBy("dim")
+        .agg(
+            F.expr("CAST(SUM(s * q) AS BIGINT)").alias("base_contrib"),
+            F.expr("CAST(SUM(s * qp) AS BIGINT)").alias("perm_contrib"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.expr(f"CAST({w_expr} AS BIGINT)").alias("w"),
+            "base_contrib",
+            "perm_contrib",
+            F.expr(
+                f"CAST(({w_expr}) * (base_contrib - perm_contrib)"
+                " AS BIGINT)"
+            ).alias("importance"),
+        )
+        .orderBy("dim")
+    )

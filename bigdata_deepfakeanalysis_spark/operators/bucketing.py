@@ -303,3 +303,82 @@ def q_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+_N_BUCKETS_SMALL = 4
+
+
+def stage_bucketed_orders4(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders bucketed INTO 4 buckets on
+    o_orderkey — deliberately HALF lineitem's bucket count, the
+    mixed-bucket layout q_bucket_coalesced_join exercises (same
+    idempotent catalog/staging contract as :func:`stage_bucketed`)."""
+    tag = Path(sf_dir).name.replace(".", "_")
+    name = f"bkt_orders4_{tag}"
+    if not spark.catalog.tableExists(name):
+        path = staging_dir(f"bucketed4_{tag}") / "orders"
+        if (path / "_SUCCESS").exists():
+            ddl = spark.read.parquet(str(path)).schema.toDDL()
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING parquet "
+                f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+                f"INTO {_N_BUCKETS_SMALL} BUCKETS LOCATION '{path}'"
+            )
+        else:
+            (
+                table(spark, sf_dir, "orders")
+                .write.mode("overwrite")
+                .bucketBy(_N_BUCKETS_SMALL, "o_orderkey")
+                .sortBy("o_orderkey")
+                .option("path", str(path))
+                .saveAsTable(name)
+            )
+    return name
+
+
+@query(
+    "q_bucket_coalesced_join",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(21,6))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_bucket_coalesced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join across MISMATCHED bucket counts — the sixth
+    leg of the bucketing story: lineitem is stored in 8 buckets and
+    orders in 4 (both on orderkey), and with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` Catalyst
+    coalesces the 8-bucket side to 4 at read (each coalesced task
+    reads two bucket files) instead of re-shuffling EITHER side. At
+    100 TB this is the layout-evolution case: fact tables bucketed at
+    different generations (or a table re-bucketed to 2x as it grew)
+    keep joining shuffle-free as long as counts stay in a power-of-2
+    ratio — without this, one mismatched ingest forces a full
+    re-shuffle of every downstream join. ``merge`` hint as in
+    q_bucketed_semi_join (production fact-fact shape, not the toy-SF
+    broadcast). Per-status item counts + decimal-exact quantity sum;
+    the oracle runs the identical join over plain parquet (bucket
+    layout is a physical property only)."""
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    _, lineitem_t = stage_bucketed(spark, sf_dir)
+    orders4_t = stage_bucketed_orders4(spark, sf_dir)
+    li = spark.table(lineitem_t).select("l_orderkey", "l_quantity")
+    orders = spark.table(orders4_t).select("o_orderkey", "o_orderstatus")
+    return (
+        li.hint("merge")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CAST(l_quantity AS DECIMAL(21,6))) AS DOUBLE)"
+            ).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

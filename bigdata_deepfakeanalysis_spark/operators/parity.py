@@ -101,7 +101,16 @@ def two_pass_rownum(df, order_cols, n_parts: int = 16):
     ranking/cumsum: curriculum plan, ABC Pareto, calibration deciles,
     Brier forecast ranks, sequence gaps, vocab coverage). Adds column
     ``rn`` (bigint). The per-partition offsets table is n_parts rows —
-    driver-broadcast KBs at any scale."""
+    driver-broadcast KBs at any scale.
+
+    The offsets branch recomputes the range shuffle rather than
+    pinning ``parted`` with localCheckpoint: interleaved A/B at sf0.1
+    measured pinning SLOWER (0.93-1.03 s vs 0.83-0.93 s — the
+    materialization write exceeds the saved re-scan), and at 100 TB
+    it is IO-neutral (checkpoint write + two local reads vs a second
+    columnar scan + exchange) while losing lineage fault-tolerance —
+    the count-only branch also prunes its scan to the order columns,
+    so its recompute is the cheap half."""
     from pyspark.sql.window import Window
 
     parted = df.repartitionByRange(n_parts, *order_cols).withColumn(

@@ -141,6 +141,27 @@ def test_bucketed_semi_join_has_no_exchange_below_join(spark):
     assert "Exchange" not in plan[join_idx:], plan[join_idx:]
 
 
+def test_bucket_coalesced_join_reads_both_layouts_shuffle_free(spark):
+    """r7: joining the 8-bucket lineitem with the 4-bucket orders must
+    coalesce the 8-bucket scan to 4 (each task reads two bucket files)
+    and run the merge join with ZERO Exchange below it — the
+    layout-evolution guarantee that keeps differently-generation
+    bucketed facts joinable without re-shuffling either side. The
+    distinct phase rides the same bucket partitioning; only the tiny
+    status rollup shuffles."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(all_queries()["q_bucket_coalesced_join"](spark, SF_DIR))
+        assert "SortMergeJoin" in plan
+        assert "(Coalesced to 4)" in plan, plan
+        assert "SelectedBucketsCount: 4 out of 4" in plan
+        join_idx = plan.find("SortMergeJoin")
+        assert "Exchange" not in plan[join_idx:], plan[join_idx:]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_window_rank_has_no_exchange_below_window(spark):
     """ROW_NUMBER partitioned by the bucket key must run on the bucketed
     scan's HashPartitioning(l_orderkey, 8) — no Exchange between the
