@@ -92,7 +92,7 @@ def md5_order_sql(key_expr: str, seed: int = 42) -> str:
     return f"md5(concat('{seed}', '|', CAST(({key_expr}) AS VARCHAR)))"
 
 
-def two_pass_rownum(df, order_cols, n_parts: int = 16):
+def two_pass_rownum(df, order_cols, n_parts: int = 16, pin: bool = False):
     """Global row numbers over ``order_cols`` via range-repartition +
     per-partition rank + broadcast offsets — identical values to a
     partition-less row_number window, without the single-partition
@@ -103,19 +103,26 @@ def two_pass_rownum(df, order_cols, n_parts: int = 16):
     ``rn`` (bigint). The per-partition offsets table is n_parts rows —
     driver-broadcast KBs at any scale.
 
-    The offsets branch recomputes the range shuffle rather than
-    pinning ``parted`` with localCheckpoint: interleaved A/B at sf0.1
-    measured pinning SLOWER (0.93-1.03 s vs 0.83-0.93 s — the
-    materialization write exceeds the saved re-scan), and at 100 TB
-    it is IO-neutral (checkpoint write + two local reads vs a second
-    columnar scan + exchange) while losing lineage fault-tolerance —
-    the count-only branch also prunes its scan to the order columns,
-    so its recompute is the cheap half."""
+    ``pin`` decides whether the offsets branch recomputes ``df``'s
+    lineage or reads a localCheckpoint of the ranged data. Interleaved
+    A/B at sf0.1 (3-run min, head-vs-pinned alternated across fresh
+    sessions): recompute won or tied EVERYWHERE tested — bare scans
+    (0.83-0.93 s vs 0.93-1.03 s pinned), and even tokenize/quantize/
+    aggregate lineages (calibration 0.62 vs 0.73, ABC 0.79 vs 1.0,
+    Brier 0.55 vs 0.60) — the checkpoint write is a fixed toll the
+    saved recompute rarely beats, and at 100 TB it is IO-neutral
+    while losing lineage fault-tolerance. The ONE measured win is a
+    ranking whose input lineage is itself a whole prior two-pass
+    ranking (q_sequence_gaps' island pass, 0.84 -> 0.73 s): there the
+    offsets recompute would replay the dominant stage twice, so that
+    call site passes ``pin=True``. Default stays False."""
     from pyspark.sql.window import Window
 
     parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    if pin:
+        parted = parted.localCheckpoint(eager=True)
     offsets = (
         parted.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_n"))

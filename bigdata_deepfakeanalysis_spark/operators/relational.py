@@ -2966,8 +2966,11 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("island_end"),
         F.count(F.lit(1)).alias("island_len"),
     )
+    # pin=True: spans' lineage is the whole first two-pass ranking +
+    # rollup — recomputing it for the offsets branch doubles the query
     s_rn = two_pass_rownum(
-        spans.select("island_start", "island_end"), ["island_start"]
+        spans.select("island_start", "island_end"), ["island_start"],
+        pin=True,
     )
     nxt = s_rn.select(
         (F.col("rn") - 1).alias("rn"),
