@@ -235,3 +235,22 @@ def test_ml_pipeline_invariants(spark):
     assert all(r.accuracy_valid for r in rows)
     # deterministic holdout: vec_id < 400 AND vec_id % 5 == 0
     assert sum(r.support for r in rows) == 80
+
+
+def test_permutation_importance_is_a_bijection(spark):
+    """Shape and algebra of the permutation-importance report: all 16
+    audited dims present, probe weights are the odd md5 digits in
+    [-17, 13], and importance is EXACTLY w * (base - perm) — the
+    linear-probe collapse the oracle replays. (The bijection property
+    itself — permuted multiset == original multiset per dim — is what
+    the DuckDB oracle hash attests, since both engines replay the
+    identical shift.)"""
+    df = all_queries()["q_permutation_importance"](spark, SF_DIR).toPandas()
+    assert len(df) == 16
+    assert set(df["dim"]) == set(range(0, 64, 4))
+    # every weight is odd (2*digit - 17) and within [-17, 13]
+    assert ((df["w"] % 2 != 0) & (df["w"].abs() <= 17)).all()
+    # importance = w * (base - perm) exactly
+    assert (
+        df["importance"] == df["w"] * (df["base_contrib"] - df["perm_contrib"])
+    ).all()
