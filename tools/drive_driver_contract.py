@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Driver-mimic: run __spark_entry__ queries vs DuckDB oracles at sf0.01.
+
+Usage:
+    python drive_driver_contract.py [--window-only] [name ...]
+
+No args = the full registry. PASS = "RESULT: N match, 0 mismatch".
+"""
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+SF = "/root/testdata/sf0.01"
+SMOKE = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                cells.append("NULL")
+            elif isinstance(v, float):
+                cells.append(str(int(v)) if v == int(v) else f"{v:.9g}")
+            elif isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
+                cells.append("[" + ",".join(str(x) for x in v) + "]")
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    window_only = "--window-only" in sys.argv
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    smoke = entry_mod.entry(spark)
+    n_smoke = smoke.count()
+    print(f"smoke rows: {n_smoke}")
+    assert n_smoke >= 0
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = list(qs)
+    if window_only:
+        names = names[:50]
+    if args:
+        names = [n for n in args if n in qs]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+
+    n_match = n_mismatch = n_rows_only = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, SF).toPandas()
+        except Exception as e:
+            print(f"ERR   {name}: {type(e).__name__}: {e}")
+            n_mismatch += 1
+            continue
+        if name not in oracles:
+            status = "rows-only" if len(sdf) > 0 else "rows-only EMPTY?"
+            print(f"{status:9s} {name}: {len(sdf)} rows")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetch_df()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}")
+            n_mismatch += 1
+            continue
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(map(str.lower, sdf.columns)) == sorted(
+            map(str.lower, odf.columns)
+        )
+        sdf.columns = [c.lower() for c in sdf.columns]
+        odf.columns = [c.lower() for c in odf.columns]
+        ok_hash = ok_cols and canon(sdf) == canon(odf)
+        if ok_rows and ok_cols and ok_hash:
+            n_match += 1
+        else:
+            n_mismatch += 1
+            print(
+                f"MISMATCH {name}: rows {len(sdf)}/{len(odf)}"
+                f" cols_ok={ok_cols} hash_ok={ok_hash}"
+            )
+    print(f"RESULT: {n_match} match, {n_mismatch} mismatch, {n_rows_only} rows-only")
+    return 1 if n_mismatch else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
