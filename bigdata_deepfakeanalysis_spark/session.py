@@ -27,6 +27,10 @@ _RUNTIME_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Columnar outputs.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Join differently-generation bucketed tables (8 vs 4 buckets)
+    # without re-shuffling either side — q_bucket_coalesced_join's
+    # layout-evolution guarantee, a no-op for matching layouts.
+    "spark.sql.bucketing.coalesceBucketsInJoin.enabled": "true",
     # Wide-aggregate codegen: the SimHash vote (64 SUM columns) and
     # MinHash (12 MIN columns) aggregates exceed the default
     # maxFields=100 and silently fall back to interpreted evaluation —
