@@ -1024,3 +1024,16 @@ def test_two_pass_rewrites_window_within_range_partitions(spark):
         assert "rangepartitioning" in plan.lower(), name
         if name in ("q_calibration_bins", "q_brier_profile"):
             assert "ntile" not in plan.lower(), name
+
+
+def test_permutation_importance_windows_are_bucketed(spark):
+    """The cyclic-shift windows must be partitioned by (dim, md5
+    bucket) — bounded ~n/256 rows each — never a corpus-wide
+    partition-less window."""
+    plan = _plan(all_queries()["q_permutation_importance"](spark, SF_DIR))
+    idx = plan.find("lead(")
+    assert idx != -1, plan
+    spec = plan[idx : idx + 400]
+    # the shift window's partition spec carries (dim, derived md5
+    # bucket) — the bucket projects as a _w0 attribute in the spec
+    assert "windowspecdefinition(dim" in spec and "_w0" in spec, spec
