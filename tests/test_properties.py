@@ -852,3 +852,57 @@ def test_ams_f2_estimate_in_band(spark):
     row = df.iloc[0]
     assert row["exact_f2"] > 0
     assert row["rel_err_ppm"] <= 1_000_000
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=1, max_value=9),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_two_pass_rownum_and_ntile_match_window_functions(
+    spark, vals, k, n_parts
+):
+    """The r7 de-globalization primitives must be BIT-IDENTICAL to the
+    window functions they replace, for any data, partition count, tie
+    pattern, and n<k / n%k edge: two_pass_rownum == partition-less
+    ROW_NUMBER, and ntile_expr(rn, n_tot) == NTILE(k), both over the
+    same deterministic total order (value, uid)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.operators.parity import (
+        ntile_expr,
+        two_pass_rownum,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v int, uid int"
+    )
+    got = (
+        two_pass_rownum(df, ["v", "uid"], n_parts=n_parts)
+        .crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("n_tot")))
+        )
+        .select("uid", "rn", F.expr(ntile_expr(k)).alias("tile"))
+        .toPandas()
+        .set_index("uid")
+        .sort_index()
+    )
+    want = (
+        df.select(
+            "uid",
+            F.expr("ROW_NUMBER() OVER (ORDER BY v, uid)").alias("rn"),
+            F.expr(f"NTILE({k}) OVER (ORDER BY v, uid)").alias("tile"),
+        )
+        .toPandas()
+        .set_index("uid")
+        .sort_index()
+    )
+    assert (got["rn"] == want["rn"]).all()
+    assert (got["tile"] == want["tile"]).all()
