@@ -128,6 +128,8 @@ def pca2d_coords(
     "q_pca_explained_variance",
     """
     SELECT 2 AS k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(len(embedding)) AS INT) AS dim,
+           CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_dims,
            TRUE AS ev_descending_in_range, TRUE AS ev_sum_le_1,
            TRUE AS coords_finite, TRUE AS components_orthonormal
     FROM embeddings
@@ -135,12 +137,15 @@ def pca2d_coords(
 )
 def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 — PCA(2) fit summary, upgraded from rows-only in r6 (r5
-    VERDICT stretch item): the deterministic half (k, row count) hashes
-    against the oracle directly, and every engine-local guarantee
-    enters the hash as a boolean the oracle expects to be literally
-    TRUE — explained-variance ratios descending and each in (0,1],
-    their sum <= 1, every projected coordinate finite, and the 64x2
-    principal-component matrix orthonormal (max |PᵀP - I| < 1e-9,
+    VERDICT stretch item): the deterministic half (k, row count,
+    embedding dimensionality — r8 strengthening per VERDICT r7 task 8:
+    ``dim`` and its distinct count are data-derived, oracle-replayable
+    facts, so a hash-green row also attests the input geometry the fit
+    ran on) hashes against the oracle directly, and every engine-local
+    guarantee enters the hash as a boolean the oracle expects to be
+    literally TRUE — explained-variance ratios descending and each in
+    (0,1], their sum <= 1, every projected coordinate finite, and the
+    64x2 principal-component matrix orthonormal (max |PᵀP - I| < 1e-9,
     checked on the driver over the k*k Gram of the loadings — 4
     doubles, not data-sized). The per-row coords remain available via
     :func:`pca2d_coords` and keep their own invariant test."""
@@ -160,10 +165,13 @@ def q_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_row = coords.select(
         F.element_at("_coords", 1).alias("pc1"),
         F.element_at("_coords", 2).alias("pc2"),
+        F.size("embedding").alias("_dim"),
     )
     return per_row.agg(
         F.lit(2).alias("k"),
         F.count(F.lit(1)).alias("n_rows"),
+        F.min("_dim").alias("dim"),
+        F.countDistinct("_dim").alias("n_dims"),
         F.lit(ev_desc).alias("ev_descending_in_range"),
         F.lit(ev_sum).alias("ev_sum_le_1"),
         F.bool_and(finite).alias("coords_finite"),
@@ -731,6 +739,7 @@ def kmeans_profile(
     "q_kmeans_clusters",
     """
     SELECT 8 AS n_clusters, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(len(embedding)) AS INT) AS dim,
            TRUE AS sizes_partition_corpus, TRUE AS sizes_desc,
            TRUE AS dist_finite
     FROM embeddings
@@ -745,10 +754,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabeling is actually descending, and every mean centroid
     distance is finite and non-negative. Hashing the raw sizes was
     rejected as fixture-brittle (they move with any MLlib
-    initialization change). The per-cluster profile stays available
+    initialization change); the r8 strengthening (VERDICT r7 task 8)
+    instead adds the input dimensionality — a data-derived,
+    oracle-replayable fact. The per-cluster profile stays available
     via :func:`kmeans_profile` with its own determinism test."""
-    prof = kmeans_profile(table(spark, sf_dir, "embeddings"))
-    corpus_n = table(spark, sf_dir, "embeddings").count()
+    emb = table(spark, sf_dir, "embeddings")
+    prof = kmeans_profile(emb)
+    stats = emb.agg(
+        F.count(F.lit(1)).alias("_n"), F.min(F.size("embedding")).alias("_d")
+    ).first()
+    corpus_n, dim = stats["_n"], stats["_d"]
     lagged = F.lag("n").over(Window.orderBy("rank"))
     flags = prof.select(
         "rank",
@@ -759,6 +774,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flags.agg(
         F.count(F.lit(1)).cast("int").alias("n_clusters"),
         F.sum("n").cast("bigint").alias("n_points"),
+        F.lit(dim).cast("int").alias("dim"),
         (F.sum("n") == F.lit(corpus_n)).alias("sizes_partition_corpus"),
         F.bool_and("desc_ok").alias("sizes_desc"),
         F.bool_and(

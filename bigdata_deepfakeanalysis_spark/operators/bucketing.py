@@ -363,8 +363,10 @@ def q_bucket_coalesced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_bucketed_semi_join (production fact-fact shape, not the toy-SF
     broadcast). Per-status item counts + decimal-exact quantity sum;
     the oracle runs the identical join over plain parquet (bucket
-    layout is a physical property only)."""
-    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    layout is a physical property only). The coalesce conf is a tuned
+    session default (session.py); it is NOT set here so the query has
+    no session-wide side effect for untuned callers — the plan test
+    asserting ``Coalesced to 4`` enables it locally."""
     _, lineitem_t = stage_bucketed(spark, sf_dir)
     orders4_t = stage_bucketed_orders4(spark, sf_dir)
     li = spark.table(lineitem_t).select("l_orderkey", "l_quantity")

@@ -115,9 +115,27 @@ def two_pass_rownum(df, order_cols, n_parts: int = 16, pin: bool = False):
     ranking whose input lineage is itself a whole prior two-pass
     ranking (q_sequence_gaps' island pass, 0.84 -> 0.73 s): there the
     offsets recompute would replay the dominant stage twice, so that
-    call site passes ``pin=True``. Default stays False."""
+    call site passes ``pin=True``. Default stays False.
+
+    INVARIANT (ADVICE r7): with ``pin=False`` the offsets aggregate
+    and the window branch are two consumers of the same
+    ``repartitionByRange`` — correctness of the global ``rn`` relies
+    on both reading ONE physical range exchange (Spark's
+    ReuseExchange rule), because a re-planned exchange re-samples
+    range boundaries and the per-branch ``spark_partition_id`` would
+    no longer agree. Property-tested under defaults; if
+    ``spark.sql.exchange.reuse`` is disabled we force the
+    localCheckpoint pin so both branches read one materialized
+    layout."""
     from pyspark.sql.window import Window
 
+    if not pin:
+        reuse = (
+            df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+            or "true"
+        )
+        if reuse.lower() == "false":
+            pin = True
     parted = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -1883,13 +1883,18 @@ _FH_DIMS = 16
                                        THEN 1 ELSE -1 END)
                             ELSE 0 END)), 0) AS BIGINT)) AS vec
         FROM toks)
-    SELECT doc_id, vec FROM vecs ORDER BY doc_id
+    SELECT doc_id, array_to_string(vec, ',') AS vec
+    FROM vecs ORDER BY doc_id
     """,
 )
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed 16-bucket hashed token-count vector per document (first
     40 docs). bucket = md5-prefix mod dims; sign = parity of the 16th
-    hex digit — both engine-agnostic derivations."""
+    hex digit — both engine-agnostic derivations. The vector is emitted
+    as a comma-joined string: the driver's canonicalizer (pandas
+    sort_values over result cells) cannot hash list cells, so complex
+    top-level output columns are a hard contract violation (VERDICT r7
+    finding 1; enforced by tests/test_plan_hygiene.py)."""
     docs = table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     hashed = (
         "transform(" + _TOKS + ", w -> named_struct("
@@ -1906,6 +1911,12 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.expr(hashed).alias("hs"))
         .select("doc_id", F.expr(vec).alias("vec"))
+        .select(
+            "doc_id",
+            F.expr(
+                "concat_ws(',', transform(vec, x -> CAST(x AS STRING)))"
+            ).alias("vec"),
+        )
         .orderBy("doc_id")
     )
 
@@ -1933,13 +1944,18 @@ _IDX_TERMS = "('the', 'a', 'of', 'and', 'in', 'zzzunseen')"
              WHERE term IN {_IDX_TERMS})
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
-           (list(doc_id ORDER BY doc_id))[1:10] AS postings
+           array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',')
+               AS postings
     FROM hits GROUP BY term ORDER BY term
     """,
 )
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting lists for a fixed probe-term set: df + first-10 sorted
-    doc ids per term (absent terms produce no row)."""
+    doc ids per term (absent terms produce no row). Postings are
+    emitted comma-joined: the driver's canonicalizer crashes on list
+    cells (``TypeError: unhashable type: 'list'`` — the r7 driver FAIL),
+    so top-level complex output columns are a hard contract violation
+    (enforced by tests/test_plan_hygiene.py)."""
     docs = table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
@@ -1949,8 +1965,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10).alias(
-                "postings"
+                "_postings"
             ),
+        )
+        .select(
+            "term",
+            "df",
+            F.expr(
+                "concat_ws(',', transform(_postings,"
+                " x -> CAST(x AS STRING)))"
+            ).alias("postings"),
         )
         .orderBy("term")
     )

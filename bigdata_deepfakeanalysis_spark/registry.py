@@ -87,84 +87,82 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-7 rotation (COVERAGE.md §window-plan): closes the ENTIRE
-    # stale-`no_oracle` tail — the 7 names whose last driver word is a
-    # null row from r1/r3 (q_approx_distinct, q_ann_fast_consistency,
-    # q_gradcam_surrogate, q_kmeans_clusters, q_pca_explained_variance,
-    # q_logreg_cv_separability, q_tree_cv_separability) all re-graded
-    # under their now-landed hash oracles — plus q_ann_ivf_recall (r6
-    # oracle upgrade, never graded), the four pre-authored module
-    # representatives, the five r6 deferrals, graph residue,
-    # text/retrieval, the stats residue, one never-graded
-    # representative from every remaining module (incl. the r7-upgraded
-    # q_cosine_near_dup_ivf — the registry's last rows-only query, now
-    # hash-oracled), and 4 BI-family names. The COVERAGE r7 plan listed
-    # 60 names for 50 slots; the 18 deferred BI names lead the r8 list.
-    # Disk-staging queries ride last so a staging-restricted run still
-    # verifies the pure-compute surface.
+    # Round-8 rotation (COVERAGE.md §window-plan + VERDICT r7 task 3):
+    # leads with the q_inverted_index re-grade (its r7 driver row is
+    # the registry's only FAIL — array-column canonicalizer crash, now
+    # string-encoded), then the 18-name BI deferral block (minus
+    # q_moment_merge / q_analyze_stats, deferred to r9 because the
+    # every-module rule costs 4 filler slots and 48 fresh names do not
+    # fit in 46), the two r6-upgraded never-graded names, the
+    # dedup/similarity/ml/graph tails, one never-graded residue rep per
+    # remaining module, 3 text names, the two r7-authored queries, the
+    # 4 already-green module fillers (batch_equiv, grouping, joins,
+    # skew have zero never-verified residue — the honest cost of the
+    # 415 freeze), and the disk-staging sources last so a
+    # staging-restricted run still verifies the pure-compute surface.
     # ------------------------------------------------------------------
-    # stale no_oracle tail — the 7 null rows from r1/r3, closed here
-    "q_approx_distinct",
-    "q_ann_fast_consistency",
-    "q_gradcam_surrogate",
-    "q_kmeans_clusters",
-    "q_pca_explained_variance",
-    "q_logreg_cv_separability",
-    "q_tree_cv_separability",
-    # r6 oracle upgrade, never driver-graded
-    "q_ann_ivf_recall",
-    # r7 oracle upgrade — the last rows-only query, now hash-oracled
-    "q_cosine_near_dup_ivf",
-    # pre-authored module representatives (batch_equiv, bucketing,
-    # grouping, joins had no never-verified oracled residue left)
-    "q_stream_static_anti_join",
-    "q_bucketed_window_rank",
-    "q_key_depth_audit",
-    "q_null_skew_shunt_join",
-    # r6 deferrals (advanced / graph / relational)
-    "q_degree_powerlaw",
-    "q_session_path_ngrams",
-    "q_time_weighted_avg",
-    "q_upset_overlaps",
-    "q_peak_detection",
-    # graph residue
-    "q_modularity",
-    "q_bfs_distance",
-    "q_local_clustering",
-    # text / retrieval
-    "q_bigram_perplexity",
-    "q_rrf_fusion",
-    "q_ndcg_mrr",
-    "q_heaps_law",
-    "q_zipf_fit",
+    # lead: the r7 FAIL, re-graded under the string-encoded postings
     "q_inverted_index",
-    "q_knn_classifier",
-    "q_mmr_rerank",
-    # stats residue
-    "q_anova_f",
-    "q_theil_index",
-    "q_cuped_variance_reduction",
-    "q_wilcoxon_signed_rank",
-    "q_quantile_treatment_effect",
-    "q_diff_in_diff",
-    "q_shapley_attribution",
-    "q_logrank_test",
-    "q_grid_dbscan",
-    "q_target_encoding",
-    # BI family (4 of 22 — the rest lead the r8 window)
-    "q_histogram_profile",
-    "q_percentile_trend",
-    "q_lorenz_deciles",
-    "q_rolling_median",
-    # one never-graded representative per remaining module
-    "q_centroid_similarity",      # arrays
-    "q_effective_sample_size",    # sampling
-    "q_ams_f2_sketch",            # sketches
-    "q_join_size_estimate",       # skew
-    "q_frame_sample",             # multimodal
-    "q_partition_advisor",        # layout
+    # BI deferral block (16 of 18; q_moment_merge + q_analyze_stats → r9)
+    "q_unpivot_metrics",
+    "q_date_spine",
+    "q_string_agg_report",
+    "q_seasonal_index",
+    "q_sequence_gaps",
+    "q_dictionary_encode",
+    "q_fk_integrity_audit",
+    "q_group_mode",
+    "q_topk_grouping_sets",
+    "q_forward_fill",
+    "q_hhi_concentration",
+    "q_cohort_ltv",
+    "q_kaplan_meier",
+    "q_conversion_latency",
+    "q_dau_mau_stickiness",
+    "q_histogram2d",
+    # r6-upgraded, never driver-graded
+    "q_semantic_dedup",
+    "q_tsne2d",
+    # dedup tail
+    "q_dup_cluster_sizes",
+    "q_dup_flow_matrix",
+    "q_lsh_dedup_eval",
+    # similarity tail
+    "q_dead_dimension_audit",
+    "q_embedding_norm_audit",
+    "q_mutual_nn_alignment",
+    "q_quantization_error",
+    # ml tail
+    "q_centroid_silhouette",
+    "q_embedding_drift",
+    "q_quantile_normalize",
+    # graph tail
+    "q_degree_assortativity",
+    "q_two_hop_reach",
+    # one never-graded residue rep per remaining module
+    "q_intradoc_redundancy",      # arrays
+    "q_encoding_profile",         # layout
+    "q_resize_stub",              # multimodal
+    "q_neyman_allocation",        # sampling
+    "q_sample_estimate",          # sampling
+    "q_datasketches_native",      # sketches
+    # text names
+    "q_repetition_filter",
+    "q_pii_redaction",
+    "q_domain_rollup",
+    # r7-authored (bucketing / explainability), never driver-graded
+    "q_bucket_coalesced_join",
+    "q_permutation_importance",
+    # already-green module fillers (every-module rule)
+    "q_key_depth_audit",          # grouping (green r7)
+    "q_null_skew_shunt_join",     # joins (green r7)
+    "q_join_size_estimate",       # skew (green r7)
+    "q_stream_static_anti_join",  # batch_equiv (green r7)
     # disk-staging tail (sources last)
-    "q_schema_evolution_scan",
+    "q_catalog_census",
+    "q_csv_json_roundtrip",
+    "q_orc_roundtrip",
+    "q_incremental_file_pickup",
 ]
 
 

@@ -71,6 +71,20 @@ def _rows(df_pd):
 def assert_matches_oracle(spark_df, duck_con, sql: str):
     """Driver-style compare: row count, sorted column names, exact
     order-insensitive values."""
+    # Hard driver-contract rule (VERDICT r7 finding 1): the REAL
+    # driver's canonicalizer crashes on list cells, so no query may
+    # return a top-level array/map/struct column. Checked here (covers
+    # eager-build queries too) and by the blanket registry scan in
+    # test_plan_hygiene.py.
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"top-level complex output columns {complex_cols} crash the "
+        "driver canonicalizer — string-encode them (concat_ws)"
+    )
     spark_pd = spark_df.toPandas()
     oracle_pd = duck_con.execute(sql).fetch_df()
 

@@ -80,6 +80,34 @@ def test_no_cartesian_or_row_python_in_any_plan(spark):
     assert not offenders, offenders
 
 
+def test_no_complex_output_columns_in_any_query(spark):
+    """Hard driver-contract rule (VERDICT r7 finding 1): the real
+    driver canonicalizes results with pandas ``sort_values`` over the
+    result cells, which raises ``TypeError: unhashable type: 'list'``
+    on any array/map/struct cell — q_inverted_index failed r7 exactly
+    this way while the vendored mimic (which string-joined lists)
+    green-lit it. No registered query may return a top-level complex
+    column; string-encode (concat_ws) instead. Eager-build queries are
+    covered by the same assertion inside
+    conftest.assert_matches_oracle, which every oracle-parity test
+    runs."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in all_queries().items():
+        if name in EAGER_BUILD:
+            continue
+        df = fn(spark, SF_DIR)
+        bad = [
+            f"{f.name}:{f.dataType.typeName()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_eager_list_matches_registry():
     """Every EAGER_BUILD / PYTHON_EVAL_OK name must still exist — a
     renamed query would silently drop out of the blanket scan."""

@@ -150,8 +150,16 @@ def test_bucket_coalesced_join_reads_both_layouts_shuffle_free(spark):
     distinct phase rides the same bucket partitioning; only the tiny
     status rollup shuffles."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.bucketing.coalesceBucketsInJoin.enabled"
+    )
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # tuned-session default (session.py); set locally because the
+        # query itself no longer mutates session conf (ADVICE r7)
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true"
+        )
         plan = _plan(all_queries()["q_bucket_coalesced_join"](spark, SF_DIR))
         assert "SortMergeJoin" in plan
         assert "(Coalesced to 4)" in plan, plan
@@ -160,6 +168,10 @@ def test_bucket_coalesced_join_reads_both_layouts_shuffle_free(spark):
         assert "Exchange" not in plan[join_idx:], plan[join_idx:]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled",
+            prev_coalesce,
+        )
 
 
 def test_bucketed_window_rank_has_no_exchange_below_window(spark):

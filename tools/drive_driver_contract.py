@@ -7,17 +7,27 @@ Usage:
 No args = the full registry. PASS = "RESULT: N match, 0 mismatch".
 """
 import hashlib
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
-SMOKE = "/root/testdata/sf0.001"
+SF = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+class ComplexCellError(TypeError):
+    """A result cell is a list/dict/ndarray — the REAL driver's
+    canonicalizer (pandas sort_values over result columns) crashes on
+    these (``TypeError: unhashable type: 'list'``, the r7
+    q_inverted_index FAIL). The mimic must REJECT them, never
+    string-join them, or it green-lights what the driver will crash
+    on."""
 
 
 def canon(df: pd.DataFrame) -> str:
@@ -26,12 +36,17 @@ def canon(df: pd.DataFrame) -> str:
     for row in df.itertuples(index=False):
         cells = []
         for v in row:
+            if isinstance(v, (list, tuple, dict, set)) or (
+                v.__class__.__name__ == "ndarray"
+            ):
+                raise ComplexCellError(
+                    f"complex cell {type(v).__name__} — the real driver"
+                    " crashes on this; string-encode the column"
+                )
             if v is None or (isinstance(v, float) and pd.isna(v)):
                 cells.append("NULL")
             elif isinstance(v, float):
                 cells.append(str(int(v)) if v == int(v) else f"{v:.9g}")
-            elif isinstance(v, (list, tuple)) or v.__class__.__name__ == "ndarray":
-                cells.append("[" + ",".join(str(x) for x in v) + "]")
             else:
                 cells.append(str(v))
         rows.append("|".join(cells))
@@ -50,13 +65,10 @@ def main() -> int:
         .config("spark.driver.memory", "12g")
         .getOrCreate()
     )
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
 
     smoke = entry_mod.entry(spark)
-    n_smoke = smoke.count()
-    print(f"smoke rows: {n_smoke}")
-    assert n_smoke >= 0
+    print(f"smoke rows: {smoke.count()}")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -97,7 +109,12 @@ def main() -> int:
         )
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
-        ok_hash = ok_cols and canon(sdf) == canon(odf)
+        try:
+            ok_hash = ok_cols and canon(sdf) == canon(odf)
+        except ComplexCellError as e:
+            print(f"DRIVER-CRASH {name}: {e}")
+            n_mismatch += 1
+            continue
         if ok_rows and ok_cols and ok_hash:
             n_match += 1
         else:
