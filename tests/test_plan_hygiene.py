@@ -1,9 +1,12 @@
 """Repo-wide physical-plan hygiene: no registered query may plan a
-CartesianProduct or a row-at-a-time Python UDF (BatchEvalPython) —
-the two plan shapes that silently stop scaling. Complements the
-per-query plan tests in test_plans.py with a blanket invariant over
-the WHOLE registry, so a future operator can't regress the rule
-unnoticed."""
+CartesianProduct, a row-at-a-time Python UDF (BatchEvalPython), a
+top-level complex output column, or an unjustified partition-less
+sorted Window — the plan shapes that silently stop scaling (or, for
+complex columns, crash the driver's result canonicalizer). Complements
+the per-query plan tests in test_plans.py with blanket invariants over
+the WHOLE registry, so a future operator can't regress the rules
+unnoticed. All checks share ONE registry-wide plan build (the
+session-scoped ``registry_scan`` fixture) to keep suite time flat."""
 
 from __future__ import annotations
 
@@ -15,7 +18,10 @@ from .conftest import SF_DIR
 # label propagation, eager checkpoints, MLlib fits, driver-side
 # solver loops) — building all of them here would re-run half the
 # suite. Their plan shapes are covered by their own tests; the blanket
-# scan covers every lazily-built query.
+# scan covers every lazily-built query. Their OUTPUT SCHEMAS are still
+# covered: conftest.assert_matches_oracle re-asserts the
+# no-complex-columns rule on every oracle-parity test, which runs for
+# all 415 queries including these.
 EAGER_BUILD = {
     "q_logreg_cv_separability",
     "q_tree_cv_separability",
@@ -62,16 +68,101 @@ EAGER_BUILD = {
 # codegen `shingles` expression is).
 PYTHON_EVAL_OK = {"q_udtf_bigrams"}
 
+# ---------------------------------------------------------------------------
+# Partition-less sorted Window allowlist.
+#
+# A Window with an ORDER BY but no PARTITION BY sorts its whole input
+# on ONE task — the r5-r7 de-globalization campaign removed every such
+# window whose input scales with the corpus (they now ride
+# parity.two_pass_rownum / ntile_expr). What legitimately remains is
+# global windows over inputs BOUNDED BY CONSTRUCTION, enumerated here
+# with the bound. A new query planning a global sorted window (or an
+# existing one growing another) fails the scan and must either
+# de-globalize onto two_pass_rownum or justify a new entry.
+#
+# Windows ordering by `_pid` are exempted mechanically: that is
+# two_pass_rownum's offsets cumsum — n_parts (= 16) rows by
+# construction at any corpus size.
+# ---------------------------------------------------------------------------
+GLOBAL_WINDOW_BOUNDED: dict[str, int] = {
+    # calendar-bounded daily/periodic rollups (rows = days/years, not corpus)
+    "q_cumulative_distinct_users": 1,
+    "q_forward_fill": 1,
+    "q_granger_lag1": 1,
+    "q_rolling_median": 1,
+    "q_runs_test": 1,
+    "q_ts_feature_matrix": 1,
+    "q_yoy_growth": 1,
+    "q_spearman_corr": 2,     # ranks over the ~3k-row daily aggregate
+    # fixed-k / quantile-bounded tables (deciles, funnel steps, buckets)
+    "q_decile_lift": 1,
+    "q_lorenz_deciles": 1,
+    "q_event_funnel": 1,
+    "q_emd_lengths": 1,       # length-histogram bucket domain
+    "q_kaplan_meier": 2,      # distinct durations (day-granular domain)
+    "q_logrank_test": 1,      # same duration domain
+    # top-k-capped rank windows (TakeOrdered cut BEFORE the window)
+    "q_approx_topk_terms": 1,
+    "q_zipf_fit": 1,          # top-_ZIPF_TOP terms only (r7 scale fix)
+    "q_knee_detection": 1,    # per-category cumulative curve
+    "q_rank_biased_overlap": 2,  # two bounded rankings compared
+    "q_rrf_fusion": 3,        # fused top-k candidate lists
+    "q_ndcg_mrr": 1,          # ranked list positions (top-k)
+    # key-cardinality tables (distinct keys, not corpus rows)
+    "q_skew_diagnosis": 2,    # distinct event_type hot-key report
+    "q_largest_remainder": 1,  # allocation groups
+    # bounded statistical replicates / capped fixtures
+    "q_bootstrap_ci": 1,      # B bootstrap replicate means
+    "q_pair_selection": 3,    # capped surrogate-features fixture (M10)
+}
 
-def test_no_cartesian_or_row_python_in_any_plan(spark):
+
+def _is_global_sorted_window(line: str) -> bool:
+    """True when a Window plan line has NO partition spec but HAS an
+    order spec — the shape that sorts its whole input on one task.
+    Plan text renders ``Window [funcs], [order]`` (global) vs
+    ``Window [funcs], [part], [order]`` (partitioned) vs
+    ``Window [funcs], [part]`` (partitioned, unordered frame), so
+    global-sorted = exactly 2 top-level groups with sort markers in
+    the last."""
+    i = line.find("Window")
+    depth = 0
+    groups: list[str] = []
+    start = 0
+    for j in range(i, len(line)):
+        ch = line[j]
+        if ch == "[":
+            if depth == 0:
+                start = j + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(line[start:j])
+    return len(groups) == 2 and (
+        " ASC" in groups[1] or " DESC" in groups[1]
+    )
+
+
+@pytest.fixture(scope="session")
+def registry_scan(spark):
+    """ONE pass over every lazily-built registry query: physical-plan
+    text + output schema fields, shared by all blanket checks below."""
     from bigdata_deepfakeanalysis_spark.registry import all_queries
 
-    offenders: dict[str, list[str]] = {}
+    out = {}
     for name, fn in all_queries().items():
         if name in EAGER_BUILD:
             continue
         df = fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (plan, df.schema.fields)
+    return out
+
+
+def test_no_cartesian_or_row_python_in_any_plan(registry_scan):
+    offenders: dict[str, list[str]] = {}
+    for name, (plan, _) in registry_scan.items():
         hits = [m for m in ("CartesianProduct",) if m in plan]
         if "BatchEvalPython" in plan and name not in PYTHON_EVAL_OK:
             hits.append("BatchEvalPython")
@@ -80,7 +171,7 @@ def test_no_cartesian_or_row_python_in_any_plan(spark):
     assert not offenders, offenders
 
 
-def test_no_complex_output_columns_in_any_query(spark):
+def test_no_complex_output_columns_in_any_query(registry_scan):
     """Hard driver-contract rule (VERDICT r7 finding 1): the real
     driver canonicalizes results with pandas ``sort_values`` over the
     result cells, which raises ``TypeError: unhashable type: 'list'``
@@ -91,16 +182,11 @@ def test_no_complex_output_columns_in_any_query(spark):
     covered by the same assertion inside
     conftest.assert_matches_oracle, which every oracle-parity test
     runs."""
-    from bigdata_deepfakeanalysis_spark.registry import all_queries
-
     offenders: dict[str, list[str]] = {}
-    for name, fn in all_queries().items():
-        if name in EAGER_BUILD:
-            continue
-        df = fn(spark, SF_DIR)
+    for name, (_, fields) in registry_scan.items():
         bad = [
             f"{f.name}:{f.dataType.typeName()}"
-            for f in df.schema.fields
+            for f in fields
             if f.dataType.typeName() in ("array", "map", "struct")
         ]
         if bad:
@@ -108,13 +194,44 @@ def test_no_complex_output_columns_in_any_query(spark):
     assert not offenders, offenders
 
 
-def test_eager_list_matches_registry():
-    """Every EAGER_BUILD / PYTHON_EVAL_OK name must still exist — a
-    renamed query would silently drop out of the blanket scan."""
+def test_no_unjustified_global_sorted_window(registry_scan):
+    """Every partition-less sorted Window in the registry must be over
+    an input bounded by construction (GLOBAL_WINDOW_BOUNDED, with the
+    bound named per entry) or be two_pass_rownum's n_parts-row offsets
+    cumsum (order column `_pid`, exempted mechanically). Anything else
+    is a single-task global sort waiting to happen at corpus scale —
+    de-globalize it onto parity.two_pass_rownum / ntile_expr."""
+    offenders: dict[str, int] = {}
+    for name, (plan, _) in registry_scan.items():
+        n = 0
+        for line in plan.splitlines():
+            if "Window" not in line or "windowspecdefinition" not in line:
+                continue
+            if not _is_global_sorted_window(line):
+                continue
+            # two_pass_rownum offsets: ORDER BY _pid over n_parts rows
+            spec = line.split("windowspecdefinition", 1)[1][:80]
+            if "_pid#" in spec:
+                continue
+            n += 1
+        if n > GLOBAL_WINDOW_BOUNDED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"unjustified global sorted windows: {offenders} — "
+        "de-globalize (parity.two_pass_rownum) or justify an "
+        "allowlist entry"
+    )
+
+
+def test_global_window_allowlist_matches_registry():
+    """Every allowlisted name must still exist — a renamed query would
+    silently leave a stale justification behind."""
     from bigdata_deepfakeanalysis_spark.registry import all_queries
 
     names = set(all_queries())
-    missing = (EAGER_BUILD | PYTHON_EVAL_OK) - names
+    missing = (
+        (EAGER_BUILD | PYTHON_EVAL_OK | set(GLOBAL_WINDOW_BOUNDED)) - names
+    )
     assert not missing, missing
 
 
