@@ -502,6 +502,22 @@ def main() -> None:
                 # executes
                 "q_kcore",
                 "q_stream_chained_windows",
+                # r8: scale rows for the round-8 driver-window families
+                # so the newly-graded names carry 10x evidence — the
+                # similarity tail (per-dimension dead-channel audit +
+                # SQ8 quantization error, both single-scan linear), the
+                # ml tail (per-label drift split), and the BI event
+                # rollups (DAU/MAU stickiness windows, conversion
+                # latency order-statistics). q_mutual_nn_alignment is
+                # deliberately NOT here: its demo form is a broadcast
+                # cross pair-set (quadratic by design, documented —
+                # the production form buckets first), so it is not a
+                # scale-evidence shape.
+                "q_dead_dimension_audit",
+                "q_quantization_error",
+                "q_embedding_drift",
+                "q_dau_mau_stickiness",
+                "q_conversion_latency",
             ]
             # Warm the OS page cache with one pass per sf1 table (same
             # warm-cache policy as the sf0.1 headline section, and the

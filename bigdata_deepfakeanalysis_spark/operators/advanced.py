@@ -1009,7 +1009,11 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber"
     )
-    parted = li.repartitionByRange(16, "l_orderkey", "l_linenumber")
+    from .parity import range_parts
+
+    parted = li.repartitionByRange(
+        range_parts(li), "l_orderkey", "l_linenumber"
+    )
     with_pid = parted.withColumn("_pid", F.spark_partition_id())
     # per-partition counts -> cumulative offsets (tiny, one narrow agg)
     offsets = (
@@ -1262,7 +1266,9 @@ def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     terms = tokens.select("term").distinct()
-    parted = terms.repartitionByRange(8, "term").withColumn(
+    from .parity import range_parts
+
+    parted = terms.repartitionByRange(range_parts(terms), "term").withColumn(
         "_pid", F.spark_partition_id()
     )
     offsets = (

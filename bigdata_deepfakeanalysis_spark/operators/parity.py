@@ -92,7 +92,26 @@ def md5_order_sql(key_expr: str, seed: int = 42) -> str:
     return f"md5(concat('{seed}', '|', CAST(({key_expr}) AS VARCHAR)))"
 
 
-def two_pass_rownum(df, order_cols, n_parts: int = 16, pin: bool = False):
+def range_parts(df) -> int:
+    """Range fan-out for two-pass prefix ranking: the session's
+    ``spark.sql.shuffle.partitions`` (floor 16). A hard-coded 16 was
+    the r7 default — fine at test SF, but at corpus scale each range
+    partition sorts N/16 rows on ONE task, so the fan-out must follow
+    the same knob that sizes every other shuffle (r8 scale fix). The
+    offsets side stays a driver-broadcast n_parts-row table — KBs even
+    at thousands of partitions. Values are partition-count-invariant:
+    every call site orders by a unique total key, so the composed
+    global rank is identical for any n_parts."""
+    try:
+        n = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):
+        n = 200
+    return max(16, n)
+
+
+def two_pass_rownum(df, order_cols, n_parts: int | None = None, pin: bool = False):
     """Global row numbers over ``order_cols`` via range-repartition +
     per-partition rank + broadcast offsets — identical values to a
     partition-less row_number window, without the single-partition
@@ -129,6 +148,8 @@ def two_pass_rownum(df, order_cols, n_parts: int = 16, pin: bool = False):
     layout."""
     from pyspark.sql.window import Window
 
+    if n_parts is None:
+        n_parts = range_parts(df)
     if not pin:
         reuse = (
             df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")

@@ -26,6 +26,7 @@ from .parity import (
     dmul2_sum_sql,
     dsum,
     dsum_sql,
+    range_parts,
     stddev_expr,
     stddev_sql,
 )
@@ -3803,7 +3804,7 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = part_rev.agg(F.sum("rev").alias("tot_rev"))
     parted = part_rev.repartitionByRange(
-        16, F.desc("rev"), F.asc("l_partkey")
+        range_parts(part_rev), F.desc("rev"), F.asc("l_partkey")
     ).withColumn("_pid", F.spark_partition_id())
     offsets = (
         parted.groupBy("_pid")

@@ -3575,7 +3575,9 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
         )
     )
-    parted = base.repartitionByRange(16, "doc_id").withColumn(
+    from .parity import range_parts
+
+    parted = base.repartitionByRange(range_parts(base), "doc_id").withColumn(
         "_pid", F.spark_partition_id()
     )
     _off = (
@@ -4668,7 +4670,11 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ttr_ppm"),
     ).where(F.col("n_tokens") > 0)
     tot = scored.agg(F.sum("n_tokens").alias("t"))
-    parted = scored.repartitionByRange(16, "ttr_ppm", "doc_id").withColumn(
+    from .parity import range_parts
+
+    parted = scored.repartitionByRange(
+        range_parts(scored), "ttr_ppm", "doc_id"
+    ).withColumn(
         "_pid", F.spark_partition_id()
     )
     offsets = (
@@ -5173,7 +5179,11 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = vocab.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
-    parted = vocab.repartitionByRange(16, F.desc("c"), F.asc("w")).withColumn(
+    from .parity import range_parts
+
+    parted = vocab.repartitionByRange(
+        range_parts(vocab), F.desc("c"), F.asc("w")
+    ).withColumn(
         "_pid", F.spark_partition_id()
     )
     _off = (
