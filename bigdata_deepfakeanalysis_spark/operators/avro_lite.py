@@ -1,0 +1,444 @@
+"""Pure-Python Avro container codec + a Spark 4 Python DataSource.
+
+SURVEY S9 lists Avro among the columnar/row formats a complete engine
+should speak. This container has no ``spark-avro`` jar and no network
+to fetch one, so ``format("avro")`` is environment-blocked — but the
+Avro Object Container File format itself is a small, fully public
+specification (https://avro.apache.org/docs/1.11.1/specification/),
+and Spark 4's Python DataSource API can host a reader/writer for it
+with zero external dependencies. This module implements:
+
+- a minimal binary codec for FLAT RECORD schemas with fields typed
+  ``long | int | double | string | boolean | bytes`` or the nullable
+  union ``["null", T]`` — the shapes the engine's tables actually use;
+- ``null`` and ``deflate`` block codecs (deflate = raw zlib, the two
+  codecs every Avro implementation must support per the spec);
+- ``make_pyavro_datasource()`` — a ``format("pyavro")`` DataSource:
+  one InputPartition per file on read (Avro's sync-marker block
+  structure also permits per-block splits — noted below), one
+  part-file per Spark partition on write.
+
+Scale notes (100 TB): Avro files are block-streams delimited by a
+16-byte sync marker precisely so distributed readers can split ONE
+file at arbitrary byte offsets (seek to offset, scan to next sync,
+read blocks until the end offset). This reader partitions per FILE —
+correct and parallel for the many-files layout every ingest produces;
+per-block splitting is the documented extension point, not a
+different architecture. The writer streams records block-by-block
+(no buffering of the whole partition) with one flush per
+``_BLOCK_RECORDS`` rows.
+
+Not a copy of any reference code: the reference repo
+(Liranitz/BigData-DeepfakeAnalysis) contains no Avro support at all
+(SURVEY S9 marks it [abs]); everything here derives from the public
+Avro 1.11 specification.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+MAGIC = b"Obj\x01"
+_BLOCK_RECORDS = 4096  # records per container block on write
+
+# Avro primitive -> Spark SQL type name (and back). Restricted to the
+# flat scalar surface the engine's result contract allows anyway
+# (tests/test_plan_hygiene.py: no complex top-level columns).
+_AVRO_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "bytes": "binary",
+}
+_SPARK_TO_AVRO = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+# ---------------------------------------------------------------------------
+# Primitive encoders — Avro spec §"Binary encoding".
+# long/int: two's-complement zigzag, then little-endian base-128
+# varint (7 data bits per byte, high bit = continuation).
+# ---------------------------------------------------------------------------
+
+
+def zigzag_encode(n: int) -> bytes:
+    # zigzag maps signed -> unsigned: 0,-1,1,-2,2 -> 0,1,2,3,4.
+    # Python ints are unbounded, so (n >> 63) is just the sign fill.
+    z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: io.BufferedIOBase) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("varint truncated")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _enc_value(v, typ: str) -> bytes:
+    if typ in ("long", "int"):
+        return zigzag_encode(int(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "string":
+        raw = str(v).encode("utf-8")
+        return zigzag_encode(len(raw)) + raw
+    if typ == "bytes":
+        raw = bytes(v)
+        return zigzag_encode(len(raw)) + raw
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "null":
+        return b""
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _dec_value(buf: io.BufferedIOBase, typ: str):
+    if typ in ("long", "int"):
+        return zigzag_decode(buf)
+    if typ == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if typ == "string":
+        n = zigzag_decode(buf)
+        return buf.read(n).decode("utf-8")
+    if typ == "bytes":
+        n = zigzag_decode(buf)
+        return buf.read(n)
+    if typ == "boolean":
+        return buf.read(1) == b"\x01"
+    if typ == "null":
+        return None
+    raise ValueError(f"unsupported avro type {typ!r}")
+
+
+def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
+    """(name, primitive type, nullable) per field of a flat record."""
+    if schema.get("type") != "record":
+        raise ValueError("avro_lite supports flat record schemas only")
+    out = []
+    for f in schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):  # nullable union ["null", T]
+            non_null = [x for x in t if x != "null"]
+            if len(t) != 2 or "null" not in t or len(non_null) != 1:
+                raise ValueError(f"unsupported union {t!r}")
+            out.append((f["name"], non_null[0], True))
+        else:
+            out.append((f["name"], t, False))
+    return out
+
+
+def _enc_record(vals, fields) -> bytes:
+    parts = []
+    for v, (_, typ, nullable) in zip(vals, fields):
+        if nullable:
+            # union index: 0 = null branch, 1 = value branch
+            if v is None:
+                parts.append(zigzag_encode(0))
+                continue
+            parts.append(zigzag_encode(1))
+        elif v is None:
+            raise ValueError("null in non-nullable field")
+        parts.append(_enc_value(v, typ))
+    return b"".join(parts)
+
+
+def _dec_record(buf, fields) -> tuple:
+    out = []
+    for _, typ, nullable in fields:
+        if nullable:
+            idx = zigzag_decode(buf)
+            if idx == 0:
+                out.append(None)
+                continue
+        out.append(_dec_value(buf, typ))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Object Container File — spec §"Object Container Files":
+# magic, file-metadata map (avro.schema / avro.codec), 16-byte sync
+# marker; then blocks of [record count][byte size][payload][sync].
+# ---------------------------------------------------------------------------
+
+
+def _enc_meta_map(meta: dict[str, bytes]) -> bytes:
+    parts = [zigzag_encode(len(meta))]
+    for k, v in meta.items():
+        kk = k.encode()
+        parts += [zigzag_encode(len(kk)), kk, zigzag_encode(len(v)), v]
+    parts.append(zigzag_encode(0))  # map terminator block
+    return b"".join(parts)
+
+
+def _dec_meta_map(buf) -> dict[str, bytes]:
+    meta = {}
+    while True:
+        n = zigzag_decode(buf)
+        if n == 0:
+            return meta
+        if n < 0:  # negative count variant: size prefix follows
+            n = -n
+            zigzag_decode(buf)
+        for _ in range(n):
+            klen = zigzag_decode(buf)
+            k = buf.read(klen).decode()
+            vlen = zigzag_decode(buf)
+            meta[k] = buf.read(vlen)
+
+
+def write_container(path, schema: dict, records, codec: str = "null"):
+    """Stream ``records`` (tuples in field order) into one Avro
+    container file. ``codec``: 'null' or 'deflate' (raw zlib)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    fields = _field_types(schema)
+    # deterministic sync marker from the path: reproducible files
+    # (Date-free and rng-free by design; uniqueness across files comes
+    # from the path, which is unique by construction)
+    import hashlib
+
+    sync = hashlib.md5(str(path).encode()).digest()
+
+    def flush(out, block):
+        if not block:
+            return
+        payload = b"".join(block)
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw deflate per spec
+        out.write(zigzag_encode(len(block)))
+        out.write(zigzag_encode(len(payload)))
+        out.write(payload)
+        out.write(sync)
+
+    with open(path, "wb") as out:
+        out.write(MAGIC)
+        out.write(
+            _enc_meta_map(
+                {
+                    "avro.schema": json.dumps(schema).encode(),
+                    "avro.codec": codec.encode(),
+                }
+            )
+        )
+        out.write(sync)
+        block = []
+        for rec in records:
+            block.append(_enc_record(rec, fields))
+            if len(block) >= _BLOCK_RECORDS:
+                flush(out, block)
+                block = []
+        flush(out, block)
+
+
+def read_header(path) -> dict:
+    """Read just the schema from a container file header (closes the
+    file — used for driver-side schema inference)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _dec_meta_map(f)
+        return json.loads(meta["avro.schema"].decode())
+
+
+def read_container(path):
+    """Yield (schema_dict, record_iterator) for one container file."""
+    f = open(path, "rb")
+    if f.read(4) != MAGIC:
+        f.close()
+        raise ValueError(f"{path}: not an Avro container file")
+    meta = _dec_meta_map(f)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        f.close()
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = f.read(16)
+    fields = _field_types(schema)
+
+    def records():
+        try:
+            while True:
+                head = f.read(1)
+                if not head:
+                    return
+                f.seek(-1, os.SEEK_CUR)
+                count = zigzag_decode(f)
+                size = zigzag_decode(f)
+                payload = f.read(size)
+                if codec == "deflate":
+                    payload = zlib.decompress(payload, wbits=-15)
+                buf = io.BytesIO(payload)
+                for _ in range(count):
+                    yield _dec_record(buf, fields)
+                if f.read(16) != sync:
+                    raise ValueError("sync marker mismatch (corrupt block)")
+        finally:
+            f.close()
+
+    return schema, records()
+
+
+def spark_ddl_from_avro(schema: dict) -> str:
+    """Avro record schema -> Spark DDL string (nullability is a data
+    property in Spark, so nullable unions map to the plain type)."""
+    cols = []
+    for name, typ, _ in _field_types(schema):
+        cols.append(f"{name} {_AVRO_TO_SPARK[typ]}")
+    return ", ".join(cols)
+
+
+def avro_schema_from_spark(schema, name: str = "row") -> dict:
+    """Spark StructType -> flat nullable-union Avro record schema."""
+    fields = []
+    for f in schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(
+                f"column {f.name}: {f.dataType.typeName()} not in the "
+                "avro_lite scalar surface"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def make_pyavro_datasource():
+    """Build the ``pyavro`` DataSource class.
+
+    Defined inside a factory so cloudpickle serializes the class BY
+    VALUE — Python workers do not have this package on their import
+    path (same deployment-free pattern as
+    :func:`sources.make_embjson_datasource`). The returned class
+    carries the codec functions as closure references, which
+    cloudpickle also ships by value."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    _read_container = read_container
+    _read_header = read_header
+    _write_container = write_container
+    _ddl = spark_ddl_from_avro
+    _from_spark = avro_schema_from_spark
+
+    def _files(path):
+        from pathlib import Path as _P
+
+        p = _P(path)
+        if p.is_file():
+            return [str(p)]
+        return [str(q) for q in sorted(p.glob("*.avro"))]
+
+    class _PyAvroReader(DataSourceReader):
+        def __init__(self, options):
+            self._path = options.get("path")
+
+        def partitions(self):
+            # one partition per file; Avro's sync-marker blocks also
+            # allow per-block splits within one huge file (seek +
+            # scan-to-sync) — the documented extension for that layout
+            return [InputPartition(f) for f in _files(self._path)]
+
+        def read(self, partition):
+            _, records = _read_container(partition.value)
+            yield from records
+
+    class _PyAvroCommit(WriterCommitMessage):
+        def __init__(self, file):
+            self.file = file
+
+    class _PyAvroWriter(DataSourceWriter):
+        def __init__(self, options, schema, overwrite):
+            self._path = options.get("path")
+            self._schema = schema
+            self._overwrite = overwrite
+
+        def write(self, iterator):
+            import os as _os
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            _os.makedirs(self._path, exist_ok=True)
+            out = _os.path.join(self._path, f"part-{pid:05d}.avro")
+            avro_schema = _from_spark(self._schema)
+            fields = [f.name for f in self._schema.fields]
+            _write_container(
+                out,
+                avro_schema,
+                (tuple(row[c] for c in fields) for row in iterator),
+            )
+            return _PyAvroCommit(out)
+
+        def commit(self, messages):
+            return None
+
+        def abort(self, messages):
+            return None
+
+    class PyAvroDataSource(DataSource):
+        """``format("pyavro")`` — Avro container files, pure Python."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pyavro"
+
+        def schema(self):
+            files = _files(self.options.get("path"))
+            if not files:
+                raise ValueError("pyavro: no .avro files at path")
+            return _ddl(_read_header(files[0]))
+
+        def reader(self, schema):
+            return _PyAvroReader(self.options)
+
+        def writer(self, schema, overwrite):
+            # writer() runs on the driver: clear prior part files here
+            # so mode("overwrite") cannot leave stale parts from a
+            # previous, wider write
+            if overwrite:
+                import glob as _glob
+                import os as _os
+
+                for old in _glob.glob(
+                    _os.path.join(self.options.get("path"), "*.avro")
+                ):
+                    _os.remove(old)
+            return _PyAvroWriter(self.options, schema, overwrite)
+
+    return PyAvroDataSource

@@ -69,3 +69,129 @@ def test_npz_roundtrip_cell_exact(spark):
         | (F.col("s.data") != F.col("b.data"))
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# avro_lite — the pure-Python Avro container codec + pyavro DataSource
+# (SURVEY S9: the spark-avro jar is environment-blocked, so the format
+# is served by a Python DataSource over the public Avro 1.11 spec).
+# ---------------------------------------------------------------------------
+
+
+def test_avro_lite_golden_primitive_bytes():
+    """Encodings pinned to the Avro spec's own worked examples — this
+    is the independent check that the codec speaks real Avro, not a
+    self-consistent dialect (no avro library exists in this container
+    to cross-validate against)."""
+    import io
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    # spec "Binary encoding" table: value -> zigzag varint hex
+    for value, enc in [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-2, b"\x03"),
+        (2, b"\x04"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+        (8192, b"\x80\x80\x01"),
+        (-8193, b"\x81\x80\x01"),
+    ]:
+        assert al.zigzag_encode(value) == enc, value
+        assert al.zigzag_decode(io.BytesIO(enc)) == value
+    # spec string example: "foo" -> 06 66 6f 6f
+    assert al._enc_value("foo", "string") == b"\x06foo"
+    assert al._enc_value(True, "boolean") == b"\x01"
+    import struct
+
+    assert al._enc_value(1.5, "double") == struct.pack("<d", 1.5)
+
+
+def test_avro_lite_container_roundtrip_both_codecs(tmp_path):
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "x", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    recs = [
+        (1, "a", 1.5, True, b"\x00\xff"),
+        (2, None, -2.25, False, b""),
+        (-9000000000, "c" * 300, 0.0, True, b"xyz"),
+    ]
+    for codec in ("null", "deflate"):
+        p = tmp_path / f"t_{codec}.avro"
+        al.write_container(p, schema, iter(recs), codec)
+        schema2, it = al.read_container(p)
+        assert schema2 == schema
+        assert list(it) == recs
+    # header-only read (driver-side schema inference path)
+    assert al.read_header(tmp_path / "t_null.avro") == schema
+
+
+def test_avro_lite_block_streaming(tmp_path):
+    """More records than one block: the writer must emit multiple
+    sync-delimited blocks and the reader must cross them."""
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    n = al._BLOCK_RECORDS * 2 + 17
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = tmp_path / "big.avro"
+    al.write_container(p, schema, ((i,) for i in range(n)))
+    _, it = al.read_container(p)
+    got = [r[0] for r in it]
+    assert got == list(range(n))
+
+
+def test_pyavro_spark_roundtrip(spark, tmp_path):
+    """format("pyavro") write -> read round-trip over the supplier
+    dim: schema (incl. int vs long), values, and NULLs survive; an
+    overwrite with fewer partitions leaves no stale part files."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.operators.avro_lite import (
+        make_pyavro_datasource,
+    )
+
+    spark.dataSource.register(make_pyavro_datasource())
+    df = (
+        spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+        .selectExpr(
+            "s_suppkey",
+            "IF(s_suppkey % 3 = 0, NULL, s_name) AS s_name",
+            "CAST(s_acctbal AS DOUBLE) AS bal",
+            "s_nationkey",
+        )
+    )
+    out = str(tmp_path / "pyavro")
+    df.repartition(3).write.format("pyavro").mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 3
+    back = spark.read.format("pyavro").load(out)
+    assert [
+        (f.name, f.dataType.typeName()) for f in back.schema.fields
+    ] == [
+        ("s_suppkey", "long"),
+        ("s_name", "string"),
+        ("bal", "double"),
+        ("s_nationkey", "integer"),
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # overwrite with a single partition: the 3 old parts must be gone
+    df.coalesce(1).write.format("pyavro").mode("overwrite").save(out)
+    assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 1
+    assert spark.read.format("pyavro").load(out).count() == df.count()
