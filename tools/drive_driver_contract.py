@@ -30,6 +30,19 @@ class ComplexCellError(TypeError):
     on."""
 
 
+def assert_driver_sortable(df: pd.DataFrame) -> None:
+    """Replicate the REAL driver's canonicalization step (pandas
+    ``sort_values`` over all result columns) so ANY cell type it
+    cannot sort — not just the list cells canon() rejects — surfaces
+    here instead of in the graded round."""
+    try:
+        df.sort_values(by=list(df.columns))
+    except Exception as e:
+        raise ComplexCellError(
+            f"driver sort_values would crash: {type(e).__name__}: {e}"
+        )
+
+
 def canon(df: pd.DataFrame) -> str:
     df = df.reindex(sorted(df.columns), axis=1)
     rows = []
@@ -110,6 +123,7 @@ def main() -> int:
         sdf.columns = [c.lower() for c in sdf.columns]
         odf.columns = [c.lower() for c in odf.columns]
         try:
+            assert_driver_sortable(sdf)
             ok_hash = ok_cols and canon(sdf) == canon(odf)
         except ComplexCellError as e:
             print(f"DRIVER-CRASH {name}: {e}")
