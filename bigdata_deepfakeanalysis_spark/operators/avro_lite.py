@@ -217,9 +217,17 @@ def _dec_meta_map(buf) -> dict[str, bytes]:
             meta[k] = buf.read(vlen)
 
 
-def write_container(path, schema: dict, records, codec: str = "null"):
+def write_container(
+    path,
+    schema: dict,
+    records,
+    codec: str = "null",
+    block_records: int = _BLOCK_RECORDS,
+):
     """Stream ``records`` (tuples in field order) into one Avro
-    container file. ``codec``: 'null' or 'deflate' (raw zlib)."""
+    container file. ``codec``: 'null' or 'deflate' (raw zlib).
+    ``block_records`` sizes the sync-delimited blocks (small values
+    exist for the split-read tests)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported codec {codec!r}")
     fields = _field_types(schema)
@@ -255,7 +263,7 @@ def write_container(path, schema: dict, records, codec: str = "null"):
         block = []
         for rec in records:
             block.append(_enc_record(rec, fields))
-            if len(block) >= _BLOCK_RECORDS:
+            if len(block) >= block_records:
                 flush(out, block)
                 block = []
         flush(out, block)
@@ -309,6 +317,72 @@ def read_container(path):
     return schema, records()
 
 
+def block_index(path):
+    """Driver-side block walk: (schema, [(offset, count, size), ...]).
+
+    Seeks over block HEADERS only (varint count + varint size, then
+    skip size+16) — O(blocks) seeks, zero payload reads — and returns
+    the exact offsets a ranged reader can start from. This is the
+    split-planning half of parallel-within-one-file reads: Avro's
+    alternative (seek to an arbitrary byte offset and scan for the
+    16-byte sync marker) avoids even the header walk at the cost of a
+    probabilistic scan; the explicit index is deterministic and still
+    touches KBs for GB-scale files."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _dec_meta_map(f)
+        schema = json.loads(meta["avro.schema"].decode())
+        f.read(16)  # header sync
+        blocks = []
+        while True:
+            off = f.tell()
+            if not f.read(1):
+                break
+            f.seek(-1, os.SEEK_CUR)
+            count = zigzag_decode(f)
+            size = zigzag_decode(f)
+            blocks.append((off, count, size))
+            f.seek(size + 16, os.SEEK_CUR)  # payload + block sync
+        return schema, blocks
+
+
+def read_blocks(path, offsets):
+    """Decode exactly the blocks starting at ``offsets`` (from
+    :func:`block_index`) — the per-partition half of a split read."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _dec_meta_map(f)
+        schema = json.loads(meta["avro.schema"].decode())
+        codec = meta.get("avro.codec", b"null").decode()
+        fields = _field_types(schema)
+        for off in offsets:
+            f.seek(off)
+            count = zigzag_decode(f)
+            size = zigzag_decode(f)
+            payload = f.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, wbits=-15)
+            buf = io.BytesIO(payload)
+            for _ in range(count):
+                yield _dec_record(buf, fields)
+
+
+def plan_splits(blocks, split_bytes: int):
+    """Greedy-chunk a block index into partitions of ~split_bytes."""
+    parts, cur, acc = [], [], 0
+    for off, _count, size in blocks:
+        cur.append(off)
+        acc += size
+        if acc >= split_bytes:
+            parts.append(tuple(cur))
+            cur, acc = [], 0
+    if cur:
+        parts.append(tuple(cur))
+    return parts
+
+
 def spark_ddl_from_avro(schema: dict) -> str:
     """Avro record schema -> Spark DDL string (nullability is a data
     property in Spark, so nullable unions map to the plain type)."""
@@ -353,6 +427,9 @@ def make_pyavro_datasource():
 
     _read_container = read_container
     _read_header = read_header
+    _read_blocks = read_blocks
+    _block_index = block_index
+    _plan_splits = plan_splits
     _write_container = write_container
     _ddl = spark_ddl_from_avro
     _from_spark = avro_schema_from_spark
@@ -368,16 +445,33 @@ def make_pyavro_datasource():
     class _PyAvroReader(DataSourceReader):
         def __init__(self, options):
             self._path = options.get("path")
+            self._split_bytes = int(options.get("split_bytes", 0))
 
         def partitions(self):
-            # one partition per file; Avro's sync-marker blocks also
-            # allow per-block splits within one huge file (seek +
-            # scan-to-sync) — the documented extension for that layout
-            return [InputPartition(f) for f in _files(self._path)]
+            # default: one partition per file (the many-files layout
+            # every ingest produces). With option split_bytes=N, each
+            # file's block index is walked driver-side (headers only)
+            # and consecutive blocks are chunked into ~N-byte ranged
+            # partitions — parallel reads WITHIN one huge file, the
+            # layout a single upstream writer produces.
+            if not self._split_bytes:
+                return [
+                    InputPartition((f, None)) for f in _files(self._path)
+                ]
+            parts = []
+            for f in _files(self._path):
+                _, blocks = _block_index(f)
+                for offsets in _plan_splits(blocks, self._split_bytes):
+                    parts.append(InputPartition((f, offsets)))
+            return parts
 
         def read(self, partition):
-            _, records = _read_container(partition.value)
-            yield from records
+            path, offsets = partition.value
+            if offsets is None:
+                _, records = _read_container(path)
+                yield from records
+            else:
+                yield from _read_blocks(path, offsets)
 
     class _PyAvroCommit(WriterCommitMessage):
         def __init__(self, file):

@@ -195,3 +195,46 @@ def test_pyavro_spark_roundtrip(spark, tmp_path):
     df.coalesce(1).write.format("pyavro").mode("overwrite").save(out)
     assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 1
     assert spark.read.format("pyavro").load(out).count() == df.count()
+
+
+def test_pyavro_split_reads_within_one_file(spark, tmp_path):
+    """Parallel-within-one-file reads: a single container written with
+    small blocks, read with option split_bytes — the driver-side block
+    index must chunk into multiple ranged partitions whose union is
+    exactly the file."""
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    n = 1000
+    p = tmp_path / "one.avro"
+    al.write_container(
+        p, schema, ((i, f"v{i}") for i in range(n)), block_records=50
+    )
+    _, blocks = al.block_index(p)
+    assert len(blocks) == 20  # 1000 rows / 50 per block
+    # exact per-block replay
+    assert [r[0] for r in al.read_blocks(p, [blocks[3][0]])] == list(
+        range(150, 200)
+    )
+    # greedy split plan covers every block exactly once
+    splits = al.plan_splits(blocks, split_bytes=2000)
+    assert len(splits) > 1
+    assert sorted(o for part in splits for o in part) == [
+        b[0] for b in blocks
+    ]
+
+    spark.dataSource.register(al.make_pyavro_datasource())
+    df = (
+        spark.read.format("pyavro")
+        .option("split_bytes", 2000)
+        .load(str(tmp_path))
+    )
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(n))
