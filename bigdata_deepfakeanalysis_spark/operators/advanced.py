@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import EVENTS_US_CTE, table
 from ..registry import query
+from .parity import range_parts
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 _FMT_DUCK = "%Y-%m-%d %H:%M:%S"
@@ -1009,8 +1010,6 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber"
     )
-    from .parity import range_parts
-
     parted = li.repartitionByRange(
         range_parts(li), "l_orderkey", "l_linenumber"
     )
@@ -1266,8 +1265,6 @@ def q_dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     terms = tokens.select("term").distinct()
-    from .parity import range_parts
-
     parted = terms.repartitionByRange(range_parts(terms), "term").withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -40,6 +40,7 @@ import io
 import json
 import os
 import struct
+import sys
 import zlib
 
 MAGIC = b"Obj\x01"
@@ -159,6 +160,10 @@ def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
 
 
 def _enc_record(vals, fields) -> bytes:
+    if len(vals) != len(fields):
+        raise ValueError(
+            f"record has {len(vals)} values for {len(fields)} fields"
+        )
     parts = []
     for v, (_, typ, nullable) in zip(vals, fields):
         if nullable:
@@ -292,7 +297,11 @@ def read_container(path):
         f.close()
         raise ValueError(f"unsupported codec {codec!r}")
     sync = f.read(16)
-    fields = _field_types(schema)
+    try:
+        fields = _field_types(schema)
+    except ValueError:
+        f.close()
+        raise
 
     def records():
         try:
@@ -356,6 +365,8 @@ def read_blocks(path, offsets):
         meta = _dec_meta_map(f)
         schema = json.loads(meta["avro.schema"].decode())
         codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
         fields = _field_types(schema)
         for off in offsets:
             f.seek(off)
@@ -414,9 +425,16 @@ def make_pyavro_datasource():
     Defined inside a factory so cloudpickle serializes the class BY
     VALUE — Python workers do not have this package on their import
     path (same deployment-free pattern as
-    :func:`sources.make_embjson_datasource`). The returned class
-    carries the codec functions as closure references, which
-    cloudpickle also ships by value."""
+    :func:`sources.make_embjson_datasource`). The class methods call
+    this module's codec functions, which cloudpickle would normally
+    pickle BY REFERENCE (they live in an importable module — verified:
+    unpickling in a bare interpreter raises ModuleNotFoundError), so
+    the whole module is registered for by-value pickling; the probe
+    test re-verifies the class round-trips through a sys.path that
+    cannot import the package."""
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
@@ -443,9 +461,25 @@ def make_pyavro_datasource():
         return [str(q) for q in sorted(p.glob("*.avro"))]
 
     class _PyAvroReader(DataSourceReader):
-        def __init__(self, options):
+        def __init__(self, options, expect_fields):
             self._path = options.get("path")
             self._split_bytes = int(options.get("split_bytes", 0))
+            # (name, avro type, nullable) the plan-time schema promises
+            # — every file must agree, or a heterogeneous directory
+            # would silently misalign columns (tuples map to Spark
+            # columns POSITIONALLY)
+            self._expect = expect_fields
+
+        def _check(self, path, schema):
+            got = _field_types(schema)
+            if [(n, t) for n, t, _ in got] != [
+                (n, t) for n, t, _ in self._expect
+            ]:
+                raise ValueError(
+                    f"pyavro: {path} schema {got} does not match the "
+                    f"planned schema {self._expect} (inferred from the "
+                    "first file) — heterogeneous directory"
+                )
 
         def partitions(self):
             # default: one partition per file (the many-files layout
@@ -467,6 +501,7 @@ def make_pyavro_datasource():
 
         def read(self, partition):
             path, offsets = partition.value
+            self._check(path, _read_header(path))
             if offsets is None:
                 _, records = _read_container(path)
                 yield from records
@@ -474,36 +509,71 @@ def make_pyavro_datasource():
                 yield from _read_blocks(path, offsets)
 
     class _PyAvroCommit(WriterCommitMessage):
-        def __init__(self, file):
-            self.file = file
+        def __init__(self, tmp):
+            self.tmp = tmp
 
     class _PyAvroWriter(DataSourceWriter):
+        """Staged two-phase write: tasks emit hidden ``.tmp-`` files
+        and commit() renames them into place — an overwrite that fails
+        mid-job leaves the old data untouched (no destructive work
+        happens before every task has succeeded). Append
+        (``overwrite=False``) commits under names that continue past
+        the existing parts instead of clobbering same-pid files."""
+
         def __init__(self, options, schema, overwrite):
             self._path = options.get("path")
             self._schema = schema
             self._overwrite = overwrite
+            # fail at PLAN time (before any IO) on unsupported column
+            # types — never after old data has been touched
+            _from_spark(schema)
 
         def write(self, iterator):
             import os as _os
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
             _os.makedirs(self._path, exist_ok=True)
-            out = _os.path.join(self._path, f"part-{pid:05d}.avro")
+            tmp = _os.path.join(
+                self._path,
+                f".tmp-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.avro",
+            )
             avro_schema = _from_spark(self._schema)
             fields = [f.name for f in self._schema.fields]
             _write_container(
-                out,
+                tmp,
                 avro_schema,
                 (tuple(row[c] for c in fields) for row in iterator),
             )
-            return _PyAvroCommit(out)
+            return _PyAvroCommit(tmp)
 
         def commit(self, messages):
-            return None
+            import glob as _glob
+            import os as _os
+
+            existing = sorted(
+                _glob.glob(_os.path.join(self._path, "*.avro"))
+            )
+            if self._overwrite:
+                for old in existing:
+                    _os.remove(old)
+                base = 0
+            else:
+                base = len(existing)
+            for i, m in enumerate(sorted(msg.tmp for msg in messages)):
+                _os.rename(
+                    m,
+                    _os.path.join(
+                        self._path, f"part-{base + i:05d}.avro"
+                    ),
+                )
 
         def abort(self, messages):
-            return None
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.tmp):
+                    _os.remove(m.tmp)
 
     class PyAvroDataSource(DataSource):
         """``format("pyavro")`` — Avro container files, pure Python."""
@@ -519,20 +589,18 @@ def make_pyavro_datasource():
             return _ddl(_read_header(files[0]))
 
         def reader(self, schema):
-            return _PyAvroReader(self.options)
+            files = _files(self.options.get("path"))
+            if not files:
+                raise ValueError("pyavro: no .avro files at path")
+            # expected layout = the FIRST file's header (the same one
+            # schema() inferred from); read() re-checks every file
+            return _PyAvroReader(
+                self.options, _field_types(_read_header(files[0]))
+            )
 
         def writer(self, schema, overwrite):
-            # writer() runs on the driver: clear prior part files here
-            # so mode("overwrite") cannot leave stale parts from a
-            # previous, wider write
-            if overwrite:
-                import glob as _glob
-                import os as _os
-
-                for old in _glob.glob(
-                    _os.path.join(self.options.get("path"), "*.avro")
-                ):
-                    _os.remove(old)
+            # destructive work is deferred to _PyAvroWriter.commit()
+            # (after every task succeeded); here we only validate
             return _PyAvroWriter(self.options, schema, overwrite)
 
     return PyAvroDataSource

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from .parity import range_parts
 
 # ---------------------------------------------------------------------------
 # Lang-ID profile: marker character-bigrams per language with vote
@@ -3575,8 +3576,6 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
         )
     )
-    from .parity import range_parts
-
     parted = base.repartitionByRange(range_parts(base), "doc_id").withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -4670,8 +4669,6 @@ def q_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ttr_ppm"),
     ).where(F.col("n_tokens") > 0)
     tot = scored.agg(F.sum("n_tokens").alias("t"))
-    from .parity import range_parts
-
     parted = scored.repartitionByRange(
         range_parts(scored), "ttr_ppm", "doc_id"
     ).withColumn(
@@ -5179,8 +5176,6 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = vocab.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
     )
-    from .parity import range_parts
-
     parted = vocab.repartitionByRange(
         range_parts(vocab), F.desc("c"), F.asc("w")
     ).withColumn(

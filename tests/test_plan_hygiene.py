@@ -209,9 +209,12 @@ def test_no_unjustified_global_sorted_window(registry_scan):
                 continue
             if not _is_global_sorted_window(line):
                 continue
-            # two_pass_rownum offsets: ORDER BY _pid over n_parts rows
-            spec = line.split("windowspecdefinition", 1)[1][:80]
-            if "_pid#" in spec:
+            # two_pass_rownum offsets: ORDER BY _pid over n_parts
+            # rows. Anchored to the spec's FIRST argument ("(_pid#N")
+            # so a corpus-scale column merely named *_pid (user_pid…)
+            # cannot ride the exemption.
+            spec = line.split("windowspecdefinition", 1)[1]
+            if spec.startswith("(_pid#"):
                 continue
             n += 1
         if n > GLOBAL_WINDOW_BOUNDED.get(name, 0):
