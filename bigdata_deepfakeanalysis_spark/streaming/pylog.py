@@ -1,0 +1,170 @@
+"""Offset-tracked append-only log streaming source ("pylog").
+
+SURVEY S9 lists Kafka among the sources a complete engine speaks; this
+sandbox has neither the spark-sql-kafka jar nor a broker, so the wire
+protocol is untestable here. What IS implementable — and what the
+engine's streaming suite actually needs from Kafka — is its SEMANTIC
+core: an append-only log consumed by (replayable) offset ranges, so
+Structured Streaming's checkpointed offsets give exactly-once delivery
+into an idempotent sink. ``pylog`` provides exactly that with zero
+external dependencies:
+
+- a log DIRECTORY of append-only segment files
+  (``00000000.jsonl``, ``00000001.jsonl``, …); producers append JSONL
+  records (:func:`append_log`) and roll segments at ``roll_bytes``;
+- a Spark 4 Python streaming DataSource (``format("pylog")``) built on
+  ``SimpleDataSourceStreamReader``: offsets are ``{"seg": i, "pos":
+  byte}`` cursors, ``read(start)`` consumes everything durably written
+  after the cursor, and ``readBetweenOffsets(start, end)`` replays an
+  exact range for recovery — the contract Kafka's (partition, offset)
+  pairs give a committed consumer;
+- partial-write safety: a producer crash (or concurrent append) can
+  leave a torn trailing line; the reader only advances through the
+  last complete ``\\n``-terminated record, so a torn tail is consumed
+  by a LATER batch once completed, never as garbage.
+
+Output schema mirrors Kafka's consumer surface: ``key string, value
+string, segment int, offset bigint`` (offset = byte position of the
+record within its segment — stable across replays).
+
+Scale notes: one log directory models one Kafka partition (ordering is
+per-directory, like per-partition ordering in Kafka); horizontal scale
+is many directories read as a union of streams. The simple reader
+executes each micro-batch read on the driver prefetch thread —
+appropriate for control-plane-sized topics; a data-plane port would
+use ``DataSourceStreamReader`` with per-segment InputPartitions, same
+offset contract.
+
+Not registered in the frozen 415-query registry; verified by the
+exactly-once/replay tests in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_SEG_FMT = "{:08d}.jsonl"
+
+
+def _segments(log_dir: str) -> list[str]:
+    try:
+        names = sorted(
+            n for n in os.listdir(log_dir) if n.endswith(".jsonl")
+        )
+    except FileNotFoundError:
+        return []
+    return [os.path.join(log_dir, n) for n in names]
+
+
+def append_log(
+    log_dir: str, records, roll_bytes: int = 1 << 20
+) -> None:
+    """Append ``(key, value)`` records to the log's last segment,
+    rolling to a new segment when it exceeds ``roll_bytes``."""
+    os.makedirs(log_dir, exist_ok=True)
+    segs = _segments(log_dir)
+    if not segs:
+        segs = [os.path.join(log_dir, _SEG_FMT.format(0))]
+        open(segs[0], "ab").close()
+    cur = segs[-1]
+    for k, v in records:
+        if os.path.getsize(cur) >= roll_bytes:
+            nxt = int(os.path.basename(cur).split(".")[0]) + 1
+            cur = os.path.join(log_dir, _SEG_FMT.format(nxt))
+        line = (
+            json.dumps({"k": k, "v": v}, separators=(",", ":")) + "\n"
+        ).encode("utf-8")
+        with open(cur, "ab") as f:
+            f.write(line)
+
+
+def _read_range(log_dir: str, start: dict, end: dict | None):
+    """Yield (key, value, segment, offset) for the records in
+    [start, end); with end=None, up to the last COMPLETE line durably
+    on disk, returning the advanced cursor."""
+    segs = _segments(log_dir)
+    cur_seg, cur_pos = int(start["seg"]), int(start["pos"])
+    out_cursor = {"seg": cur_seg, "pos": cur_pos}
+    rows = []
+    for path in segs:
+        seg_no = int(os.path.basename(path).split(".")[0])
+        if seg_no < cur_seg:
+            continue
+        if end is not None and seg_no > int(end["seg"]):
+            break
+        pos = cur_pos if seg_no == cur_seg else 0
+        limit = os.path.getsize(path)
+        if end is not None and seg_no == int(end["seg"]):
+            limit = min(limit, int(end["pos"]))
+        with open(path, "rb") as f:
+            f.seek(pos)
+            data = f.read(limit - pos)
+        # only complete lines: a torn tail stays for the next batch
+        last_nl = data.rfind(b"\n")
+        if last_nl < 0:
+            consumed = 0
+        else:
+            consumed = last_nl + 1
+            at = pos
+            for line in data[:consumed].split(b"\n")[:-1]:
+                obj = json.loads(line)
+                rows.append((obj["k"], obj["v"], seg_no, at))
+                at += len(line) + 1
+        new_pos = pos + consumed
+        # the cursor lands at the end of the furthest segment touched;
+        # a later read revisits this (seg, pos) — cheap stat + seek —
+        # and then flows into any newer segments
+        out_cursor = {"seg": seg_no, "pos": new_pos}
+    return rows, out_cursor
+
+
+def make_pylog_datasource():
+    """Build the ``pylog`` streaming DataSource class (factory +
+    by-value module registration, same deployment-free pattern as
+    avro_lite — the reader runs where the package may not be
+    importable)."""
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    _range = _read_range
+
+    class _PyLogStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self._dir = options.get("path")
+
+        def initialOffset(self) -> dict:
+            return {"seg": 0, "pos": 0}
+
+        def read(self, start: dict):
+            rows, cursor = _range(self._dir, start, None)
+            return iter(rows), cursor
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            rows, _ = _range(self._dir, start, end)
+            return iter(rows)
+
+        def commit(self, end: dict) -> None:
+            # retention/compaction is the log owner's job (as in Kafka)
+            return None
+
+    class PyLogDataSource(DataSource):
+        """``format("pylog")`` — offset-tracked append-only log."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pylog"
+
+        def schema(self):
+            return "key string, value string, segment int, offset bigint"
+
+        def simpleStreamReader(self, schema):
+            return _PyLogStreamReader(self.options)
+
+    return PyLogDataSource

@@ -322,3 +322,91 @@ def test_tws_operator_builds_without_protobuf(spark):
         "value",
     ]
     assert df.isStreaming
+
+
+# ---------------------------------------------------------------------------
+# pylog — the offset-tracked append-only log source (SURVEY S9: Kafka's
+# SEMANTIC core — replayable offset ranges — without jar or broker).
+# ---------------------------------------------------------------------------
+
+
+def test_pylog_cursor_and_torn_line_safety(tmp_path):
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    pylog.append_log(d, [("k1", "v1"), ("k2", "v2")])
+    rows, cur = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [(r[0], r[1]) for r in rows] == [("k1", "v1"), ("k2", "v2")]
+    # a torn trailing record (producer mid-write) must NOT be consumed
+    seg0 = tmp_path / "log" / "00000000.jsonl"
+    with open(seg0, "ab") as f:
+        f.write(b'{"k":"k3","v":"v3"')  # no newline, incomplete JSON
+    rows2, cur2 = pylog._read_range(d, cur, None)
+    assert rows2 == [] and cur2 == cur
+    with open(seg0, "ab") as f:
+        f.write(b"}\n")
+    rows3, cur3 = pylog._read_range(d, cur, None)
+    assert [(r[0], r[1]) for r in rows3] == [("k3", "v3")]
+    # replay of the exact committed range is deterministic
+    replay = list(
+        pylog._read_range(d, {"seg": 0, "pos": 0}, cur3)[0]
+    )
+    assert replay == rows + rows3
+
+
+def test_pylog_segment_roll_and_offsets(tmp_path):
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    pylog.append_log(
+        d, [(f"k{i}", "x" * 20) for i in range(30)], roll_bytes=200
+    )
+    import os
+
+    segs = sorted(os.listdir(d))
+    assert len(segs) > 1  # rolled
+    rows, cur = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [r[0] for r in rows] == [f"k{i}" for i in range(30)]
+    # offsets are strictly increasing within each segment
+    for seg_no in {r[2] for r in rows}:
+        offs = [r[3] for r in rows if r[2] == seg_no]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_pylog_stream_exactly_once_across_restarts(spark, tmp_path):
+    """Two availableNow drains over one checkpoint: the second run
+    delivers ONLY the records appended between runs — checkpointed
+    offset cursors + replayable ranges = exactly-once into the sink."""
+    from bigdata_deepfakeanalysis_spark.streaming.pylog import (
+        append_log,
+        make_pylog_datasource,
+    )
+
+    spark.dataSource.register(make_pylog_datasource())
+    log = str(tmp_path / "log")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    append_log(log, [(f"a{i}", str(i)) for i in range(5)])
+
+    def drain():
+        q = (
+            spark.readStream.format("pylog")
+            .load(log)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = {r.key for r in spark.read.parquet(sink).collect()}
+    assert got1 == {f"a{i}" for i in range(5)}
+    append_log(log, [(f"b{i}", str(i)) for i in range(3)])
+    drain()
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 8  # no duplicates, nothing lost
+    assert {r.key for r in out} == {f"a{i}" for i in range(5)} | {
+        f"b{i}" for i in range(3)
+    }
