@@ -58,32 +58,77 @@ def _segments(log_dir: str) -> list[str]:
     return [os.path.join(log_dir, n) for n in names]
 
 
+def _repair_torn_tail(path: str) -> None:
+    """Truncate a crash-left torn record (no trailing newline) from a
+    segment. A torn tail was never acknowledged to the producer's
+    caller, so discarding it is the correct (Kafka-like) semantics;
+    appending AFTER it would merge two records into one invalid line
+    and wedge every subsequent read."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return
+    with open(path, "rb+") as f:
+        back = min(size, 1 << 20)
+        f.seek(size - back)
+        tail = f.read(back)
+        if tail.endswith(b"\n"):
+            return
+        last_nl = tail.rfind(b"\n")
+        keep = size - back + (last_nl + 1 if last_nl >= 0 else 0)
+        f.truncate(keep)
+
+
 def append_log(
     log_dir: str, records, roll_bytes: int = 1 << 20
 ) -> None:
     """Append ``(key, value)`` records to the log's last segment,
-    rolling to a new segment when it exceeds ``roll_bytes``."""
+    rolling to a new segment when it exceeds ``roll_bytes``.
+
+    SINGLE WRITER per log directory (Kafka's one-leader-per-partition
+    model): on entry, a torn tail left by a crashed predecessor is
+    truncated (:func:`_repair_torn_tail`) — never appended after.
+    Rolled (non-last) segments are immutable from then on, which is
+    what makes committed offset ranges replayable byte-for-byte."""
     os.makedirs(log_dir, exist_ok=True)
     segs = _segments(log_dir)
     if not segs:
         segs = [os.path.join(log_dir, _SEG_FMT.format(0))]
         open(segs[0], "ab").close()
     cur = segs[-1]
-    for k, v in records:
-        if os.path.getsize(cur) >= roll_bytes:
-            nxt = int(os.path.basename(cur).split(".")[0]) + 1
-            cur = os.path.join(log_dir, _SEG_FMT.format(nxt))
-        line = (
-            json.dumps({"k": k, "v": v}, separators=(",", ":")) + "\n"
-        ).encode("utf-8")
-        with open(cur, "ab") as f:
-            f.write(line)
+    _repair_torn_tail(cur)
+    size = os.path.getsize(cur)
+    out = open(cur, "ab")
+    try:
+        for k, v in records:
+            if size >= roll_bytes:
+                out.close()
+                nxt = int(os.path.basename(cur).split(".")[0]) + 1
+                cur = os.path.join(log_dir, _SEG_FMT.format(nxt))
+                out = open(cur, "ab")
+                size = 0
+            line = (
+                json.dumps({"k": k, "v": v}, separators=(",", ":")) + "\n"
+            ).encode("utf-8")
+            out.write(line)
+            size += len(line)
+    finally:
+        out.close()
 
 
 def _read_range(log_dir: str, start: dict, end: dict | None):
     """Yield (key, value, segment, offset) for the records in
     [start, end); with end=None, up to the last COMPLETE line durably
-    on disk, returning the advanced cursor."""
+    on disk, returning the advanced cursor.
+
+    CURSOR INVARIANT: with ``end=None`` the scan STOPS at the first
+    segment it cannot consume to its end (a torn tail — an append in
+    flight). The cursor therefore never skips past unconsumed bytes,
+    and a batch whose end cursor lands in segment E proves every
+    earlier in-range segment was fully consumed AND newline-terminated
+    at batch time; since only the LAST segment of a log ever grows
+    (append_log's immutable-after-roll contract), replaying
+    [start, end) later reads byte-identical data — the deterministic
+    replay the exactly-once sink relies on."""
     segs = _segments(log_dir)
     cur_seg, cur_pos = int(start["seg"]), int(start["pos"])
     out_cursor = {"seg": cur_seg, "pos": cur_pos}
@@ -95,7 +140,8 @@ def _read_range(log_dir: str, start: dict, end: dict | None):
         if end is not None and seg_no > int(end["seg"]):
             break
         pos = cur_pos if seg_no == cur_seg else 0
-        limit = os.path.getsize(path)
+        avail = os.path.getsize(path)
+        limit = avail
         if end is not None and seg_no == int(end["seg"]):
             limit = min(limit, int(end["pos"]))
         with open(path, "rb") as f:
@@ -113,10 +159,12 @@ def _read_range(log_dir: str, start: dict, end: dict | None):
                 rows.append((obj["k"], obj["v"], seg_no, at))
                 at += len(line) + 1
         new_pos = pos + consumed
-        # the cursor lands at the end of the furthest segment touched;
-        # a later read revisits this (seg, pos) — cheap stat + seek —
-        # and then flows into any newer segments
         out_cursor = {"seg": seg_no, "pos": new_pos}
+        if end is None and new_pos < avail:
+            # torn tail: stop here so the cursor cannot jump past it
+            # into a later segment (that would lose the record once
+            # its writer completes it)
+            break
     return rows, out_cursor
 
 
@@ -138,6 +186,12 @@ def make_pylog_datasource():
     class _PyLogStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
             self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError(
+                    "pylog requires the 'path' option (the log "
+                    "directory) — e.g. readStream.format('pylog')"
+                    ".load('/logs/topic1')"
+                )
 
         def initialOffset(self) -> dict:
             return {"seg": 0, "pos": 0}

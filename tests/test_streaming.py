@@ -398,7 +398,7 @@ def test_pylog_stream_exactly_once_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "availableNow drain timed out"
 
     drain()
     got1 = {r.key for r in spark.read.parquet(sink).collect()}
@@ -410,3 +410,51 @@ def test_pylog_stream_exactly_once_across_restarts(spark, tmp_path):
     assert {r.key for r in out} == {f"a{i}" for i in range(5)} | {
         f"b{i}" for i in range(3)
     }
+
+
+def test_pylog_cursor_never_skips_a_torn_segment(tmp_path):
+    """A torn tail in a NON-final segment must halt the cursor there:
+    advancing into segment 1 would lose the record once its writer
+    completes it (the cursor cannot represent partial consumption of
+    an earlier segment)."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    with open(os.path.join(d, "00000000.jsonl"), "wb") as f:
+        f.write(b'{"k":"a","v":"1"}\n{"k":"b","v":"2')  # torn tail
+    with open(os.path.join(d, "00000001.jsonl"), "wb") as f:
+        f.write(b'{"k":"c","v":"3"}\n')
+    rows, cur = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [(r[0], r[2]) for r in rows] == [("a", 0)]
+    assert cur["seg"] == 0  # halted at the torn segment
+    # writer completes the record: the next batch delivers b THEN c
+    with open(os.path.join(d, "00000000.jsonl"), "ab") as f:
+        f.write(b'"}\n')
+    rows2, cur2 = pylog._read_range(d, cur, None)
+    assert [(r[0], r[2]) for r in rows2] == [("b", 0), ("c", 1)]
+    assert cur2["seg"] == 1
+    # and the committed ranges replay byte-identically
+    assert list(pylog._read_range(d, {"seg": 0, "pos": 0}, cur)[0]) == rows
+    assert list(pylog._read_range(d, cur, cur2)[0]) == rows2
+
+
+def test_pylog_append_repairs_crashed_producer_tail(tmp_path):
+    """A restarted producer must truncate its predecessor's torn tail
+    before appending — appending after it would merge two records into
+    one invalid JSON line and wedge every subsequent read."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    pylog.append_log(d, [("a", "1")])
+    seg0 = os.path.join(d, "00000000.jsonl")
+    with open(seg0, "ab") as f:
+        f.write(b'{"k":"torn","v":"lo')  # crash mid-append, no ack
+    pylog.append_log(d, [("b", "2")])
+    rows, _ = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    # the unacknowledged torn record is discarded, not merged
+    assert [(r[0], r[1]) for r in rows] == [("a", "1"), ("b", "2")]
