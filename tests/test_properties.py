@@ -906,3 +906,101 @@ def test_two_pass_rownum_and_ntile_match_window_functions(
     )
     assert (got["rn"] == want["rn"]).all()
     assert (got["tile"] == want["tile"]).all()
+
+
+# ---------------------------------------------------------------------------
+# avro_lite codec fuzz: a hand-written binary codec earns randomized
+# structural coverage beyond the golden spec bytes — boundary integers
+# (64-bit extremes), arbitrary unicode, raw bytes, NULL unions, and
+# block boundaries all round-trip bit-exactly through both codecs.
+# These are pure-Python (no SparkSession), so examples are cheap.
+# ---------------------------------------------------------------------------
+
+_AVRO_FUZZ_SCHEMA = {
+    "type": "record",
+    "name": "fuzz",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+
+_avro_record = st.tuples(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.floats(allow_nan=False),  # NaN != NaN breaks tuple equality
+    st.booleans(),
+    st.binary(max_size=32),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    recs=st.lists(_avro_record, max_size=40),
+    codec=st.sampled_from(["null", "deflate"]),
+    block=st.integers(min_value=1, max_value=7),
+)
+def test_avro_lite_roundtrip_fuzz(tmp_path_factory, recs, codec, block):
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    p = tmp_path_factory.mktemp("avro") / "f.avro"
+    al.write_container(
+        p, _AVRO_FUZZ_SCHEMA, iter(recs), codec, block_records=block
+    )
+    schema2, it = al.read_container(p)
+    assert schema2 == _AVRO_FUZZ_SCHEMA
+    assert list(it) == recs
+    # the block index + per-block ranged reads replay the same stream
+    _, blocks = al.block_index(p)
+    ranged = list(al.read_blocks(p, [o for o, _, _ in blocks]))
+    assert ranged == recs
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    ints=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=60
+    )
+)
+def test_avro_zigzag_varint_roundtrip_fuzz(ints):
+    import io
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    buf = io.BytesIO(b"".join(al.zigzag_encode(n) for n in ints))
+    assert [al.zigzag_decode(buf) for _ in ints] == ints
+    assert not buf.read(1)  # every byte consumed — no trailing slack
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(st.text(max_size=8), st.text(max_size=12)),
+            max_size=10,
+        ),
+        max_size=6,
+    ),
+    roll=st.integers(min_value=30, max_value=400),
+)
+def test_pylog_batched_reads_see_every_record_once(
+    tmp_path_factory, batches, roll
+):
+    """Stateful fuzz: alternate append_log / cursor reads; the
+    concatenation of all batch reads must equal the full append stream
+    in order, regardless of segment roll points."""
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path_factory.mktemp("pylog") / "log")
+    cur = {"seg": 0, "pos": 0}
+    seen = []
+    expected = []
+    for batch in batches:
+        pylog.append_log(d, batch, roll_bytes=roll)
+        expected.extend(batch)
+        rows, cur = pylog._read_range(d, cur, None)
+        seen.extend((r[0], r[1]) for r in rows)
+    assert seen == expected
