@@ -87,82 +87,75 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-8 rotation (COVERAGE.md §window-plan + VERDICT r7 task 3):
-    # leads with the q_inverted_index re-grade (its r7 driver row is
-    # the registry's only FAIL — array-column canonicalizer crash, now
-    # string-encoded), then the 18-name BI deferral block (minus
-    # q_moment_merge / q_analyze_stats, deferred to r9 because the
-    # every-module rule costs 4 filler slots and 48 fresh names do not
-    # fit in 46), the two r6-upgraded never-graded names, the
-    # dedup/similarity/ml/graph tails, one never-graded residue rep per
-    # remaining module, 3 text names, the two r7-authored queries, the
-    # 4 already-green module fillers (batch_equiv, grouping, joins,
-    # skew have zero never-verified residue — the honest cost of the
-    # 415 freeze), and the disk-staging sources last so a
-    # staging-restricted run still verifies the pure-compute surface.
+    # Round-9 rotation (COVERAGE.md §window-plan + VERDICT r8 task 1):
+    # all 50 slots go to never-driver-graded residue. After r8 the
+    # 81-name residue lives ENTIRELY in text (28) / advanced (28) /
+    # relational (25) — every other module is 100% hash-green across
+    # CORRECTNESS_r01–r08, so the every-module rule now recognizes
+    # artifact-proven fully-green modules as covered
+    # (tests/test_registry.py::test_window_covers_every_query_module
+    # reads the committed CORRECTNESS_r*.json files) instead of
+    # burning 16 filler slots re-grading queries with driver rows.
+    # That honors the rule's intent — no module ever escapes driver
+    # grading — while letting a 50/50 round lift the union
+    # 334 → 384/415 (VERDICT r8 target ≥379) and leave a 31-name
+    # residue that round 10 closes (31 fresh + 19 fillers).
     # ------------------------------------------------------------------
-    # lead: the r7 FAIL, re-graded under the string-encoded postings
-    "q_inverted_index",
-    # BI deferral block (16 of 18; q_moment_merge + q_analyze_stats → r9)
-    "q_unpivot_metrics",
-    "q_date_spine",
-    "q_string_agg_report",
-    "q_seasonal_index",
-    "q_sequence_gaps",
-    "q_dictionary_encode",
-    "q_fk_integrity_audit",
-    "q_group_mode",
-    "q_topk_grouping_sets",
-    "q_forward_fill",
-    "q_hhi_concentration",
-    "q_cohort_ltv",
-    "q_kaplan_meier",
-    "q_conversion_latency",
-    "q_dau_mau_stickiness",
-    "q_histogram2d",
-    # r6-upgraded, never driver-graded
-    "q_semantic_dedup",
-    "q_tsne2d",
-    # dedup tail
-    "q_dup_cluster_sizes",
-    "q_dup_flow_matrix",
-    "q_lsh_dedup_eval",
-    # similarity tail
-    "q_dead_dimension_audit",
-    "q_embedding_norm_audit",
-    "q_mutual_nn_alignment",
-    "q_quantization_error",
-    # ml tail
-    "q_centroid_silhouette",
-    "q_embedding_drift",
-    "q_quantile_normalize",
-    # graph tail
-    "q_degree_assortativity",
-    "q_two_hop_reach",
-    # one never-graded residue rep per remaining module
-    "q_intradoc_redundancy",      # arrays
-    "q_encoding_profile",         # layout
-    "q_resize_stub",              # multimodal
-    "q_neyman_allocation",        # sampling
-    "q_sample_estimate",          # sampling
-    "q_datasketches_native",      # sketches
-    # text names
-    "q_repetition_filter",
-    "q_pii_redaction",
-    "q_domain_rollup",
-    # r7-authored (bucketing / explainability), never driver-graded
-    "q_bucket_coalesced_join",
-    "q_permutation_importance",
-    # already-green module fillers (every-module rule)
-    "q_key_depth_audit",          # grouping (green r7)
-    "q_null_skew_shunt_join",     # joins (green r7)
-    "q_join_size_estimate",       # skew (green r7)
-    "q_stream_static_anti_join",  # batch_equiv (green r7)
-    # disk-staging tail (sources last)
-    "q_catalog_census",
-    "q_csv_json_roundtrip",
-    "q_orc_roundtrip",
-    "q_incremental_file_pickup",
+    # the two r8 BI deferrals (relational)
+    "q_moment_merge",
+    "q_analyze_stats",
+    # text residue (all 28; q_feature_hashing leads — its complex-cell
+    # fix landed in r8 and is hygiene-locked)
+    "q_feature_hashing",
+    "q_lm_quality_score",
+    "q_mixture_resample",
+    "q_temperature_mixture",
+    "q_negative_sampling",
+    "q_dataset_card",
+    "q_lang_confusion",
+    "q_kwic_concordance",
+    "q_trending_terms",
+    "q_phrase_search",
+    "q_boilerplate_suppress",
+    "q_js_divergence_sources",
+    "q_batch_retrieval",
+    "q_burrows_delta",
+    "q_curriculum_plan",
+    "q_dsir_resample",
+    "q_emd_lengths",
+    "q_head_coverage",
+    "q_mcnemar_filters",
+    "q_mixture_epoch_budget",
+    "q_rake_keywords",
+    "q_simpson_diversity",
+    "q_source_vocab_jaccard",
+    "q_span_corruption_plan",
+    "q_split_half_reliability",
+    "q_tokenizer_fertility",
+    "q_unigram_perplexity",
+    "q_vocab_coverage_curve",
+    # advanced residue (event/funnel/cohort batch — 16 of 28)
+    "q_ohlc_candles",
+    "q_bounce_rate",
+    "q_retention_audit",
+    "q_new_vs_returning",
+    "q_acf_daily_revenue",
+    "q_seasonal_anomaly",
+    "q_cohens_kappa",
+    "q_markov_transitions",
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_association_rules",
+    "q_itemitem_cf",
+    "q_mutual_information",
+    "q_cumulative_distinct_users",
+    "q_trailing_distinct_users",
+    "q_dow_hour_heatmap",
+    # relational residue (4 slots freed by the module-rule amendment)
+    "q_robust_scale",
+    "q_winsorized_mean",
+    "q_cohens_d",
+    "q_ab_srm",
 ]
 
 
