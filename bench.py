@@ -508,16 +508,20 @@ def main() -> None:
                 # SQ8 quantization error, both single-scan linear), the
                 # ml tail (per-label drift split), and the BI event
                 # rollups (DAU/MAU stickiness windows, conversion
-                # latency order-statistics). q_mutual_nn_alignment is
-                # deliberately NOT here: its demo form is a broadcast
-                # cross pair-set (quadratic by design, documented —
-                # the production form buckets first), so it is not a
-                # scale-evidence shape.
+                # latency order-statistics).
                 "q_dead_dimension_audit",
                 "q_quantization_error",
                 "q_embedding_drift",
                 "q_dau_mau_stickiness",
                 "q_conversion_latency",
+                # r9: admissible after the VERDICT r8 task-2 fix — the
+                # pair generation is now a salted tile equi-join with
+                # map-side-partial argmins (no corpus-side broadcast,
+                # no BNLJ), so this row measures the distributed exact
+                # mutual-NN shape at 10x (FLOPs are inherently
+                # |A|x|B| for exact bipartite all-NN; the fix bounds
+                # MEMORY, which is what dies at 100x). ~5 s warm.
+                "q_mutual_nn_alignment",
             ]
             # Warm the OS page cache with one pass per sf1 table (same
             # warm-cache policy as the sf0.1 headline section, and the

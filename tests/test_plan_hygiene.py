@@ -194,6 +194,149 @@ def test_no_complex_output_columns_in_any_query(registry_scan):
     assert not offenders, offenders
 
 
+# ---------------------------------------------------------------------------
+# BroadcastNestedLoopJoin build-side audit (VERDICT r8 task 2).
+#
+# A BNLJ is the plan shape behind every ``crossJoin`` — fine when the
+# broadcast build side is a scalar total or otherwise bounded BY
+# CONSTRUCTION, fatal when it is a corpus-scaling relation (the r8
+# q_mutual_nn_alignment demo form broadcast one full label side). The
+# scan walks every ``BroadcastExchange IdentityBroadcastMode`` build
+# subtree (Identity mode appears ONLY under nested-loop joins — hash
+# joins use HashedRelationBroadcastMode) and requires its top to be
+# provably bounded: a scalar aggregate (keys=[]), a limit
+# (TakeOrderedAndProject), a single-child wrapper chain over one of
+# those, or a nested-loop/hash join of bounded sides. Builds that
+# bottom out elsewhere (group-key aggregates, fixed query sets) need a
+# BNLJ_BUILD_BOUNDED entry naming the construction bound.
+# ---------------------------------------------------------------------------
+BNLJ_BUILD_BOUNDED: dict[str, str] = {
+    # bounded ANN query sets: the documented broadcast-the-queries
+    # design (similarity.py module docstring) — build is the
+    # vec_id < 10 query projection, constant-size at any corpus
+    "q_ann_cosine_topk": "10-query set",
+    "q_ann_fast_consistency": "10-query set",
+    "q_knn_classifier": "10-query set",
+    # group-key aggregates over small fixed domains
+    "q_js_divergence_sources": "distinct source domain",
+    "q_pair_selection": "distinct group domain (capped M10 fixture)",
+    "q_pairwise_groups": "distinct group domain",
+    "q_centroid_classifier": "label domain (2)",
+    # scalar-derived key groups (keys are themselves scalar aggregates)
+    "q_theil_index": "group keys (n, xx) are scalar totals — 1 row",
+    # 1-row literal/range snapshots
+    "q_snapshot_time_travel": "1-row snapshot id selector",
+    # localCheckpointed literal tables (Scan ExistingRDD tops — a
+    # checkpoint erases the provenance, so these carry the bound here)
+    "q_acf_daily_revenue": "lag list (max-lag constant rows)",
+    "q_range_join": "band boundary table (fixed band count)",
+    # Union of group-key sketch aggregates over a ~5-value domain
+    "q_hll_distinct_merge": "per-priority HLL sketch union",
+}
+
+_BOUNDED_TOP = (
+    "HashAggregate(keys=[]",
+    "SortAggregate(keys=[]",
+    "ObjectHashAggregate(keys=[]",
+    "TakeOrderedAndProject(limit=",
+    "CollectLimit",
+    "LocalTableScan",  # literal rows
+    "ReusedExchange",  # original exchange audited where it appears
+    "Range (",  # driver-side literal range (spine builders)
+)
+_PASSTHROUGH = (
+    "Filter ",
+    "Project ",
+    "ColumnarToRow",
+    "InputAdapter",
+    "BroadcastExchange",
+    "Exchange",
+    "AQEShuffleRead",
+    "Sort ",
+    "Coalesce",
+    "Window ",  # row-preserving
+    "Expand",   # multiplies by constant factor
+    "Generate explode(",  # multiplies by array length (constant-ish)
+)
+_JOIN_TOP = ("BroadcastNestedLoopJoin", "BroadcastHashJoin", "SortMergeJoin",
+             "ShuffledHashJoin")
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str]]:
+    """(depth, node_text) per plan line; depth from the ':-'/'+-'
+    marker column (3 chars per level), root = -1."""
+    out = []
+    for line in plan.splitlines():
+        m = None
+        for tok in (":- ", "+- "):
+            i = line.find(tok)
+            if i >= 0 and (m is None or i < m):
+                m = i
+        if m is None:
+            out.append((-1, line.strip()))
+        else:
+            out.append((m // 3, line[m + 3:].strip()))
+    return out
+
+
+def _strip_codegen(text: str) -> str:
+    import re
+
+    return re.sub(r"^\*\(\d+\)\s*", "", text)
+
+
+def _children(tree: list[tuple[int, str]], i: int) -> list[int]:
+    d = tree[i][0]
+    out = []
+    for j in range(i + 1, len(tree)):
+        dj = tree[j][0]
+        if dj <= d:
+            break
+        if dj == d + 1:
+            out.append(j)
+    return out
+
+
+def _build_is_bounded(tree: list[tuple[int, str]], i: int) -> bool:
+    """True when the subtree rooted at line i provably emits a bounded
+    (corpus-independent) number of rows."""
+    node = _strip_codegen(tree[i][1])
+    if node.startswith(_BOUNDED_TOP):
+        return True
+    kids = _children(tree, i)
+    if node.startswith(_JOIN_TOP):
+        return bool(kids) and all(_build_is_bounded(tree, k) for k in kids)
+    if node.startswith(_PASSTHROUGH):
+        return bool(kids) and _build_is_bounded(tree, kids[0])
+    return False
+
+
+def test_bnlj_build_sides_bounded(registry_scan):
+    """Every BroadcastNestedLoopJoin build side must be bounded by
+    construction (scalar aggregate / limit / join of such) or carry a
+    BNLJ_BUILD_BOUNDED justification — a corpus-scaling broadcast
+    build is an executor OOM at scale (VERDICT r8 finding 1)."""
+    offenders: dict[str, list[str]] = {}
+    for name, (plan, _) in registry_scan.items():
+        if name in BNLJ_BUILD_BOUNDED:
+            continue
+        tree = _parse_tree(plan)
+        bad = []
+        for i, (_, text) in enumerate(tree):
+            if "BroadcastExchange IdentityBroadcastMode" not in text:
+                continue
+            kids = _children(tree, i)
+            if not kids or not _build_is_bounded(tree, kids[0]):
+                bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"unbounded BroadcastNestedLoopJoin build sides: {offenders} — "
+        "re-express the pair generation (salted tile join) or justify "
+        "a BNLJ_BUILD_BOUNDED entry"
+    )
+
+
 def test_no_unjustified_global_sorted_window(registry_scan):
     """Every partition-less sorted Window in the registry must be over
     an input bounded by construction (GLOBAL_WINDOW_BOUNDED, with the
@@ -233,7 +376,8 @@ def test_global_window_allowlist_matches_registry():
 
     names = set(all_queries())
     missing = (
-        (EAGER_BUILD | PYTHON_EVAL_OK | set(GLOBAL_WINDOW_BOUNDED)) - names
+        (EAGER_BUILD | PYTHON_EVAL_OK | set(GLOBAL_WINDOW_BOUNDED)
+         | set(BNLJ_BUILD_BOUNDED)) - names
     )
     assert not missing, missing
 
