@@ -79,3 +79,25 @@ def test_window_covers_every_query_module():
 def test_all_queries_registered_beyond_window_still_present():
     qs = registry.all_queries()
     assert len(qs) >= 96  # nothing dropped by the reorder
+
+
+def test_coverage_ledger_matches_artifacts():
+    """COVERAGE.md embeds a machine-readable union line that
+    tools/recount_union.py derives from the committed
+    CORRECTNESS_r*.json artifacts — this re-derivation pins the
+    ledger's arithmetic to the artifacts so it cannot drift again
+    (VERDICT r8 finding 2: a hand-added '46 fresh' was really 45)."""
+    import os
+    import re
+
+    from tools.recount_union import machine_line, recount
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        text = f.read()
+    m = re.search(r"<!-- union-recount:.*?-->", text)
+    assert m, "COVERAGE.md lost its union-recount line"
+    assert m.group(0) == machine_line(recount()), (
+        "COVERAGE.md union line is stale — run "
+        "`python tools/recount_union.py --update-coverage`"
+    )
