@@ -522,6 +522,15 @@ def main() -> None:
                 # |A|x|B| for exact bipartite all-NN; the fix bounds
                 # MEMORY, which is what dies at 100x). ~5 s warm.
                 "q_mutual_nn_alignment",
+                # r9 (VERDICT r8 task 4): admissible after the shared
+                # candidate-pair cache (dedup.lsh_pairs_cached) — the
+                # dedup-QA trio reuses ONE materialized MinHash+LSH
+                # candidate set, so this row measures components +
+                # histogram over the checkpointed pairs (~2.7 s warm
+                # vs 6.3 s rebuilding the pipeline per query; the r8
+                # 15.6 s measurement was co-tenant load on top of the
+                # 3x rebuild).
+                "q_dup_cluster_sizes",
             ]
             # Warm the OS page cache with one pass per sf1 table (same
             # warm-cache policy as the sf0.1 headline section, and the

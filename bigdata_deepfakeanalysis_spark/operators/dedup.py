@@ -248,6 +248,50 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+# Session-scoped MinHash-LSH candidate-pair cache, keyed by
+# (applicationId, realpath(sf_dir), k, band_rows) — the
+# graph._EDGE_CACHE pattern (r7 advisor hygiene: realpath-normalized,
+# stale-application entries evicted on every lookup).
+_PAIRS_CACHE: dict[tuple[str, str, int, int], DataFrame] = {}
+
+
+def lsh_pairs_cached(
+    spark: SparkSession, sf_dir: str, k: int = 12, band_rows: int = 3
+) -> DataFrame:
+    """The MinHash(k)+LSH(band_rows) candidate pairs over
+    ``aug_docs``, materialized ONCE per (session, sf_dir, params) as
+    an eager localCheckpoint and shared by every downstream consumer
+    (components, components-star, the dedup-QA trio, exact rescores).
+
+    VERDICT r8 task 4: the dedup-QA trio (`q_dup_cluster_sizes`,
+    `q_dup_flow_matrix`, `q_lsh_dedup_eval`) each rebuilt the identical
+    banding + self-join pipeline — measured at sf1 warm the shared
+    stages are ~6.3 s (banding 3.5 s, pair join 2.8 s) of each query's
+    cost, so a trio run paid ~3× for one candidate set. The corpus-QA
+    reality is exactly this shape: one candidate generation, many
+    readouts. On a cluster the checkpoint is a bucketed parquet table;
+    determinism of the md5-derived MinHash makes the cache a pure
+    optimization — every oracle recomputes the same set in SQL.
+    Checkpoint blocks of evicted (dead-session) entries are
+    unpersisted, mirroring graph._EDGE_CACHE."""
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    for stale in [kk for kk in _PAIRS_CACHE if kk[0] != app_id]:
+        try:
+            _PAIRS_CACHE.pop(stale).unpersist()
+        except Exception:
+            pass  # dead JVM handle — dropping the reference is enough
+    key = (app_id, os.path.realpath(str(sf_dir)), k, band_rows)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = lsh_candidate_pairs(
+        minhash_bands(aug_docs(spark, sf_dir), k=k, band_rows=band_rows)
+    ).localCheckpoint(eager=True)
+    return _PAIRS_CACHE.setdefault(key, pairs)
+
+
 def jaccard_verify(
     cands: DataFrame,
     docs: DataFrame,
@@ -682,7 +726,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the round-2 scale hazard — a high-document-frequency shingle made
     a quadratic bucket)."""
     aug = aug_docs(spark, sf_dir)
-    cands = lsh_candidate_pairs(minhash_bands(aug, k=12, band_rows=3))
+    cands = lsh_pairs_cached(spark, sf_dir)
     return (
         jaccard_verify(cands, aug, min_common=5, threshold=0.5)
         .select("doc_a", "doc_b", "jaccard")
@@ -1090,9 +1134,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered doc labeled with its component (= min doc id reachable);
     the oracle computes the same components via a recursive transitive
     closure."""
-    pairs = lsh_candidate_pairs(
-        minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
-    )
+    pairs = lsh_pairs_cached(spark, sf_dir)
     cc = connected_components(pairs)
     return cc.select(
         F.col("id").alias("doc_id"), "component"
@@ -1125,9 +1167,7 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     form. Two independent distributed algorithms and one exact serial
     closure all agreeing is the strongest correctness statement this
     operator family can make."""
-    pairs = lsh_candidate_pairs(
-        minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
-    )
+    pairs = lsh_pairs_cached(spark, sf_dir)
     cc = connected_components_star(pairs)
     return cc.select(
         F.col("id").alias("doc_id"), "component"
@@ -2281,9 +2321,7 @@ def q_lsh_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (row-local gram sets + array_intersect, the q_ngram_jaccard
     plan); every rate is integer ppm arithmetic."""
     aug = aug_docs(spark, sf_dir)
-    cands = lsh_candidate_pairs(
-        minhash_bands(aug, k=12, band_rows=3)
-    ).localCheckpoint(eager=True)
+    cands = lsh_pairs_cached(spark, sf_dir)
     ver = jaccard_verify(
         cands, aug, min_common=1, threshold=0.0
     ).select("doc_a", "doc_b", "jaccard")
@@ -2378,7 +2416,7 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum((size-1)·n_clusters) off this table. Everything past the
     banded candidate join is component-table-sized."""
     docs = aug_docs(spark, sf_dir)
-    pairs = lsh_candidate_pairs(minhash_bands(docs, k=12, band_rows=3))
+    pairs = lsh_pairs_cached(spark, sf_dir)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -2449,7 +2487,7 @@ def q_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     republication inside one source. Cost beyond the banded join is
     pair-table-sized."""
     docs = aug_docs(spark, sf_dir)
-    pairs = lsh_candidate_pairs(minhash_bands(docs, k=12, band_rows=3))
+    pairs = lsh_pairs_cached(spark, sf_dir)
     src = docs.select("doc_id", "source")
     flows = (
         pairs.join(
