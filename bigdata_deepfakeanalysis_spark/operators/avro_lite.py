@@ -124,19 +124,35 @@ def _enc_value(v, typ: str) -> bytes:
     raise ValueError(f"unsupported avro type {typ!r}")
 
 
+def _read_exact(buf: io.BufferedIOBase, n: int) -> bytes:
+    """Read exactly n bytes or raise a CLEAN corruption error — a
+    short read from a truncated/corrupt block must never decode to a
+    wrong value or surface as an opaque struct/unicode error
+    (ADVICE r8)."""
+    raw = buf.read(n)
+    if len(raw) != n:
+        raise EOFError(
+            f"avro data truncated: wanted {n} bytes, got {len(raw)}"
+        )
+    return raw
+
+
 def _dec_value(buf: io.BufferedIOBase, typ: str):
     if typ in ("long", "int"):
         return zigzag_decode(buf)
     if typ == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if typ == "string":
         n = zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        return _read_exact(buf, n).decode("utf-8")
     if typ == "bytes":
         n = zigzag_decode(buf)
-        return buf.read(n)
+        return _read_exact(buf, n)
     if typ == "boolean":
-        return buf.read(1) == b"\x01"
+        b = _read_exact(buf, 1)
+        if b not in (b"\x00", b"\x01"):
+            raise ValueError(f"invalid avro boolean byte {b!r}")
+        return b == b"\x01"
     if typ == "null":
         return None
     raise ValueError(f"unsupported avro type {typ!r}")
@@ -285,25 +301,27 @@ def read_header(path) -> dict:
 
 
 def read_container(path):
-    """Yield (schema_dict, record_iterator) for one container file."""
-    f = open(path, "rb")
-    if f.read(4) != MAGIC:
-        f.close()
-        raise ValueError(f"{path}: not an Avro container file")
-    meta = _dec_meta_map(f)
-    schema = json.loads(meta["avro.schema"].decode())
-    codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
-        f.close()
-        raise ValueError(f"unsupported codec {codec!r}")
-    sync = f.read(16)
-    try:
-        fields = _field_types(schema)
-    except ValueError:
-        f.close()
-        raise
+    """Return (schema_dict, record_iterator) for one container file.
+
+    The header is parsed eagerly with a scoped handle; the data handle
+    is opened lazily when the returned generator is first iterated —
+    a caller that validates the schema and never iterates (or
+    abandons the generator) leaks no file descriptor (ADVICE r8)."""
+    with open(path, "rb") as h:
+        if h.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _dec_meta_map(h)
+        schema = json.loads(meta["avro.schema"].decode())
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        sync = _read_exact(h, 16)
+        data_start = h.tell()
+    fields = _field_types(schema)
 
     def records():
+        f = open(path, "rb")
+        f.seek(data_start)
         try:
             while True:
                 head = f.read(1)
@@ -559,14 +577,32 @@ def make_pyavro_datasource():
                     _os.remove(old)
                 base = 0
             else:
-                base = len(existing)
+                # max(parsed part index) + 1, never len(existing):
+                # numbering gaps or foreign .avro names would make
+                # len() collide with a live file, and POSIX rename
+                # silently clobbers the target (ADVICE r8).
+                import re as _re
+
+                idxs = [
+                    int(m.group(1))
+                    for m in (
+                        _re.fullmatch(
+                            r"part-(\d+)\.avro", _os.path.basename(p)
+                        )
+                        for p in existing
+                    )
+                    if m
+                ]
+                base = max(idxs) + 1 if idxs else 0
             for i, m in enumerate(sorted(msg.tmp for msg in messages)):
-                _os.rename(
-                    m,
-                    _os.path.join(
-                        self._path, f"part-{base + i:05d}.avro"
-                    ),
+                dst = _os.path.join(
+                    self._path, f"part-{base + i:05d}.avro"
                 )
+                if _os.path.exists(dst):
+                    raise FileExistsError(
+                        f"pyavro append collision: {dst} exists"
+                    )
+                _os.rename(m, dst)
 
         def abort(self, messages):
             import os as _os

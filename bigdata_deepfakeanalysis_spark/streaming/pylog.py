@@ -58,7 +58,7 @@ def _segments(log_dir: str) -> list[str]:
     return [os.path.join(log_dir, n) for n in names]
 
 
-def _repair_torn_tail(path: str) -> None:
+def _repair_torn_tail(path: str, window: int = 1 << 20) -> None:
     """Truncate a crash-left torn record (no trailing newline) from a
     segment. A torn tail was never acknowledged to the producer's
     caller, so discarding it is the correct (Kafka-like) semantics;
@@ -68,14 +68,26 @@ def _repair_torn_tail(path: str) -> None:
     if size == 0:
         return
     with open(path, "rb+") as f:
-        back = min(size, 1 << 20)
-        f.seek(size - back)
-        tail = f.read(back)
-        if tail.endswith(b"\n"):
-            return
-        last_nl = tail.rfind(b"\n")
-        keep = size - back + (last_nl + 1 if last_nl >= 0 else 0)
-        f.truncate(keep)
+        # Scan backwards in windows until a newline (or offset 0):
+        # a single torn record larger than one window would otherwise
+        # truncate to the window start, leaving a still-torn (shorter)
+        # tail for the next append to merge into — the exact wedge
+        # this function exists to prevent (ADVICE r8 / VERDICT r8
+        # task 5). ``window`` is parameterized only so the hypothesis
+        # fuzz can exercise multi-window scans cheaply.
+        hi = size
+        while hi > 0:
+            back = min(hi, window)
+            f.seek(hi - back)
+            tail = f.read(back)
+            if hi == size and tail.endswith(b"\n"):
+                return
+            last_nl = tail.rfind(b"\n")
+            if last_nl >= 0:
+                f.truncate(hi - back + last_nl + 1)
+                return
+            hi -= back
+        f.truncate(0)
 
 
 def append_log(

@@ -1004,3 +1004,50 @@ def test_pylog_batched_reads_see_every_record_once(
         rows, cur = pylog._read_range(d, cur, None)
         seen.extend((r[0], r[1]) for r in rows)
     assert seen == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_good=st.integers(min_value=0, max_value=5),
+    torn_len=st.integers(min_value=1, max_value=700),
+    window=st.integers(min_value=8, max_value=128),
+)
+def test_pylog_torn_tail_repair_survives_any_window_ratio(
+    tmp_path_factory, n_good, torn_len, window
+):
+    """Fuzz the backward-window torn-tail scan (VERDICT r8 task 5):
+    whatever the ratio of torn-record length to scan window — shorter,
+    equal, or many windows long, with or without preceding good
+    records — repair must truncate to exactly the last acknowledged
+    newline (or to empty) and never leave torn bytes for a subsequent
+    append to merge into."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path_factory.mktemp("pylogfuzz") / "log")
+    if n_good:
+        pylog.append_log(
+            d, [(f"k{i}", f"v{i}") for i in range(n_good)],
+            roll_bytes=1 << 30,
+        )
+    else:
+        os.makedirs(d)
+    seg0 = os.path.join(d, "00000000.jsonl")
+    open(seg0, "ab").close()
+    good = os.path.getsize(seg0)
+    with open(seg0, "rb") as f:
+        good_bytes = f.read()
+    with open(seg0, "ab") as f:
+        f.write(b'{"k":"torn","v":"' + b"z" * torn_len)
+    pylog._repair_torn_tail(seg0, window=window)
+    with open(seg0, "rb") as f:
+        repaired = f.read()
+    assert repaired == good_bytes  # exactly the acknowledged prefix
+    assert os.path.getsize(seg0) == good
+    # and the log accepts appends cleanly afterwards
+    pylog.append_log(d, [("after", "ok")], roll_bytes=1 << 30)
+    rows, _ = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [(r[0], r[1]) for r in rows] == [
+        (f"k{i}", f"v{i}") for i in range(n_good)
+    ] + [("after", "ok")]

@@ -349,3 +349,108 @@ def test_pyavro_heterogeneous_directory_rejected(spark, tmp_path):
 
     with _pytest.raises(Exception, match="heterogeneous|does not match"):
         spark.read.format("pyavro").load(str(tmp_path)).collect()
+
+
+def test_avro_lite_truncated_block_raises_clean_eof(tmp_path):
+    """A container truncated mid-block must raise EOFError (clean
+    corruption signal), never decode wrong values or surface an
+    opaque struct/unicode error (ADVICE r8)."""
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "x", "type": "double"},
+        ],
+    }
+    p = tmp_path / "t.avro"
+    al.write_container(p, schema, iter([(1, "hello world", 2.5)] * 50))
+    raw = p.read_bytes()
+    torn = tmp_path / "torn.avro"
+    torn.write_bytes(raw[: len(raw) - 20])  # cut inside the last block
+    _, it = al.read_container(torn)
+    with pytest.raises((EOFError, ValueError)):
+        list(it)
+
+
+def test_avro_lite_boolean_rejects_garbage_byte(tmp_path):
+    import io
+
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    assert al._dec_value(io.BytesIO(b"\x01"), "boolean") is True
+    assert al._dec_value(io.BytesIO(b"\x00"), "boolean") is False
+    with pytest.raises(ValueError):
+        al._dec_value(io.BytesIO(b"\x02"), "boolean")
+    with pytest.raises(EOFError):
+        al._dec_value(io.BytesIO(b""), "boolean")
+
+
+def test_avro_lite_read_container_no_fd_leak_when_unused(tmp_path):
+    """Schema-only callers that never iterate the record generator
+    must not leak a file descriptor (ADVICE r8): the data handle is
+    opened lazily on first iteration."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    p = tmp_path / "t.avro"
+    al.write_container(p, schema, iter([(1,), (2,)]))
+    fd_dir = "/proc/self/fd"
+    before = len(os.listdir(fd_dir))
+    for _ in range(20):
+        s, it = al.read_container(p)  # never iterated
+        assert s == schema
+        del it
+    assert len(os.listdir(fd_dir)) <= before + 1  # no fd accumulation
+    # and iteration still works (lazy open path)
+    _, it = al.read_container(p)
+    assert [r[0] for r in it] == [1, 2]
+
+
+def test_pyavro_append_numbering_skips_gaps_and_never_clobbers(
+    spark, tmp_path
+):
+    """Append-mode part numbering derives from max(part index) + 1 —
+    a directory with gapped numbering (only part-00001 present) must
+    gain part-00002, not silently overwrite (ADVICE r8)."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.operators.avro_lite import (
+        make_pyavro_datasource,
+    )
+
+    spark.dataSource.register(make_pyavro_datasource())
+    d = str(tmp_path / "gapped")
+    df = spark.createDataFrame([(1, "a")], "k long, s string").coalesce(1)
+    df.write.format("pyavro").mode("overwrite").save(d)
+    # simulate a gap: the only file is part-00001.avro
+    os.rename(
+        os.path.join(d, "part-00000.avro"),
+        os.path.join(d, "part-00001.avro"),
+    )
+    marker = open(os.path.join(d, "part-00001.avro"), "rb").read()
+    spark.createDataFrame([(2, "b")], "k long, s string").coalesce(1).write.format(
+        "pyavro"
+    ).mode("append").save(d)
+    names = sorted(os.listdir(d))
+    assert names == ["part-00001.avro", "part-00002.avro"]
+    # the pre-existing file is untouched
+    assert open(os.path.join(d, "part-00001.avro"), "rb").read() == marker
+    got = sorted(
+        (r.k, r.s)
+        for r in spark.read.format("pyavro").load(d).collect()
+    )
+    assert got == [(1, "a"), (2, "b")]

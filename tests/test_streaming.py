@@ -458,3 +458,45 @@ def test_pylog_append_repairs_crashed_producer_tail(tmp_path):
     rows, _ = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
     # the unacknowledged torn record is discarded, not merged
     assert [(r[0], r[1]) for r in rows] == [("a", "1"), ("b", "2")]
+
+
+def test_pylog_repairs_torn_record_larger_than_scan_window(tmp_path):
+    """A torn record LONGER than the 1 MiB backward-scan window must
+    be truncated entirely (ADVICE r8 / VERDICT r8 task 5): the old
+    single-window scan truncated to the window start, leaving a
+    shorter but still-torn tail that the next append merged into one
+    invalid line."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    pylog.append_log(d, [("a", "1")], roll_bytes=1 << 30)
+    seg0 = os.path.join(d, "00000000.jsonl")
+    good = os.path.getsize(seg0)
+    with open(seg0, "ab") as f:  # >2 windows of torn record, no \n
+        f.write(b'{"k":"torn","v":"' + b"x" * (2 * (1 << 20) + 37))
+    pylog.append_log(d, [("b", "2")], roll_bytes=1 << 30)
+    rows, _ = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [(r[0], r[1]) for r in rows] == [("a", "1"), ("b", "2")]
+    # the truncation point is the last acknowledged newline
+    with open(seg0, "rb") as f:
+        assert f.read(good) == b'{"k":"a","v":"1"}\n'
+
+
+def test_pylog_repairs_whole_segment_torn_from_byte_zero(tmp_path):
+    """A segment that is ONE torn record from offset 0 (no newline
+    anywhere, larger than the scan window) truncates to empty instead
+    of looping forever or keeping torn bytes."""
+    import os
+
+    from bigdata_deepfakeanalysis_spark.streaming import pylog
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    seg0 = os.path.join(d, "00000000.jsonl")
+    with open(seg0, "wb") as f:
+        f.write(b'{"k":"torn","v":"' + b"y" * ((1 << 20) + 11))
+    pylog.append_log(d, [("a", "1")])
+    rows, _ = pylog._read_range(d, {"seg": 0, "pos": 0}, None)
+    assert [(r[0], r[1]) for r in rows] == [("a", "1")]
