@@ -29,11 +29,14 @@ record within its segment — stable across replays).
 
 Scale notes: one log directory models one Kafka partition (ordering is
 per-directory, like per-partition ordering in Kafka); horizontal scale
-is many directories read as a union of streams. The simple reader
-executes each micro-batch read on the driver prefetch thread —
-appropriate for control-plane-sized topics; a data-plane port would
-use ``DataSourceStreamReader`` with per-segment InputPartitions, same
-offset contract.
+is many directories read as a union of streams. The DEFAULT simple
+reader executes each micro-batch read on the driver prefetch thread —
+appropriate for control-plane-sized topics. ``option("data_plane",
+"true")`` (r9) selects the ``DataSourceStreamReader`` port: one
+InputPartition per segment byte-range, decoded on the executors,
+under the identical offset contract (latestOffset applies the same
+stop-at-first-torn-segment cursor rule), so checkpointed ranges
+replay byte-identically either way.
 
 Not registered in the frozen 415-query registry; verified by the
 exactly-once/replay tests in tests/test_streaming.py.
@@ -180,6 +183,47 @@ def _read_range(log_dir: str, start: dict, end: dict | None):
     return rows, out_cursor
 
 
+def _last_complete_pos(path: str) -> tuple[int, bool]:
+    """(byte position just after the last complete line, fully-consumed
+    flag). Backward window scan — the same multi-window rule as
+    :func:`_repair_torn_tail`, but read-only: a torn record longer
+    than one window still resolves to the last acknowledged newline."""
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0, True
+    with open(path, "rb") as f:
+        window = 1 << 20
+        hi = size
+        first = True
+        while hi > 0:
+            back = min(hi, window)
+            f.seek(hi - back)
+            tail = f.read(back)
+            if first and tail.endswith(b"\n"):
+                return size, True
+            first = False
+            nl = tail.rfind(b"\n")
+            if nl >= 0:
+                return hi - back + nl + 1, False
+            hi -= back
+    return 0, False
+
+
+def _durable_cursor(log_dir: str) -> dict:
+    """The latest replay-safe cursor: advance through segments in
+    order, stopping at the first segment not consumable to its end
+    (the STOP-AT-FIRST-TORN-SEGMENT rule `_read_range` enforces) —
+    the planning half of the data-plane reader."""
+    cur = {"seg": 0, "pos": 0}
+    for path in _segments(log_dir):
+        seg_no = int(os.path.basename(path).split(".")[0])
+        pos, complete = _last_complete_pos(path)
+        cur = {"seg": seg_no, "pos": pos}
+        if not complete:
+            break
+    return cur
+
+
 def make_pylog_datasource():
     """Build the ``pylog`` streaming DataSource class (factory +
     by-value module registration, same deployment-free pattern as
@@ -188,12 +232,79 @@ def make_pylog_datasource():
     from pyspark import cloudpickle as _cp
 
     _cp.register_pickle_by_value(sys.modules[__name__])
+    from pyspark.errors import PySparkNotImplementedError
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceStreamReader,
+        InputPartition,
         SimpleDataSourceStreamReader,
     )
 
     _range = _read_range
+    _latest = _durable_cursor
+
+    class _PyLogInputPartition(InputPartition):
+        def __init__(self, path: str, seg: int, lo: int, hi: int):
+            self.path = path
+            self.seg = seg
+            self.lo = lo
+            self.hi = hi
+
+    class _PyLogDataPlaneReader(DataSourceStreamReader):
+        """The data-plane port (pylog module docstring "Scale notes"):
+        one InputPartition per segment byte-range, decoded on the
+        EXECUTORS, under the identical offset contract as the simple
+        reader — ``{"seg", "pos"}`` cursors, latestOffset =
+        :func:`_durable_cursor` (stop at the first torn segment), so
+        checkpointed ranges replay byte-identically. Planning reads
+        only segment sizes/tails (O(segments)); record decoding never
+        touches the driver. Partition ranges are newline-aligned by
+        construction: cursors always sit just after a newline (or 0),
+        non-final segments are immutable-after-roll, and the final
+        segment is bounded by the batch's end cursor."""
+
+        def __init__(self, options):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError(
+                    "pylog requires the 'path' option (the log "
+                    "directory)"
+                )
+
+        def initialOffset(self) -> dict:
+            return {"seg": 0, "pos": 0}
+
+        def latestOffset(self) -> dict:
+            return _latest(self._dir)
+
+        def partitions(self, start: dict, end: dict):
+            s_seg, s_pos = int(start["seg"]), int(start["pos"])
+            e_seg, e_pos = int(end["seg"]), int(end["pos"])
+            parts = []
+            for path in _segments(self._dir):
+                seg_no = int(os.path.basename(path).split(".")[0])
+                if seg_no < s_seg or seg_no > e_seg:
+                    continue
+                lo = s_pos if seg_no == s_seg else 0
+                hi = e_pos if seg_no == e_seg else os.path.getsize(path)
+                if hi > lo:
+                    parts.append(
+                        _PyLogInputPartition(path, seg_no, lo, hi)
+                    )
+            return parts
+
+        def read(self, partition):
+            with open(partition.path, "rb") as f:
+                f.seek(partition.lo)
+                data = f.read(partition.hi - partition.lo)
+            at = partition.lo
+            for line in data.split(b"\n")[:-1]:
+                obj = json.loads(line)
+                yield (obj["k"], obj["v"], partition.seg, at)
+                at += len(line) + 1
+
+        def commit(self, end: dict) -> None:
+            return None
 
     class _PyLogStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -229,6 +340,22 @@ def make_pylog_datasource():
 
         def schema(self):
             return "key string, value string, segment int, offset bigint"
+
+        def streamReader(self, schema):
+            # opt-in data-plane port: per-segment InputPartitions
+            # decoded on executors. Raising NotImplementedError when
+            # the option is absent routes Spark to the simple reader
+            # below (pyspark.sql.datasource_internal._streamReader's
+            # documented fallback), keeping the proven driver-prefetch
+            # path the default for control-plane-sized topics.
+            if str(
+                self.options.get("data_plane", "false")
+            ).lower() != "true":
+                raise PySparkNotImplementedError(
+                    errorClass="NOT_IMPLEMENTED",
+                    messageParameters={"feature": "streamReader"},
+                )
+            return _PyLogDataPlaneReader(self.options)
 
         def simpleStreamReader(self, schema):
             return _PyLogStreamReader(self.options)
