@@ -179,21 +179,35 @@ def q_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 — nation → CSV (with header) and region → JSON, read both
-    back, join: values must survive both text formats (the reference's
-    JSON persistence path, ``src/extract_embedding.py:134-138``)."""
+    """S9 — nation → CSV (with header) → Avro container
+    (``format("pyavro")``, the pure-Python codec) and region → JSON,
+    read all back, join: values must survive every text/binary format
+    leg (the reference's JSON persistence path,
+    ``src/extract_embedding.py:134-138``). The Avro leg (r9) routes
+    the CSV-read rows through a pyavro write/read round-trip, so the
+    codec gets driver-window exposure under this query's unchanged
+    exact oracle — a dropped row, mangled union branch, or varint bug
+    on either the encode or decode side is a hash mismatch."""
+    from .avro_lite import make_pyavro_datasource
+
     rt = staging_dir("roundtrip")
     nation_csv = str(rt / "nation_csv")
+    nation_avro = str(rt / "nation_avro")
     region_json = str(rt / "region_json")
     table(spark, sf_dir, "nation").write.mode("overwrite").option(
         "header", True
     ).csv(nation_csv)
     table(spark, sf_dir, "region").write.mode("overwrite").json(region_json)
-    n = (
+    spark.dataSource.register(make_pyavro_datasource())
+    (
         spark.read.option("header", True)
         .option("inferSchema", True)
         .csv(nation_csv)
+        .write.format("pyavro")
+        .mode("overwrite")
+        .save(nation_avro)
     )
+    n = spark.read.format("pyavro").load(nation_avro)
     r = spark.read.json(region_json)
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
