@@ -330,9 +330,14 @@ def read_container(path):
                 f.seek(-1, os.SEEK_CUR)
                 count = zigzag_decode(f)
                 size = zigzag_decode(f)
-                payload = f.read(size)
+                payload = _read_exact(f, size)
                 if codec == "deflate":
-                    payload = zlib.decompress(payload, wbits=-15)
+                    try:
+                        payload = zlib.decompress(payload, wbits=-15)
+                    except zlib.error as e:
+                        raise ValueError(
+                            f"corrupt deflate block: {e}"
+                        ) from e
                 buf = io.BytesIO(payload)
                 for _ in range(count):
                     yield _dec_record(buf, fields)

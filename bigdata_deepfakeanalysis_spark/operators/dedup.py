@@ -625,7 +625,12 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12) + LSH(4 bands × 3 rows) candidate pairs over the
     augmented corpus — finds the planted near-dup variants.
     distinct=False: MIN is duplicate-insensitive, so the shingle-dedup
-    shuffle is skipped (identical result, one shuffle fewer)."""
+    shuffle is skipped (identical result, one shuffle fewer).
+    DELIBERATELY not routed through ``lsh_pairs_cached``: this query
+    IS the candidate generator, and its physical plan (banding + band
+    self-join, no Cartesian) is the plan evidence the scans and plan
+    tests read — a cached checkpoint would collapse it to a Scan
+    ExistingRDD. The six downstream consumers share the cache."""
     pairs = lsh_candidate_pairs(
         minhash_bands(aug_docs(spark, sf_dir), k=12, band_rows=3)
     )

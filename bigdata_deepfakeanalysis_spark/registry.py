@@ -78,11 +78,14 @@ def _load_all() -> None:
 # The driver hash-checks exactly the FIRST 50 queries in ``queries()``
 # iteration order (rounds 1-3 CORRECTNESS files prove the hard 50-entry
 # budget). ``_WINDOW`` is therefore the contract surface: exactly 50
-# names, at least one from EVERY operator module, with disk-staging
-# modules (sources/bucketing/streaming-sink) late so a
-# staging-restricted run still verifies the pure-compute surface.
-# Queries not listed ride after slot 50 (pytest runs the same oracle
-# compare on all of them — see tests/conftest.py).
+# names, and every operator module must be driver-verified — either a
+# query of its sits in the window, or (r9 amendment) EVERY query it
+# registers already carries a hash-green row in a committed
+# CORRECTNESS artifact (tests/test_registry.py reads the artifacts).
+# Disk-staging names, when present, go late so a staging-restricted
+# run still verifies the pure-compute surface. Queries not listed ride
+# after slot 50 (pytest runs the same oracle compare on all of them —
+# see tests/conftest.py).
 # ---------------------------------------------------------------------------
 
 _WINDOW: list[str] = [

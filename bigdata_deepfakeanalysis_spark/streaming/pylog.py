@@ -67,30 +67,16 @@ def _repair_torn_tail(path: str, window: int = 1 << 20) -> None:
     caller, so discarding it is the correct (Kafka-like) semantics;
     appending AFTER it would merge two records into one invalid line
     and wedge every subsequent read."""
-    size = os.path.getsize(path)
-    if size == 0:
-        return
-    with open(path, "rb+") as f:
-        # Scan backwards in windows until a newline (or offset 0):
-        # a single torn record larger than one window would otherwise
-        # truncate to the window start, leaving a still-torn (shorter)
-        # tail for the next append to merge into — the exact wedge
-        # this function exists to prevent (ADVICE r8 / VERDICT r8
-        # task 5). ``window`` is parameterized only so the hypothesis
-        # fuzz can exercise multi-window scans cheaply.
-        hi = size
-        while hi > 0:
-            back = min(hi, window)
-            f.seek(hi - back)
-            tail = f.read(back)
-            if hi == size and tail.endswith(b"\n"):
-                return
-            last_nl = tail.rfind(b"\n")
-            if last_nl >= 0:
-                f.truncate(hi - back + last_nl + 1)
-                return
-            hi -= back
-        f.truncate(0)
+    # One shared backward scan (_last_complete_pos) serves both the
+    # repair (here) and the data-plane planner's latestOffset — a
+    # torn record larger than one window resolves to the last
+    # acknowledged newline either way (ADVICE r8 / VERDICT r8 task 5).
+    # ``window`` is parameterized only so the hypothesis fuzz can
+    # exercise multi-window scans cheaply.
+    pos, complete = _last_complete_pos(path, window)
+    if not complete:
+        with open(path, "rb+") as f:
+            f.truncate(pos)
 
 
 def append_log(
@@ -183,16 +169,19 @@ def _read_range(log_dir: str, start: dict, end: dict | None):
     return rows, out_cursor
 
 
-def _last_complete_pos(path: str) -> tuple[int, bool]:
+def _last_complete_pos(path: str, window: int = 1 << 20) -> tuple[int, bool]:
     """(byte position just after the last complete line, fully-consumed
-    flag). Backward window scan — the same multi-window rule as
-    :func:`_repair_torn_tail`, but read-only: a torn record longer
-    than one window still resolves to the last acknowledged newline."""
+    flag). THE backward multi-window scan — shared by
+    :func:`_repair_torn_tail` (which truncates to the returned
+    position) and the data-plane reader's ``latestOffset`` (read-only
+    planning), so the two can never drift (code-review r9): a torn
+    record longer than one window resolves to the last acknowledged
+    newline in both uses, and the hypothesis fuzz over ``window``
+    exercises this single implementation."""
     size = os.path.getsize(path)
     if size == 0:
         return 0, True
     with open(path, "rb") as f:
-        window = 1 << 20
         hi = size
         first = True
         while hi > 0:

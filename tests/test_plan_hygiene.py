@@ -241,7 +241,11 @@ _BOUNDED_TOP = (
     "TakeOrderedAndProject(limit=",
     "CollectLimit",
     "LocalTableScan",  # literal rows
-    "ReusedExchange",  # original exchange audited where it appears
+    # ReusedExchange canonical-plan matching only unifies exchanges
+    # with the SAME broadcast mode, so an Identity reuse always points
+    # at another IdentityBroadcastMode exchange — which this scan
+    # audits where it appears.
+    "ReusedExchange",
     "Range (",  # driver-side literal range (spine builders)
 )
 _PASSTHROUGH = (
@@ -255,8 +259,12 @@ _PASSTHROUGH = (
     "Sort ",
     "Coalesce",
     "Window ",  # row-preserving
-    "Expand",   # multiplies by constant factor
-    "Generate explode(",  # multiplies by array length (constant-ish)
+    "Expand",   # multiplies by a constant factor (grouping sets)
+    # NOTE deliberately NOT passthrough: Generate/explode — a scalar
+    # aggregate collecting the corpus into one array then exploding it
+    # would bottom out at keys=[] yet emit corpus-scaling rows
+    # (code-review r9 finding); such a build needs an explicit
+    # BNLJ_BUILD_BOUNDED entry justifying the array's bound.
 )
 _JOIN_TOP = ("BroadcastNestedLoopJoin", "BroadcastHashJoin", "SortMergeJoin",
              "ShuffledHashJoin")

@@ -30,23 +30,13 @@ def test_window_leads_iteration_order():
 
 
 def _driver_green_names() -> set[str]:
-    """Names with a hash-green row in any committed CORRECTNESS_r*.json
-    (the driver's own grade artifacts — a later green supersedes an
-    earlier fail, matching COVERAGE.md's union arithmetic)."""
-    import glob
-    import json
-    import os
+    """Names whose LATEST driver grade is hash-green — shared with the
+    coverage ledger via tools.recount_union.green_names() so the
+    module-coverage exemption and the ledger arithmetic can never use
+    two different green predicates (code-review r9 finding)."""
+    from tools.recount_union import green_names
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    verdict: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        with open(path) as f:
-            for name, row in json.load(f).items():
-                green = bool(row.get("hash_match")) or (
-                    row.get("hash_match") is None and bool(row.get("rows_match"))
-                )
-                verdict[name] = green or verdict.get(name, False)
-    return {n for n, ok in verdict.items() if ok}
+    return green_names()
 
 
 def test_window_covers_every_query_module():

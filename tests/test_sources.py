@@ -454,3 +454,29 @@ def test_pyavro_append_numbering_skips_gaps_and_never_clobbers(
         for r in spark.read.format("pyavro").load(d).collect()
     )
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_avro_lite_truncated_deflate_block_raises_clean_error(tmp_path):
+    """The deflate codec path must also fail CLEAN on truncation —
+    a short payload raises EOFError before zlib sees it, and a
+    corrupt-but-complete stream surfaces as ValueError, never a raw
+    zlib.error (code-review r9)."""
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    p = tmp_path / "t.avro"
+    al.write_container(
+        p, schema, iter([("payload " * 30,)] * 40), "deflate"
+    )
+    raw = p.read_bytes()
+    torn = tmp_path / "torn.avro"
+    torn.write_bytes(raw[: len(raw) - 25])
+    _, it = al.read_container(torn)
+    with pytest.raises((EOFError, ValueError)):
+        list(it)

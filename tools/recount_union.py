@@ -29,17 +29,32 @@ sys.path.insert(0, REPO)
 MARKER = "union-recount"
 
 
-def recount() -> dict:
+def grade_verdicts() -> dict[str, bool]:
+    """name -> latest driver grade, LAST ROUND WINS in both directions:
+    a later green supersedes an earlier fail (q_inverted_index r7→r8)
+    AND a later fail supersedes an earlier green — each round grades
+    the code as it stood, so a re-graded regression must turn the
+    union red, not ride a stale green (code-review r9 finding). The
+    single source of truth for the green predicate; the registry
+    module-coverage test imports it."""
     verdict: dict[str, bool] = {}
-    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    for path in rounds:
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for name, row in json.load(f).items():
-                green = bool(row.get("hash_match")) or (
+                verdict[name] = bool(row.get("hash_match")) or (
                     row.get("hash_match") is None
                     and bool(row.get("rows_match"))
                 )
-                verdict[name] = green or verdict.get(name, False)
+    return verdict
+
+
+def green_names() -> set[str]:
+    return {n for n, ok in grade_verdicts().items() if ok}
+
+
+def recount() -> dict:
+    verdict = grade_verdicts()
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
     from bigdata_deepfakeanalysis_spark.registry import all_queries
 
