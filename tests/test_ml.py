@@ -254,3 +254,26 @@ def test_permutation_importance_is_a_bijection(spark):
     assert (
         df["importance"] == df["w"] * (df["base_contrib"] - df["perm_contrib"])
     ).all()
+
+
+def test_mutual_nn_tile_count_invariance(spark):
+    """The r9 tiled mutual-NN derives n_tiles from
+    spark.sql.shuffle.partitions — the RESULT must be invariant to
+    that knob (tiling only partitions the pair enumeration; every
+    (a, b) pair is generated exactly once under any tile count)."""
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        q_mutual_nn_alignment,
+    )
+
+    from .conftest import SF_DIR
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        r7 = [tuple(r) for r in q_mutual_nn_alignment(spark, SF_DIR).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "33")
+        r33 = [tuple(r) for r in q_mutual_nn_alignment(spark, SF_DIR).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert r7 == r33
+    assert len(r7) == 10 and r7[0][3] > 0  # n_mutual populated
