@@ -70,6 +70,18 @@ def canon(df: pd.DataFrame) -> str:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     window_only = "--window-only" in sys.argv
+    # --hostile-conf[=N]: after entry()'s session tune, reset
+    # spark.sql.shuffle.partitions to an untuned value (default 200,
+    # Spark's own default) before running the queries. This reproduces
+    # the conf-robustness proof from the r8/r9 coverage ledgers: result
+    # hashes must be partition-count-invariant, so a driver session
+    # that ignores our tuning cannot flip a grade.
+    hostile = None
+    for a in sys.argv[1:]:
+        if a == "--hostile-conf":
+            hostile = 200
+        elif a.startswith("--hostile-conf="):
+            hostile = int(a.split("=", 1)[1])
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -82,6 +94,9 @@ def main() -> int:
 
     smoke = entry_mod.entry(spark)
     print(f"smoke rows: {smoke.count()}")
+    if hostile is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(hostile))
+        print(f"hostile-conf: spark.sql.shuffle.partitions={hostile}")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
