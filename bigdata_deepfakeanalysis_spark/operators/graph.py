@@ -719,10 +719,10 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs)
     SELECT CAST(n AS BIGINT) AS n_directed_edges,
            CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-               / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
-                           AS DOUBLE)
-                      * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
-                             AS DOUBLE)) AS assortativity
+               / NULLIF(sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+                                  AS DOUBLE)
+                             * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy
+                                    AS DOUBLE)), 0) AS assortativity
     FROM m
     """,
 )
@@ -730,7 +730,18 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the sparsified co-purchase graph: the
     Pearson r of (deg(u), deg(v)) over both orientations of every
     edge. Moments are exact integers/decimals; only the final
-    compact covariance/variance remainders convert to double."""
+    compact covariance/variance remainders convert to double.
+
+    Degenerate graphs (every endpoint the same degree — e.g. the
+    sf0.001 fixture's sparsified top-edge set is a perfect matching)
+    have zero degree variance: r is undefined, both sides return NULL
+    (NULLIF-guarded denominator; by Cauchy-Schwarz over the exact
+    decimal moments the numerator is 0 whenever a variance is 0, so
+    NULL-vs-±inf ambiguity cannot arise). Found by the registry-wide
+    sf0.001 sweep — Spark under ANSI threw DIVIDE_BY_ZERO where the
+    DuckDB oracle produced NaN; non-degenerate SFs are bit-identical
+    (guarded division is plain division when the divisor is
+    nonzero)."""
     e = copurchase_top_edges(spark, sf_dir).select("s1", "s2")
     adj = e.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
         e.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
@@ -761,9 +772,10 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_directed_edges"),
         F.expr(
             "CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
-            " / sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            " / NULLIF(sqrt(CAST(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
             " AS DOUBLE)"
-            " * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE))"
+            " * CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)),"
+            " 0D)"
         ).alias("assortativity"),
     )
 

@@ -34,6 +34,26 @@ def test_rows_only(name, spark):
     assert len(df.schema.fields) > 0
 
 
+def test_assortativity_degenerate_graph_is_null_not_error(spark):
+    """sf0.001's sparsified co-purchase graph has zero degree variance
+    (every endpoint the same degree): Pearson r is undefined there.
+    Registry-wide sf0.001 sweep caught Spark throwing ANSI
+    DIVIDE_BY_ZERO while the DuckDB oracle produced NaN — both sides
+    are now NULLIF-guarded to NULL. Non-degenerate SFs are covered by
+    the ordinary oracle-parity case (guarded division is plain
+    division when the divisor is nonzero)."""
+    from bigdata_deepfakeanalysis_spark.operators.graph import (
+        q_degree_assortativity,
+    )
+
+    from .conftest import SF_SMALL
+
+    rows = q_degree_assortativity(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_directed_edges"] > 0
+    assert rows[0]["assortativity"] is None
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
