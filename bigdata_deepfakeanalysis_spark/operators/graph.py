@@ -373,7 +373,12 @@ _LPA_ROUNDS = 3
 
 
 def _lpa_round_sql(prev: str, out: str) -> str:
-    return f"""{out} AS (
+    # MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    # references edges/nodes/{prev} — without the hint the whole
+    # quadratic cs-self-join chain re-expands per round (the
+    # bpe_oracle_sql lesson; measured as an 80 GB temp-spill
+    # ORACLE-ERR at sf0.1 before the hint landed).
+    return f"""{out} AS MATERIALIZED (
         SELECT n.id,
                COALESCE((
                    SELECT lbl FROM (
@@ -421,23 +426,23 @@ def lpa_labels(edges: DataFrame) -> DataFrame:
 @query(
     "q_lpa_communities",
     f"""
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    w AS (
+    w AS MATERIALIZED (
         SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
         FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
         GROUP BY a.s, b.s),
-    top_e AS (
+    top_e AS MATERIALIZED (
         SELECT s1, s2 FROM (
             SELECT s1, s2,
                    ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
             FROM w) WHERE rk <= {_TRI_EDGES}),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT s1 AS src, s2 AS dst FROM top_e
         UNION ALL SELECT s2, s1 FROM top_e),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    l0 AS (SELECT id, id AS label FROM nodes),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
     {", ".join(_lpa_round_sql(f"l{r}", f"l{r + 1}")
                for r in range(_LPA_ROUNDS))}
     SELECT label AS community,
@@ -1031,23 +1036,23 @@ def q_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_modularity",
     f"""
-    WITH cs AS (
+    WITH cs AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-    w AS (
+    w AS MATERIALIZED (
         SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
         FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
         GROUP BY a.s, b.s),
-    top_e AS (
+    top_e AS MATERIALIZED (
         SELECT s1, s2 FROM (
             SELECT s1, s2,
                    ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS rk
             FROM w) WHERE rk <= {_TRI_EDGES}),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT s1 AS src, s2 AS dst FROM top_e
         UNION ALL SELECT s2, s1 FROM top_e),
-    nodes AS (SELECT DISTINCT src AS id FROM edges),
-    l0 AS (SELECT id, id AS label FROM nodes),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
     {", ".join(_lpa_round_sql(f"l{r}", f"l{r + 1}")
                for r in range(_LPA_ROUNDS))},
     fin AS (SELECT id, label FROM l{_LPA_ROUNDS}),
