@@ -85,17 +85,24 @@ FLAGSHIPS = [
      "deterministic permutation importance (r7): md5-bucketed cyclic "
      "shift, windows partitioned by (dim, bucket) — never corpus-wide"),
     ("q_mutual_nn_alignment",
-     "exact bipartite mutual-NN (r9): salted block-nested-loop — the "
-     "B side tiled by pmod(b, n_tiles), the A side replicated via an "
-     "exploded sequence + EQUI-join on the tile id, per-point argmins "
-     "as min(struct(d2, other)) partial aggregates. The tile join is "
-     "an ordinary equi-join, so AQE sizes it: at sf0.01 it elects a "
-     "broadcast HASH join of the tiny exploded side (visible below); "
-     "at corpus scale the same plan shuffles on the tile id — nothing "
-     "is FORCED broadcast and no CartesianProduct/BNLJ pair "
-     "enumeration exists (the r8 broadcast cross pair-set "
-     "re-expressed; the scalar n_mutual total is the one sanctioned "
-     "1-row BNLJ build)"),
+     "exact bipartite mutual-NN (r9, late-r9 2-D grid form): a g x g "
+     "tile grid (g ~ sqrt(shuffle.partitions)) — A lands in row "
+     "a mod g replicated across columns, B in column b mod g "
+     "replicated across rows, so each (a, b) pair materializes in "
+     "exactly ONE cell and each cell holds |A|/g + |B|/g rows "
+     "(both sides' task memory bounded). Per cell an Arrow cogroup "
+     "kernel (FlatMapCoGroupsInPandas, visible below) computes the "
+     "distance block as one integer-exact float64 matmul and emits "
+     "only per-point argmin partials; one min(struct(d2, other)) "
+     "aggregate over (side, key) composes the global argmins, and "
+     "mutuality is a second narrow aggregate over the normalized "
+     "undirected pair (count = 2 ⟺ both directions chose it) — a "
+     "LINEAR chain with no self-join, so the kernel executes exactly "
+     "once (the join form's pushed side-filters split the aggregate "
+     "exchange and re-ran it per side). No CartesianProduct/BNLJ "
+     "pair enumeration exists (the r8 broadcast cross pair-set "
+     "re-expressed twice over; the scalar n_mutual total is the one "
+     "sanctioned 1-row BNLJ build)"),
 ]
 
 
