@@ -16,7 +16,13 @@ with zero external dependencies. This module implements:
 - ``make_pyavro_datasource()`` — a ``format("pyavro")`` DataSource:
   one InputPartition per file on read (Avro's sync-marker block
   structure also permits per-block splits — noted below), one
-  part-file per Spark partition on write.
+  part-file per Spark partition on write;
+- a vectorized read path (default): ``read()`` yields one
+  ``pyarrow.RecordBatch`` per container block (SPARK-48493), decoded
+  by a flat-offset scan (``_dec_block_columns``) — no per-value
+  BytesIO calls, no per-record pickle round-trip. ``option("arrow",
+  "false")`` keeps the row-iterator path as a fallback; the two are
+  equality-tested and share the hypothesis fuzz.
 
 Scale notes (100 TB): Avro files are block-streams delimited by a
 16-byte sync marker precisely so distributed readers can split ONE
@@ -417,6 +423,183 @@ def plan_splits(blocks, split_bytes: int):
     return parts
 
 
+# Avro primitive -> pyarrow type factory name. Must stay positionally
+# consistent with _AVRO_TO_SPARK: Spark validates each yielded
+# RecordBatch against the plan schema (bigint<->int64 etc.) and fails
+# the task on any drift.
+_AVRO_TO_ARROW = {
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool_",
+    "bytes": "binary",
+}
+
+
+def _dec_block_columns(payload: bytes, count: int, fields):
+    """Decode one block payload into per-column value lists — the
+    Arrow path's hot loop. Same wire semantics as ``_dec_record``
+    (shared golden/fuzz coverage via the arrow-vs-row equality test)
+    but a flat-offset scan over the raw bytes: inlined zigzag
+    varints, ``struct.unpack_from`` for doubles, zero per-value
+    BytesIO method calls. Strictly BOUNDS-CHECKED: truncation raises
+    EOFError and an invalid boolean/negative length raises
+    ValueError, like the row path's ``_read_exact`` discipline (this
+    scan additionally rejects negative string/bytes lengths, which a
+    BytesIO ``read(-1)`` would have silently absorbed)."""
+    end = len(payload)
+    cols = [[] for _ in fields]
+    pos = 0
+    specs = [
+        (cols[i], typ, nullable)
+        for i, (_, typ, nullable) in enumerate(fields)
+    ]
+    unpack_from = struct.unpack_from
+    for _ in range(count):
+        for col, typ, nullable in specs:
+            if nullable:
+                acc = 0
+                shift = 0
+                while True:
+                    if pos >= end:
+                        raise EOFError("varint truncated")
+                    b = payload[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                if (acc >> 1) ^ -(acc & 1) == 0:
+                    col.append(None)
+                    continue
+            if typ == "double":
+                if pos + 8 > end:
+                    raise EOFError(
+                        "avro data truncated: wanted 8 bytes"
+                    )
+                col.append(unpack_from("<d", payload, pos)[0])
+                pos += 8
+            elif typ == "long" or typ == "int":
+                acc = 0
+                shift = 0
+                while True:
+                    if pos >= end:
+                        raise EOFError("varint truncated")
+                    b = payload[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                col.append((acc >> 1) ^ -(acc & 1))
+            elif typ == "string" or typ == "bytes":
+                acc = 0
+                shift = 0
+                while True:
+                    if pos >= end:
+                        raise EOFError("varint truncated")
+                    b = payload[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                n = (acc >> 1) ^ -(acc & 1)
+                if n < 0:
+                    raise ValueError(
+                        f"invalid avro {typ} length {n}"
+                    )
+                if pos + n > end:
+                    raise EOFError(
+                        f"avro data truncated: wanted {n} bytes"
+                    )
+                raw = payload[pos : pos + n]
+                pos += n
+                col.append(
+                    raw.decode("utf-8") if typ == "string" else raw
+                )
+            elif typ == "boolean":
+                if pos >= end:
+                    raise EOFError(
+                        "avro data truncated: wanted 1 byte"
+                    )
+                b = payload[pos]
+                pos += 1
+                if b > 1:
+                    raise ValueError(
+                        f"invalid avro boolean byte {bytes([b])!r}"
+                    )
+                col.append(b == 1)
+            elif typ == "null":
+                col.append(None)
+            else:
+                raise ValueError(f"unsupported avro type {typ!r}")
+    return cols
+
+
+def arrow_blocks(path, offsets=None):
+    """Yield one ``pyarrow.RecordBatch`` per container block — the
+    vectorized read path (SPARK-48493: a Python DataSource ``read``
+    may yield Arrow batches, skipping the per-row pickle round-trip).
+    The per-VALUE varint decode is still Python (the format is
+    variable-length row-major, so there is no columnar shortcut), but
+    rows transfer to the JVM as one Arrow buffer per block instead of
+    one pickled tuple per record. ``offsets=None`` reads the whole
+    file; otherwise exactly the ranged blocks from
+    :func:`block_index` (same contract as :func:`read_blocks`).
+    A block's natural size (``_BLOCK_RECORDS`` on our writer, the
+    producer's choice otherwise) is the batch size."""
+    import pyarrow as pa
+
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not an Avro container file")
+        meta = _dec_meta_map(f)
+        schema = json.loads(meta["avro.schema"].decode())
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec {codec!r}")
+        sync = _read_exact(f, 16)
+        fields = _field_types(schema)
+        names = [n for n, _, _ in fields]
+        types = [getattr(pa, _AVRO_TO_ARROW[t])() for _, t, _ in fields]
+
+        def decode_payload(count, payload):
+            if codec == "deflate":
+                try:
+                    payload = zlib.decompress(payload, wbits=-15)
+                except zlib.error as e:
+                    raise ValueError(f"corrupt deflate block: {e}") from e
+            cols = _dec_block_columns(payload, count, fields)
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(col, type=t)
+                    for col, t in zip(cols, types)
+                ],
+                names,
+            )
+
+        if offsets is None:
+            while True:
+                if not f.read(1):
+                    return
+                f.seek(-1, os.SEEK_CUR)
+                count = zigzag_decode(f)
+                size = zigzag_decode(f)
+                yield decode_payload(count, _read_exact(f, size))
+                if _read_exact(f, 16) != sync:
+                    raise ValueError(
+                        "sync marker mismatch (corrupt block)"
+                    )
+        else:
+            for off in offsets:
+                f.seek(off)
+                count = zigzag_decode(f)
+                size = zigzag_decode(f)
+                yield decode_payload(count, _read_exact(f, size))
+
+
 def spark_ddl_from_avro(schema: dict) -> str:
     """Avro record schema -> Spark DDL string (nullability is a data
     property in Spark, so nullable unions map to the plain type)."""
@@ -469,6 +652,7 @@ def make_pyavro_datasource():
     _read_container = read_container
     _read_header = read_header
     _read_blocks = read_blocks
+    _arrow_blocks = arrow_blocks
     _block_index = block_index
     _plan_splits = plan_splits
     _write_container = write_container
@@ -487,6 +671,13 @@ def make_pyavro_datasource():
         def __init__(self, options, expect_fields):
             self._path = options.get("path")
             self._split_bytes = int(options.get("split_bytes", 0))
+            # Arrow-batch transfer is the default (one buffer per
+            # container block instead of one pickled tuple per
+            # record); option arrow=false keeps the row iterator as
+            # a debugging/fallback path.
+            self._arrow = (
+                options.get("arrow", "true").lower() != "false"
+            )
             # (name, avro type, nullable) the plan-time schema promises
             # — every file must agree, or a heterogeneous directory
             # would silently misalign columns (tuples map to Spark
@@ -525,7 +716,9 @@ def make_pyavro_datasource():
         def read(self, partition):
             path, offsets = partition.value
             self._check(path, _read_header(path))
-            if offsets is None:
+            if self._arrow:
+                yield from _arrow_blocks(path, offsets)
+            elif offsets is None:
                 _, records = _read_container(path)
                 yield from records
             else:

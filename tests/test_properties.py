@@ -957,6 +957,20 @@ def test_avro_lite_roundtrip_fuzz(tmp_path_factory, recs, codec, block):
     _, blocks = al.block_index(p)
     ranged = list(al.read_blocks(p, [o for o, _, _ in blocks]))
     assert ranged == recs
+    # the Arrow-batch decoder (flat-offset hot loop) agrees with the
+    # row decoder value-for-value, whole-file and ranged alike
+    arrow_rows = [
+        tuple(d.values())
+        for b in al.arrow_blocks(p)
+        for d in b.to_pylist()
+    ]
+    assert arrow_rows == recs
+    arrow_ranged = [
+        tuple(d.values())
+        for b in al.arrow_blocks(p, [o for o, _, _ in blocks])
+        for d in b.to_pylist()
+    ]
+    assert arrow_ranged == recs
 
 
 @settings(max_examples=15, deadline=None)

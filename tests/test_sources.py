@@ -240,6 +240,62 @@ def test_pyavro_split_reads_within_one_file(spark, tmp_path):
     assert got == list(range(n))
 
 
+def test_pyavro_arrow_and_row_paths_agree(spark, tmp_path):
+    """The Arrow-batch read path (default) and the row-iterator path
+    (option arrow=false) must produce identical DataFrames — every
+    scalar type, NULLs, both codecs, whole-file AND ranged
+    split-within-one-file partitions."""
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "i", "type": ["null", "int"]},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "f", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+        ],
+    }
+    rows = [
+        (
+            n,
+            None if n % 3 == 0 else n * 2,
+            n / 7.0,
+            None if n % 5 == 0 else f"s{n}",
+            n % 2 == 0,
+            bytes([n % 251, (n * 7) % 251]),
+        )
+        for n in range(500)
+    ]
+    for codec in ("null", "deflate"):
+        d = tmp_path / codec
+        d.mkdir()
+        al.write_container(
+            d / "one.avro", schema, rows, codec=codec, block_records=64
+        )
+        spark.dataSource.register(al.make_pyavro_datasource())
+        for opts in ({}, {"split_bytes": 1500}):
+            rd = spark.read.format("pyavro")
+            for k, v in opts.items():
+                rd = rd.option(k, v)
+            via_arrow = sorted(
+                map(tuple, rd.load(str(d)).collect())
+            )
+            via_rows = sorted(
+                map(
+                    tuple,
+                    rd.option("arrow", "false")
+                    .load(str(d))
+                    .collect(),
+                )
+            )
+            assert via_arrow == via_rows
+            assert via_arrow == sorted(rows)
+
+
 def test_pyavro_class_ships_by_value(tmp_path):
     """The DataSource must unpickle on a worker that CANNOT import
     this package (the grader may launch the driver from any cwd). The
@@ -267,11 +323,18 @@ import sys
 sys.path = [p for p in sys.path if "repo" not in p]
 from pyspark.serializers import CloudPickleSerializer
 cls = CloudPickleSerializer().loads(open({str(blob)!r}, "rb").read())
-ds = cls(options={{"path": {str(avro)!r}}})
+ds = cls(options={{"path": {str(avro)!r}, "arrow": "false"}})
 assert ds.schema() == "k bigint", ds.schema()
 r = ds.reader(None)
 rows = [row for p in r.partitions() for row in r.read(p)]
 assert rows == [(7,), (8,)], rows
+ds2 = cls(options={{"path": {str(avro)!r}}})
+r2 = ds2.reader(None)
+rows2 = [tuple(d.values())
+         for p in r2.partitions()
+         for b in r2.read(p)
+         for d in b.to_pylist()]
+assert rows2 == [(7,), (8,)], rows2
 print("BY_VALUE_OK")
 """
     out = subprocess.run(
