@@ -643,6 +643,7 @@ def make_pyavro_datasource():
     _cp.register_pickle_by_value(sys.modules[__name__])
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
         DataSourceWriter,
         InputPartition,
@@ -809,6 +810,34 @@ def make_pyavro_datasource():
                 if m is not None and _os.path.exists(m.tmp):
                     _os.remove(m.tmp)
 
+    class _PyAvroArrowWriter(DataSourceArrowWriter, _PyAvroWriter):
+        """Arrow-transfer twin of ``_PyAvroWriter`` (the default):
+        tasks receive ``pyarrow.RecordBatch`` objects instead of
+        pickled Rows — the JVM->Python boundary is one Arrow buffer
+        per batch. Encoding, staging, commit, and abort are all
+        inherited; only the iterator adapter differs."""
+
+        def write(self, iterator):
+            import os as _os
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            _os.makedirs(self._path, exist_ok=True)
+            tmp = _os.path.join(
+                self._path,
+                f".tmp-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.avro",
+            )
+            avro_schema = _from_spark(self._schema)
+
+            def rows():
+                for batch in iterator:
+                    yield from zip(
+                        *[c.to_pylist() for c in batch.columns]
+                    )
+
+            _write_container(tmp, avro_schema, rows())
+            return _PyAvroCommit(tmp)
+
     class PyAvroDataSource(DataSource):
         """``format("pyavro")`` — Avro container files, pure Python."""
 
@@ -833,8 +862,12 @@ def make_pyavro_datasource():
             )
 
         def writer(self, schema, overwrite):
-            # destructive work is deferred to _PyAvroWriter.commit()
-            # (after every task succeeded); here we only validate
+            # destructive work is deferred to the writer's commit()
+            # (after every task succeeded); here we only validate.
+            # Arrow transfer is the default; option arrow=false keeps
+            # the pickled-Row path (symmetric with the reader knob).
+            if self.options.get("arrow", "true").lower() != "false":
+                return _PyAvroArrowWriter(self.options, schema, overwrite)
             return _PyAvroWriter(self.options, schema, overwrite)
 
     return PyAvroDataSource

@@ -195,6 +195,19 @@ def test_pyavro_spark_roundtrip(spark, tmp_path):
     df.coalesce(1).write.format("pyavro").mode("overwrite").save(out)
     assert len([f for f in os.listdir(out) if f.endswith(".avro")]) == 1
     assert spark.read.format("pyavro").load(out).count() == df.count()
+    # the row-transfer writer (option arrow=false) must produce the
+    # same readback as the default Arrow-batch writer
+    out2 = str(tmp_path / "pyavro_rowwriter")
+    (
+        df.coalesce(1)
+        .write.format("pyavro")
+        .option("arrow", "false")
+        .mode("overwrite")
+        .save(out2)
+    )
+    assert sorted(
+        map(tuple, spark.read.format("pyavro").load(out2).collect())
+    ) == sorted(map(tuple, df.collect()))
 
 
 def test_pyavro_split_reads_within_one_file(spark, tmp_path):
