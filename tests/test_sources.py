@@ -156,6 +156,56 @@ def test_avro_lite_block_streaming(tmp_path):
     assert got == list(range(n))
 
 
+def test_avro_arrow_decoder_rejects_corruption():
+    """The flat-offset block decoder must fail CLEANLY on corrupt
+    payloads — truncation raises EOFError, an invalid boolean byte or
+    a negative length raises ValueError — never decode wrong values
+    (the row path's _read_exact discipline, re-proven for the Arrow
+    hot loop)."""
+    import pytest as _pytest
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    fields = [("k", "long", False), ("s", "string", False),
+              ("f", "boolean", False)]
+    good = (
+        al.zigzag_encode(7)
+        + al.zigzag_encode(2) + b"hi"
+        + b"\x01"
+    )
+    assert al._dec_block_columns(good, 1, fields) == [[7], ["hi"], [True]]
+    # truncated varint (continuation bit set at end of payload)
+    with _pytest.raises(EOFError):
+        al._dec_block_columns(b"\x80", 1, fields)
+    # truncated string body
+    with _pytest.raises(EOFError):
+        al._dec_block_columns(
+            al.zigzag_encode(7) + al.zigzag_encode(5) + b"hi", 1, fields
+        )
+    # negative string length (zigzag of -3)
+    with _pytest.raises(ValueError):
+        al._dec_block_columns(
+            al.zigzag_encode(7) + al.zigzag_encode(-3) + b"xxx", 1, fields
+        )
+    # invalid boolean byte
+    with _pytest.raises(ValueError):
+        al._dec_block_columns(
+            al.zigzag_encode(7)
+            + al.zigzag_encode(2) + b"hi"
+            + b"\x02",
+            1,
+            fields,
+        )
+    # truncated double
+    with _pytest.raises(EOFError):
+        al._dec_block_columns(
+            b"\x00\x00\x00", 1, [("d", "double", False)]
+        )
+    # missing second record
+    with _pytest.raises(EOFError):
+        al._dec_block_columns(good, 2, fields)
+
+
 def test_pyavro_spark_roundtrip(spark, tmp_path):
     """format("pyavro") write -> read round-trip over the supplier
     dim: schema (incl. int vs long), values, and NULLs survive; an
