@@ -22,7 +22,20 @@ with zero external dependencies. This module implements:
   by a flat-offset scan (``_dec_block_columns``) — no per-value
   BytesIO calls, no per-record pickle round-trip. ``option("arrow",
   "false")`` keeps the row-iterator path as a fallback; the two are
-  equality-tested and share the hypothesis fuzz.
+  equality-tested and share the hypothesis fuzz;
+- filter pushdown (Spark 4.1 ``pushFilters``): comparison/IN/null/
+  string-prefix filters are compiled to picklable specs and rows are
+  dropped during block decode, BEFORE the worker->JVM transfer.
+  Deliberately CONSERVATIVE: every filter is also returned to Spark
+  for post-scan re-evaluation, so a semantics bug in the pre-filter
+  can only under-drop, never silently lose rows (over-dropping is
+  caught by the pushdown-on/off differential test). The method is
+  attached only when ``spark.sql.python.filterPushdown.enabled`` is
+  on at registration (Spark hard-fails readers that implement it
+  under a disabled conf); ``session.tune()`` enables the conf.
+  Locally the gain is small (the decode is the floor — every row
+  must be decoded to be tested); the saved cost is transfer and
+  downstream Spark work on selective scans.
 
 Scale notes (100 TB): Avro files are block-streams delimited by a
 16-byte sync marker precisely so distributed readers can split ONE
@@ -538,7 +551,116 @@ def _dec_block_columns(payload: bytes, count: int, fields):
     return cols
 
 
-def arrow_blocks(path, offsets=None):
+def _compile_filter(f, names):
+    """Driver-side: one Spark ``Filter`` -> a plain picklable spec
+    tuple (op, col_index[, literal]) or None when unsupported. Only
+    flat single-part column references over this codec's scalar
+    surface are compilable; anything else stays Spark-side."""
+    from pyspark.sql.datasource import (
+        EqualNullSafe,
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        LessThan,
+        LessThanOrEqual,
+        Not,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    if isinstance(f, Not):
+        c = _compile_filter(f.child, names)
+        return ("not", c) if c is not None else None
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1 or attr[0] not in names:
+        return None
+    i = names.index(attr[0])
+    if isinstance(f, EqualTo):
+        return ("eq", i, f.value)
+    if isinstance(f, EqualNullSafe):
+        return ("eqns", i, f.value)
+    if isinstance(f, GreaterThan):
+        return ("gt", i, f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return ("gte", i, f.value)
+    if isinstance(f, LessThan):
+        return ("lt", i, f.value)
+    if isinstance(f, LessThanOrEqual):
+        return ("lte", i, f.value)
+    if isinstance(f, In):
+        return ("in", i, tuple(f.value))
+    if isinstance(f, IsNull):
+        return ("isnull", i)
+    if isinstance(f, IsNotNull):
+        return ("isnotnull", i)
+    if isinstance(f, StringStartsWith):
+        return ("startswith", i, f.value)
+    if isinstance(f, StringEndsWith):
+        return ("endswith", i, f.value)
+    if isinstance(f, StringContains):
+        return ("contains", i, f.value)
+    return None
+
+
+def _eval_filter(spec, row):
+    """SQL tri-state evaluation of one compiled filter against a
+    decoded row: True / False / None (unknown — a comparison with
+    NULL). A row survives only on True."""
+    op = spec[0]
+    if op == "not":
+        v = _eval_filter(spec[1], row)
+        return None if v is None else (not v)
+    x = row[spec[1]]
+    if op == "isnull":
+        return x is None
+    if op == "isnotnull":
+        return x is not None
+    val = spec[2]
+    if op == "eqns":
+        if x is None or val is None:
+            return x is None and val is None
+        return x == val
+    if op == "in":
+        non_null = [v for v in val if v is not None]
+        if x is None:
+            return None
+        if x in non_null:
+            return True
+        return None if len(non_null) != len(val) else False
+    if x is None or val is None:
+        return None
+    if op == "eq":
+        return x == val
+    if op == "gt":
+        return x > val
+    if op == "gte":
+        return x >= val
+    if op == "lt":
+        return x < val
+    if op == "lte":
+        return x <= val
+    if op == "startswith":
+        return x.startswith(val)
+    if op == "endswith":
+        return x.endswith(val)
+    if op == "contains":
+        return val in x
+    raise ValueError(f"unknown filter op {op!r}")
+
+
+def _row_passes(specs, row):
+    """AND of compiled filters — True only if every filter is True."""
+    for s in specs:
+        if _eval_filter(s, row) is not True:
+            return False
+    return True
+
+
+def arrow_blocks(path, offsets=None, compiled_filters=None):
     """Yield one ``pyarrow.RecordBatch`` per container block — the
     vectorized read path (SPARK-48493: a Python DataSource ``read``
     may yield Arrow batches, skipping the per-row pickle round-trip).
@@ -572,6 +694,17 @@ def arrow_blocks(path, offsets=None):
                 except zlib.error as e:
                     raise ValueError(f"corrupt deflate block: {e}") from e
             cols = _dec_block_columns(payload, count, fields)
+            if compiled_filters:
+                keep = [
+                    _row_passes(compiled_filters, row)
+                    for row in zip(*cols)
+                ]
+                if not any(keep):
+                    return None  # whole block filtered — skip batch
+                cols = [
+                    [v for v, k in zip(col, keep) if k]
+                    for col in cols
+                ]
             return pa.RecordBatch.from_arrays(
                 [
                     pa.array(col, type=t)
@@ -587,7 +720,9 @@ def arrow_blocks(path, offsets=None):
                 f.seek(-1, os.SEEK_CUR)
                 count = zigzag_decode(f)
                 size = zigzag_decode(f)
-                yield decode_payload(count, _read_exact(f, size))
+                batch = decode_payload(count, _read_exact(f, size))
+                if batch is not None:
+                    yield batch
                 if _read_exact(f, 16) != sync:
                     raise ValueError(
                         "sync marker mismatch (corrupt block)"
@@ -597,7 +732,9 @@ def arrow_blocks(path, offsets=None):
                 f.seek(off)
                 count = zigzag_decode(f)
                 size = zigzag_decode(f)
-                yield decode_payload(count, _read_exact(f, size))
+                batch = decode_payload(count, _read_exact(f, size))
+                if batch is not None:
+                    yield batch
 
 
 def spark_ddl_from_avro(schema: dict) -> str:
@@ -656,6 +793,8 @@ def make_pyavro_datasource():
     _arrow_blocks = arrow_blocks
     _block_index = block_index
     _plan_splits = plan_splits
+    _compile = _compile_filter
+    _passes = _row_passes
     _write_container = write_container
     _ddl = spark_ddl_from_avro
     _from_spark = avro_schema_from_spark
@@ -679,11 +818,15 @@ def make_pyavro_datasource():
             self._arrow = (
                 options.get("arrow", "true").lower() != "false"
             )
+            self._pushdown = (
+                options.get("pushdown", "true").lower() != "false"
+            )
             # (name, avro type, nullable) the plan-time schema promises
             # — every file must agree, or a heterogeneous directory
             # would silently misalign columns (tuples map to Spark
             # columns POSITIONALLY)
             self._expect = expect_fields
+            self._filters = []
 
         def _check(self, path, schema):
             got = _field_types(schema)
@@ -717,13 +860,59 @@ def make_pyavro_datasource():
         def read(self, partition):
             path, offsets = partition.value
             self._check(path, _read_header(path))
+            specs = self._filters
             if self._arrow:
-                yield from _arrow_blocks(path, offsets)
-            elif offsets is None:
-                _, records = _read_container(path)
-                yield from records
+                yield from _arrow_blocks(path, offsets, specs)
             else:
-                yield from _read_blocks(path, offsets)
+                if offsets is None:
+                    _, rows = _read_container(path)
+                else:
+                    rows = _read_blocks(path, offsets)
+                if specs:
+                    rows = (r for r in rows if _passes(specs, r))
+                yield from rows
+
+    def _push_filters(self, filters):
+        # CONSERVATIVE pushdown: compile what we understand and
+        # pre-filter rows during block decode (rows drop BEFORE the
+        # worker->JVM transfer), but return EVERY filter so Spark
+        # re-evaluates post-scan — zero correctness risk if a spec's
+        # semantics ever drift from Catalyst's (SQL tri-state NULL
+        # handling is easy to get subtly wrong, and a wrongly-ACCEPTED
+        # filter silently loses rows). option pushdown=false disables
+        # even the pre-filter.
+        if self._pushdown:
+            names = [n for n, _, _ in self._expect]
+            self._filters = [
+                c
+                for c in (_compile(f, names) for f in filters)
+                if c is not None
+            ]
+        return filters
+
+    # A reader that IMPLEMENTS pushFilters makes Spark FAIL every read
+    # under spark.sql.python.filterPushdown.enabled=false (rather than
+    # fall back) — so the method is attached only when the conf is on
+    # at registration time (session.tune() enables it; a bare session
+    # simply gets no pushdown). Flipping the conf OFF after
+    # registering re-raises Spark's guard on the next read —
+    # re-register to rebuild the reader for the new conf.
+    try:
+        from pyspark.sql import SparkSession as _SS
+
+        _sess = _SS.getActiveSession()
+        if (
+            _sess is not None
+            and str(
+                _sess.conf.get(
+                    "spark.sql.python.filterPushdown.enabled", "false"
+                )
+            ).lower()
+            == "true"
+        ):
+            _PyAvroReader.pushFilters = _push_filters
+    except Exception:
+        pass  # no active session — keep the no-pushdown reader
 
     class _PyAvroCommit(WriterCommitMessage):
         def __init__(self, tmp):

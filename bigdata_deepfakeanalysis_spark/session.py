@@ -36,6 +36,12 @@ _RUNTIME_CONF = {
     # maxFields=100 and silently fall back to interpreted evaluation —
     # measured 2.2× on the SimHash fingerprint stage at sf0.1.
     "spark.sql.codegen.maxFields": "1000",
+    # Let Python DataSources receive pushed filters (the pyavro
+    # reader pre-filters rows before the worker->JVM transfer).
+    # Runtime-settable; avro_lite additionally builds a reader
+    # WITHOUT pushFilters when this is off, because Spark fails any
+    # read whose reader implements the method under a disabled conf.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 _STARTUP_CONF = {

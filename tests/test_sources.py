@@ -359,6 +359,108 @@ def test_pyavro_arrow_and_row_paths_agree(spark, tmp_path):
             assert via_arrow == sorted(rows)
 
 
+def test_avro_filter_specs_tristate_semantics():
+    """The compiled pushdown specs must reproduce SQL tri-state
+    semantics exactly: comparisons with NULL are unknown (row
+    dropped), NOT(unknown) stays unknown, IN with a NULL element is
+    unknown unless a non-null element matches, and null-safe
+    equality is two-valued."""
+    from bigdata_deepfakeanalysis_spark.operators.avro_lite import (
+        _eval_filter,
+        _row_passes,
+    )
+
+    row = (5, None, "abc")
+    assert _eval_filter(("eq", 0, 5), row) is True
+    assert _eval_filter(("eq", 0, 6), row) is False
+    assert _eval_filter(("eq", 1, 6), row) is None
+    assert _eval_filter(("not", ("eq", 1, 6)), row) is None
+    assert _eval_filter(("not", ("eq", 0, 6)), row) is True
+    assert _eval_filter(("isnull", 1), row) is True
+    assert _eval_filter(("isnotnull", 1), row) is False
+    assert _eval_filter(("eqns", 1, None), row) is True
+    assert _eval_filter(("eqns", 0, None), row) is False
+    assert _eval_filter(("in", 0, (4, 5)), row) is True
+    assert _eval_filter(("in", 0, (4, None)), row) is None
+    assert _eval_filter(("in", 0, (4, 6)), row) is False
+    assert _eval_filter(("in", 1, (4, 5)), row) is None
+    assert _eval_filter(("gt", 0, 4), row) is True
+    assert _eval_filter(("lte", 0, 4), row) is False
+    assert _eval_filter(("startswith", 2, "ab"), row) is True
+    assert _eval_filter(("contains", 2, "bc"), row) is True
+    assert _eval_filter(("endswith", 2, "ab"), row) is False
+    # AND: any non-True kills the row
+    assert _row_passes([("eq", 0, 5), ("isnull", 1)], row)
+    assert not _row_passes([("eq", 0, 5), ("eq", 1, 1)], row)
+
+
+def test_pyavro_filter_pushdown_differential(spark, tmp_path):
+    """Pre-filtering during block decode must be invisible to query
+    results: every (arrow x pushdown) combination returns the same
+    rows as the unfiltered read filtered by Spark alone. Catching
+    OVER-dropping requires the pushdown=false arm — Spark's own
+    post-scan re-evaluation only protects against under-dropping."""
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["null", "long"]},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    rows = [
+        (
+            n,
+            None if n % 4 == 0 else n * 3,
+            None if n % 7 == 0 else f"x{n % 5}",
+        )
+        for n in range(400)
+    ]
+    al.write_container(
+        tmp_path / "t.avro", schema, rows, block_records=32
+    )
+    # the conftest session is tuned, so the factory must attach a
+    # REAL pushFilters override (the base class has a default no-op
+    # — hasattr alone proves nothing)
+    from pyspark.sql.datasource import DataSourceReader
+
+    cls = al.make_pyavro_datasource()
+    rd = cls(options={"path": str(tmp_path)}).reader(None)
+    assert type(rd).pushFilters is not DataSourceReader.pushFilters
+    spark.dataSource.register(cls)
+
+    preds = [
+        "k > 100 AND v <= 600",
+        "v IS NULL",
+        "v IS NOT NULL AND s = 'x2'",
+        "NOT (v = 9)",
+        "k IN (1, 2, 3, 399)",
+        "s LIKE 'x1%'",
+    ]
+    for pred in preds:
+        expect = None
+        for arrow in ("true", "false"):
+            for pushdown in ("true", "false"):
+                got = sorted(
+                    map(
+                        tuple,
+                        spark.read.format("pyavro")
+                        .option("arrow", arrow)
+                        .option("pushdown", pushdown)
+                        .load(str(tmp_path))
+                        .where(pred)
+                        .collect(),
+                    )
+                )
+                if expect is None:
+                    expect = got
+                assert got == expect, (pred, arrow, pushdown)
+        assert len(expect) > 0, pred  # fixture exercises the predicate
+
+
 def test_pyavro_class_ships_by_value(tmp_path):
     """The DataSource must unpickle on a worker that CANNOT import
     this package (the grader may launch the driver from any cwd). The
