@@ -52,6 +52,12 @@ def pagerank_fixed(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
         F.col("src").cast("long"), F.col("dst").cast("long")
     ).localCheckpoint(eager=False)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg is loop-invariant: attach it to the edge list ONCE (and
+    # pin the result) instead of re-joining it inside every superstep
+    # — drops one shuffle join per iteration. The weighted edge list
+    # is exactly what a cluster deployment would materialize as the
+    # partitioned edge table.
+    edges_w = edges.join(outdeg, "src").localCheckpoint(eager=False)
     nodes = (
         edges.select("src")
         .unionByName(edges.select(F.col("dst").alias("src")))
@@ -62,8 +68,7 @@ def pagerank_fixed(edges: DataFrame, iters: int = _ITERS) -> DataFrame:
     ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("long"))
     for _ in range(iters):
         contribs = (
-            edges.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("id", "src"), "src")
+            edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.expr("rank DIV outdeg").alias("c"),
