@@ -930,26 +930,45 @@ def make_pyavro_datasource():
             self._path = options.get("path")
             self._schema = schema
             self._overwrite = overwrite
+            # write-shape knobs: block compression (spec-mandated
+            # codecs only) and records-per-block (the split/batch
+            # granularity readers see)
+            self._codec = options.get("codec", "null")
+            if self._codec not in ("null", "deflate"):
+                raise ValueError(
+                    f"pyavro: unsupported codec {self._codec!r} "
+                    "(spec-required codecs: null, deflate)"
+                )
+            self._block_records = int(
+                options.get("block_records", _BLOCK_RECORDS)
+            )
+            if self._block_records < 1:
+                raise ValueError("pyavro: block_records must be >= 1")
             # fail at PLAN time (before any IO) on unsupported column
             # types — never after old data has been touched
             _from_spark(schema)
 
-        def write(self, iterator):
+        def _tmp_path(self):
             import os as _os
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
             _os.makedirs(self._path, exist_ok=True)
-            tmp = _os.path.join(
+            return _os.path.join(
                 self._path,
                 f".tmp-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.avro",
             )
+
+        def write(self, iterator):
+            tmp = self._tmp_path()
             avro_schema = _from_spark(self._schema)
             fields = [f.name for f in self._schema.fields]
             _write_container(
                 tmp,
                 avro_schema,
                 (tuple(row[c] for c in fields) for row in iterator),
+                codec=self._codec,
+                block_records=self._block_records,
             )
             return _PyAvroCommit(tmp)
 
@@ -1007,15 +1026,7 @@ def make_pyavro_datasource():
         inherited; only the iterator adapter differs."""
 
         def write(self, iterator):
-            import os as _os
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            _os.makedirs(self._path, exist_ok=True)
-            tmp = _os.path.join(
-                self._path,
-                f".tmp-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.avro",
-            )
+            tmp = self._tmp_path()
             avro_schema = _from_spark(self._schema)
 
             def rows():
@@ -1024,7 +1035,13 @@ def make_pyavro_datasource():
                         *[c.to_pylist() for c in batch.columns]
                     )
 
-            _write_container(tmp, avro_schema, rows())
+            _write_container(
+                tmp,
+                avro_schema,
+                rows(),
+                codec=self._codec,
+                block_records=self._block_records,
+            )
             return _PyAvroCommit(tmp)
 
     class PyAvroDataSource(DataSource):

@@ -359,6 +359,55 @@ def test_pyavro_arrow_and_row_paths_agree(spark, tmp_path):
             assert via_arrow == sorted(rows)
 
 
+def test_pyavro_writer_codec_and_block_options(spark, tmp_path):
+    """Writer knobs: option codec=deflate must produce genuinely
+    compressed container files that read back identically, and
+    option block_records must control the block granularity the
+    reader's block index (and hence split reads) sees. An unknown
+    codec fails at PLAN time."""
+    import os
+
+    import pytest as _pytest
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    spark.dataSource.register(al.make_pyavro_datasource())
+    df = spark.range(2000).selectExpr(
+        "id AS k", "repeat('pad', 40) AS s"
+    )
+    plain, packed = str(tmp_path / "plain"), str(tmp_path / "deflate")
+    df.coalesce(1).write.format("pyavro").mode("overwrite").save(plain)
+    (
+        df.coalesce(1)
+        .write.format("pyavro")
+        .option("codec", "deflate")
+        .option("block_records", 100)
+        .mode("overwrite")
+        .save(packed)
+    )
+
+    def one_file(d):
+        [f] = [x for x in os.listdir(d) if x.endswith(".avro")]
+        return os.path.join(d, f)
+
+    assert os.path.getsize(one_file(packed)) < os.path.getsize(
+        one_file(plain)
+    ) / 3
+    _, blocks = al.block_index(one_file(packed))
+    assert len(blocks) == 20  # 2000 rows / 100 per block
+    for src in (plain, packed):
+        assert sorted(
+            map(tuple, spark.read.format("pyavro").load(src).collect())
+        ) == sorted(map(tuple, df.collect()))
+    with _pytest.raises(Exception, match="unsupported codec"):
+        (
+            df.write.format("pyavro")
+            .option("codec", "snappy")
+            .mode("overwrite")
+            .save(str(tmp_path / "nope"))
+        )
+
+
 def test_avro_filter_specs_tristate_semantics():
     """The compiled pushdown specs must reproduce SQL tri-state
     semantics exactly: comparisons with NULL are unknown (row
