@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from bigdata_deepfakeanalysis_spark.registry import all_queries
 
 from .conftest import SF_DIR
@@ -254,6 +256,40 @@ def test_permutation_importance_is_a_bijection(spark):
     assert (
         df["importance"] == df["w"] * (df["base_contrib"] - df["perm_contrib"])
     ).all()
+
+
+def test_xgb_estimator_path_or_gate(spark):
+    """SURVEY M7's primary path (xgboost.spark.SparkXGBClassifier,
+    reference params verbatim) either RUNS — when the optional extra
+    is installed, a 2-fold CV over a capped fixture must return
+    in-range accuracies under the same fold scheme as the fallback —
+    or fails eagerly on the driver with a clear gate message (the
+    torch_extras pattern). Unknown estimator names fail loudly either
+    way."""
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark import ml
+
+    from .conftest import SF_DIR
+
+    emb = (
+        ml.table(spark, SF_DIR, "embeddings")
+        .where((F.col("vec_id") < 60) & (F.col("label") < 2))
+    )
+    if ml.HAS_XGBOOST:
+        folds = ml.cv_separability(
+            emb, "xgb", n_folds=2, n_partitions=1
+        ).collect()
+        assert [r.fold for r in folds] == [0, 1]
+        assert all(0.0 <= r.accuracy <= 1.0 for r in folds)
+        assert all(r.estimator == "xgb" for r in folds)
+    else:
+        with pytest.raises(
+            NotImplementedError, match="xgboost optional extra"
+        ):
+            ml.cv_separability(emb, "xgb", n_folds=2, n_partitions=1)
+    with pytest.raises(ValueError, match="unknown estimator"):
+        ml.cv_separability(emb, "catboost", n_folds=2, n_partitions=1)
 
 
 def test_mutual_nn_tile_count_invariance(spark):
