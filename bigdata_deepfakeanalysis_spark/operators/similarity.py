@@ -1304,11 +1304,28 @@ def q_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label hold-out accuracy of a 5-NN majority-vote classifier
-    (test = vec_id % 10 == 0). One corpus scan scores the broadcast
-    test set with codegen integer dots; WindowGroupLimit bounds the
-    per-query neighbor traffic; the vote and the eval are exact
-    count algebra."""
+    (test = vec_id % 10 == 0). The test side is a 10% HOLD-OUT — a
+    corpus-scaling fraction, NOT the module's broadcast-the-queries
+    shape (that design assumes a small fixed query set) — so the pair
+    enumeration rides the same 2-D tile grid as
+    ``q_mutual_nn_alignment``: candidates land in grid row
+    ``cand_id mod g`` (replicated across columns), queries in column
+    ``query_id mod g`` (replicated across rows), every (cand, query)
+    pair materializes in exactly one cell of an ordinary equi-join,
+    and per-task memory is |C|/g + |Q|/g — no corpus-scaling
+    broadcast (late-r9 fix; the r8-era form broadcast the whole
+    hold-out, the same flaw class as mutual-NN's old demo form).
+    Scoring stays pure codegen integer dots, and the top-5 window
+    still gets its map-side partial (WindowGroupLimit Partial below
+    the exchange), so only ~5 rows per query per task shuffle; the
+    vote and the eval are exact count algebra."""
+    import math
+
     emb = table(spark, sf_dir, "embeddings")
+    parts = max(
+        16, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    g = max(4, math.isqrt(parts))
     c = (
         emb.where(F.col("vec_id") % 10 != 0)
         .select(
@@ -1317,6 +1334,10 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize("embedding").alias("cq"),
         )
         .withColumn("nc", dot_fixed("cq", "cq"))
+        .withColumn(
+            "tc", F.pmod(F.col("cand_id"), F.lit(g)).cast("int")
+        )
+        .withColumn("tq", F.explode(F.expr(f"sequence(0, {g - 1})")))
     )
     q = (
         emb.where(F.col("vec_id") % 10 == 0)
@@ -1326,9 +1347,13 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize("embedding").alias("qq"),
         )
         .withColumn("nq", dot_fixed("qq", "qq"))
+        .withColumn(
+            "tq", F.pmod(F.col("query_id"), F.lit(g)).cast("int")
+        )
+        .withColumn("tc", F.explode(F.expr(f"sequence(0, {g - 1})")))
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.join(q, ["tc", "tq"])
         .withColumn("dot", dot_fixed("qq", "cq"))
         .select(
             "query_id",

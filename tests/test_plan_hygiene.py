@@ -216,7 +216,10 @@ BNLJ_BUILD_BOUNDED: dict[str, str] = {
     # vec_id < 10 query projection, constant-size at any corpus
     "q_ann_cosine_topk": "10-query set",
     "q_ann_fast_consistency": "10-query set",
-    "q_knn_classifier": "10-query set",
+    # q_knn_classifier: REMOVED late-r9 — its "10-query set" label was
+    # wrong (the build was the vec_id % 10 == 0 hold-out, a
+    # corpus-scaling 10% fraction); re-expressed on the 2-D tile-grid
+    # equi-join, so it no longer carries a BNLJ at all
     # group-key aggregates over small fixed domains
     "q_js_divergence_sources": "distinct source domain",
     "q_pair_selection": "distinct group domain (capped M10 fixture)",
