@@ -84,6 +84,15 @@ FLAGSHIPS = [
     ("q_permutation_importance",
      "deterministic permutation importance (r7): md5-bucketed cyclic "
      "shift, windows partitioned by (dim, bucket) — never corpus-wide"),
+    ("q_knn_classifier",
+     "5-NN hold-out classifier (late-r9 re-expression): the 10% test "
+     "side is NO LONGER broadcast (a corpus-scaling fraction was "
+     "mislabeled '10-query set' in the BNLJ allowlist) — pairs "
+     "enumerate on the mutual-NN 2-D tile grid via an ordinary "
+     "equi-join, scoring stays codegen fixed-point cosine, and the "
+     "top-5 window keeps its map-side WindowGroupLimit Partial, so "
+     "only ~5 rows per query per task reach the shuffle; zero "
+     "BroadcastNestedLoopJoin in the plan"),
     ("q_mutual_nn_alignment",
      "exact bipartite mutual-NN (r9, late-r9 2-D grid form): a g x g "
      "tile grid (g ~ sqrt(shuffle.partitions)) — A lands in row "
