@@ -488,6 +488,8 @@ def test_pyavro_filter_pushdown_differential(spark, tmp_path):
         "NOT (v = 9)",
         "k IN (1, 2, 3, 399)",
         "s LIKE 'x1%'",
+        "s LIKE '%2'",
+        "s LIKE '%x%'",
     ]
     for pred in preds:
         expect = None
