@@ -873,7 +873,7 @@ def q7_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .where(F.col("supp_nation") < F.col("cust_nation"))
         .groupBy(
@@ -917,7 +917,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     promo = "CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END"
     joined = lineitem.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     return joined.agg(
         dmul2_sum(promo, "1 - l_discount", "promo_revenue"),
@@ -963,7 +963,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     return (
         lineitem.join(
-            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+            part, F.col("l_partkey") == F.col("p_partkey")
         )
         .where(F.expr(_Q19_COND))
         .agg(
@@ -1227,7 +1227,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part.where(F.col("p_brand") == "Brand#4")),
+            part.where(F.col("p_brand") == "Brand#4"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
@@ -1322,8 +1322,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer's nation restricts the region; supplier's nation feeds
     the CASE numerator). Sums stay DECIMAL until the final division of
     two identical-on-both-engines doubles, so the ratio is bit-stable.
-    At scale: part/supplier/nation/region broadcast; lineitem⋈orders
-    is the only big shuffle and AQE handles its skew."""
+    At scale: nation/region carry the explicit broadcast hint (25/5
+    rows at ANY SF — structurally constant); part/supplier broadcast
+    via the autoBroadcastJoinThreshold while they fit and gracefully
+    fall back to shuffle joins at extreme SF (late-r9: the forced
+    hints on SF-scaling dimensions were removed — a forced broadcast
+    cannot adapt and OOMs at 100×); lineitem⋈orders is the only
+    always-big shuffle and AQE handles its skew."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     supp = table(spark, sf_dir, "supplier")
@@ -1342,8 +1347,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     vol = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
@@ -1410,8 +1415,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     nation = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(
             F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
@@ -1606,7 +1611,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
             F.broadcast(bad_supp),
             F.col("l_suppkey") == F.col("s_suppkey"),
@@ -1675,7 +1680,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # European (part, supplier) costs only — supplier/nation/region all
     # broadcast; no extra fact shuffle.
     euro_cost = (
-        cost.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        cost.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
@@ -1688,7 +1693,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("fp_key"))
             & (F.col("supply_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "s_suppkey",
             "supply_cost",
@@ -1737,7 +1742,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     val = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(
@@ -1836,7 +1841,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty_dec").cast("double")
             > F.lit(0.5) * F.col("tot_dec").cast("double")
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal")
@@ -1912,7 +1917,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -2136,7 +2141,7 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey")
     bad_ref = (
         corrupted.join(
-            F.broadcast(cust), corrupted.o_custkey == cust.c_custkey, "left_anti"
+            cust, corrupted.o_custkey == cust.c_custkey, "left_anti"
         )
         .agg(F.count(F.lit(1)).alias("bad_ref"))
     )
