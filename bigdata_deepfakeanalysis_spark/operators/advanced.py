@@ -468,16 +468,19 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     product-analytics rollup over the event stream.
 
     100 TB design: the first-seen table is ONE user-level aggregate
-    (broadcastable — users ≪ events), activity dedup is per
-    (user, week) BEFORE the cohort rollup so the wide table never
-    carries event-grain rows past the first shuffle, and cohort sizes
-    broadcast back onto the matrix."""
+    (users ≪ events, so the size THRESHOLD elects a broadcast while
+    it fits and a shuffle join when the user base outgrows it —
+    late-r9: the forced hint was removed, since user counts scale
+    with the corpus), activity dedup is per (user, week) BEFORE the
+    cohort rollup so the wide table never carries event-grain rows
+    past the first shuffle, and the cohort-week-keyed sizes (a
+    time-bounded domain) keep their broadcast hint."""
     ev = table(spark, sf_dir, "events")
     week = (F.unix_micros("ts") / (7 * 86400000000)).cast("long")
     firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = (
         ev.select("user_id", week.alias("week"))
-        .join(F.broadcast(firsts), "user_id")
+        .join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -555,14 +558,14 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .where(F.col("us") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t2"))
     )
     s3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .where(F.col("us") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("us").alias("t3"))
@@ -690,7 +693,7 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk", "seq")
     )
     kept = docs.join(
-        F.broadcast(latest.select("key")),
+        latest.select("key"),
         docs.doc_id == F.col("key"),
         "left_anti",
     ).select(
@@ -852,7 +855,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("snapshot", "file_id")
     return (
-        data.join(F.broadcast(visible), "file_id")
+        data.join(visible, "file_id")
         .groupBy("snapshot")
         .agg(
             F.countDistinct("file_id").alias("n_files"),
@@ -951,7 +954,7 @@ def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         facts.join(
-            F.broadcast(dim),
+            dim,
             (F.col("key") == F.col("o_custkey"))
             & (F.col("d") >= F.col("valid_from"))
             & (F.col("d") < F.col("valid_to")),
@@ -1614,7 +1617,7 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = table(spark, sf_dir, "orders")
     enriched = orders.join(
-        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"), "left"
+        dim, F.col("o_custkey") == F.col("c_custkey"), "left"
     ).select(
         F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
         F.col("c_custkey").isNull().alias("pending"),
@@ -2246,7 +2249,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     qnum = lambda col: (  # noqa: E731 — quarter index arithmetic
         F.year(col) * 4 + ((F.month(col) - 1) / 3).cast("int")
     )
-    cohorted = o.join(F.broadcast(firsts), "o_custkey").select(
+    cohorted = o.join(firsts, "o_custkey").select(
         "o_custkey",
         F.date_format(F.trunc(F.col("first_d"), "quarter"), "yyyy-MM").alias(
             "cohort"
@@ -3794,7 +3797,7 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("p").alias("p1"), F.col("c").alias("ca"))
     ic = item.select(F.col("p").alias("p2"), F.col("c").alias("cb"))
-    joined = fp.join(F.broadcast(ia), "p1").join(F.broadcast(ic), "p2")
+    joined = fp.join(ia, "p1").join(ic, "p2")
     fwd = joined.select(
         F.col("p1").alias("antecedent"),
         F.col("p2").alias("consequent"),
@@ -3900,8 +3903,8 @@ def q_itemitem_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ci = item.select(F.col("p").alias("i"), F.col("c").alias("c_i"))
     cj = item.select(F.col("p").alias("j"), F.col("c").alias("c_j"))
     scored = (
-        sym.join(F.broadcast(ci), "i")
-        .join(F.broadcast(cj), "j")
+        sym.join(ci, "i")
+        .join(cj, "j")
         .select(
             "i",
             "j",

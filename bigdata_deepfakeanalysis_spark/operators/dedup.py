@@ -1495,7 +1495,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(recrawl)
     )
     return (
-        incoming.join(F.broadcast(existing), "h", "left")
+        incoming.join(existing, "h", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_incoming"),
@@ -2165,8 +2165,8 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "nb"
     )
     scored = (
-        inter.join(F.broadcast(sa), "small_id")
-        .join(F.broadcast(sb), "big_id")
+        inter.join(sa, "small_id")
+        .join(sb, "big_id")
         .where(F.col("na") <= F.col("nb"))
         .select(
             "small_id",

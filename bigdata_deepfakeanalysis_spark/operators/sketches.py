@@ -605,7 +605,7 @@ def q_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("bpos").alias("n_hits"))
     )
     flagged = hits.join(
-        F.broadcast(snap_keys.withColumn("truly", F.lit(True))), "fp", "left"
+        snap_keys.withColumn("truly", F.lit(True)), "fp", "left"
     ).select(
         "doc_id",
         (F.col("n_hits") == _BLOOM_K).alias("maybe"),

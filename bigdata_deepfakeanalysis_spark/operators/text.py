@@ -1091,8 +1091,11 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-scoring (count table == scored corpus) keeps the fixture
     closed; a production run reads the counts from a reference-corpus
     table — identical plan shape. Scale: ONE fact-level shuffle (the
-    bigram count), a vocab²-sized counts table joined back (broadcast
-    here; shuffle join at web scale), and a per-doc rollup."""
+    bigram count), a vocab²-sized counts table joined back (the size
+    THRESHOLD elects broadcast at fixture scale and a shuffle join at
+    web scale — late-r9: the forced hint was removed, since a forced
+    broadcast of a vocab²-scaling table cannot adapt), and a per-doc
+    rollup."""
     docs = table(spark, sf_dir, "documents")
     bigrams = docs.select(
         "doc_id", F.expr(_TOKS).alias("toks")
@@ -1103,7 +1106,7 @@ def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = c2.groupBy("w1").agg(F.sum("n2").cast("bigint").alias("n1"))
     counts = c2.join(c1, "w1")
     return (
-        bigrams.join(F.broadcast(counts), ["w1", "w2"])
+        bigrams.join(counts, ["w1", "w2"])
         .select(
             "doc_id",
             F.expr("(n2 * 1048576) DIV n1").alias("fp"),
@@ -1251,7 +1254,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_clean = F.col("is_surv") & F.col("is_cont").isNull()
     return (
-        ann.join(F.broadcast(contaminated), "doc_id", "left")
+        ann.join(contaminated, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_in"),
@@ -1687,11 +1690,11 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         co.where(F.col("n_ab") >= 5)
         .join(
-            F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("n", "n1")),
+            uni.withColumnRenamed("w", "w1").withColumnRenamed("n", "n1"),
             "w1",
         )
         .join(
-            F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "n2")),
+            uni.withColumnRenamed("w", "w2").withColumnRenamed("n", "n2"),
             "w2",
         )
         .crossJoin(F.broadcast(tot))
@@ -3778,7 +3781,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(idf), "w")
+        tf.join(idf, "w")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("bigint").alias("s1"),
@@ -4312,7 +4315,7 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        tf.join(F.broadcast(idf), "w")
+        tf.join(idf, "w")
         .join(F.broadcast(qt), F.col("w") == F.col("term"))
         .groupBy("qid", "doc_id")
         .agg(
