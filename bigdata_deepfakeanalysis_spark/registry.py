@@ -90,75 +90,80 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-9 rotation (COVERAGE.md §window-plan + VERDICT r8 task 1):
-    # all 50 slots go to never-driver-graded residue. After r8 the
-    # 81-name residue lives ENTIRELY in text (28) / advanced (28) /
-    # relational (25) — every other module is 100% hash-green across
-    # CORRECTNESS_r01–r08, so the every-module rule now recognizes
-    # artifact-proven fully-green modules as covered
-    # (tests/test_registry.py::test_window_covers_every_query_module
-    # reads the committed CORRECTNESS_r*.json files) instead of
-    # burning 16 filler slots re-grading queries with driver rows.
-    # That honors the rule's intent — no module ever escapes driver
-    # grading — while letting a 50/50 round lift the union
-    # 334 → 384/415 (VERDICT r8 target ≥379) and leave a 31-name
-    # residue that round 10 closes (31 fresh + 19 fillers).
+    # Round-10 rotation (COVERAGE.md §window-plan + VERDICT r9 task 1):
+    # the FULL remaining never-driver-graded residue (31 names =
+    # 12 advanced + 19 relational, artifact-derived via
+    # tools/recount_union.py) plus 19 re-grade fillers chosen for
+    # evidence value — every filler is a query whose code changed in
+    # round 9 AFTER its last driver-green row: the two tile-grid
+    # re-expressions (q_mutual_nn_alignment, q_knn_classifier), all
+    # 12 hint-swept TPC-H shapes (q8/q9 first — deepest join trees),
+    # the PageRank invariant-join hoist, the three dedup-QA names that
+    # certify the shared lsh_pairs_cached candidate set, and the
+    # pyavro-staged roundtrip (now exercising Arrow read/write +
+    # pushdown). A 50/50 round closes the registry: union 384 → 415,
+    # residue 0. Deviation from the COVERAGE r10 sketch, documented
+    # there: VERDICT r9 task 1's 12 TPC-H shapes outrank the
+    # module-rotation reps; q_ngram_jaccard / q_dedup_components(_star)
+    # ride on the cache certification (the only r9 change to them is
+    # the lsh_pairs_cached source the three graded QA names consume).
     # ------------------------------------------------------------------
-    # the two r8 BI deferrals (relational)
-    "q_moment_merge",
-    "q_analyze_stats",
-    # text residue (all 28; q_feature_hashing leads — its complex-cell
-    # fix landed in r8 and is hygiene-locked)
-    "q_feature_hashing",
-    "q_lm_quality_score",
-    "q_mixture_resample",
-    "q_temperature_mixture",
-    "q_negative_sampling",
-    "q_dataset_card",
-    "q_lang_confusion",
-    "q_kwic_concordance",
-    "q_trending_terms",
-    "q_phrase_search",
-    "q_boilerplate_suppress",
-    "q_js_divergence_sources",
-    "q_batch_retrieval",
-    "q_burrows_delta",
-    "q_curriculum_plan",
-    "q_dsir_resample",
-    "q_emd_lengths",
-    "q_head_coverage",
-    "q_mcnemar_filters",
-    "q_mixture_epoch_budget",
-    "q_rake_keywords",
-    "q_simpson_diversity",
-    "q_source_vocab_jaccard",
-    "q_span_corruption_plan",
-    "q_split_half_reliability",
-    "q_tokenizer_fertility",
-    "q_unigram_perplexity",
-    "q_vocab_coverage_curve",
-    # advanced residue (event/funnel/cohort batch — 16 of 28)
-    "q_ohlc_candles",
-    "q_bounce_rate",
-    "q_retention_audit",
-    "q_new_vs_returning",
-    "q_acf_daily_revenue",
-    "q_seasonal_anomaly",
-    "q_cohens_kappa",
-    "q_markov_transitions",
-    "q_k_anonymity",
-    "q_l_diversity",
-    "q_association_rules",
-    "q_itemitem_cf",
-    "q_mutual_information",
-    "q_cumulative_distinct_users",
-    "q_trailing_distinct_users",
-    "q_dow_hour_heatmap",
-    # relational residue (4 slots freed by the module-rule amendment)
-    "q_robust_scale",
-    "q_winsorized_mean",
-    "q_cohens_d",
-    "q_ab_srm",
+    # advanced residue (12)
+    "q_burstiness",
+    "q_forecast_backtest_mape",
+    "q_frequent_triples",
+    "q_granger_lag1",
+    "q_late_arriving_dim",
+    "q_markov_entropy_rate",
+    "q_observe_metrics",
+    "q_runs_test",
+    "q_session_timeout_sweep",
+    "q_table_checksum",
+    "q_ts_feature_matrix",
+    "q_ts_pattern_match",
+    # relational residue (19)
+    "q_age_period_cohort",
+    "q_cem_att",
+    "q_chisq_residuals",
+    "q_conformal_interval",
+    "q_direct_standardization",
+    "q_eb_shrinkage",
+    "q_fk_fanout_profile",
+    "q_hill_tail_index",
+    "q_icc_customers",
+    "q_knee_detection",
+    "q_order_to_ship_latency",
+    "q_overdispersion",
+    "q_price_index",
+    "q_price_volume_mix",
+    "q_rank_biased_overlap",
+    "q_rare_category_collapse",
+    "q_rate_mix_decomposition",
+    "q_seasonality_strength",
+    "q_simpson_reversal",
+    # re-grade fillers: r9 tile-grid re-expressions (similarity)
+    "q_mutual_nn_alignment",
+    "q_knn_classifier",
+    # re-grade fillers: the 12 hint-swept TPC-H shapes (relational)
+    "q8_market_share",
+    "q9_product_profit",
+    "q2_min_cost_supplier",
+    "q7_trade_flows",
+    "q11_important_parts",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_join",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q_dq_constraints",
+    # re-grade fillers: PageRank hoist + shared-LSH-cache certifiers
+    "q_pagerank_copurchase",
+    "q_dup_cluster_sizes",
+    "q_dup_flow_matrix",
+    "q_lsh_dedup_eval",
+    # re-grade filler, disk-staging (goes last by convention)
+    "q_csv_json_roundtrip",
 ]
 
 
