@@ -177,20 +177,26 @@ def _dec_value(buf: io.BufferedIOBase, typ: str):
     raise ValueError(f"unsupported avro type {typ!r}")
 
 
-def _field_types(schema: dict) -> list[tuple[str, str, bool]]:
-    """(name, primitive type, nullable) per field of a flat record."""
+def _field_types(schema: dict) -> list[tuple[str, str, int | None]]:
+    """(name, primitive type, null-branch index) per field of a flat
+    record. The third element is ``None`` for non-nullable fields;
+    for a nullable union it is the POSITION of "null" in the union
+    (0 for ``["null", T]``, 1 for ``[T, "null"]`` — the Avro spec
+    allows either order, and the wire union index refers to schema
+    position, so a decoder that hardcodes 0 = null misreads
+    foreign-written ``[T, "null"]`` files)."""
     if schema.get("type") != "record":
         raise ValueError("avro_lite supports flat record schemas only")
     out = []
     for f in schema["fields"]:
         t = f["type"]
-        if isinstance(t, list):  # nullable union ["null", T]
+        if isinstance(t, list):  # nullable union, either order
             non_null = [x for x in t if x != "null"]
             if len(t) != 2 or "null" not in t or len(non_null) != 1:
                 raise ValueError(f"unsupported union {t!r}")
-            out.append((f["name"], non_null[0], True))
+            out.append((f["name"], non_null[0], t.index("null")))
         else:
-            out.append((f["name"], t, False))
+            out.append((f["name"], t, None))
     return out
 
 
@@ -200,13 +206,13 @@ def _enc_record(vals, fields) -> bytes:
             f"record has {len(vals)} values for {len(fields)} fields"
         )
     parts = []
-    for v, (_, typ, nullable) in zip(vals, fields):
-        if nullable:
-            # union index: 0 = null branch, 1 = value branch
+    for v, (_, typ, null_idx) in zip(vals, fields):
+        if null_idx is not None:
+            # union index = schema position of the chosen branch
             if v is None:
-                parts.append(zigzag_encode(0))
+                parts.append(zigzag_encode(null_idx))
                 continue
-            parts.append(zigzag_encode(1))
+            parts.append(zigzag_encode(1 - null_idx))
         elif v is None:
             raise ValueError("null in non-nullable field")
         parts.append(_enc_value(v, typ))
@@ -215,10 +221,10 @@ def _enc_record(vals, fields) -> bytes:
 
 def _dec_record(buf, fields) -> tuple:
     out = []
-    for _, typ, nullable in fields:
-        if nullable:
+    for _, typ, null_idx in fields:
+        if null_idx is not None:
             idx = zigzag_decode(buf)
-            if idx == 0:
+            if idx == null_idx:
                 out.append(None)
                 continue
         out.append(_dec_value(buf, typ))
@@ -465,13 +471,13 @@ def _dec_block_columns(payload: bytes, count: int, fields):
     cols = [[] for _ in fields]
     pos = 0
     specs = [
-        (cols[i], typ, nullable)
-        for i, (_, typ, nullable) in enumerate(fields)
+        (cols[i], typ, null_idx)
+        for i, (_, typ, null_idx) in enumerate(fields)
     ]
     unpack_from = struct.unpack_from
     for _ in range(count):
-        for col, typ, nullable in specs:
-            if nullable:
+        for col, typ, null_idx in specs:
+            if null_idx is not None:
                 acc = 0
                 shift = 0
                 while True:
@@ -483,7 +489,7 @@ def _dec_block_columns(payload: bytes, count: int, fields):
                     if not b & 0x80:
                         break
                     shift += 7
-                if (acc >> 1) ^ -(acc & 1) == 0:
+                if (acc >> 1) ^ -(acc & 1) == null_idx:
                     col.append(None)
                     continue
             if typ == "double":
@@ -606,13 +612,33 @@ def _compile_filter(f, names):
     return None
 
 
+# Sentinel: the comparison touches a float NaN, where Spark's
+# semantics (NaN = NaN is TRUE; NaN sorts GREATER than any non-NaN)
+# diverge from Python's (every NaN comparison is False). A wrong
+# verdict here DROPS the row during block decode, and since dropped
+# rows never reach Spark, the return-every-filter re-evaluation
+# safety net cannot restore them. The pre-filter therefore abstains:
+# _row_passes keeps the row and Spark's post-scan Filter decides.
+_NAN_DEFER = object()
+
+
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
 def _eval_filter(spec, row):
     """SQL tri-state evaluation of one compiled filter against a
     decoded row: True / False / None (unknown — a comparison with
-    NULL). A row survives only on True."""
+    NULL). A row survives only on True. A fourth outcome,
+    ``_NAN_DEFER``, marks NaN-touching comparisons the pre-filter
+    must not judge (see the sentinel note above); it propagates
+    through ``not`` unchanged — negating "don't know, ask Spark"
+    is still "don't know, ask Spark"."""
     op = spec[0]
     if op == "not":
         v = _eval_filter(spec[1], row)
+        if v is _NAN_DEFER:
+            return _NAN_DEFER
         return None if v is None else (not v)
     x = row[spec[1]]
     if op == "isnull":
@@ -620,6 +646,10 @@ def _eval_filter(spec, row):
     if op == "isnotnull":
         return x is not None
     val = spec[2]
+    if _is_nan(x) or _is_nan(val) or (
+        op == "in" and any(_is_nan(v) for v in val)
+    ):
+        return _NAN_DEFER
     if op == "eqns":
         if x is None or val is None:
             return x is None and val is None
@@ -653,9 +683,15 @@ def _eval_filter(spec, row):
 
 
 def _row_passes(specs, row):
-    """AND of compiled filters — True only if every filter is True."""
+    """AND of compiled filters — the row is dropped only when some
+    filter is definitively not-True; a ``_NAN_DEFER`` filter keeps
+    the row so Spark's post-scan re-evaluation applies the engine's
+    NaN semantics instead of Python's."""
     for s in specs:
-        if _eval_filter(s, row) is not True:
+        v = _eval_filter(s, row)
+        if v is _NAN_DEFER:
+            continue
+        if v is not True:
             return False
     return True
 
@@ -762,8 +798,14 @@ def avro_schema_from_spark(schema, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def make_pyavro_datasource():
+def make_pyavro_datasource(spark=None):
     """Build the ``pyavro`` DataSource class.
+
+    ``spark`` (optional): the session whose
+    ``spark.sql.python.filterPushdown.enabled`` conf decides whether
+    the reader implements ``pushFilters`` — explicit is safer than
+    the ``getActiveSession()`` fallback, because the decision is
+    baked in at registration time (see the warning block below).
 
     Defined inside a factory so cloudpickle serializes the class BY
     VALUE — Python workers do not have this package on their import
@@ -821,7 +863,7 @@ def make_pyavro_datasource():
             self._pushdown = (
                 options.get("pushdown", "true").lower() != "false"
             )
-            # (name, avro type, nullable) the plan-time schema promises
+            # (name, avro type, null-branch idx) the plan-time schema promises
             # — every file must agree, or a heterogeneous directory
             # would silently misalign columns (tuples map to Spark
             # columns POSITIONALLY)
@@ -896,11 +938,19 @@ def make_pyavro_datasource():
     # at registration time (session.tune() enables it; a bare session
     # simply gets no pushdown). Flipping the conf OFF after
     # registering re-raises Spark's guard on the next read —
-    # re-register to rebuild the reader for the new conf.
+    # re-register to rebuild the reader for the new conf. Because the
+    # decision is ORDER-SENSITIVE (registering before tune() silently
+    # yields a no-pushdown reader), the downgrade is made observable:
+    # a warning names the conf and the re-registration remedy. Pass
+    # the session explicitly to decide against it rather than
+    # whatever getActiveSession() returns.
+    _pushdown_attached = False
     try:
-        from pyspark.sql import SparkSession as _SS
+        _sess = spark
+        if _sess is None:
+            from pyspark.sql import SparkSession as _SS
 
-        _sess = _SS.getActiveSession()
+            _sess = _SS.getActiveSession()
         if (
             _sess is not None
             and str(
@@ -911,8 +961,23 @@ def make_pyavro_datasource():
             == "true"
         ):
             _PyAvroReader.pushFilters = _push_filters
+            _pushdown_attached = True
     except Exception:
-        pass  # no active session — keep the no-pushdown reader
+        pass  # conf unreadable — keep the no-pushdown reader
+    if not _pushdown_attached:
+        import warnings
+
+        warnings.warn(
+            "pyavro registered WITHOUT filter pushdown: "
+            "spark.sql.python.filterPushdown.enabled is not 'true' on "
+            "the deciding session (none active?). Reads work but "
+            "pre-filtering is off; call session.tune(spark) first and "
+            "re-register with make_pyavro_datasource(spark) to enable "
+            "it. (Conversely, disabling the conf AFTER a pushdown "
+            "registration makes Spark fail subsequent pyavro reads "
+            "until re-registration.)",
+            stacklevel=2,
+        )
 
     class _PyAvroCommit(WriterCommitMessage):
         def __init__(self, tmp):

@@ -1875,6 +1875,25 @@ def _mutual_nn_tile_kernel(left, right):
         np.stack(right["embedding"].to_numpy()).astype(np.float64)
         * 16384.0
     )
+    # Enforce the exactness precondition the docstring argues from:
+    # with snapped magnitude M and dim d, the worst accumulated
+    # distance is 4*d*M^2, which must stay below 2^53 for every
+    # float64 partial (and the int64 cast) to be lossless. The
+    # fixture's |q| <= ~2^17 sits far inside; embeddings that ever
+    # exceed the bound must fail LOUDLY here instead of returning
+    # silently inexact distances (the replaced BIGINT zip_with form
+    # was exact at any magnitude — that is the fallback to reach for).
+    dim = A.shape[1]
+    bound = float(np.floor(np.sqrt(2.0**53 / (4.0 * dim))))
+    mag = max(np.abs(A).max(), np.abs(B).max())
+    if mag > bound:
+        raise ValueError(
+            f"mutual-NN tile kernel: snapped coordinate magnitude "
+            f"{mag:.0f} exceeds the float64 integer-exactness bound "
+            f"{bound:.0f} at dim={dim}; the matmul distance block "
+            "would be inexact — route these embeddings through the "
+            "BIGINT zip_with/aggregate distance instead"
+        )
     d2 = (
         (A * A).sum(axis=1)[:, None]
         + (B * B).sum(axis=1)[None, :]

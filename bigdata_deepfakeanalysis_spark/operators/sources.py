@@ -198,7 +198,7 @@ def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header", True
     ).csv(nation_csv)
     table(spark, sf_dir, "region").write.mode("overwrite").json(region_json)
-    spark.dataSource.register(make_pyavro_datasource())
+    spark.dataSource.register(make_pyavro_datasource(spark))
     (
         spark.read.option("header", True)
         .option("inferSchema", True)

@@ -313,3 +313,41 @@ def test_mutual_nn_tile_count_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert r7 == r33
     assert len(r7) == 10 and r7[0][3] > 0  # n_mutual populated
+
+
+def test_mutual_nn_kernel_rejects_out_of_bound_magnitudes():
+    """The tile kernel's float64 matmul is only integer-exact while
+    4 * dim * M^2 < 2^53 (M = snapped coordinate magnitude). Inside
+    the bound it must run; past it, it must raise instead of
+    returning silently inexact distances."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        _mutual_nn_tile_kernel,
+    )
+
+    def frame(ids, col, scale):
+        rng = np.random.default_rng(7)
+        return pd.DataFrame(
+            {
+                col: ids,
+                "embedding": [
+                    rng.random(8, dtype=np.float32) * scale for _ in ids
+                ],
+                "ta": [0] * len(ids),
+                "tb": [0] * len(ids),
+            }
+        )
+
+    # in-bound: ordinary magnitudes run fine
+    out = _mutual_nn_tile_kernel(frame([1, 2], "a", 4.0), frame([3], "b", 4.0))
+    assert len(out) == 3  # one partial per point per side
+
+    # out-of-bound: dim=8 bound is floor(sqrt(2^53/32)) ~= 2^24.25;
+    # raw coords ~2^12 snap to ~2^26 — past it
+    with pytest.raises(ValueError, match="integer-exactness bound"):
+        _mutual_nn_tile_kernel(
+            frame([1, 2], "a", 4096.0), frame([3], "b", 4096.0)
+        )

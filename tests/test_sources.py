@@ -458,13 +458,21 @@ def test_pyavro_filter_pushdown_differential(spark, tmp_path):
             {"name": "k", "type": "long"},
             {"name": "v", "type": ["null", "long"]},
             {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": ["null", "double"]},
         ],
     }
+    # d mixes NaN / NULL / finite: Spark's NaN semantics (NaN = NaN is
+    # TRUE, NaN > any non-NaN is TRUE) diverge from Python's
+    # (all-False), so a pre-filter that judged NaN comparisons would
+    # silently drop rows the pushdown=false arm keeps.
     rows = [
         (
             n,
             None if n % 4 == 0 else n * 3,
             None if n % 7 == 0 else f"x{n % 5}",
+            float("nan")
+            if n % 5 == 0
+            else (None if n % 11 == 0 else n / 10.0),
         )
         for n in range(400)
     ]
@@ -490,26 +498,127 @@ def test_pyavro_filter_pushdown_differential(spark, tmp_path):
         "s LIKE 'x1%'",
         "s LIKE '%2'",
         "s LIKE '%x%'",
+        # NaN arms: under Spark semantics NaN rows SATISFY d > 5.0
+        # and d = NaN — a Python-semantics pre-filter drops them
+        "d > 5.0",
+        "NOT (d > 5.0)",
+        "d = CAST('NaN' AS DOUBLE)",
+        "d < CAST('NaN' AS DOUBLE)",
+        "d IN (CAST('NaN' AS DOUBLE), 0.1)",
+        "d IS NULL",
     ]
+
+    def canon(row):
+        # NaN != NaN breaks tuple equality; name it so sets compare
+        return tuple(
+            "NaN" if isinstance(v, float) and v != v else v for v in row
+        )
+
     for pred in preds:
         expect = None
         for arrow in ("true", "false"):
             for pushdown in ("true", "false"):
                 got = sorted(
-                    map(
-                        tuple,
-                        spark.read.format("pyavro")
-                        .option("arrow", arrow)
-                        .option("pushdown", pushdown)
-                        .load(str(tmp_path))
-                        .where(pred)
-                        .collect(),
-                    )
+                    canon(r)
+                    for r in spark.read.format("pyavro")
+                    .option("arrow", arrow)
+                    .option("pushdown", pushdown)
+                    .load(str(tmp_path))
+                    .where(pred)
+                    .collect()
                 )
                 if expect is None:
                     expect = got
                 assert got == expect, (pred, arrow, pushdown)
         assert len(expect) > 0, pred  # fixture exercises the predicate
+
+
+def test_pyavro_reversed_union_order(spark, tmp_path):
+    """The Avro spec allows nullable unions in either order; the wire
+    union index is the SCHEMA POSITION of the chosen branch, so a
+    ``[T, "null"]`` file encodes null as index 1. Both decode paths
+    (row and Arrow) must honor the per-field null-branch index — a
+    decoder that hardcodes 0 = null reads every null as a value and
+    vice versa."""
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    rows = [
+        (n, None if n % 3 == 0 else n * 7, None if n % 4 == 0 else f"s{n}")
+        for n in range(100)
+    ]
+    variants = {}
+    for tag, order in (("nt", ["null", "long"]), ("tn", ["long", "null"])):
+        s_order = ["null", "string"] if tag == "nt" else ["string", "null"]
+        schema = {
+            "type": "record",
+            "name": "t",
+            "fields": [
+                {"name": "k", "type": "long"},
+                {"name": "v", "type": order},
+                {"name": "s", "type": s_order},
+            ],
+        }
+        d = tmp_path / tag
+        d.mkdir()
+        al.write_container(d / "t.avro", schema, rows, block_records=16)
+        variants[tag] = d
+
+    # raw decode paths agree with the source rows for BOTH orders
+    for tag, d in variants.items():
+        _, rec = al.read_container(str(d / "t.avro"))
+        assert list(rec) == rows, tag
+        batches = list(al.arrow_blocks(str(d / "t.avro")))
+        flat = [
+            tuple(col[i] for col in b.to_pydict().values())
+            for b in batches
+            for i in range(b.num_rows)
+        ]
+        assert flat == rows, tag
+
+    # and through Spark, both orders load identical DataFrames
+    spark.dataSource.register(al.make_pyavro_datasource(spark))
+    got = {
+        tag: sorted(
+            map(tuple, spark.read.format("pyavro").load(str(d)).collect())
+        )
+        for tag, d in variants.items()
+    }
+    assert got["nt"] == got["tn"] == sorted(rows)
+
+
+def test_pyavro_registration_warns_without_pushdown_conf(spark, tmp_path):
+    """Registering while spark.sql.python.filterPushdown.enabled is
+    off silently yields a no-pushdown reader (and flipping the conf
+    later hard-fails reads) — the factory must make the downgrade
+    observable instead of depending on call order nobody checks."""
+    import warnings as _w
+
+    import pytest as _pt
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf, "true")
+    try:
+        spark.conf.set(conf, "false")
+        with _pt.warns(UserWarning, match="WITHOUT filter pushdown"):
+            al.make_pyavro_datasource(spark)
+    finally:
+        spark.conf.set(conf, old)
+    # conf back on: no warning, pushFilters attached
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        cls = al.make_pyavro_datasource(spark)
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [{"name": "k", "type": "long"}],
+    }
+    al.write_container(tmp_path / "t.avro", schema, [(1,)])
+    from pyspark.sql.datasource import DataSourceReader
+
+    rd = cls(options={"path": str(tmp_path)}).reader(None)
+    assert type(rd).pushFilters is not DataSourceReader.pushFilters
 
 
 def test_pyavro_class_ships_by_value(tmp_path):
