@@ -2091,10 +2091,13 @@ def q_mutual_nn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sides") == 2)
         .select("a", "b", "d2")
     )
-    # count(d2), not count(1): counting a constant lets column pruning
-    # drop d2 from this branch's argmin subtree, which de-dedupes it
-    # from the rows branch and defeats ReusedExchange (the verify-skill
-    # gotcha) — the pair stream would be scanned twice per side.
+    # count(d2) keeps this branch's projection identical to the rows
+    # branch for ReusedExchange. (Mutation-tested r10: count(1) is
+    # currently benign too — the pair rollup's min(d2) keeps the
+    # exchange identical regardless — but the invocation-count test
+    # pins the once-per-cell guarantee either way, and it DOES fire
+    # on the real regression: the side-filter + join mutuality form
+    # re-executes the kernel once per side.)
     tot = mutual.agg(F.count("d2").cast("bigint").alias("n_mutual"))
     return (
         mutual.crossJoin(F.broadcast(tot))

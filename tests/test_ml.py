@@ -351,3 +351,49 @@ def test_mutual_nn_kernel_rejects_out_of_bound_magnitudes():
         _mutual_nn_tile_kernel(
             frame([1, 2], "a", 4096.0), frame([3], "b", 4096.0)
         )
+
+
+def test_mutual_nn_kernel_runs_once_per_grid_cell(
+    spark, tmp_path, monkeypatch
+):
+    """Regression guard for the ReusedExchange claim: the rows branch
+    and the scalar n_mutual branch share the kernel subtree, and AQE
+    collapses them so the Arrow kernel executes EXACTLY once per grid
+    cell end-to-end. Mutation-tested (r10): the side-filter + join
+    mutuality form (pushed side = X filters split the argmin
+    exchange) re-executes the kernel and FAILS this test; the
+    count(1)-in-total variant turned out benign on this Spark version
+    (the pair rollup's min(d2) keeps the exchange identical), but the
+    guarantee is pinned here either way. Each invocation appends to
+    a shared file (O_APPEND, same host in local mode), so the line
+    count IS the invocation count."""
+    import math
+
+    import bigdata_deepfakeanalysis_spark.operators.similarity as sim
+
+    from .conftest import SF_DIR
+
+    marker = str(tmp_path / "kernel_calls.log")
+    real = sim._mutual_nn_tile_kernel
+
+    def counting_kernel(left, right):
+        with open(marker, "a") as f:
+            f.write("x\n")
+        return real(left, right)
+
+    monkeypatch.setattr(sim, "_mutual_nn_tile_kernel", counting_kernel)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        g = max(4, math.isqrt(16))
+        rows = sim.q_mutual_nn_alignment(spark, SF_DIR).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(rows) == 10 and rows[0][3] > 0
+    with open(marker) as f:
+        calls = sum(1 for _ in f)
+    assert calls == g * g, (
+        f"kernel ran {calls}x for {g * g} grid cells — the count "
+        "branch or the mutuality rollup regressed to a form that "
+        "re-executes the pair grid"
+    )
