@@ -1334,8 +1334,10 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize("embedding").alias("cq"),
         )
         .withColumn("nc", dot_fixed("cq", "cq"))
+        # hash-tiled like mutual-NN: residue-skewed ids must not
+        # collapse the candidate side into one grid row
         .withColumn(
-            "tc", F.pmod(F.col("cand_id"), F.lit(g)).cast("int")
+            "tc", F.pmod(F.xxhash64("cand_id"), F.lit(g)).cast("int")
         )
         .withColumn("tq", F.explode(F.expr(f"sequence(0, {g - 1})")))
     )
@@ -1348,7 +1350,7 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nq", dot_fixed("qq", "qq"))
         .withColumn(
-            "tq", F.pmod(F.col("query_id"), F.lit(g)).cast("int")
+            "tq", F.pmod(F.xxhash64("query_id"), F.lit(g)).cast("int")
         )
         .withColumn("tc", F.explode(F.expr(f"sequence(0, {g - 1})")))
     )
@@ -2040,17 +2042,25 @@ def q_mutual_nn_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         16, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     g = max(4, math.isqrt(parts))
+    # Tile by HASH of the id, not the id's residue class: assignment
+    # is internal partitioning (the result is tile-invariant — tested)
+    # so it owes no cross-engine parity, and ids that are all
+    # congruent mod g (shard-strided keys, hole-punched corpora) would
+    # collapse every A row into ONE grid row under pmod(id, g) — the
+    # kernel's per-cell block would grow to |A|·|B|/g. xxhash64 keeps
+    # per-cell occupancy ~|A|/g for ANY id pattern
+    # (test_mutual_nn_grid_bounds_cells_under_residue_skew).
     qa_g = qa.select(
         "a",
         "embedding",
-        F.pmod(F.col("a"), F.lit(g)).cast("int").alias("ta"),
+        F.pmod(F.xxhash64("a"), F.lit(g)).cast("int").alias("ta"),
         F.explode(F.expr(f"sequence(0, {g - 1})")).alias("tb"),
     )
     qb_g = qb.select(
         "b",
         "embedding",
         F.explode(F.expr(f"sequence(0, {g - 1})")).alias("ta"),
-        F.pmod(F.col("b"), F.lit(g)).cast("int").alias("tb"),
+        F.pmod(F.xxhash64("b"), F.lit(g)).cast("int").alias("tb"),
     )
     partials = (
         qa_g.groupBy("ta", "tb")

@@ -397,3 +397,73 @@ def test_mutual_nn_kernel_runs_once_per_grid_cell(
         "branch or the mutuality rollup regressed to a form that "
         "re-executes the pair grid"
     )
+
+
+def test_mutual_nn_grid_bounds_cells_under_residue_skew(
+    spark, tmp_path, monkeypatch
+):
+    """The 100-TB claim the mutual-NN docstring makes is per-cell
+    memory |A|/g + |B|/g. An id-RESIDUE tiling (pmod(id, g)) breaks
+    that under shard-strided keys: ids all congruent mod g collapse
+    one whole side into a single grid row, and the kernel's dense
+    block grows to |A| x |B|/g. The hash tiling must keep every
+    cell's occupancy near |A|/g for exactly such an adversarial id
+    pattern — this test feeds one (every A id a multiple of 64, so
+    id % g == 0 for any g dividing 64) and records actual per-cell
+    sizes from inside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    import bigdata_deepfakeanalysis_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(11)
+    n_a, n_b = 240, 120
+    rows = [
+        {
+            "vec_id": 64 * i,  # A side: all ids = 0 mod g for g | 64
+            "embedding": rng.random(16, dtype=np.float32),
+            "label": 0,
+        }
+        for i in range(1, n_a + 1)
+    ] + [
+        {
+            "vec_id": 64 * 1000 + j,  # B side: ordinary dense ids
+            "embedding": rng.random(16, dtype=np.float32),
+            "label": 1,
+        }
+        for j in range(n_b)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    spark.createDataFrame(pdf).write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    marker = str(tmp_path / "cells.log")
+    real = sim._mutual_nn_tile_kernel
+
+    def recording_kernel(left, right):
+        with open(marker, "a") as f:
+            f.write(f"{len(left)},{len(right)}\n")
+        return real(left, right)
+
+    monkeypatch.setattr(sim, "_mutual_nn_tile_kernel", recording_kernel)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "16")  # g = 4
+        rows_out = sim.q_mutual_nn_alignment(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(rows_out) > 0
+    sizes = [
+        tuple(map(int, line.split(",")))
+        for line in open(marker).read().splitlines()
+    ]
+    max_a = max(s[0] for s in sizes)
+    # residue tiling puts ALL 240 A rows in every occupied cell;
+    # hash tiling ~60. The bound leaves 2x headroom over uniform
+    # while staying far below the collapse.
+    assert max_a <= n_a // 2, (
+        f"a grid cell held {max_a} of {n_a} A rows under residue-"
+        "skewed ids — tile assignment has regressed to id mod g"
+    )
