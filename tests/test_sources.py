@@ -166,8 +166,10 @@ def test_avro_arrow_decoder_rejects_corruption():
 
     from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
 
-    fields = [("k", "long", False), ("s", "string", False),
-              ("f", "boolean", False)]
+    # third element = null-branch index (None = non-nullable), the
+    # r10 union-order convention
+    fields = [("k", "long", None), ("s", "string", None),
+              ("f", "boolean", None)]
     good = (
         al.zigzag_encode(7)
         + al.zigzag_encode(2) + b"hi"
@@ -199,7 +201,7 @@ def test_avro_arrow_decoder_rejects_corruption():
     # truncated double
     with _pytest.raises(EOFError):
         al._dec_block_columns(
-            b"\x00\x00\x00", 1, [("d", "double", False)]
+            b"\x00\x00\x00", 1, [("d", "double", None)]
         )
     # missing second record
     with _pytest.raises(EOFError):
