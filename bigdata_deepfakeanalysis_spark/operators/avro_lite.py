@@ -696,6 +696,91 @@ def _row_passes(specs, row):
     return True
 
 
+def _vec_eval(spec, arrays):
+    """Vectorized twin of :func:`_eval_filter` over one block's Arrow
+    arrays: returns ``(mask, defer)`` where ``mask`` is the SQL
+    tri-state BooleanArray (null = unknown) and ``defer`` is a
+    null-free BooleanArray marking rows whose comparison touches a
+    float NaN (kept regardless — Spark re-evaluates; same contract as
+    ``_NAN_DEFER``, which must survive ``not`` unchanged). Any spec or
+    type this path cannot express raises — the caller falls back to
+    the per-row reference implementation, never guesses."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    op = spec[0]
+    if op == "not":
+        m, d = _vec_eval(spec[1], arrays)
+        return pc.invert(m), d  # Kleene: invert(null) = null
+    col = arrays[spec[1]]
+    n = len(col)
+    no_defer = pa.array([False] * n)
+    if op == "isnull":
+        return pc.is_null(col), no_defer
+    if op == "isnotnull":
+        return pc.is_valid(col), no_defer
+    val = spec[2]
+    if _is_nan(val) or (
+        op == "in" and any(_is_nan(v) for v in val)
+    ):
+        # NaN literal: the whole comparison defers, every row kept
+        return pa.nulls(n, pa.bool_()), pa.array([True] * n)
+    defer = (
+        pc.fill_null(pc.is_nan(col), False)
+        if pa.types.is_floating(col.type)
+        else no_defer
+    )
+    if op == "eq":
+        return pc.equal(col, pa.scalar(val, col.type)), defer
+    if op == "eqns":
+        if val is None:
+            return pc.is_null(col), defer
+        return (
+            pc.fill_null(pc.equal(col, pa.scalar(val, col.type)), False),
+            defer,
+        )
+    if op == "gt":
+        return pc.greater(col, pa.scalar(val, col.type)), defer
+    if op == "gte":
+        return pc.greater_equal(col, pa.scalar(val, col.type)), defer
+    if op == "lt":
+        return pc.less(col, pa.scalar(val, col.type)), defer
+    if op == "lte":
+        return pc.less_equal(col, pa.scalar(val, col.type)), defer
+    if op == "in":
+        non_null = [v for v in val if v is not None]
+        base = pc.is_in(col, value_set=pa.array(non_null, col.type))
+        # SQL tri-state: match -> True; else null when the column
+        # value is NULL or the literal list carries a NULL
+        null_b = pa.scalar(None, pa.bool_())
+        m = pc.if_else(pc.is_valid(col), base, null_b)
+        if len(non_null) != len(val):
+            m = pc.if_else(pc.fill_null(m, False), m, null_b)
+        return m, defer
+    if op == "startswith":
+        return pc.starts_with(col, pattern=val), defer
+    if op == "endswith":
+        return pc.ends_with(col, pattern=val), defer
+    if op == "contains":
+        return pc.match_substring(col, pattern=val), defer
+    raise ValueError(f"no vectorized form for filter op {op!r}")
+
+
+def _vector_keep(specs, arrays):
+    """Block-level keep mask: AND over specs of (defer OR mask-is-
+    True) — exactly :func:`_row_passes` row-by-row (fuzz-tested
+    equivalent), evaluated in Arrow C kernels instead of one Python
+    call per row per filter."""
+    import pyarrow.compute as pc
+
+    total = None
+    for s in specs:
+        m, d = _vec_eval(s, arrays)
+        keep = pc.or_(d, pc.fill_null(m, False))
+        total = keep if total is None else pc.and_(total, keep)
+    return total
+
+
 def arrow_blocks(path, offsets=None, compiled_filters=None):
     """Yield one ``pyarrow.RecordBatch`` per container block — the
     vectorized read path (SPARK-48493: a Python DataSource ``read``
@@ -730,24 +815,33 @@ def arrow_blocks(path, offsets=None, compiled_filters=None):
                 except zlib.error as e:
                     raise ValueError(f"corrupt deflate block: {e}") from e
             cols = _dec_block_columns(payload, count, fields)
-            if compiled_filters:
-                keep = [
-                    _row_passes(compiled_filters, row)
-                    for row in zip(*cols)
-                ]
-                if not any(keep):
-                    return None  # whole block filtered — skip batch
-                cols = [
-                    [v for v, k in zip(col, keep) if k]
-                    for col in cols
-                ]
-            return pa.RecordBatch.from_arrays(
+            batch = pa.RecordBatch.from_arrays(
                 [
                     pa.array(col, type=t)
                     for col, t in zip(cols, types)
                 ],
                 names,
             )
+            if compiled_filters:
+                # vectorized pre-filter (Arrow C kernels); the
+                # measured r10 lesson is that one Python
+                # _row_passes call per row costs MORE than the
+                # worker->JVM transfer it saves, so the row path
+                # survives only as the semantics reference and the
+                # fallback for anything _vec_eval cannot express
+                try:
+                    keep = _vector_keep(compiled_filters, batch.columns)
+                except Exception:
+                    keep = pa.array(
+                        [
+                            _row_passes(compiled_filters, row)
+                            for row in zip(*cols)
+                        ]
+                    )
+                batch = batch.filter(keep)
+                if batch.num_rows == 0:
+                    return None  # whole block filtered — skip batch
+            return batch
 
         if offsets is None:
             while True:

@@ -535,6 +535,73 @@ def test_pyavro_filter_pushdown_differential(spark, tmp_path):
         assert len(expect) > 0, pred  # fixture exercises the predicate
 
 
+def test_pyavro_vector_filter_matches_row_reference():
+    """_vector_keep (Arrow C kernels) must agree row-for-row with
+    _row_passes (the tri-state + NaN-defer reference) on fuzzed
+    blocks mixing NULLs, NaNs, and every compiled op — including
+    not-wrapped forms, where tri-state and defer propagation are
+    easiest to get wrong."""
+    import numpy as np
+    import pyarrow as pa
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ints = [
+        None if rng.random() < 0.15 else int(rng.integers(-5, 6))
+        for _ in range(n)
+    ]
+    dbls = [
+        None
+        if rng.random() < 0.15
+        else (float("nan") if rng.random() < 0.2 else float(rng.integers(-3, 4)))
+        for _ in range(n)
+    ]
+    strs = [
+        None if rng.random() < 0.15 else rng.choice(["ab", "ba", "abc", ""])
+        for _ in range(n)
+    ]
+    arrays = [
+        pa.array(ints, pa.int64()),
+        pa.array(dbls, pa.float64()),
+        pa.array(strs, pa.string()),
+    ]
+    rows = list(zip(ints, dbls, strs))
+    specs = [
+        ("eq", 0, 2),
+        ("eqns", 0, None),
+        ("eqns", 0, 3),
+        ("gt", 1, 0.5),
+        ("gte", 1, -1.0),
+        ("lt", 1, float("nan")),
+        ("eq", 1, float("nan")),
+        ("in", 0, (1, 2, None)),
+        ("in", 0, (1, 2)),
+        ("in", 1, (float("nan"), 1.0)),
+        ("isnull", 2),
+        ("isnotnull", 1),
+        ("startswith", 2, "a"),
+        ("endswith", 2, "b"),
+        ("contains", 2, "b"),
+        ("not", ("eq", 0, 2)),
+        ("not", ("gt", 1, 0.5)),
+        ("not", ("in", 0, (1, 2, None))),
+        ("not", ("startswith", 2, "a")),
+        ("not", ("eq", 1, float("nan"))),
+        ("not", ("not", ("lt", 1, 1.0))),
+    ]
+    # every spec alone, plus pairwise ANDs
+    combos = [[s] for s in specs] + [
+        [specs[i], specs[(i * 7 + 3) % len(specs)]]
+        for i in range(len(specs))
+    ]
+    for combo in combos:
+        want = [al._row_passes(combo, r) for r in rows]
+        got = al._vector_keep(combo, arrays).to_pylist()
+        assert got == want, combo
+
+
 def test_pyavro_reversed_union_order(spark, tmp_path):
     """The Avro spec allows nullable unions in either order; the wire
     union index is the SCHEMA POSITION of the chosen branch, so a
