@@ -1096,7 +1096,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("qty_sum") > 250)
     )
     return (
-        F.broadcast(big)
+        big
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
@@ -1613,7 +1613,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1805,8 +1805,11 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers who moved >50% of some small part's 1996 volume. The
     (part, supplier) aggregate is reused for the per-part total (exact
     decimal both times — associative, partial-agg-proof); the 'small%'
-    part filter pushes into the fact scan as a broadcast semi join
-    BEFORE the aggregate, so the shuffle only carries matching parts.
+    part filter pushes into the fact scan as a semi join BEFORE the
+    aggregate (threshold-elected broadcast at test scale; the part
+    subset is a constant FRACTION of an SF-scaling table, so no
+    forced hint — r10 sweep completion), so the shuffle only
+    carries matching parts.
     DISTINCT collapses a supplier dominating several parts — at scale
     that output is supplier-bounded, i.e. tiny."""
     li = table(spark, sf_dir, "lineitem").where(
@@ -1823,7 +1826,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     shipped = (
         li.join(
-            F.broadcast(small_parts),
+            small_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -4198,7 +4201,7 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     per_cust = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -4623,7 +4626,7 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     per_cust = (
         o.join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy(
@@ -5089,7 +5092,7 @@ def q_topk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            c.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

@@ -1247,7 +1247,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.array_distinct(F.expr(_GRAMS8))).alias("gram"),
         )
-        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .join(bench_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_cont", F.lit(True))
@@ -4187,7 +4187,9 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency come from one rollup, and each distinct phrase scores
     sum(deg·1000 DIV freq) through a word-keyed join. Longer
     multi-word phrases win by construction — the RAKE property. At
-    100 TB the word-stats table is vocabulary-sized and broadcasts;
+    100 TB the word-stats table is vocabulary-sized (Heaps-law
+    growth, NOT bounded) — the join is threshold-elected, never
+    hint-forced (r10 sweep completion);
     phrases never pairwise-join."""
     docs = table(spark, sf_dir, "documents")
     phrases = docs.select(
@@ -4211,7 +4213,7 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occ",
             F.explode(F.split("phrase", " ")).alias("w"),
         )
-        .join(F.broadcast(stats), "w")
+        .join(stats, "w")
         .groupBy("phrase", "n_occ")
         .agg(
             F.expr("CAST(SUM(deg * 1000 DIV freq) AS BIGINT)").alias(

@@ -147,7 +147,9 @@ def _is_global_sorted_window(line: str) -> bool:
 @pytest.fixture(scope="session")
 def registry_scan(spark):
     """ONE pass over every lazily-built registry query: physical-plan
-    text + output schema fields, shared by all blanket checks below."""
+    text + ANALYZED logical-plan text (hints survive only there —
+    the optimizer's EliminateResolvedHint consumes them) + output
+    schema fields, shared by all blanket checks below."""
     from bigdata_deepfakeanalysis_spark.registry import all_queries
 
     out = {}
@@ -155,14 +157,16 @@ def registry_scan(spark):
         if name in EAGER_BUILD:
             continue
         df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        out[name] = (plan, df.schema.fields)
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        analyzed = qe.analyzed().toString()
+        out[name] = (plan, analyzed, df.schema.fields)
     return out
 
 
 def test_no_cartesian_or_row_python_in_any_plan(registry_scan):
     offenders: dict[str, list[str]] = {}
-    for name, (plan, _) in registry_scan.items():
+    for name, (plan, _, _) in registry_scan.items():
         hits = [m for m in ("CartesianProduct",) if m in plan]
         if "BatchEvalPython" in plan and name not in PYTHON_EVAL_OK:
             hits.append("BatchEvalPython")
@@ -183,7 +187,7 @@ def test_no_complex_output_columns_in_any_query(registry_scan):
     conftest.assert_matches_oracle, which every oracle-parity test
     runs."""
     offenders: dict[str, list[str]] = {}
-    for name, (_, fields) in registry_scan.items():
+    for name, (_, _, fields) in registry_scan.items():
         bad = [
             f"{f.name}:{f.dataType.typeName()}"
             for f in fields
@@ -328,7 +332,7 @@ def test_bnlj_build_sides_bounded(registry_scan):
     BNLJ_BUILD_BOUNDED justification — a corpus-scaling broadcast
     build is an executor OOM at scale (VERDICT r8 finding 1)."""
     offenders: dict[str, list[str]] = {}
-    for name, (plan, _) in registry_scan.items():
+    for name, (plan, _, _) in registry_scan.items():
         if name in BNLJ_BUILD_BOUNDED:
             continue
         tree = _parse_tree(plan)
@@ -356,7 +360,7 @@ def test_no_unjustified_global_sorted_window(registry_scan):
     is a single-task global sort waiting to happen at corpus scale —
     de-globalize it onto parity.two_pass_rownum / ntile_expr."""
     offenders: dict[str, int] = {}
-    for name, (plan, _) in registry_scan.items():
+    for name, (plan, _, _) in registry_scan.items():
         n = 0
         for line in plan.splitlines():
             if "Window" not in line or "windowspecdefinition" not in line:
@@ -380,6 +384,168 @@ def test_no_unjustified_global_sorted_window(registry_scan):
     )
 
 
+# ---------------------------------------------------------------------------
+# Forced-broadcast build audit (r10 sweep completion — the blanket
+# form of the r9 manual sweep).
+#
+# A ``F.broadcast()`` / ``hint("broadcast")`` BYPASSES
+# autoBroadcastJoinThreshold: where a threshold decision degrades to a
+# shuffle join at scale, the forced hint OOMs the executors. The r9
+# sweep removed 33 such hints by hand and r10 found NINE more the
+# manual pass missed (q18/q16/q20/q_skyline_pareto/
+# q_gini_concentration/q_topk_grouping_sets/q_rake_keywords/
+# q_training_pipeline/q_frequent_triples) — so the rule is now
+# machine-checked: every ResolvedHint (strategy=broadcast) build
+# subtree in every ANALYZED plan must be provably bounded (scalar
+# aggregate, limit, literal relation, nation/region scan,
+# bounded-domain group keys, or compositions of those) or carry a
+# FORCED_BROADCAST_BOUNDED entry naming the construction bound.
+# Non-broadcast hints (merge / shuffle_hash) are exempt: they pick a
+# shuffle strategy, which carries no build-memory risk.
+# ---------------------------------------------------------------------------
+FORCED_BROADCAST_BOUNDED: dict[str, str] = {
+    # bounded ANN query sets (broadcast-the-queries design)
+    "q_ann_cosine_topk": "10-query set (vec_id < 10 projection)",
+    "q_ann_lsh_bucketed": "10-query set",
+    "q_ann_fast_consistency": "10-query set",
+    # fixed literal tables (localCheckpoint erases provenance)
+    "q_batch_retrieval": "fixed (qid, term) query table",
+    "q_range_join": "3-row band table",
+    "q_acf_daily_revenue": "lag list (max-lag constant rows)",
+    # absolute-cap / fixed-set text builds
+    "q_contamination_check": "benchmark grams: doc_id < 1e6 absolute cap",
+    "q_bm25_topdocs": "df over the fixed _BM25_TERMS set",
+    "q_dsir_resample": "hashed-LM count table: fixed hash-bucket width",
+    # scalar-derived or functionally-bounded group keys
+    "q_theil_index": "group keys (n, xx) are scalar totals — 1 row",
+    "q_mad_outliers": "keys (flag, median): median is per-flag scalar",
+    "q_mutual_information": "marginals of a 5x5 categorical pair",
+    "q_cms_heavy_hitters": "CMS (row, bucket) grid — depth x width constants",
+    "q_bloom_prefilter_dedup": "bloom bit positions — filter-width constant",
+    "q_ts_correlation_search": "single reference user's bucketed series",
+    # top-K cut keyed sub-joins (Limit upstream, keyed rejoin)
+    "q_hotkey_split_join": "top-K hot-key cut keyed sub-joins",
+    # deliberate design trade, documented in batch_equiv
+    "q_stream_static_join": "stream-static: never shuffle the stream",
+    "q_stream_static_anti_join": "stream-static: never shuffle the stream",
+    # bounded by construction but not textually provable
+    "q_conformal_interval": (
+        "per-grp q90 calibration row (rank-filtered; grp = "
+        "o_orderpriority enum)"
+    ),
+    "q_centroid_silhouette": (
+        "per-(cluster, dim) centroid sums — k x dim rows (label "
+        "aliased to `own` defeats the key-name rule)"
+    ),
+    "q_burrows_delta": (
+        "stats over the 20-source x top-30-word spine (left-join "
+        "multiplicity 1 — the spine side bounds the row count)"
+    ),
+}
+
+# Group-key columns whose domains are bounded at ANY scale factor
+# (enums, calendar units, fixed widths/dims) — an Aggregate keyed
+# ONLY by these emits a bounded row count no matter how large its
+# input. Names are the package's conventions; adding one here is a
+# reviewed decision, same as a FORCED_BROADCAST_BOUNDED entry.
+BOUNDED_DOMAIN_COLS = {
+    # TPC-H enums / fixed domains
+    "c_mktsegment", "segment", "seg", "o_orderstatus", "o_orderpriority",
+    "l_returnflag", "l_linestatus", "p_brand", "p_size", "p_type",
+    "n_name", "n_nationkey", "s_nationkey", "c_nationkey", "nat",
+    "r_name", "region", "nation",
+    # synthetic enums
+    "label", "c_label", "flag", "grp", "group", "lang", "source", "side",
+    "event_type", "prev_event", "series", "fold", "check_name",
+    # calendar units (time-bounded, corpus-independent)
+    "yr", "mo", "month", "dow", "hour", "period", "cohort", "cohort_week",
+    # fixed widths / dims / shard counts / derived binary splits
+    "dim", "pos", "shard", "half", "_pid",
+}
+
+_L_BOUNDED_LEAF = ("LocalRelation", "OneRowRelation", "Range (",
+                   "LogicalRDD_ALLOWLISTED_ONLY")  # LogicalRDD needs an entry
+_L_PASSTHROUGH = ("Project", "Filter", "Sort", "Window", "SubqueryAlias",
+                  "Expand", "Distinct",
+                  "RepartitionByExpression", "Repartition", "Coalesce",
+                  "ResolvedHint", "Tail", "WithCTE", "CTERelationRef")
+
+
+def _top_groups(text: str) -> list[str]:
+    groups, depth, start = [], 0, 0
+    for j, ch in enumerate(text):
+        if ch == "[":
+            if depth == 0:
+                start = j + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(text[start:j])
+    return groups
+
+
+def _hint_build_is_bounded(tree, i) -> bool:
+    """True when the ANALYZED subtree at line i provably emits a
+    bounded (corpus-independent) row count."""
+    import re
+
+    node = tree[i][1]
+    kids = _children(tree, i)
+    if node.startswith(("Aggregate", "Deduplicate")):
+        groups = _top_groups(node)
+        if node.startswith("Aggregate") and len(groups) == 1:
+            return True  # scalar form: Aggregate [aggs]
+        keys = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", groups[0]))
+        if not groups[0].strip() or (keys and keys <= BOUNDED_DOMAIN_COLS):
+            return True
+        # output rows never exceed input rows for either node
+        return bool(kids) and _hint_build_is_bounded(tree, kids[0])
+    if node.startswith(("GlobalLimit", "LocalLimit")):
+        return True
+    if node.startswith(_L_BOUNDED_LEAF):
+        return True
+    if node.startswith("Relation"):
+        cols = _top_groups(node)
+        first = cols[0].split(",")[0] if cols else ""
+        return first.startswith("n_") or first.startswith("r_")
+    if node.startswith(("Join", "Union")):
+        return bool(kids) and all(_hint_build_is_bounded(tree, k) for k in kids)
+    if node.startswith(_L_PASSTHROUGH):
+        return bool(kids) and _hint_build_is_bounded(tree, kids[0])
+    return False
+
+
+def test_forced_broadcast_builds_bounded(registry_scan):
+    """Every forced-broadcast build (ResolvedHint strategy=broadcast
+    in the analyzed plan) must be bounded by construction or carry a
+    FORCED_BROADCAST_BOUNDED justification — a forced hint on a
+    corpus/SF-scaling side bypasses autoBroadcastJoinThreshold and
+    OOMs at scale where the threshold decision would degrade to a
+    shuffle join (VERDICT r9; completed as a machine contract r10)."""
+    offenders: dict[str, list[str]] = {}
+    for name, (_, analyzed, _) in registry_scan.items():
+        if name in FORCED_BROADCAST_BOUNDED:
+            continue
+        tree = _parse_tree(analyzed)
+        bad = []
+        for i, (_, text) in enumerate(tree):
+            if not text.startswith("ResolvedHint"):
+                continue
+            if "strategy=broadcast" not in text:
+                continue  # merge/shuffle_hash: no build-memory risk
+            kids = _children(tree, i)
+            if not kids or not _hint_build_is_bounded(tree, kids[0]):
+                bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"forced broadcast on unbounded build sides: {offenders} — "
+        "drop the hint (let autoBroadcastJoinThreshold decide) or "
+        "justify a FORCED_BROADCAST_BOUNDED entry"
+    )
+
+
 def test_global_window_allowlist_matches_registry():
     """Every allowlisted name must still exist — a renamed query would
     silently leave a stale justification behind."""
@@ -388,7 +554,7 @@ def test_global_window_allowlist_matches_registry():
     names = set(all_queries())
     missing = (
         (EAGER_BUILD | PYTHON_EVAL_OK | set(GLOBAL_WINDOW_BOUNDED)
-         | set(BNLJ_BUILD_BOUNDED)) - names
+         | set(BNLJ_BUILD_BOUNDED) | set(FORCED_BROADCAST_BOUNDED)) - names
     )
     assert not missing, missing
 

@@ -296,8 +296,12 @@ def test_q10_top20_is_take_ordered(spark):
 
 
 def test_q16_exclusion_is_broadcast_anti(spark):
-    """The NOT IN supplier exclusion must be a broadcast anti join —
-    the exclusion list is structurally tiny at any scale."""
+    """The NOT IN supplier exclusion rides a broadcast anti join at
+    test scale — via the size THRESHOLD, not a forced hint: the
+    exclusion list is a constant fraction of the SF-scaling supplier
+    table, so a forced broadcast would OOM at large scale where the
+    threshold decision degrades to a shuffle anti join (r10 sweep
+    completion)."""
     plan = _plan(all_queries()["q16_supplier_part_counts"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
