@@ -3618,10 +3618,12 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate extension: frequent pairs are computed once (one
     basket self-join), then triples exist only where all three faces
     (p1,p2),(p1,p3),(p2,p3) are frequent — the face joins carry the
-    level-2 set (threshold-elected broadcast at test scale; at fixed
+    level-2 set under a COUNT-GUARDED broadcast (the checkpointed set
+    has no stats for the threshold, so its measured row count decides:
+    small -> broadcast, corpus-grown -> shuffle joins; at fixed
     ABSOLUTE support the frequent-pair count grows with the corpus,
-    so no forced hint — r10 sweep completion), and candidate volume
-    tracks the frequent-pair count, not baskets^3."""
+    so a blind forced hint would OOM — r10 sweep completion), and
+    candidate volume tracks the frequent-pair count, not baskets^3."""
     li = table(spark, sf_dir, "lineitem")
     b = (
         li.select(
@@ -3640,6 +3642,16 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
         .localCheckpoint(eager=True)
     )
+    # COUNT-GUARDED broadcast: the checkpoint erased fp's stats (a
+    # LogicalRDD carries none), so neither the static threshold nor
+    # AQE elects a broadcast and every face join degrades to
+    # sort-merge. fp is already materialized, so measuring it is one
+    # cheap job — the hint applies only when the level-2 set is
+    # PROVABLY small at runtime, and a corpus whose frequent-pair
+    # count outgrows the guard (it scales with baskets at fixed
+    # absolute support) falls back to shuffle joins instead of
+    # OOMing. Measured-then-hinted, never blind-forced.
+    fp = F.broadcast(fp) if fp.count() <= 200_000 else fp
     pairs = (
         b1.join(b2, (F.col("o") == F.col("o2")) & (F.col("pa") < F.col("pb")))
         .join(

@@ -428,6 +428,14 @@ FORCED_BROADCAST_BOUNDED: dict[str, str] = {
     # deliberate design trade, documented in batch_equiv
     "q_stream_static_join": "stream-static: never shuffle the stream",
     "q_stream_static_anti_join": "stream-static: never shuffle the stream",
+    # count-guarded hint: fp is checkpointed (stats erased), so the
+    # query MEASURES the materialized set and hints only when it is
+    # provably small at runtime — corpus-grown sets fall back to
+    # shuffle joins (see the in-code note)
+    "q_frequent_triples": (
+        "count-guarded broadcast: applied only when the materialized "
+        "level-2 pair set measures <= 200k rows"
+    ),
     # bounded by construction but not textually provable
     "q_conformal_interval": (
         "per-grp q90 calibration row (rank-filtered; grp = "

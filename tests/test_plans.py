@@ -860,9 +860,12 @@ def test_perplexity_vocab_is_broadcast_and_no_cartesian(spark):
 
 def test_frequent_triples_faces_are_broadcast(spark):
     """q_frequent_triples: all three apriori face-prune joins against
-    the level-2 frequent-pair set must broadcast the (small) pair set
-    — a shuffled face join would re-partition the basket expansion
-    three times over."""
+    the level-2 frequent-pair set broadcast the pair set at test
+    scale via the COUNT-GUARDED hint (the checkpointed set has no
+    stats, so the query measures it and hints only under the 200k-row
+    guard — a shuffled face join would re-partition the basket
+    expansion three times over, but a corpus-grown set falls back to
+    exactly that rather than OOM)."""
     plan = _plan(all_queries()["q_frequent_triples"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
