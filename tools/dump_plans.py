@@ -94,10 +94,13 @@ FLAGSHIPS = [
      "only ~5 rows per query per task reach the shuffle; zero "
      "BroadcastNestedLoopJoin in the plan"),
     ("q_mutual_nn_alignment",
-     "exact bipartite mutual-NN (r9, late-r9 2-D grid form): a g x g "
-     "tile grid (g ~ sqrt(shuffle.partitions)) — A lands in row "
-     "a mod g replicated across columns, B in column b mod g "
-     "replicated across rows, so each (a, b) pair materializes in "
+     "exact bipartite mutual-NN (r9 2-D grid form; r10 hash tiling): "
+     "a g x g tile grid (g ~ sqrt(shuffle.partitions)) — A lands in "
+     "row xxhash64(a) mod g replicated across columns, B in column "
+     "xxhash64(b) mod g replicated across rows (HASH, not residue: "
+     "ids all congruent mod g would collapse one side into a single "
+     "grid row — the r10 skew property test), so each (a, b) pair "
+     "materializes in "
      "exactly ONE cell and each cell holds |A|/g + |B|/g rows "
      "(both sides' task memory bounded). Per cell an Arrow cogroup "
      "kernel (FlatMapCoGroupsInPandas, visible below) computes the "
@@ -112,6 +115,16 @@ FLAGSHIPS = [
      "pair enumeration exists (the r8 broadcast cross pair-set "
      "re-expressed twice over; the scalar n_mutual total is the one "
      "sanctioned 1-row BNLJ build)"),
+    # round-10 flagship
+    ("q_frequent_triples",
+     "apriori face pruning under a COUNT-GUARDED broadcast (r10): "
+     "the checkpointed level-2 pair set carries no stats, so neither "
+     "the threshold nor AQE can elect a broadcast — the query "
+     "MEASURES the materialized set (one cheap count) and hints only "
+     "under a 200k-row guard; a corpus-grown set (frequent pairs "
+     "scale with baskets at fixed absolute support) falls back to "
+     "shuffle joins instead of OOMing. measured-then-hinted, the "
+     "pattern the forced-broadcast hygiene scan enforces everywhere"),
 ]
 
 
