@@ -402,6 +402,16 @@ def test_no_unjustified_global_sorted_window(registry_scan):
 # FORCED_BROADCAST_BOUNDED entry naming the construction bound.
 # Non-broadcast hints (merge / shuffle_hash) are exempt: they pick a
 # shuffle strategy, which carries no build-memory risk.
+#
+# Mutation-validated (r10): reintroducing the q_skyline_pareto
+# customer hint fails the scan; the clean tree passes. Coverage gap,
+# documented: EAGER_BUILD queries are excluded here like every other
+# blanket scan (their builds execute jobs); all 228 F.broadcast()
+# source sites — including the eager modules' — were hand-audited in
+# r10 (ml/dedup/graph/layout eager sites are scalar aggregates,
+# k-bounded centroid tables, or top-k cuts), so the residual risk is
+# a FUTURE hint inside an eager build; reviewers should extend
+# FORCED_BROADCAST_BOUNDED reasoning to those by hand.
 # ---------------------------------------------------------------------------
 FORCED_BROADCAST_BOUNDED: dict[str, str] = {
     # bounded ANN query sets (broadcast-the-queries design)
