@@ -438,6 +438,19 @@ FORCED_BROADCAST_BOUNDED: dict[str, str] = {
     # deliberate design trade, documented in batch_equiv
     "q_stream_static_join": "stream-static: never shuffle the stream",
     "q_stream_static_anti_join": "stream-static: never shuffle the stream",
+    # eager-build entries (audited via the SLOW_SCANS variant, r10)
+    "q_ann_lsh_recall": "10-query set + 3-row strategy table",
+    "q_ann_ivf_recall": (
+        "10-query set + k-centroid table + per-query nprobe cell cut"
+    ),
+    "q_ann_sq8_rescore": "10-query set",
+    "q_kmeans_clusters": "k-centroid table (k rows, checkpointed)",
+    "q_link_prediction": (
+        "degree table of the top-K-edge sparsified graph (<= 2K nodes)"
+    ),
+    "q_degree_assortativity": (
+        "degree table of the top-K-edge sparsified graph (<= 2K nodes)"
+    ),
     # count-guarded hint: fp is checkpointed (stats erased), so the
     # query MEASURES the materialized set and hints only when it is
     # provably small at runtime — corpus-grown sets fall back to
@@ -561,6 +574,45 @@ def test_forced_broadcast_builds_bounded(registry_scan):
         f"forced broadcast on unbounded build sides: {offenders} — "
         "drop the hint (let autoBroadcastJoinThreshold decide) or "
         "justify a FORCED_BROADCAST_BOUNDED entry"
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPARK_GRAFT_SLOW_SCANS"),
+    reason="eager builds execute Spark jobs (~half the suite); set "
+    "SPARK_GRAFT_SLOW_SCANS=1 to run — executed and recorded green "
+    "in the r10 COVERAGE ledger",
+)
+def test_forced_broadcast_builds_bounded_eager(spark):
+    """The EAGER_BUILD half of the forced-broadcast audit: the same
+    walk over the queries the shared registry_scan fixture skips
+    (their DataFrame construction executes jobs — checkpoints, MLlib
+    fits, staged writes). Env-gated so the default suite stays fast;
+    run with SPARK_GRAFT_SLOW_SCANS=1 after touching any eager
+    query's join structure."""
+    from bigdata_deepfakeanalysis_spark.registry import all_queries
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in all_queries().items():
+        if name not in EAGER_BUILD or name in FORCED_BROADCAST_BOUNDED:
+            continue
+        analyzed = (
+            fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        )
+        tree = _parse_tree(analyzed)
+        bad = []
+        for i, (_, text) in enumerate(tree):
+            if not text.startswith("ResolvedHint"):
+                continue
+            if "strategy=broadcast" not in text:
+                continue
+            kids = _children(tree, i)
+            if not kids or not _hint_build_is_bounded(tree, kids[0]):
+                bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"forced broadcast on unbounded eager build sides: {offenders}"
     )
 
 
