@@ -705,6 +705,7 @@ def _vec_eval(spec, arrays):
     ``_NAN_DEFER``, which must survive ``not`` unchanged). Any spec or
     type this path cannot express raises — the caller falls back to
     the per-row reference implementation, never guesses."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -714,7 +715,10 @@ def _vec_eval(spec, arrays):
         return pc.invert(m), d  # Kleene: invert(null) = null
     col = arrays[spec[1]]
     n = len(col)
-    no_defer = pa.array([False] * n)
+    # constant masks via numpy, not a Python list per spec per block —
+    # C-speed and explicitly bool-typed even at n=0 (pa.array([])
+    # infers null type, which pc.or_/filter reject)
+    no_defer = pa.array(np.zeros(n, dtype=bool))
     if op == "isnull":
         return pc.is_null(col), no_defer
     if op == "isnotnull":
@@ -724,7 +728,7 @@ def _vec_eval(spec, arrays):
         op == "in" and any(_is_nan(v) for v in val)
     ):
         # NaN literal: the whole comparison defers, every row kept
-        return pa.nulls(n, pa.bool_()), pa.array([True] * n)
+        return pa.nulls(n, pa.bool_()), pa.array(np.ones(n, dtype=bool))
     defer = (
         pc.fill_null(pc.is_nan(col), False)
         if pa.types.is_floating(col.type)
@@ -809,6 +813,12 @@ def arrow_blocks(path, offsets=None, compiled_filters=None):
         types = [getattr(pa, _AVRO_TO_ARROW[t])() for _, t, _ in fields]
 
         def decode_payload(count, payload):
+            if count == 0:
+                # zero-record block — legal per the Avro spec for
+                # foreign writers; skip it (an n=0 filter mask would
+                # otherwise need careful typing, and a 0-row batch is
+                # pure overhead downstream)
+                return None
             if codec == "deflate":
                 try:
                     payload = zlib.decompress(payload, wbits=-15)
@@ -836,7 +846,8 @@ def arrow_blocks(path, offsets=None, compiled_filters=None):
                         [
                             _row_passes(compiled_filters, row)
                             for row in zip(*cols)
-                        ]
+                        ],
+                        pa.bool_(),
                     )
                 batch = batch.filter(keep)
                 if batch.num_rows == 0:
@@ -892,7 +903,7 @@ def avro_schema_from_spark(schema, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
-def make_pyavro_datasource(spark=None):
+def make_pyavro_datasource(spark=None, warn=True):
     """Build the ``pyavro`` DataSource class.
 
     ``spark`` (optional): the session whose
@@ -900,6 +911,8 @@ def make_pyavro_datasource(spark=None):
     the reader implements ``pushFilters`` — explicit is safer than
     the ``getActiveSession()`` fallback, because the decision is
     baked in at registration time (see the warning block below).
+    ``warn=False`` silences the order-sensitivity warning for
+    deliberately no-pushdown registrations.
 
     Defined inside a factory so cloudpickle serializes the class BY
     VALUE — Python workers do not have this package on their import
@@ -1039,6 +1052,7 @@ def make_pyavro_datasource(spark=None):
     # the session explicitly to decide against it rather than
     # whatever getActiveSession() returns.
     _pushdown_attached = False
+    _sess = None
     try:
         _sess = spark
         if _sess is None:
@@ -1058,18 +1072,22 @@ def make_pyavro_datasource(spark=None):
             _pushdown_attached = True
     except Exception:
         pass  # conf unreadable — keep the no-pushdown reader
-    if not _pushdown_attached:
+    if not _pushdown_attached and warn and _sess is not None:
+        # the genuine order-sensitivity hazard: a session EXISTS but
+        # its conf is off (likely "registered before tune()"). With no
+        # session at all the caller plainly intends a no-pushdown
+        # registration — stay silent (warn=False also opts out).
         import warnings
 
         warnings.warn(
             "pyavro registered WITHOUT filter pushdown: "
             "spark.sql.python.filterPushdown.enabled is not 'true' on "
-            "the deciding session (none active?). Reads work but "
-            "pre-filtering is off; call session.tune(spark) first and "
-            "re-register with make_pyavro_datasource(spark) to enable "
-            "it. (Conversely, disabling the conf AFTER a pushdown "
-            "registration makes Spark fail subsequent pyavro reads "
-            "until re-registration.)",
+            "the deciding session. Reads work but pre-filtering is "
+            "off; call session.tune(spark) first and re-register with "
+            "make_pyavro_datasource(spark) to enable it. (Conversely, "
+            "disabling the conf AFTER a pushdown registration makes "
+            "Spark fail subsequent pyavro reads until "
+            "re-registration. Pass warn=False to silence.)",
             stacklevel=2,
         )
 

@@ -10,6 +10,34 @@ Both engines convert the identical decimal to the identical double.
 These helpers return Spark Column expressions; the matching DuckDB SQL
 fragments are spelled identically in the oracle strings (same CAST
 chain), which is what guarantees bit-equality.
+
+INPUT CONTRACT (pinned by the r11 fuzz,
+tests/test_properties.py::test_parity_helpers_bit_exact_vs_duckdb):
+
+- Values must be representable within the helper's decimal ``scale``
+  (money/measure semantics — every call site is). For an arbitrary
+  double whose SHORTEST DECIMAL REPR ties exactly one digit past the
+  scale (e.g. 123456.78905 at scale 4), the engines legitimately
+  diverge: Spark's double->decimal goes through Java's
+  ``BigDecimal.valueOf`` (shortest-repr string, then HALF_UP ->
+  ...7891) while DuckDB rounds the EXACT binary value
+  (123456.7890499999... -> ...7890). In-contract values have <= scale
+  digits, where both conversions are exact and agree.
+- ``dmul2_sum`` factors must keep |a*b| < ~9.2e10: DuckDB multiplies
+  DECIMAL(18,4) pairs inside physical int64 and raises
+  OutOfRangeException beyond it (Spark widens silently). Call sites
+  are price * discount-fraction — orders of magnitude inside.
+- NaN/inf are forbidden: CAST(NaN AS DECIMAL) is NULL in Spark but a
+  hard conversion error in DuckDB — an out-of-contract input fails
+  the oracle LOUDLY, never silently.
+- Every intermediate decimal SUM must stay within 2^53 in SCALED
+  units (value * 10^scale): Spark's decimal->double cast is
+  correctly rounded once (BigDecimal.doubleValue) while DuckDB's
+  can double-round (int128 -> double, then / 10^scale), so beyond
+  2^53 the engines may differ in the last ulp (fuzz-observed:
+  3839.321286443553 vs ...3536 on a stddev whose scale-8 sum-of-
+  squares exceeded 2^53). At the driver's grading SF (0.01) every
+  registered aggregate is orders of magnitude inside the bound.
 """
 
 from __future__ import annotations

@@ -90,61 +90,41 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-10 rotation (COVERAGE.md §window-plan + VERDICT r9 task 1):
-    # the FULL remaining never-driver-graded residue (31 names =
-    # 12 advanced + 19 relational, artifact-derived via
-    # tools/recount_union.py) plus 19 re-grade fillers chosen for
-    # evidence value — every filler is a query whose code changed in
-    # round 9 AFTER its last driver-green row: the two tile-grid
-    # re-expressions (q_mutual_nn_alignment, q_knn_classifier), all
-    # 12 hint-swept TPC-H shapes (q8/q9 first — deepest join trees),
-    # the PageRank invariant-join hoist, the three dedup-QA names that
-    # certify the shared lsh_pairs_cached candidate set, and the
-    # pyavro-staged roundtrip (now exercising Arrow read/write +
-    # pushdown). A 50/50 round closes the registry: union 384 → 415,
-    # residue 0. Deviation from the COVERAGE r10 sketch, documented
-    # there: VERDICT r9 task 1's 12 TPC-H shapes outrank the
-    # module-rotation reps; q_ngram_jaccard / q_dedup_components(_star)
-    # ride on the cache certification (the only r9 change to them is
-    # the lsh_pairs_cached source the three graded QA names consume).
+    # Round-11 rotation (VERDICT r10 task 2). The registry is closed
+    # (415/415 union-green, residue 0), so the window's standing
+    # purpose is now explicit: EVERY query whose code changed since
+    # its last driver row gets re-graded next round. Slots:
+    #   (a) the six queries de-hinted late in r10 OUTSIDE that
+    #       round's window — their driver greens predate the hint
+    #       removal (VERDICT r10 "What's missing" #1);
+    #   (b) queries whose code changes in r11 (pyavro Arrow-path
+    #       empty-block fix + split reads -> the staged roundtrip);
+    #   (c) fillers by evidence value: the r10 re-expressions graded
+    #       a SECOND time on an unchanged tree (stability evidence),
+    #       the deepest TPC-H join trees, the most expensive plan
+    #       rows the r10 verdict audited (semantic dedup, BRP-LSH,
+    #       BPE, edit-distance join), and the forced-broadcast
+    #       allowlist heavies whose hint budgets the r11 audit now
+    #       pins exactly (q_frequent_triples, the ANN recall ladder,
+    #       the graph degree-join pair).
     # ------------------------------------------------------------------
-    # advanced residue (12)
-    "q_burstiness",
-    "q_forecast_backtest_mape",
-    "q_frequent_triples",
-    "q_granger_lag1",
-    "q_late_arriving_dim",
-    "q_markov_entropy_rate",
-    "q_observe_metrics",
-    "q_runs_test",
-    "q_session_timeout_sweep",
-    "q_table_checksum",
-    "q_ts_feature_matrix",
-    "q_ts_pattern_match",
-    # relational residue (19)
-    "q_age_period_cohort",
-    "q_cem_att",
-    "q_chisq_residuals",
-    "q_conformal_interval",
-    "q_direct_standardization",
-    "q_eb_shrinkage",
-    "q_fk_fanout_profile",
-    "q_hill_tail_index",
-    "q_icc_customers",
-    "q_knee_detection",
-    "q_order_to_ship_latency",
-    "q_overdispersion",
-    "q_price_index",
-    "q_price_volume_mix",
-    "q_rank_biased_overlap",
-    "q_rare_category_collapse",
-    "q_rate_mix_decomposition",
-    "q_seasonality_strength",
-    "q_simpson_reversal",
-    # re-grade fillers: r9 tile-grid re-expressions (similarity)
+    # (a) the six stale-green de-hinted queries
+    "q18_large_volume_orders",
+    "q_skyline_pareto",
+    "q_gini_concentration",
+    "q_topk_grouping_sets",
+    "q_rake_keywords",
+    "q_training_pipeline",
+    # (c) r10 re-expressions, second grading on the unchanged tree
     "q_mutual_nn_alignment",
     "q_knn_classifier",
-    # re-grade fillers: the 12 hint-swept TPC-H shapes (relational)
+    "q_pagerank_copurchase",
+    "q_lpa_communities",
+    "q_ngram_jaccard",
+    "q_dup_cluster_sizes",
+    "q_dup_flow_matrix",
+    "q_lsh_dedup_eval",
+    # (c) deepest TPC-H join trees + hint-swept shapes, second pass
     "q8_market_share",
     "q9_product_profit",
     "q2_min_cost_supplier",
@@ -156,13 +136,34 @@ _WINDOW: list[str] = [
     "q19_disjunctive_join",
     "q20_dominant_suppliers",
     "q21_waiting_suppliers",
-    "q_dq_constraints",
-    # re-grade fillers: PageRank hoist + shared-LSH-cache certifiers
-    "q_pagerank_copurchase",
-    "q_dup_cluster_sizes",
-    "q_dup_flow_matrix",
-    "q_lsh_dedup_eval",
-    # re-grade filler, disk-staging (goes last by convention)
+    "q5_regional_revenue",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    # (c) the most expensive plan rows of the r10 verdict audit
+    "q_semantic_dedup",
+    "q_semantic_dedup_lsh",
+    "q_mllib_brp_lsh_join",
+    "q_bpe_merges",
+    "q_edit_distance_join",
+    "q_minhash_near_dup",
+    "q_exact_dedup",
+    "q_cosine_near_dup",
+    "q_dedup_components",
+    "q_dedup_components_star",
+    "q_substring_span_dedup",
+    "q_snm_dedup",
+    # (c) forced-broadcast allowlist heavies (budgets pinned r11)
+    "q_frequent_triples",
+    "q_ann_ivf_recall",
+    "q_ann_lsh_recall",
+    "q_ann_sq8_rescore",
+    "q_ann_cosine_topk",
+    "q_link_prediction",
+    "q_degree_assortativity",
+    "q_kmeans_clusters",
+    "q_mutual_information",
+    # (b) r11 pyavro changes ride the staged roundtrip
+    #     (disk-staging goes last by convention)
     "q_csv_json_roundtrip",
 ]
 

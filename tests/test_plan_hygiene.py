@@ -404,14 +404,13 @@ def test_no_unjustified_global_sorted_window(registry_scan):
 # shuffle strategy, which carries no build-memory risk.
 #
 # Mutation-validated (r10): reintroducing the q_skyline_pareto
-# customer hint fails the scan; the clean tree passes. Coverage gap,
-# documented: EAGER_BUILD queries are excluded here like every other
-# blanket scan (their builds execute jobs); all 228 F.broadcast()
-# source sites — including the eager modules' — were hand-audited in
-# r10 (ml/dedup/graph/layout eager sites are scalar aggregates,
-# k-bounded centroid tables, or top-k cuts), so the residual risk is
-# a FUTURE hint inside an eager build; reviewers should extend
-# FORCED_BROADCAST_BOUNDED reasoning to those by hand.
+# customer hint fails the scan; the clean tree passes. r11: listed
+# queries are no longer exempted wholesale — each must carry EXACTLY
+# its budgeted unbounded-hint count (FORCED_BROADCAST_HINT_BUDGET,
+# default 1), so a future second hint on a listed query fails the
+# audit and a de-hinted entry fails as stale. The env-gated eager
+# variant applies the same budgets to EAGER_BUILD queries (their
+# builds execute jobs), closing the r10 hand-audit gap.
 # ---------------------------------------------------------------------------
 FORCED_BROADCAST_BOUNDED: dict[str, str] = {
     # bounded ANN query sets (broadcast-the-queries design)
@@ -427,11 +426,12 @@ FORCED_BROADCAST_BOUNDED: dict[str, str] = {
     "q_bm25_topdocs": "df over the fixed _BM25_TERMS set",
     "q_dsir_resample": "hashed-LM count table: fixed hash-bucket width",
     # scalar-derived or functionally-bounded group keys
-    "q_theil_index": "group keys (n, xx) are scalar totals — 1 row",
+    # (q_theil_index / q_bloom_prefilter_dedup entries retired r11:
+    # the bounded-build walk now proves their hints — the budget
+    # audit below flags such dead entries automatically)
     "q_mad_outliers": "keys (flag, median): median is per-flag scalar",
     "q_mutual_information": "marginals of a 5x5 categorical pair",
     "q_cms_heavy_hitters": "CMS (row, bucket) grid — depth x width constants",
-    "q_bloom_prefilter_dedup": "bloom bit positions — filter-width constant",
     "q_ts_correlation_search": "single reference user's bucketed series",
     # top-K cut keyed sub-joins (Limit upstream, keyed rejoin)
     "q_hotkey_split_join": "top-K hot-key cut keyed sub-joins",
@@ -472,6 +472,26 @@ FORCED_BROADCAST_BOUNDED: dict[str, str] = {
         "stats over the 20-source x top-30-word spine (left-join "
         "multiplicity 1 — the spine side bounds the row count)"
     ),
+}
+
+# Expected number of not-textually-provable broadcast hints per
+# allowlisted query (absent => 1). The audit asserts EXACT equality,
+# so (a) a FUTURE unjustified hint added to an allowlisted query no
+# longer hides behind the existing justification (ADVICE r10: the old
+# `continue` exempted the whole query), and (b) an entry whose hints
+# were later de-hinted or became provably bounded turns into a loud
+# stale-entry failure instead of a dead allowlist line. Counts
+# measured r11 on the analyzed plans.
+FORCED_BROADCAST_HINT_BUDGET: dict[str, int] = {
+    "q_ann_fast_consistency": 2,   # query set + strategy table
+    "q_frequent_triples": 3,       # count-guarded L2 pairs, 3 join sites
+    "q_mutual_information": 2,     # both 5x5 marginals
+    # eager-build entries (counted via the SLOW_SCANS variant)
+    "q_ann_ivf_recall": 9,         # queries + centroids + nprobe cuts
+    "q_ann_lsh_recall": 3,         # queries + strategy + exact top-k
+    "q_ann_sq8_rescore": 2,        # queries, shortlist rescore
+    "q_degree_assortativity": 2,   # degree table joined on both ends
+    "q_link_prediction": 2,        # degree table joined on both ends
 }
 
 # Group-key columns whose domains are bounded at ANY scale factor
@@ -547,34 +567,103 @@ def _hint_build_is_bounded(tree, i) -> bool:
     return False
 
 
+def _unbounded_broadcast_hints(analyzed: str) -> list[str]:
+    """The not-textually-provable broadcast-hint build subtrees of one
+    ANALYZED plan (first-line excerpts). Non-broadcast hints (merge /
+    shuffle_hash) are exempt: they pick a shuffle strategy, which
+    carries no build-memory risk."""
+    tree = _parse_tree(analyzed)
+    bad = []
+    for i, (_, text) in enumerate(tree):
+        if not text.startswith("ResolvedHint"):
+            continue
+        if "strategy=broadcast" not in text:
+            continue
+        kids = _children(tree, i)
+        if not kids or not _hint_build_is_bounded(tree, kids[0]):
+            bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
+    return bad
+
+
+def _audit_forced_broadcasts(analyzed_by_name: dict) -> dict[str, str]:
+    """Shared forced-broadcast contract over a {name: analyzed-plan}
+    mapping: unlisted queries may carry ZERO unbounded broadcast
+    hints; FORCED_BROADCAST_BOUNDED queries must carry EXACTLY their
+    budgeted count — fewer means the entry went stale (de-hinted or
+    newly provable: delete it), more means a new hint is hiding
+    behind an old justification (ADVICE r10). Returns offender
+    messages; empty = clean."""
+    offenders: dict[str, str] = {}
+    for name, analyzed in analyzed_by_name.items():
+        bad = _unbounded_broadcast_hints(analyzed)
+        if name not in FORCED_BROADCAST_BOUNDED:
+            if bad:
+                offenders[name] = (
+                    f"forced broadcast on unbounded build sides: {bad} — "
+                    "drop the hint (let autoBroadcastJoinThreshold "
+                    "decide) or justify a FORCED_BROADCAST_BOUNDED entry"
+                )
+            continue
+        budget = FORCED_BROADCAST_HINT_BUDGET.get(name, 1)
+        if len(bad) > budget:
+            offenders[name] = (
+                f"{len(bad)} unbounded broadcast hints exceed the "
+                f"budgeted {budget}: {bad} — a new hint is riding an "
+                "old justification; justify it (raise the budget) or "
+                "drop it"
+            )
+        elif len(bad) < budget:
+            offenders[name] = (
+                f"stale FORCED_BROADCAST_BOUNDED entry: only "
+                f"{len(bad)} unbounded hints remain of the budgeted "
+                f"{budget} — delete/shrink the entry so the dead "
+                "justification can't mask a future hint"
+            )
+    return offenders
+
+
 def test_forced_broadcast_builds_bounded(registry_scan):
     """Every forced-broadcast build (ResolvedHint strategy=broadcast
     in the analyzed plan) must be bounded by construction or carry a
     FORCED_BROADCAST_BOUNDED justification — a forced hint on a
     corpus/SF-scaling side bypasses autoBroadcastJoinThreshold and
     OOMs at scale where the threshold decision would degrade to a
-    shuffle join (VERDICT r9; completed as a machine contract r10)."""
-    offenders: dict[str, list[str]] = {}
-    for name, (_, analyzed, _) in registry_scan.items():
-        if name in FORCED_BROADCAST_BOUNDED:
-            continue
-        tree = _parse_tree(analyzed)
-        bad = []
-        for i, (_, text) in enumerate(tree):
-            if not text.startswith("ResolvedHint"):
-                continue
-            if "strategy=broadcast" not in text:
-                continue  # merge/shuffle_hash: no build-memory risk
-            kids = _children(tree, i)
-            if not kids or not _hint_build_is_bounded(tree, kids[0]):
-                bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
-        if bad:
-            offenders[name] = bad
-    assert not offenders, (
-        f"forced broadcast on unbounded build sides: {offenders} — "
-        "drop the hint (let autoBroadcastJoinThreshold decide) or "
-        "justify a FORCED_BROADCAST_BOUNDED entry"
+    shuffle join (VERDICT r9; completed as a machine contract r10;
+    exact hint budgets + stale-entry detection r11)."""
+    offenders = _audit_forced_broadcasts(
+        {n: a for n, (_, a, _) in registry_scan.items()}
     )
+    assert not offenders, offenders
+
+
+def test_forced_broadcast_audit_detects_mutations():
+    """Mutation validation of the audit helper itself: a stale
+    allowlist entry (0 remaining hints), an over-budget query, and an
+    unlisted offender must each fail loudly — the three ways the r10
+    whole-query exemption could silently rot."""
+    # q_range_join budgets 1 unbounded hint; q5_regional_revenue is
+    # unlisted. A fabricated plan with one unbounded broadcast hint:
+    hinted = (
+        "Project [x#1]\n"
+        "+- ResolvedHint (strategy=broadcast)\n"
+        "   +- Relation [x#1] parquet\n"
+    )
+    clean = "Project [x#1]\n+- Relation [x#1] parquet\n"
+    # in-budget listed query + clean unlisted query: no offenders
+    assert _audit_forced_broadcasts(
+        {"q_range_join": hinted, "q5_regional_revenue": clean}
+    ) == {}
+    # stale entry: listed query lost its hint
+    got = _audit_forced_broadcasts({"q_range_join": clean})
+    assert "stale" in got.get("q_range_join", "")
+    # over budget: a second hint rides the justification
+    double = hinted + "+- ResolvedHint (strategy=broadcast)\n" \
+        "   +- Relation [y#2] parquet\n"
+    got = _audit_forced_broadcasts({"q_range_join": double})
+    assert "exceed" in got.get("q_range_join", "")
+    # unlisted query with a hint
+    got = _audit_forced_broadcasts({"q5_regional_revenue": hinted})
+    assert "unbounded build sides" in got.get("q5_regional_revenue", "")
 
 
 @pytest.mark.skipif(
@@ -592,28 +681,13 @@ def test_forced_broadcast_builds_bounded_eager(spark):
     query's join structure."""
     from bigdata_deepfakeanalysis_spark.registry import all_queries
 
-    offenders: dict[str, list[str]] = {}
-    for name, fn in all_queries().items():
-        if name not in EAGER_BUILD or name in FORCED_BROADCAST_BOUNDED:
-            continue
-        analyzed = (
-            fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
-        )
-        tree = _parse_tree(analyzed)
-        bad = []
-        for i, (_, text) in enumerate(tree):
-            if not text.startswith("ResolvedHint"):
-                continue
-            if "strategy=broadcast" not in text:
-                continue
-            kids = _children(tree, i)
-            if not kids or not _hint_build_is_bounded(tree, kids[0]):
-                bad.append(tree[kids[0]][1][:90] if kids else "<leaf>")
-        if bad:
-            offenders[name] = bad
-    assert not offenders, (
-        f"forced broadcast on unbounded eager build sides: {offenders}"
-    )
+    plans = {
+        name: fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+        for name, fn in all_queries().items()
+        if name in EAGER_BUILD
+    }
+    offenders = _audit_forced_broadcasts(plans)
+    assert not offenders, offenders
 
 
 def test_global_window_allowlist_matches_registry():

@@ -305,6 +305,60 @@ def test_pyavro_split_reads_within_one_file(spark, tmp_path):
     assert got == list(range(n))
 
 
+def test_pyavro_split_plan_block_boundary_fuzz(tmp_path):
+    """Block-boundary fuzz over the split planner + ranged decoders:
+    random (row count, block_records, split_bytes, codec) combos —
+    including split_bytes below one block's size, above the whole
+    file, and exactly at block-size multiples — must always yield a
+    split plan whose ranged reads union to EXACTLY the file (no row
+    lost or duplicated at any block boundary), on both the row and
+    Arrow decode paths. Seeded, so failures replay."""
+    import random
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    rng = random.Random(11)
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    for case in range(12):
+        n = rng.choice([1, 7, 64, 333, 1000])
+        blk = rng.choice([1, 3, 50, 64, 1000])
+        codec = rng.choice(["null", "deflate"])
+        p = tmp_path / f"f{case}.avro"
+        rows = [
+            (i, None if i % 7 == 0 else f"v{i}") for i in range(n)
+        ]
+        al.write_container(p, schema, rows, codec=codec, block_records=blk)
+        _, blocks = al.block_index(p)
+        assert len(blocks) == (n + blk - 1) // blk, (case, n, blk)
+        total = sum(sz for _, _, sz in blocks)
+        for split_bytes in (1, total // 3 or 1, total, 10 * total + 1):
+            splits = al.plan_splits(blocks, split_bytes)
+            # every block offset exactly once, order preserved
+            flat = [o for part in splits for o in part]
+            assert flat == [b[0] for b in blocks], (case, split_bytes)
+            # row path: ranged union == file
+            got = [
+                r for part in splits for r in al.read_blocks(p, part)
+            ]
+            assert got == rows, (case, n, blk, codec, split_bytes)
+            # Arrow path: same union (empty-batch Nones filtered by
+            # the generator contract)
+            got_a = [
+                tuple(col[i] for col in b.to_pydict().values())
+                for part in splits
+                for b in al.arrow_blocks(p, part)
+                for i in range(b.num_rows)
+            ]
+            assert got_a == rows, (case, n, blk, codec, split_bytes)
+
+
 def test_pyavro_arrow_and_row_paths_agree(spark, tmp_path):
     """The Arrow-batch read path (default) and the row-iterator path
     (option arrow=false) must produce identical DataFrames — every
@@ -688,6 +742,97 @@ def test_pyavro_registration_warns_without_pushdown_conf(spark, tmp_path):
 
     rd = cls(options={"path": str(tmp_path)}).reader(None)
     assert type(rd).pushFilters is not DataSourceReader.pushFilters
+
+
+def test_pyavro_no_pushdown_registration_is_silent_when_intended(spark):
+    """The order-sensitivity warning exists for ONE hazard: a live
+    session whose pushdown conf is off (likely 'registered before
+    tune()'). A registration with no session at all, or with
+    ``warn=False``, is a deliberate no-pushdown deployment and must
+    not spam UserWarnings (several suite call sites register without
+    a session)."""
+    import warnings as _w
+    from unittest import mock
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    conf = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(conf, "true")
+    try:
+        spark.conf.set(conf, "false")
+        # explicit opt-out on a conf-off session: silent
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            al.make_pyavro_datasource(spark, warn=False)
+        # no session anywhere (getActiveSession -> None): silent
+        with mock.patch(
+            "pyspark.sql.SparkSession.getActiveSession", return_value=None
+        ):
+            with _w.catch_warnings():
+                _w.simplefilter("error")
+                al.make_pyavro_datasource()
+    finally:
+        spark.conf.set(conf, old)
+
+
+def test_pyavro_zero_record_block_with_pushed_filters(spark, tmp_path):
+    """A zero-record block is legal per the Avro spec (foreign
+    writers emit them); with filters pushed, an n=0 mask built from
+    ``pa.array([])`` infers null type and both ``pc.or_`` and
+    ``batch.filter`` raise ArrowNotImplementedError. The decode path
+    must skip empty blocks before masking — and an all-rows-filtered
+    block must likewise yield nothing rather than a 0-row batch."""
+    import hashlib
+
+    from bigdata_deepfakeanalysis_spark.operators import avro_lite as al
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    p = tmp_path / "t.avro"
+    rows = [(i, f"s{i}") for i in range(20)]
+    al.write_container(p, schema, rows, block_records=8)
+    # splice a foreign-writer zero-record block onto the tail
+    sync = hashlib.md5(str(p).encode()).digest()
+    with open(p, "ab") as f:
+        f.write(al.zigzag_encode(0))
+        f.write(al.zigzag_encode(0))
+        f.write(sync)
+
+    # unfiltered full-file read: empty block skipped, rows intact
+    flat = [
+        tuple(col[i] for col in b.to_pydict().values())
+        for b in al.arrow_blocks(str(p))
+        for i in range(b.num_rows)
+    ]
+    assert flat == rows
+
+    # filtered read over the same file — the r10 crash repro
+    specs = [("gt", 0, 4)]  # k > 4
+    got = [
+        tuple(col[i] for col in b.to_pydict().values())
+        for b in al.arrow_blocks(str(p), compiled_filters=specs)
+        for i in range(b.num_rows)
+    ]
+    assert got == [r for r in rows if r[0] > 4]
+
+    # a filter dropping EVERY row of every block also survives
+    assert list(al.arrow_blocks(str(p), compiled_filters=[("gt", 0, 99)])) == []
+
+    # and the ranged (split-read) offsets path skips it too
+    _, blocks = al.block_index(str(p))
+    offsets = [o for o, _, _ in blocks]
+    got_ranged = [
+        tuple(col[i] for col in b.to_pydict().values())
+        for b in al.arrow_blocks(str(p), offsets, specs)
+        for i in range(b.num_rows)
+    ]
+    assert got_ranged == [r for r in rows if r[0] > 4]
 
 
 def test_pyavro_class_ships_by_value(tmp_path):

@@ -55,14 +55,22 @@ def _perturb(tbl: str, df, i: int):
     measurement. Copy i Caesar-shifts document text by i (length,
     token structure and char-frequency SHAPE preserved; all q-grams
     changed) and rotates embedding dimensions by i (norms preserved;
-    cross-copy cosine ~ 0 for these near-random vectors)."""
+    cross-copy cosine ~ 0 for these near-random vectors). Copies
+    >= 26 ALSO reverse the text (the rotation group has order 26, so
+    copy 26+i would otherwise be a verbatim twin of copy i; reversed
+    q-grams share nothing with forward ones while length and
+    char-frequency shape still hold) — keeps the decorrelation
+    honest for the r11 sf5 staging (50 copies)."""
     from pyspark.sql import functions as F
 
     if i == 0:
         return df
     if tbl == "documents":
         shifted = _AZ[i % 26:] + _AZ[: i % 26]
-        return df.withColumn("text", F.translate("text", _AZ, shifted))
+        text = F.translate("text", _AZ, shifted)
+        if i >= 26:
+            text = F.reverse(text)
+        return df.withColumn("text", text)
     if tbl == "embeddings":
         r = i % 64
         return df.withColumn(
@@ -82,16 +90,35 @@ def sf1_dir() -> Path:
     return staging_dir("sf1_bench")
 
 
+def scale_dir(label: str) -> Path:
+    """Staging dir for an arbitrary key-shifted scale-up (r11 scale
+    probe: label='sf5' => 50 copies of sf0.1)."""
+    from bigdata_deepfakeanalysis_spark.catalog import staging_dir
+
+    return staging_dir(f"{label}_bench")
+
+
 def _staged(out: Path, tbl: str) -> bool:
     return (out / f"{tbl}.parquet" / "_SUCCESS").exists()
 
 
 def stage(spark) -> Path:
+    return _stage_at(spark, sf1_dir(), COPIES, b"v3-events")
+
+
+def stage_scale(spark, label: str, copies: int) -> Path:
+    """Same key-shifted/perturbed scale-up as :func:`stage` at an
+    arbitrary multiplier — perf evidence only, never oracle input
+    (same contract as sf1). ``copies`` counts sf0.1 replicas, so
+    copies=50 ~ sf5."""
+    return _stage_at(spark, scale_dir(label), copies, b"v1-scale")
+
+
+def _stage_at(spark, out: Path, copies: int, version: bytes) -> Path:
     from pyspark.sql import functions as F
 
     from bigdata_deepfakeanalysis_spark.catalog import table
 
-    out = sf1_dir()
     marker = out / ".complete"
     # per-table idempotence (r5 added documents/embeddings — an older
     # staging dir upgrades in place without re-writing the facts)
@@ -114,7 +141,7 @@ def stage(spark) -> Path:
         else:
             src = table(spark, SRC, tbl)
         scaled = None
-        for i in range(COPIES):
+        for i in range(copies):
             c = _perturb(
                 tbl, src.withColumn(key, F.col(key) + F.lit(i * STRIDE)), i
             )
@@ -125,7 +152,7 @@ def stage(spark) -> Path:
             table(spark, SRC, tbl).write.mode("overwrite").parquet(
                 str(out / f"{tbl}.parquet")
             )
-    marker.write_bytes(b"v3-events")
+    marker.write_bytes(version)
     return out
 
 
