@@ -1257,6 +1257,100 @@ def q_arrow_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate path (q_ann_lsh_bucketed) with identical vote semantics.
 # ---------------------------------------------------------------------------
 
+# Margin for the per-cell top-k pre-cut (see _knn_tile_kernel): the
+# final ranking key is ROUND(cosine, 9), which moves a raw cosine by
+# at most ~0.5e-9 (+ sub-ulp repr jitter). If raw(a) - raw(b) > 3e-9
+# then round(a) > round(b) STRICTLY, so a candidate excluded by the
+# margin rule has >= k cell-mates that out-rank it under the final
+# rounded key for ANY tie-break — it cannot be in the global top-k.
+_KNN_ROUND_MARGIN = 3e-9
+
+
+def _knn_tile_kernel(cands, queries):
+    """Per-grid-cell kNN scoring block (Arrow cogroup kernel).
+
+    ``cands`` = the cell's train rows (cand_id, cand_label, cq, nc,
+    tc, tq), ``queries`` = its hold-out rows (query_id, true_label,
+    qq, nq, tq, tc). Computes the cell's |Q| x |C| integer dot block
+    as float64 BLAS matmuls (exact: quantized coords are integers and
+    the kernel ASSERTS dim * max|c| * max|q| < 2^53, so no product or
+    partial sum can round) and emits, per query, only the candidates
+    that can still reach the global top-5 under the final
+    ROUND(cosine,9) ranking: the cell's raw-cosine top-5 plus
+    everything within _KNN_ROUND_MARGIN of the 5th — a provable
+    superset (see the margin note above), typically 5-6 rows per
+    query per cell instead of |C|/g. The FINAL ranking stays in the
+    bit-proven SQL chain (cosine_fixed + window), so oracle parity is
+    unchanged by construction.
+
+    Replaces the r9 codegen tile join whose per-pair interpreted
+    zip_with/aggregate folds measured DNF (>20 min) at the r11 sf5
+    probe — same grid, same pair coverage (each (cand, query) pair
+    lands in exactly one cell), dense BLAS instead of ~1e9 row-wise
+    array folds. Query strips bound the dot block to ~32 MB per
+    kernel invocation regardless of cell occupancy."""
+    import numpy as np
+    import pandas as pd
+
+    empty = {
+        "query_id": pd.Series(dtype="int64"),
+        "true_label": pd.Series(dtype="int32"),
+        "cand_id": pd.Series(dtype="int64"),
+        "cand_label": pd.Series(dtype="int32"),
+        "dot": pd.Series(dtype="int64"),
+        "nq": pd.Series(dtype="int64"),
+        "nc": pd.Series(dtype="int64"),
+    }
+    if len(cands) == 0 or len(queries) == 0:
+        return pd.DataFrame(empty)
+    C = np.stack(cands["cq"].to_numpy()).astype(np.float64)
+    Q = np.stack(queries["qq"].to_numpy()).astype(np.float64)
+    dim = C.shape[1]
+    mag = np.abs(C).max() * np.abs(Q).max()
+    if dim * mag >= 2.0**53:
+        raise ValueError(
+            f"kNN tile kernel: dim*|c|*|q| = {dim * mag:.3g} exceeds "
+            "the float64 integer-exactness bound 2^53; route these "
+            "embeddings through the BIGINT zip_with/aggregate dot "
+            "instead"
+        )
+    cid = cands["cand_id"].to_numpy()
+    clab = cands["cand_label"].to_numpy()
+    qid = queries["query_id"].to_numpy()
+    tlab = queries["true_label"].to_numpy()
+    nc = cands["nc"].to_numpy()
+    nq = queries["nq"].to_numpy()
+    dena = np.sqrt(nq.astype(np.float64))
+    denc = np.sqrt(nc.astype(np.float64))
+    k = 5
+    strip = max(1, int(4_000_000 // max(1, len(cid))))
+    out = []
+    for s in range(0, len(qid), strip):
+        e = min(s + strip, len(qid))
+        dots = Q[s:e] @ C.T
+        cos = dots / (dena[s:e, None] * denc[None, :])
+        if cos.shape[1] <= k:
+            mask = np.ones_like(cos, dtype=bool)
+        else:
+            kth = np.partition(cos, -k, axis=1)[:, -k]
+            mask = cos >= (kth[:, None] - _KNN_ROUND_MARGIN)
+        ri, ci = np.nonzero(mask)
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid[s + ri].astype(np.int64),
+                    "true_label": tlab[s + ri].astype(np.int32),
+                    "cand_id": cid[ci].astype(np.int64),
+                    "cand_label": clab[ci].astype(np.int32),
+                    "dot": np.rint(dots[ri, ci]).astype(np.int64),
+                    "nq": nq[s + ri].astype(np.int64),
+                    "nc": nc[ci].astype(np.int64),
+                }
+            )
+        )
+    return pd.concat(out) if out else pd.DataFrame(empty)
+
+
 @query(
     "q_knn_classifier",
     f"""
@@ -1315,10 +1409,15 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-task memory is |C|/g + |Q|/g — no corpus-scaling
     broadcast (late-r9 fix; the r8-era form broadcast the whole
     hold-out, the same flaw class as mutual-NN's old demo form).
-    Scoring stays pure codegen integer dots, and the top-5 window
-    still gets its map-side partial (WindowGroupLimit Partial below
-    the exchange), so only ~5 rows per query per task shuffle; the
-    vote and the eval are exact count algebra."""
+    Scoring runs in the same Arrow cogroup BLAS kernel family as
+    mutual-NN (r11: the r9 codegen tile join's per-pair interpreted
+    zip_with folds measured DNF at the sf5 probe; dense integer-exact
+    matmul replaces ~1e9 row-wise folds), with a margin-safe per-cell
+    top-5 pre-cut (``_knn_tile_kernel``) so only ~5-6 rows per query
+    per cell ever leave Python; the FINAL ranking is the unchanged
+    bit-proven SQL chain — ``cosine_fixed`` + top-5 window (its
+    map-side WindowGroupLimit Partial now sees g·~6 rows per query),
+    then exact count algebra for the vote and the eval."""
     import math
 
     emb = table(spark, sf_dir, "embeddings")
@@ -1354,16 +1453,21 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("tc", F.explode(F.expr(f"sequence(0, {g - 1})")))
     )
-    scored = (
-        c.join(q, ["tc", "tq"])
-        .withColumn("dot", dot_fixed("qq", "cq"))
-        .select(
-            "query_id",
-            "true_label",
-            "cand_id",
-            "cand_label",
-            cosine_fixed("dot", "nq", "nc").alias("cosine"),
+    partials = (
+        c.groupBy("tc", "tq")
+        .cogroup(q.groupBy("tc", "tq"))
+        .applyInPandas(
+            _knn_tile_kernel,
+            "query_id bigint, true_label int, cand_id bigint, "
+            "cand_label int, dot bigint, nq bigint, nc bigint",
         )
+    )
+    scored = partials.select(
+        "query_id",
+        "true_label",
+        "cand_id",
+        "cand_label",
+        cosine_fixed("dot", "nq", "nc").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     nb = scored.withColumn("rk", F.row_number().over(w)).where(
