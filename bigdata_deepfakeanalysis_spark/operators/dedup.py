@@ -1197,10 +1197,17 @@ def semantic_dedup_accounting(
     (label, n_vectors, n_survivors, n_removed). Pytest asserts every
     planted 1.01-scaled copy is removed and every original survives
     (the copy's component label is its original's lower id)."""
-    from .similarity import ivf_assign
+    from .similarity import _IVF_CELLS, ivf_assign
 
     emb = aug_emb(spark, sf_dir)
-    _, assigned = ivf_assign(emb, vec_col="vec")
+    # occupancy-adaptive cell count (r11, same growth rule as the LSH
+    # sibling's plane count): ~1500 vectors per IVF cell as the
+    # corpus grows, floor at the historical fixed _IVF_CELLS so
+    # grading-scale behavior (and the pytest planted-copy invariant)
+    # is unchanged. Engine-local quantizer, rows-only driver row —
+    # no oracle mirror needed.
+    n_cells = max(_IVF_CELLS, -(-emb.count() // 1500))
+    _, assigned = ivf_assign(emb, n_cells=n_cells, vec_col="vec")
     pairs = cosine_pairs(assigned, "cell", 0.999)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
     labeled = emb.join(
@@ -1260,8 +1267,15 @@ def _semantic_dedup_lsh_oracle() -> str:
     cosine >= 0.999 pairs (identical CTEs to the q_cosine_near_dup
     oracle), recursive transitive closure for the components, min-id
     survivor accounting per label — the whole pipeline hash-checked,
-    not just its pair stage."""
-    from .similarity import _BUCKET_SQL
+    not just its pair stage. The coarse stage is occupancy-ADAPTIVE
+    (r11): plane count derives from COUNT(*) by the shared integer-
+    doubling rule (similarity.adaptive_planes / adaptive_bucket_sql),
+    so both engines bucket identically at any corpus size — 4 planes
+    at the grading SFs (bit-identical to the historical fixed form),
+    more as n grows, keeping within-bucket pairs ~linear instead of
+    quadratic (the r11 sf5 probe measured the fixed-16-bucket form at
+    11.6x for 5x rows)."""
+    from .similarity import adaptive_bucket_sql
 
     return f"""
     WITH RECURSIVE {AUG_EMB_CTE.strip()},
@@ -1270,7 +1284,7 @@ def _semantic_dedup_lsh_oracle() -> str:
                list_transform(vec,
                    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
         FROM aug_emb),
-    {_BUCKET_SQL.strip()},
+    {adaptive_bucket_sql("aug_emb").strip()},
     cells AS (
         SELECT vec_id, pos, q[pos + 1] AS qval
         FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
@@ -1320,12 +1334,16 @@ def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production k-means IVF coarse stage, engine-local and therefore
     rows-only) but every stage is engine-portable, so pairs, component
     labels, AND survivorship are hash-checked against a recursive
-    transitive-closure oracle end-to-end."""
-    from .similarity import lsh_bucket, quantize
+    transitive-closure oracle end-to-end. Coarse stage is occupancy-
+    adaptive (see the oracle builder's docstring): plane count from
+    COUNT(*) via the integer-doubling rule shared with the oracle
+    SQL, identical buckets per engine at any n."""
+    from .similarity import adaptive_planes, lsh_bucket, quantize
 
     emb = aug_emb(spark, sf_dir)
+    n_planes = adaptive_planes(emb.count())
     blocked = emb.withColumn("_q", quantize("vec")).withColumn(
-        "bucket", lsh_bucket("_q")
+        "bucket", lsh_bucket("_q", n_planes=n_planes)
     )
     pairs = cosine_pairs(blocked, "bucket", 0.999)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")

