@@ -38,9 +38,12 @@ DEFAULT_PROBES = [
     "q_minhash_near_dup",       # MinHash K=12 + banded LSH join
     "q_semantic_dedup_lsh",     # sign-LSH coarse -> blocked cosine -> CC
     "q_mutual_nn_alignment",    # tile-grid all-pairs (O(|A||B|) FLOPs
-                                # by declared-exact semantics: expect
-                                # ~25x at 5x rows, memory still bounded)
-    "q_knn_classifier",         # same grid, 5-NN holdout
+                                # by declared-exact semantics; BLAS
+                                # absorbs the 25x FLOP growth at these
+                                # sizes — measured 2.5x at 5x rows)
+    "q_knn_classifier",         # same grid + BLAS kernel, 5-NN holdout
+                                # (the r9 join-fold form measured DNF
+                                # here — the r11 rewrite's motivation)
     "q_pagerank_copurchase",    # 3 supersteps on top-E edge list
     "q_lpa_communities",        # label propagation on top-E edge list
 ]
