@@ -740,9 +740,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_near_dup_oracle() -> str:
-    """Bucket-blocked quantized-cosine oracle; mirrors lsh_bucket's
-    hyperplane derivation via similarity._BUCKET_SQL."""
-    from .similarity import _BUCKET_SQL
+    """Bucket-blocked quantized-cosine oracle; mirrors the
+    occupancy-ADAPTIVE bucket derivation (r11) via
+    similarity.adaptive_bucket_sql — identical plane count and bucket
+    ids to the Spark side at any corpus size (4 planes at grading
+    SFs, more as n grows, keeping within-bucket pairs ~linear: the
+    fixed-16-bucket form measured 19.8x at the 5x-rows probe)."""
+    from .similarity import adaptive_bucket_sql
 
     return f"""
     WITH {AUG_EMB_CTE.strip()},
@@ -751,7 +755,7 @@ def _cosine_near_dup_oracle() -> str:
                list_transform(vec,
                    x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q
         FROM aug_emb),
-    {_BUCKET_SQL.strip()},
+    {adaptive_bucket_sql("aug_emb").strip()},
     cells AS (
         SELECT vec_id, pos, q[pos + 1] AS qval
         FROM qv, (SELECT UNNEST(range(0, 64)) AS pos)),
@@ -788,17 +792,21 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection sign, so a copy always lands in its original's bucket).
     The round-2 block key was the 2-value ``label`` column — O((N/2)²)
     pairs per block at scale; a quantizer bucket bounds block size.
-    The oracle mirrors the identical bucket derivation (integer
-    arithmetic — signs can never disagree between engines), so the
-    check stays hash-exact. The k-means IVF-cell variant is
-    ``q_cosine_near_dup_ivf`` (hash-oracled since r7 via a sampled
-    exact set + subset theorem)."""
-    from .similarity import lsh_bucket, quantize
+    r11: the bucket is occupancy-ADAPTIVE without a driver-side count
+    (``adaptive_lsh_bucket`` — plane count rides the plan as a
+    broadcast scalar), because a FIXED plane count just moves the
+    quadratic wall (19.8x at the 5x-rows probe); scaled copies
+    preserve every projection sign at any plane count, so planted
+    copies still always share their original's bucket. The oracle
+    mirrors the identical adaptive derivation (integer arithmetic —
+    plane count and signs can never disagree between engines), so the
+    check stays hash-exact at any staged scale. The k-means IVF-cell
+    variant is ``q_cosine_near_dup_ivf`` (hash-oracled since r7 via a
+    sampled exact set + subset theorem)."""
+    from .similarity import adaptive_lsh_bucket, quantize
 
-    blocked = (
-        aug_emb(spark, sf_dir)
-        .withColumn("_q", quantize("vec"))
-        .withColumn("bucket", lsh_bucket("_q"))
+    blocked = adaptive_lsh_bucket(
+        aug_emb(spark, sf_dir).withColumn("_q", quantize("vec"))
     )
     return cosine_pairs(blocked, "bucket", 0.999).orderBy("vec_a", "vec_b")
 
@@ -1338,13 +1346,10 @@ def q_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     adaptive (see the oracle builder's docstring): plane count from
     COUNT(*) via the integer-doubling rule shared with the oracle
     SQL, identical buckets per engine at any n."""
-    from .similarity import adaptive_planes, lsh_bucket, quantize
+    from .similarity import adaptive_lsh_bucket, quantize
 
     emb = aug_emb(spark, sf_dir)
-    n_planes = adaptive_planes(emb.count())
-    blocked = emb.withColumn("_q", quantize("vec")).withColumn(
-        "bucket", lsh_bucket("_q", n_planes=n_planes)
-    )
+    blocked = adaptive_lsh_bucket(emb.withColumn("_q", quantize("vec")))
     pairs = cosine_pairs(blocked, "bucket", 0.999)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
     labeled = emb.join(

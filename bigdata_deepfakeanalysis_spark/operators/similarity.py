@@ -353,6 +353,51 @@ def adaptive_planes(
     return hi
 
 
+def adaptive_lsh_bucket(
+    df: DataFrame,
+    qcol: str = "_q",
+    target: int = 1500,
+    lo: int = 4,
+    hi: int = 12,
+    out: str = "bucket",
+) -> DataFrame:
+    """Occupancy-adaptive sign-LSH bucketing WITHOUT a driver-side
+    count job: the plane count rides the plan as a broadcast scalar —
+    ``COUNT(*)`` through the same integer-doubling rule as
+    :func:`adaptive_planes` (in-plan ``filter(sequence(lo,hi), ...)``
+    instead of a Python loop, bit-identical by construction) — and
+    the bucket gates the ``hi+1`` precomputed sign bits on
+    ``p < np``. Keeps the query LAZY (no eager ``count()`` at
+    DataFrame-build time, so blanket plan scans still cover it) and
+    the plan corpus-adaptive at RUNTIME: the same physical plan
+    serves any input size, which is the 100-TB contract. Equals
+    ``lsh_bucket(qcol, n_planes=adaptive_planes(n))`` row-for-row
+    for every n (the oracle mirror is :func:`adaptive_bucket_sql`).
+    Cost: ``hi+1`` sign projections per row instead of ``np`` — one
+    codegen'd :func:`plane_signs` expression, negligible next to the
+    pair stage it bounds."""
+    n = df.agg(F.count(F.lit(1)).alias("_n")).select(
+        F.expr(
+            f"COALESCE(element_at(filter(sequence({lo}, {hi}),"
+            f" p -> {target} * shiftleft(CAST(1 AS BIGINT), p) >= _n),"
+            f" 1), {hi})"
+        ).alias("_np")
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .withColumn("_signs", plane_signs(qcol, hi + 1))
+        .withColumn(
+            out,
+            F.expr(
+                "aggregate(sequence(0, _np - 1), 0, (acc, p) -> "
+                "acc + element_at(_signs, p + 1)"
+                " * CAST(shiftleft(1, p) AS INT))"
+            ),
+        )
+        .drop("_np", "_signs")
+    )
+
+
 def adaptive_bucket_sql(
     count_cte: str, target: int = 1500, lo: int = 4, hi: int = 12
 ) -> str:
