@@ -373,9 +373,13 @@ def adaptive_lsh_bucket(
     serves any input size, which is the 100-TB contract. Equals
     ``lsh_bucket(qcol, n_planes=adaptive_planes(n))`` row-for-row
     for every n (the oracle mirror is :func:`adaptive_bucket_sql`).
-    Cost: ``hi+1`` sign projections per row instead of ``np`` — one
-    codegen'd :func:`plane_signs` expression, negligible next to the
-    pair stage it bounds."""
+    The bucket is ``hi+1`` GATED single-level sign folds —
+    ``CASE WHEN p < np THEN sign_p << p END`` per plane — not one
+    :func:`plane_signs` array: single-level aggregate(zip_with)
+    stays whole-stage codegen and the CASE short-circuits, so rows
+    evaluate only ``np`` folds at runtime (the nested-lambda array
+    form falls to interpreted evaluation — the repo's standing HOF
+    lesson)."""
     n = df.agg(F.count(F.lit(1)).alias("_n")).select(
         F.expr(
             f"COALESCE(element_at(filter(sequence({lo}, {hi}),"
@@ -383,18 +387,16 @@ def adaptive_lsh_bucket(
             f" 1), {hi})"
         ).alias("_np")
     )
+    b = F.lit(0)
+    for p in range(hi + 1):
+        b = b + F.when(
+            F.lit(p) < F.col("_np"),
+            hyperplane_sign(qcol, p) * F.lit(1 << p),
+        ).otherwise(0)
     return (
         df.crossJoin(F.broadcast(n))
-        .withColumn("_signs", plane_signs(qcol, hi + 1))
-        .withColumn(
-            out,
-            F.expr(
-                "aggregate(sequence(0, _np - 1), 0, (acc, p) -> "
-                "acc + element_at(_signs, p + 1)"
-                " * CAST(shiftleft(1, p) AS INT))"
-            ),
-        )
-        .drop("_np", "_signs")
+        .withColumn(out, b)
+        .drop("_np")
     )
 
 
