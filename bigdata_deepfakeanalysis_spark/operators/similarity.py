@@ -381,8 +381,14 @@ def adaptive_lsh_bucket(
     form falls to interpreted evaluation — the repo's standing HOF
     lesson)."""
     n = df.agg(F.count(F.lit(1)).alias("_n")).select(
+        # try_element_at, NOT element_at: under Spark 4 default ANSI
+        # mode element_at on the empty filtered array (every plane
+        # saturated, n > target * 2^hi) throws
+        # INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of yielding NULL,
+        # which made the hi fallback dead code precisely in the
+        # above-capacity regime it exists for (ADVICE r11).
         F.expr(
-            f"COALESCE(element_at(filter(sequence({lo}, {hi}),"
+            f"COALESCE(try_element_at(filter(sequence({lo}, {hi}),"
             f" p -> {target} * shiftleft(CAST(1 AS BIGINT), p) >= _n),"
             f" 1), {hi})"
         ).alias("_np")

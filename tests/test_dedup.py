@@ -332,3 +332,66 @@ def test_adaptive_planes_rule_mirrors_sql_and_buckets_agree(spark):
     assert spark_buckets == duck_buckets
     assert max(duck_buckets.values()) >= 16  # planes past the floor used
     con.close()
+
+
+def test_adaptive_lsh_bucket_production_path_and_hi_fallback(spark):
+    """ADVICE r11: the (a)-(b) parity test above never ran the
+    PRODUCTION adaptive_lsh_bucket path — the gated CASE column, the
+    in-plan count broadcast, and the empty-filter fallback — which is
+    what hid the ANSI element_at crash. Pin all three here:
+    (1) above the 4-plane floor, adaptive_lsh_bucket must equal
+    lsh_bucket(n_planes=adaptive_planes(n)) row-for-row;
+    (2) with n PAST target*2^hi (every plane saturated, the filtered
+    array empty) the hi fallback must ENGAGE — under default ANSI mode
+    plain element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT there,
+    so this case is the crash regression test — and the buckets must
+    equal the fixed hi-plane form."""
+    import numpy as np
+
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        adaptive_lsh_bucket,
+        adaptive_planes,
+        lsh_bucket,
+    )
+
+    rng = np.random.default_rng(9)
+    q = [
+        [int(x) for x in np.floor(
+            rng.standard_normal(64) * 1048576.0).astype(np.int64)]
+        for _ in range(40)
+    ]
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(q)], "vec_id int, _q array<bigint>"
+    )
+
+    # (1) production path above the floor: n=40, target=2 -> np=5
+    np5 = adaptive_planes(40, target=2)
+    assert np5 == 5
+    got = {
+        r.vec_id: r.bucket
+        for r in adaptive_lsh_bucket(sdf, target=2).collect()
+    }
+    want = {
+        r.vec_id: r.bucket
+        for r in sdf.withColumn(
+            "bucket", lsh_bucket("_q", n_planes=np5)
+        ).collect()
+    }
+    assert got == want
+    assert max(got.values()) >= 16  # gated planes past the floor fired
+
+    # (2) hi fallback: 2 * 2^3 = 16 < 40, filter() comes back empty ->
+    # np must fall back to hi=3 instead of throwing
+    assert adaptive_planes(40, target=2, lo=2, hi=3) == 3
+    got_hi = {
+        r.vec_id: r.bucket
+        for r in adaptive_lsh_bucket(sdf, target=2, lo=2, hi=3).collect()
+    }
+    want_hi = {
+        r.vec_id: r.bucket
+        for r in sdf.withColumn(
+            "bucket", lsh_bucket("_q", n_planes=3)
+        ).collect()
+    }
+    assert got_hi == want_hi
+    assert max(got_hi.values()) <= 7  # only 3 planes -> bucket < 8
