@@ -90,81 +90,75 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-11 rotation (VERDICT r10 task 2). The registry is closed
-    # (415/415 union-green, residue 0), so the window's standing
-    # purpose is now explicit: EVERY query whose code changed since
-    # its last driver row gets re-graded next round. Slots:
-    #   (a) the six queries de-hinted late in r10 OUTSIDE that
-    #       round's window — their driver greens predate the hint
-    #       removal (VERDICT r10 "What's missing" #1);
-    #   (b) queries whose code changes in r11 (pyavro Arrow-path
-    #       empty-block fix + split reads -> the staged roundtrip);
-    #   (c) fillers by evidence value: the r10 re-expressions graded
-    #       a SECOND time on an unchanged tree (stability evidence),
-    #       the deepest TPC-H join trees, the most expensive plan
-    #       rows the r10 verdict audited (semantic dedup, BRP-LSH,
-    #       BPE, edit-distance join), and the forced-broadcast
-    #       allowlist heavies whose hint budgets the r11 audit now
-    #       pins exactly (q_frequent_triples, the ANN recall ladder,
-    #       the graph degree-join pair).
+    # Round-12 rotation (VERDICT r11 task 2; COVERAGE r12 sketch).
+    # The registry is closed and the union is 415/415 green, so the
+    # window's standing rule is: any r12-CHANGED queries first, then
+    # the LEAST-RECENTLY-GRADED names (rank derived from the
+    # CORRECTNESS_r* artifacts, last-round-wins). Slots:
+    #   (a) r12 code changes: the adaptive-quantizer pair whose
+    #       plane-count expression moved to try_element_at (ADVICE
+    #       r11 ANSI fix), and the exactly-once pair whose sink /
+    #       pylog data plane changes this round (VERDICT tasks 5-6);
+    #   (b) fillers strictly by last-graded round: both r1 names,
+    #       all 39 r2 names, and the 5 alphabetically-first r3 names
+    #       (disk-staging q_binaryfile_ingest goes last by the
+    #       standing staging-late convention).
     # ------------------------------------------------------------------
-    # (a) the six stale-green de-hinted queries
-    "q18_large_volume_orders",
-    "q_skyline_pareto",
-    "q_gini_concentration",
-    "q_topk_grouping_sets",
-    "q_rake_keywords",
-    "q_training_pipeline",
-    # (c) r10 re-expressions, second grading on the unchanged tree
-    "q_mutual_nn_alignment",
-    "q_knn_classifier",
-    "q_pagerank_copurchase",
-    "q_lpa_communities",
-    "q_ngram_jaccard",
-    "q_dup_cluster_sizes",
-    "q_dup_flow_matrix",
-    "q_lsh_dedup_eval",
-    # (c) deepest TPC-H join trees + hint-swept shapes, second pass
-    "q8_market_share",
-    "q9_product_profit",
-    "q2_min_cost_supplier",
-    "q7_trade_flows",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_join",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q5_regional_revenue",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    # (c) the most expensive plan rows of the r10 verdict audit
-    "q_semantic_dedup",
-    "q_semantic_dedup_lsh",
-    "q_mllib_brp_lsh_join",
-    "q_bpe_merges",
-    "q_edit_distance_join",
-    "q_minhash_near_dup",
-    "q_exact_dedup",
+    # (a) r12-changed
     "q_cosine_near_dup",
-    "q_dedup_components",
-    "q_dedup_components_star",
-    "q_substring_span_dedup",
-    "q_snm_dedup",
-    # (c) forced-broadcast allowlist heavies (budgets pinned r11)
-    "q_frequent_triples",
-    "q_ann_ivf_recall",
-    "q_ann_lsh_recall",
-    "q_ann_sq8_rescore",
-    "q_ann_cosine_topk",
-    "q_link_prediction",
-    "q_degree_assortativity",
-    "q_kmeans_clusters",
-    "q_mutual_information",
-    # (b) r11 pyavro changes ride the staged roundtrip
-    #     (disk-staging goes last by convention)
-    "q_csv_json_roundtrip",
+    "q_semantic_dedup_lsh",
+    "q_stream_jdbc_exactly_once",
+    "q_stream_exactly_once",
+    # (b) least-recently-graded: r1
+    "q_salted_distinct",
+    "q_validity_filter",
+    # (b) least-recently-graded: r2 (complete)
+    "q_above_avg_suppliers",
+    "q_anti_join",
+    "q_channel_variance_topk",
+    "q_corpus_curation",
+    "q_cube",
+    "q_date_funcs",
+    "q_distinct_count",
+    "q_doc_fingerprint",
+    "q_exists_returned",
+    "q_filter_project",
+    "q_first_n_per_group",
+    "q_gap_hof_consistency",
+    "q_group_align_join",
+    "q_group_counts_guard",
+    "q_group_parse_paths",
+    "q_grouping_sets",
+    "q_intersect_stems",
+    "q_json_extract",
+    "q_lang_id",
+    "q_minmax_normalize",
+    "q_outer_join_counts",
+    "q_pairwise_groups",
+    "q_percentiles",
+    "q_pivot",
+    "q_quality_score",
+    "q_rollup",
+    "q_safe_title",
+    "q_seeded_sample_deterministic",
+    "q_semi_join",
+    "q_set_ops",
+    "q_stats_agg",
+    "q_string_funcs",
+    "q_token_stats",
+    "q_udtf_bigrams",
+    "q_union_provenance",
+    "q_window_distribution",
+    "q_window_lag",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
+    # (b) least-recently-graded: oldest r3 fillers
+    "q_asof_join",
+    "q_audio_chunk_rms",
+    "q_bucketed_join",
+    "q_cka_pairs",
+    # disk-staging goes last by convention
+    "q_binaryfile_ingest",
 ]
 
 
