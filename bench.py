@@ -377,6 +377,176 @@ HEADLINE = [
     "q_age_period_cohort",           # APC mean-polish residuals
 ]
 
+# ---------------------------------------------------------------------------
+# Bench census (r12, VERDICT r11 task 7). Every registered query is
+# either in HEADLINE above or here WITH a reason — a pytest
+# (tests/test_registry.py::test_bench_census_covers_registry) derives
+# the census from the registry minus this list, so a future query
+# cannot silently skip bench. Reason vocabulary:
+#   scalar-demo : tiny fixed-cardinality scalar/demo fixture — the
+#                 timing would measure session overhead, not operator
+#                 cost (the family's scale row is a benched sibling)
+#   staged-io   : reads/writes per-query staging under /tmp — the
+#                 timing would measure tmpfs IO + staging setup, not
+#                 the engine (COVERAGE.md r10 note 13)
+#   eager-ml    : dominated by an eager driver-side / MLlib solver fit
+#                 on a capped fixture (t-SNE, k-means, CV loops) —
+#                 wall-clock measures the solver, not the dataflow
+#   stream-sibling : batch-equivalent streaming surface whose benched
+#                 siblings (tumbling/session/chained/interval-join/
+#                 jdbc-exactly-once) already time the identical
+#                 micro-batch machinery; this variant differs only in
+#                 window/filter parameters on the same events scan
+# ---------------------------------------------------------------------------
+UNBENCHED: dict[str, str] = {
+    # sources: staged round-trips
+    "q_binaryfile_ingest": "staged-io",
+    "q_csv_json_roundtrip": "staged-io",
+    "q_e2e_image_pipeline": "staged-io",
+    "q_npz_roundtrip": "staged-io",
+    "q_orc_roundtrip": "staged-io",
+    "q_partitioned_roundtrip": "staged-io",
+    "q_schema_evolution_scan": "staged-io",
+    "q_embedding_json_source": "staged-io",
+    "q_ann_lsh_bucketed": "staged-io",  # persisted-index write+read
+    "q_stream_exactly_once": "staged-io",  # per-run ckpt+sink dirs
+    # streaming parameter-variants of benched shapes
+    "q_stream_sliding_window": "stream-sibling",
+    "q_stream_dedup_watermark": "stream-sibling",
+    "q_stream_late_drop": "stream-sibling",
+    "q_stream_record_breakers": "stream-sibling",
+    "q_stream_static_join": "stream-sibling",
+    # eager ML / solver fits on capped fixtures
+    "q_tsne2d": "eager-ml",
+    "q_pca_explained_variance": "eager-ml",
+    "q_logreg_cv_separability": "eager-ml",
+    "q_tree_cv_separability": "eager-ml",
+    "q_kmeans_clusters": "eager-ml",
+    "q_ml_pipeline": "eager-ml",
+    "q_cka_pairs": "eager-ml",
+    "q_ann_ivf_recall": "eager-ml",  # MLlib k-means IVF fit
+    "q_cosine_near_dup_ivf": "eager-ml",  # MLlib k-means IVF fit
+    # tiny scalar/demo fixtures (benched siblings carry the family's
+    # scale evidence: the relational/TPC-H family, window family,
+    # dedup family, text family are all in HEADLINE)
+    "q_cohens_kappa": "scalar-demo",
+    "q_observe_metrics": "scalar-demo",
+    "q_range_join": "scalar-demo",
+    "q_validity_filter": "scalar-demo",
+    "q_gap_hof_consistency": "scalar-demo",
+    "q_gap_per_channel": "scalar-demo",
+    "q_minmax_normalize": "scalar-demo",
+    "q_attention_rollout_surrogate": "scalar-demo",
+    "q_gradcam_surrogate": "scalar-demo",
+    "q_group_parse_paths": "scalar-demo",
+    "q_prefix_demux": "scalar-demo",
+    "q_safe_title": "scalar-demo",
+    "q_group_align_join": "scalar-demo",
+    "q_intersect_stems": "scalar-demo",
+    "q_pairwise_groups": "scalar-demo",
+    "q_union_provenance": "scalar-demo",
+    "q_standardize": "scalar-demo",
+    "q_pair_selection": "scalar-demo",
+    "q_frame_sample": "scalar-demo",
+    "q_multimodal_metadata": "scalar-demo",
+    "q_multistage_features": "scalar-demo",
+    "q_resize_stub": "scalar-demo",
+    "q_surrogate_features": "scalar-demo",
+    "q_above_avg_suppliers": "scalar-demo",
+    "q_anti_join": "scalar-demo",
+    "q_approx_distinct": "scalar-demo",
+    "q_cube": "scalar-demo",
+    "q_date_funcs": "scalar-demo",
+    "q_distinct_count": "scalar-demo",
+    "q_exists_returned": "scalar-demo",
+    "q_filter_project": "scalar-demo",
+    "q_grouping_sets": "scalar-demo",
+    "q_json_extract": "scalar-demo",
+    "q_outer_join_counts": "scalar-demo",
+    "q_percentiles": "scalar-demo",
+    "q_pivot": "scalar-demo",
+    "q_semi_join": "scalar-demo",
+    "q_set_ops": "scalar-demo",
+    "q_stats_agg": "scalar-demo",
+    "q_string_funcs": "scalar-demo",
+    "q_window_distribution": "scalar-demo",
+    "q_window_lag": "scalar-demo",
+    "q_first_n_per_group": "scalar-demo",
+    "q_group_counts_guard": "scalar-demo",
+    "q_seeded_sample_deterministic": "scalar-demo",
+    "q_ann_fast_consistency": "scalar-demo",
+    "q_salted_agg": "scalar-demo",
+    "q_doc_fingerprint": "scalar-demo",
+    "q_quality_score": "scalar-demo",
+    "q_udtf_bigrams": "scalar-demo",
+}
+
+
+def _bench_doc_queries(doc: dict, sf: float | None) -> dict[str, float]:
+    """Per-query seconds out of one bench artifact, handling both
+    shapes on disk: this script's own output (top-level `queries`) and
+    the driver's BENCH_r*.json wrapper ({n, rc, sf, tail, parsed} —
+    `parsed` is the JSON line when it fit, else `tail` holds a
+    HEAD-TRUNCATED stdout suffix). For the truncated case, regex the
+    "name": seconds pairs out of the tail SLICED AT `"sf":` — the key
+    order of this script's output puts the headline `queries` dict
+    before "sf", and slicing there keeps the sf1 section's same-named
+    10x timings from masquerading as sf0.1 priors. A partial prior
+    (head lost to truncation) just narrows the adjudication to the
+    names it covers."""
+    if doc.get("sf") != sf:
+        return {}
+    if isinstance(doc.get("queries"), dict):
+        src = doc["queries"]
+        return {n: float(v) for n, v in src.items()
+                if isinstance(v, (int, float))}
+    inner = doc.get("parsed")
+    if isinstance(inner, dict) and isinstance(inner.get("queries"), dict):
+        return {n: float(v) for n, v in inner["queries"].items()
+                if isinstance(v, (int, float))}
+    tail = doc.get("tail")
+    if isinstance(tail, str) and tail:
+        head = tail.split('"sf":')[0]
+        pairs = re.findall(r'"(q[a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)',
+                           head)
+        if pairs:
+            # drop the first name: truncation may have cut its digits
+            return {n: float(v) for n, v in pairs[1:]}
+    return {}
+
+
+def _load_prior_bench(sf: float | None) -> dict[str, float]:
+    """Per-query seconds from the most recent committed BENCH_r*.json
+    at the same SF (the driver's own prior-round artifact — the
+    baseline every cross-round regression question is asked against),
+    back-filled from the newest tools/bench_local_*.json for names the
+    driver artifact's truncated tail lost. Empty dict when nothing at
+    this SF exists, which disables the adjudication pass rather than
+    comparing apples to oranges."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, float] = {}
+    for pattern in (
+        os.path.join(here, "BENCH_r*.json"),
+        os.path.join(here, "tools", "bench_local_*.json"),
+    ):
+        # newest by mtime, not filename — bench_local_r9 sorts after
+        # bench_local_r11 lexicographically
+        for path in sorted(glob.glob(pattern),
+                           key=os.path.getmtime, reverse=True):
+            try:
+                with open(path) as f:
+                    doc = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            got = _bench_doc_queries(doc, sf)
+            if got:
+                for n, v in got.items():
+                    prior.setdefault(n, v)  # BENCH_r* takes precedence
+                break  # newest artifact of this pattern only
+    return prior
+
 
 def main() -> None:
     t_setup = time.time()
@@ -436,9 +606,50 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # ---- phantom-host adjudication (r12, VERDICT r11 task 4) --------
+    # r10 needed 7 and r11 needed 13 HAND-run tools/time_queries.py
+    # re-times for >2x movers vs the prior round on untouched code —
+    # the documented co-tenant-host class. Automate it: load the most
+    # recent committed BENCH_r*.json at the same SF, find queries whose
+    # min-of-2 came out >2x the prior round, and re-time those
+    # INTERLEAVED min-of-3 (round-robin across movers, the same
+    # protocol the hand adjudications used — interleaving means a
+    # transient load spike can't inflate one query's all three runs).
+    # Both numbers land in the artifact: `queries` carries the final
+    # adjudicated min (consistent with the min-of-N policy), `retimed`
+    # preserves the pre-adjudication value and the prior-round base.
+    retimed: dict[str, dict] = {}
+    prior = _load_prior_bench(sf)
+    if prior:
+        movers = sorted(
+            (
+                n
+                for n, t in timings.items()
+                if prior.get(n, 0) > 0 and t > 2 * prior[n]
+            ),
+            key=lambda n: timings[n] / prior[n],
+            reverse=True,
+        )[:25]  # bound the adjudication pass; >25 movers = host story
+        if movers:
+            best3 = {n: timings[n] for n in movers}
+            for _ in range(3):
+                for name in movers:
+                    t0 = time.time()
+                    df = queries[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    best3[name] = min(best3[name], time.time() - t0)
+            for name in movers:
+                retimed[name] = {
+                    "prior": prior[name],
+                    "first_min2": timings[name],
+                    "interleaved_min3": round(best3[name], 3),
+                }
+                timings[name] = round(best3[name], 3)
+
+    total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -458,6 +669,12 @@ def main() -> None:
         # (r03+; r01/r02 were single-run).
         "runs_per_query": 2,
         "agg": "min",
+        # phantom-host adjudication (r12+): >2x movers vs the prior
+        # BENCH_r*.json at the same SF are re-timed min-of-3
+        # interleaved in-session; `queries` holds the adjudicated min,
+        # this section preserves the pre-adjudication number and the
+        # prior-round base so the artifact shows its work.
+        "retimed": retimed,
     }
 
     # ---- sf1 section (round-3 VERDICT stretch item) -----------------

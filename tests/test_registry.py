@@ -91,3 +91,34 @@ def test_coverage_ledger_matches_artifacts():
         "COVERAGE.md union line is stale — run "
         "`python tools/recount_union.py --update-coverage`"
     )
+
+
+def test_bench_census_covers_registry():
+    """Bench census as a contract (VERDICT r11 task 7): every
+    registered query is either timed by bench.py (HEADLINE) or
+    carries an explicit per-name justification (bench.UNBENCHED with
+    a reason from the documented vocabulary). A new query that lands
+    in neither fails here — the census can no longer silently shrink
+    relative to the registry, and a name can't be both benched and
+    excused."""
+    import bench
+
+    qs = set(registry.all_queries())
+    head = set(bench.HEADLINE)
+    excused = set(bench.UNBENCHED)
+
+    assert head <= qs, f"benched but unregistered: {sorted(head - qs)}"
+    assert excused <= qs, (
+        f"excused but unregistered: {sorted(excused - qs)}"
+    )
+    assert not (head & excused), (
+        f"both benched and excused: {sorted(head & excused)}"
+    )
+    uncovered = qs - head - excused
+    assert not uncovered, (
+        f"registered queries with neither a bench row nor a"
+        f" justification: {sorted(uncovered)}"
+    )
+    allowed = {"scalar-demo", "staged-io", "eager-ml", "stream-sibling"}
+    bad = {n: r for n, r in bench.UNBENCHED.items() if r not in allowed}
+    assert not bad, f"unknown census reasons: {bad}"
