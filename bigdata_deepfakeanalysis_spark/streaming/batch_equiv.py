@@ -745,47 +745,62 @@ def record_breakers_tws(stream: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Exactly-once into an operational store: foreachBatch → JDBC (the
-# bundled embedded Derby), replay-idempotent by epoch-scoped
-# DELETE+INSERT (NOT one atomic transaction here: the DELETE runs on
-# its own auto-commit connection and the INSERT through
-# DataFrameWriter connections — a production sink would wrap both in
-# one XA/connection-scoped transaction; Derby's embedded driver and
-# Spark's writer don't share one). The parquet sink above gets
-# idempotence from dynamic partition overwrite; this shows the
-# epoch-keyed upsert half of the production exactly-once story.
+# bundled embedded Derby), replay-idempotent AND epoch-atomic (r12,
+# VERDICT r11 task 5 — the r4 form ran DELETE and INSERT on two
+# auto-commit connections, so a crash between them could leave the
+# target missing a previously-committed epoch until the next replay).
+# The production pattern without XA: the distributed INSERT lands in a
+# per-sink STAGING table (Spark's per-partition writer connections,
+# non-atomic — a crash leaves only staging residue, which the replay
+# clears), then ONE driver connection with auto-commit off runs
+# DELETE-target-epoch + INSERT..SELECT-from-staging + DELETE-staging
+# and commits: the target table transitions epoch states atomically,
+# readers never observe a half-replaced epoch, and a crash anywhere
+# rolls back to the previous complete state. The INSERT..SELECT is
+# store-side set movement (no driver data path), so the shape holds
+# for any warehouse-class JDBC target at scale. The parquet sink above
+# gets the same property from dynamic partition overwrite.
 # ---------------------------------------------------------------------------
 
 def foreach_batch_jdbc_sink(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str, table_name: str
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str,
+    _test_crash=None,
 ) -> str:
     """Drain the events stream into a Derby table via foreachBatch:
-    each epoch DELETEs its own rows then INSERTs the batch (append),
-    so any replayed micro-batch converges to the same table state.
-    Convergence across a FULL re-drain additionally relies on
-    availableNow carving identical micro-batch boundaries from the
-    same source listing (deterministic here; q_stream_jdbc_exactly_once
-    asserts the fixed point by value checksum, which would catch a
-    carving drift as a stale-epoch residue). Returns the JDBC url."""
+    each epoch stages the batch, then atomically swaps it into the
+    target in a single transaction, so any replayed micro-batch
+    converges to the same table state and a crash at ANY point leaves
+    the target on a complete epoch boundary. Convergence across a
+    FULL re-drain additionally relies on availableNow carving
+    identical micro-batch boundaries from the same source listing
+    (deterministic here; q_stream_jdbc_exactly_once asserts the fixed
+    point by value checksum, which would catch a carving drift as a
+    stale-epoch residue). ``_test_crash(epoch_id)``, when given, runs
+    INSIDE the swap transaction after the target DELETE — the
+    crash-injection hook the atomicity test uses (raising there must
+    roll back, not lose the epoch). Returns the JDBC url."""
     from ..operators.sources import _derby_url
 
     url = _derby_url(spark)
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    stage_name = f"{table_name}_stage"
 
     # create-if-absent via a bounded JDBC DDL round-trip
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        meta = conn.getMetaData().getTables(
-            None, None, table_name.upper(), None
-        )
-        exists = meta.next()
-        if not exists:
-            st = conn.createStatement()
-            st.execute(
-                f"CREATE TABLE {table_name} (epoch BIGINT, event_id BIGINT,"
-                f" user_id BIGINT, value DOUBLE)"
-            )
-            st.close()
+        for t in (table_name, stage_name):
+            meta = conn.getMetaData().getTables(None, None, t.upper(), None)
+            if not meta.next():
+                st = conn.createStatement()
+                st.execute(
+                    f"CREATE TABLE {t} (epoch BIGINT, event_id BIGINT,"
+                    f" user_id BIGINT, value DOUBLE)"
+                )
+                st.close()
     finally:
         conn.close()
 
@@ -794,27 +809,52 @@ def foreach_batch_jdbc_sink(
     )
 
     def write_batch(df: DataFrame, epoch_id: int) -> None:
-        # epoch transaction: delete any half/previous attempt of THIS
-        # epoch, then append — replay-idempotent
+        e = int(epoch_id)
+        # 1. clear any half-staged previous attempt of THIS epoch
+        #    (its own commit: staging is scratch space, never read by
+        #    anyone outside the swap transaction below)
         c = jvm.java.sql.DriverManager.getConnection(url)
         try:
             s = c.createStatement()
-            s.execute(
-                f"DELETE FROM {table_name} WHERE epoch = {int(epoch_id)}"
-            )
+            s.execute(f"DELETE FROM {stage_name} WHERE epoch = {e}")
             s.close()
         finally:
             c.close()
+        # 2. distributed append into staging (per-partition writer
+        #    connections; not atomic, and doesn't need to be)
         (
-            df.withColumn("epoch", F.lit(int(epoch_id)))
+            df.withColumn("epoch", F.lit(e))
             .select("epoch", "event_id", "user_id", "value")
             .write.mode("append")
             .format("jdbc")
             .option("url", url)
-            .option("dbtable", table_name)
+            .option("dbtable", stage_name)
             .option("driver", driver)
             .save()
         )
+        # 3. atomic swap: one connection, one transaction
+        c = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            c.setAutoCommit(False)
+            s = c.createStatement()
+            try:
+                s.execute(f"DELETE FROM {table_name} WHERE epoch = {e}")
+                if _test_crash is not None:
+                    _test_crash(e)
+                s.execute(
+                    f"INSERT INTO {table_name}"
+                    f" SELECT epoch, event_id, user_id, value"
+                    f" FROM {stage_name} WHERE epoch = {e}"
+                )
+                s.execute(f"DELETE FROM {stage_name} WHERE epoch = {e}")
+                c.commit()
+            except Exception:
+                c.rollback()
+                raise
+            finally:
+                s.close()
+        finally:
+            c.close()
 
     q = (
         stream.writeStream.foreachBatch(write_batch)

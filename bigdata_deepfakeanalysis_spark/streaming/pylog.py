@@ -24,19 +24,27 @@ external dependencies:
   by a LATER batch once completed, never as garbage.
 
 Output schema mirrors Kafka's consumer surface: ``key string, value
-string, segment int, offset bigint`` (offset = byte position of the
-record within its segment — stable across replays).
+string, partition int, segment int, offset bigint`` (offset = byte
+position of the record within its segment — stable across replays).
 
 Scale notes: one log directory models one Kafka partition (ordering is
-per-directory, like per-partition ordering in Kafka); horizontal scale
-is many directories read as a union of streams. The DEFAULT simple
-reader executes each micro-batch read on the driver prefetch thread —
-appropriate for control-plane-sized topics. ``option("data_plane",
-"true")`` (r9) selects the ``DataSourceStreamReader`` port: one
-InputPartition per segment byte-range, decoded on the executors,
-under the identical offset contract (latestOffset applies the same
-stop-at-first-torn-segment cursor rule), so checkpointed ranges
-replay byte-identically either way.
+per-directory, like per-partition ordering in Kafka). Since r12 a
+TOPIC is N such directories — subdirectories ``p0/ p1/ …`` under the
+load path, each with its own INDEPENDENT ``{"seg", "pos"}`` cursor
+(the Kafka topic shape: per-partition offsets, per-partition ordering,
+no cross-partition coupling — a torn tail in one partition never
+stalls another's cursor). A path with no ``p*`` subdirectories reads
+as the single partition 0 with the original flat cursor, so r9-era
+checkpoints stay valid. ``append_topic`` routes records by
+``crc32(key) % n`` (Kafka's default partitioner shape). The DEFAULT
+simple reader executes each micro-batch read on the driver prefetch
+thread — appropriate for control-plane-sized topics.
+``option("data_plane", "true")`` (r9) selects the
+``DataSourceStreamReader`` port: one InputPartition per partition ×
+segment byte-range, decoded on the executors, under the identical
+offset contract (latestOffset applies the same
+stop-at-first-torn-segment cursor rule per partition), so
+checkpointed ranges replay byte-identically either way.
 
 Not registered in the frozen 415-query registry; verified by the
 exactly-once/replay tests in tests/test_streaming.py.
@@ -213,6 +221,86 @@ def _durable_cursor(log_dir: str) -> dict:
     return cur
 
 
+# ---------------------------------------------------------------------------
+# Topics: N partition directories, N independent cursors (r12,
+# VERDICT r11 task 6)
+# ---------------------------------------------------------------------------
+
+_ZERO = {"seg": 0, "pos": 0}
+
+
+def _topic_partitions(topic_dir: str) -> list[tuple[int, str]]:
+    """(partition id, directory) pairs for a topic path: ``p<digits>``
+    subdirectories sorted by id, else the path itself as the single
+    partition 0 (the pre-r12 layout — old logs and checkpoints read
+    unchanged). Discovery is per-call, so a partition directory
+    created after stream start is picked up by the next micro-batch
+    with a fresh zero cursor (the nearest analogue of consuming a
+    repartitioned Kafka topic)."""
+    try:
+        names = os.listdir(topic_dir)
+    except FileNotFoundError:
+        names = []
+    parts = sorted(
+        (int(n[1:]), os.path.join(topic_dir, n))
+        for n in names
+        if n.startswith("p") and n[1:].isdigit()
+        and os.path.isdir(os.path.join(topic_dir, n))
+    )
+    return parts or [(0, topic_dir)]
+
+
+def _norm_cursors(offset: dict) -> dict[int, dict]:
+    """{partition id -> {"seg","pos"} cursor} from either offset
+    shape: the flat single-partition cursor (has a "seg" key) maps to
+    partition 0; the topic shape is already keyed by stringified
+    partition id."""
+    if "seg" in offset:
+        return {0: {"seg": int(offset["seg"]), "pos": int(offset["pos"])}}
+    return {
+        int(pid): {"seg": int(c["seg"]), "pos": int(c["pos"])}
+        for pid, c in offset.items()
+    }
+
+
+def _denorm_cursors(
+    cursors: dict[int, dict],
+    parts: list[tuple[int, str]],
+    topic_dir: str,
+) -> dict:
+    """Offset shape follows the topic layout deterministically: a
+    bare single-partition log (the load path IS the partition) keeps
+    the r9 flat cursor, so pre-topic checkpoints stay valid; a
+    p*-subdir topic serializes the per-partition map."""
+    if parts == [(0, topic_dir)]:
+        return dict(cursors[0])
+    return {str(pid): dict(c) for pid, c in cursors.items()}
+
+
+def append_topic(
+    topic_dir: str,
+    records,
+    n_partitions: int = 2,
+    roll_bytes: int = 1 << 20,
+) -> None:
+    """Append ``(key, value)`` records to an N-partition topic,
+    routing each record by ``crc32(key) % n_partitions`` — the shape
+    of Kafka's default partitioner (same key ⇒ same partition ⇒
+    per-key ordering). One :func:`append_log` call per non-empty
+    partition keeps the single-writer-per-directory contract; within
+    a partition, records keep arrival order."""
+    from zlib import crc32
+
+    by_part: dict[int, list] = {}
+    for k, v in records:
+        pid = crc32(str(k).encode("utf-8")) % n_partitions
+        by_part.setdefault(pid, []).append((k, v))
+    for pid, recs in sorted(by_part.items()):
+        append_log(
+            os.path.join(topic_dir, f"p{pid}"), recs, roll_bytes=roll_bytes
+        )
+
+
 def make_pylog_datasource():
     """Build the ``pylog`` streaming DataSource class (factory +
     by-value module registration, same deployment-free pattern as
@@ -231,10 +319,16 @@ def make_pylog_datasource():
 
     _range = _read_range
     _latest = _durable_cursor
+    _tparts = _topic_partitions
+    _norm = _norm_cursors
+    _denorm = _denorm_cursors
 
     class _PyLogInputPartition(InputPartition):
-        def __init__(self, path: str, seg: int, lo: int, hi: int):
+        def __init__(
+            self, path: str, pid: int, seg: int, lo: int, hi: int
+        ):
             self.path = path
+            self.pid = pid
             self.seg = seg
             self.lo = lo
             self.hi = hi
@@ -261,25 +355,48 @@ def make_pylog_datasource():
                 )
 
         def initialOffset(self) -> dict:
-            return {"seg": 0, "pos": 0}
+            tparts = _tparts(self._dir)
+            return _denorm(
+                {pid: dict(_ZERO) for pid, _ in tparts},
+                tparts,
+                self._dir,
+            )
 
         def latestOffset(self) -> dict:
-            return _latest(self._dir)
+            tparts = _tparts(self._dir)
+            return _denorm(
+                {pid: _latest(pdir) for pid, pdir in tparts},
+                tparts,
+                self._dir,
+            )
 
         def partitions(self, start: dict, end: dict):
-            s_seg, s_pos = int(start["seg"]), int(start["pos"])
-            e_seg, e_pos = int(end["seg"]), int(end["pos"])
+            s_all, e_all = _norm(start), _norm(end)
+            dirs = dict(_tparts(self._dir))
             parts = []
-            for path in _segments(self._dir):
-                seg_no = int(os.path.basename(path).split(".")[0])
-                if seg_no < s_seg or seg_no > e_seg:
-                    continue
-                lo = s_pos if seg_no == s_seg else 0
-                hi = e_pos if seg_no == e_seg else os.path.getsize(path)
-                if hi > lo:
-                    parts.append(
-                        _PyLogInputPartition(path, seg_no, lo, hi)
+            # batch range per topic-partition: cursors are independent,
+            # so each partition carves its own segment byte-ranges
+            for pid, e_cur in sorted(e_all.items()):
+                pdir = dirs.get(pid)
+                if pdir is None:
+                    continue  # partition dir gone = nothing to plan
+                s_cur = s_all.get(pid, _ZERO)
+                s_seg, s_pos = int(s_cur["seg"]), int(s_cur["pos"])
+                e_seg, e_pos = int(e_cur["seg"]), int(e_cur["pos"])
+                for path in _segments(pdir):
+                    seg_no = int(os.path.basename(path).split(".")[0])
+                    if seg_no < s_seg or seg_no > e_seg:
+                        continue
+                    lo = s_pos if seg_no == s_seg else 0
+                    hi = (
+                        e_pos
+                        if seg_no == e_seg
+                        else os.path.getsize(path)
                     )
+                    if hi > lo:
+                        parts.append(
+                            _PyLogInputPartition(path, pid, seg_no, lo, hi)
+                        )
             return parts
 
         def read(self, partition):
@@ -289,7 +406,7 @@ def make_pylog_datasource():
             at = partition.lo
             for line in data.split(b"\n")[:-1]:
                 obj = json.loads(line)
-                yield (obj["k"], obj["v"], partition.seg, at)
+                yield (obj["k"], obj["v"], partition.pid, partition.seg, at)
                 at += len(line) + 1
 
         def commit(self, end: dict) -> None:
@@ -306,15 +423,45 @@ def make_pylog_datasource():
                 )
 
         def initialOffset(self) -> dict:
-            return {"seg": 0, "pos": 0}
+            tparts = _tparts(self._dir)
+            return _denorm(
+                {pid: dict(_ZERO) for pid, _ in tparts},
+                tparts,
+                self._dir,
+            )
 
         def read(self, start: dict):
-            rows, cursor = _range(self._dir, start, None)
-            return iter(rows), cursor
+            tparts = _tparts(self._dir)
+            cursors = _norm(start)
+            rows_out, advanced = [], {}
+            for pid, pdir in tparts:
+                rows, cur = _range(
+                    pdir, cursors.get(pid, dict(_ZERO)), None
+                )
+                rows_out.extend(
+                    (k, v, pid, seg, off) for k, v, seg, off in rows
+                )
+                advanced[pid] = cur
+            return iter(rows_out), _denorm(advanced, tparts, self._dir)
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            rows, _ = _range(self._dir, start, end)
-            return iter(rows)
+            dirs = dict(_tparts(self._dir))
+            s_all, e_all = _norm(start), _norm(end)
+            rows_out = []
+            # replay range per partition, independently — committed
+            # partitions replay byte-identically even while another
+            # partition's tail is torn
+            for pid, e_cur in sorted(e_all.items()):
+                pdir = dirs.get(pid)
+                if pdir is None:
+                    continue
+                rows, _ = _range(
+                    pdir, s_all.get(pid, dict(_ZERO)), e_cur
+                )
+                rows_out.extend(
+                    (k, v, pid, seg, off) for k, v, seg, off in rows
+                )
+            return iter(rows_out)
 
         def commit(self, end: dict) -> None:
             # retention/compaction is the log owner's job (as in Kafka)
@@ -328,7 +475,10 @@ def make_pylog_datasource():
             return "pylog"
 
         def schema(self):
-            return "key string, value string, segment int, offset bigint"
+            return (
+                "key string, value string, partition int,"
+                " segment int, offset bigint"
+            )
 
         def streamReader(self, schema):
             # opt-in data-plane port: per-segment InputPartitions

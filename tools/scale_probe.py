@@ -17,7 +17,14 @@ Prints one JSON line per query:
 and a trailing summary line. Perf evidence only — the staged dirs are
 never oracle inputs.
 
-Usage: python tools/scale_probe.py [--runs 2] [q_name ...]
+Usage: python tools/scale_probe.py [--runs 2] [--arms sf1,sf5]
+           [q_name ...]
+
+--arms picks the two interleaved measurement points (r12 adds sf25 =
+250 copies for the adaptive-quantizer families, where the integer-
+doubling plane rule crosses its next doubling): each arm is sf1 (the
+bench's 10-copy staging) or sf<K> (a K*10-copy staging via
+stage_scale). The reported rows_ratio is armB_copies / armA_copies.
 """
 from __future__ import annotations
 
@@ -64,11 +71,15 @@ def _warm(spark, d: str) -> None:
 
 def main() -> int:
     runs = 2
+    arms = ("sf1", "sf5")
     names: list[str] = []
     argv = iter(sys.argv[1:])
     for a in argv:
         if a == "--runs":
             runs = int(next(argv))
+        elif a == "--arms":
+            arms = tuple(next(argv).split(","))
+            assert len(arms) == 2, "--arms wants exactly two, e.g. sf5,sf25"
         else:
             names.append(a)
     names = names or DEFAULT_PROBES
@@ -80,13 +91,28 @@ def main() -> int:
     spark = get_spark("scale-probe")
     tune(spark)
 
-    d1 = sf1_dir()
-    if not (d1 / ".complete").exists():
-        stage(spark)
-    d5 = scale_dir("sf5")
-    if not (d5 / ".complete").exists():
-        print("staging sf5 (50 copies of sf0.1)...", file=sys.stderr)
-        stage_scale(spark, "sf5", 50)
+    def arm_dir(label: str):
+        """Resolve + stage an arm: 'sf1' is the bench's own staging;
+        'sf<K>' is a K*10-copy scale staging. Returns (dir, copies)."""
+        if label == "sf1":
+            d = sf1_dir()
+            if not (d / ".complete").exists():
+                stage(spark)
+            return d, 10
+        assert label.startswith("sf"), label
+        copies = int(label[2:]) * 10
+        d = scale_dir(label)
+        if not (d / ".complete").exists():
+            print(
+                f"staging {label} ({copies} copies of sf0.1)...",
+                file=sys.stderr,
+            )
+            stage_scale(spark, label, copies)
+        return d, copies
+
+    d1, copies_a = arm_dir(arms[0])
+    d5, copies_b = arm_dir(arms[1])
+    rows_ratio = copies_b / copies_a
     _warm(spark, str(d1))
     _warm(spark, str(d5))
 
@@ -110,12 +136,12 @@ def main() -> int:
             b.append(round(run_once(name, str(d5)), 3))
         row = {
             "query": name,
-            "sf1_sec": min(a),
-            "sf5_sec": min(b),
+            f"{arms[0]}_sec": min(a),
+            f"{arms[1]}_sec": min(b),
             "ratio": round(min(b) / max(min(a), 1e-9), 2),
-            "rows_ratio": 5.0,
-            "runs_sf1": a,
-            "runs_sf5": b,
+            "rows_ratio": rows_ratio,
+            f"runs_{arms[0]}": a,
+            f"runs_{arms[1]}": b,
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -126,7 +152,8 @@ def main() -> int:
                 "summary": {
                     r["query"]: r["ratio"] for r in results
                 },
-                "rows_ratio": 5.0,
+                "arms": list(arms),
+                "rows_ratio": rows_ratio,
                 "runs": runs,
             }
         )
