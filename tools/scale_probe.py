@@ -72,6 +72,7 @@ def _warm(spark, d: str) -> None:
 def main() -> int:
     runs = 2
     arms = ("sf1", "sf5")
+    stage_tables = None
     names: list[str] = []
     argv = iter(sys.argv[1:])
     for a in argv:
@@ -80,6 +81,12 @@ def main() -> int:
         elif a == "--arms":
             arms = tuple(next(argv).split(","))
             assert len(arms) == 2, "--arms wants exactly two, e.g. sf5,sf25"
+        elif a == "--tables":
+            # restrict NEW scale stagings to the fact tables the probe
+            # queries actually read (e.g. documents,embeddings for the
+            # adaptive-quantizer families) — an sfK arm needing more
+            # tables later upgrades the same dir in place
+            stage_tables = set(next(argv).split(","))
         else:
             names.append(a)
     names = names or DEFAULT_PROBES
@@ -107,7 +114,7 @@ def main() -> int:
                 f"staging {label} ({copies} copies of sf0.1)...",
                 file=sys.stderr,
             )
-            stage_scale(spark, label, copies)
+            stage_scale(spark, label, copies, stage_tables)
         return d, copies
 
     d1, copies_a = arm_dir(arms[0])

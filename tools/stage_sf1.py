@@ -66,20 +66,46 @@ def _perturb(tbl: str, df, i: int):
     if i == 0:
         return df
     if tbl == "documents":
-        shifted = _AZ[i % 26:] + _AZ[: i % 26]
-        text = F.translate("text", _AZ, shifted)
-        if i >= 26:
-            text = F.reverse(text)
+        if i < 52:
+            # the r3/r11 transform, byte-for-byte: restaging sf1/sf5
+            # reproduces the committed probe corpora exactly
+            shifted = _AZ[i % 26:] + _AZ[: i % 26]
+            text = F.translate("text", _AZ, shifted)
+            if i >= 26:
+                text = F.reverse(text)
+        else:
+            # r12 (sf25 = 250 copies): the Caesar(+reverse) group has
+            # order 52, so copy 52+j would be a verbatim twin of copy
+            # j — the cross-copy duplicate blowup _perturb exists to
+            # prevent. A per-copy seeded alphabet PERMUTATION (26!
+            # transforms) keeps length, token structure, and the
+            # frequency-multiset shape while sharing no q-grams
+            # across copies.
+            import random
+
+            perm = list(_AZ)
+            random.Random(i).shuffle(perm)
+            text = F.translate("text", _AZ, "".join(perm))
         return df.withColumn("text", text)
     if tbl == "embeddings":
         r = i % 64
-        return df.withColumn(
-            "embedding",
-            F.concat(
-                F.slice("embedding", r + 1, 64 - r),
-                F.slice("embedding", 1, r),
-            ),
+        emb = F.concat(
+            F.slice("embedding", r + 1, 64 - r),
+            F.slice("embedding", 1, r),
         )
+        if i >= 64:
+            # rotation group has order 64; for 250 copies add a
+            # per-copy seeded sign-flip pattern (2^64 transforms):
+            # norms preserved, cross-copy cosine ~0 for these
+            # near-random vectors
+            import random
+
+            rng = random.Random(i)
+            signs = F.array(
+                *[F.lit(float(rng.choice((-1.0, 1.0)))) for _ in range(64)]
+            )
+            emb = F.zip_with(emb, signs, lambda x, s: x * s)
+        return df.withColumn("embedding", emb)
     return df
 DIMS = ("customer", "supplier", "part", "nation", "region")
 
@@ -106,15 +132,27 @@ def stage(spark) -> Path:
     return _stage_at(spark, sf1_dir(), COPIES, b"v3-events")
 
 
-def stage_scale(spark, label: str, copies: int) -> Path:
+def stage_scale(
+    spark, label: str, copies: int, tables: set[str] | None = None
+) -> Path:
     """Same key-shifted/perturbed scale-up as :func:`stage` at an
     arbitrary multiplier — perf evidence only, never oracle input
     (same contract as sf1). ``copies`` counts sf0.1 replicas, so
-    copies=50 ~ sf5."""
-    return _stage_at(spark, scale_dir(label), copies, b"v1-scale")
+    copies=50 ~ sf5. ``tables`` restricts which FACT tables are
+    staged (dims always copy — they're tiny): the sf25 probe reads
+    only documents/embeddings, and 250-copy lineitem would cost
+    staging minutes nothing consumes. Per-table idempotence means a
+    later call with more tables upgrades the same dir in place."""
+    return _stage_at(spark, scale_dir(label), copies, b"v1-scale", tables)
 
 
-def _stage_at(spark, out: Path, copies: int, version: bytes) -> Path:
+def _stage_at(
+    spark,
+    out: Path,
+    copies: int,
+    version: bytes,
+    tables: set[str] | None = None,
+) -> Path:
     from pyspark.sql import functions as F
 
     from bigdata_deepfakeanalysis_spark.catalog import table
@@ -123,6 +161,8 @@ def _stage_at(spark, out: Path, copies: int, version: bytes) -> Path:
     # per-table idempotence (r5 added documents/embeddings — an older
     # staging dir upgrades in place without re-writing the facts)
     for tbl, key in FACTS.items():
+        if tables is not None and tbl not in tables:
+            continue
         if _staged(out, tbl):
             continue
         if tbl == "events":
