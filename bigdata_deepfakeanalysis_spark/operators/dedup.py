@@ -492,16 +492,23 @@ def cosine_pairs(
 
     Two-phase plan (the 100 TB shape): (1) candidate generation —
     ``applyInPandas`` per block computes the block's pairwise cosine
-    matrix with one vectorized matmul and emits only pairs above
-    ``threshold - 1e-3`` (covers both float64 and quantization error;
-    one shuffle on the block key, quadratic work confined to blocks);
-    (2) exact rescore — surviving pairs get the fixed-point cosine
-    (bit-identical to the oracle's integer SUMs over unnested cells,
-    and pure whole-stage codegen — the round-1 DECIMAL(38,18) rescore
-    here cost ~14 s at sf0.1) and the true threshold filter. At scale
-    the block column is the coarse quantizer (IVF cell / LSH bucket),
-    keeping per-block pair counts bounded."""
-    from .similarity import cosine_fixed, dot_fixed, quantize
+    matrix in row STRIPS (``similarity._TILE_STRIP_ELEMS`` float64
+    elems ≈ 32 MB per strip, the same bound as the kNN/mutual-NN tile
+    kernels) and emits only pairs above ``threshold - 1e-3`` (covers
+    both float64 and quantization error; one shuffle on the block key,
+    quadratic work confined to blocks); (2) exact rescore — surviving
+    pairs get the fixed-point cosine (bit-identical to the oracle's
+    integer SUMs over unnested cells, and pure whole-stage codegen —
+    the round-1 DECIMAL(38,18) rescore here cost ~14 s at sf0.1) and
+    the true threshold filter. At scale the block column is the coarse
+    quantizer (IVF cell / LSH bucket), keeping per-block pair counts
+    bounded; the strips keep per-invocation MEMORY bounded even when
+    a block is mis-sized (the r12 sf25 probe caught the unstripped
+    full ``X @ X.T`` trying to allocate 669 GiB on a 300k-vector
+    block — quadratic memory where only quadratic FLOPs are declared).
+    The strip cut is candidate-only, so strip boundaries cannot change
+    the result: phase (2) rescores every candidate exactly."""
+    from .similarity import _TILE_STRIP_ELEMS, cosine_fixed, dot_fixed, quantize
 
     approx_cut = threshold - 1e-3
 
@@ -513,11 +520,23 @@ def cosine_pairs(
         X = _np.asarray(pdf["vec"].tolist(), dtype=_np.float64)
         ids = pdf["vec_id"].to_numpy()
         norms = _np.sqrt((X * X).sum(axis=1))
-        M = (X @ X.T) / _np.outer(norms, norms)
-        ia, ib = _np.where(M >= approx_cut)
-        keep = ids[ia] < ids[ib]
+        n = X.shape[0]
+        strip = max(1, int(_TILE_STRIP_ELEMS // max(1, n)))
+        out_a, out_b = [], []
+        for s in range(0, n, strip):
+            M = (X[s : s + strip] @ X.T) / _np.outer(
+                norms[s : s + strip], norms
+            )
+            ia, ib = _np.where(M >= approx_cut)
+            ia = ia + s
+            keep = ids[ia] < ids[ib]
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
         return _pd.DataFrame(
-            {"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]}
+            {
+                "vec_a": _np.concatenate(out_a) if out_a else ids[:0],
+                "vec_b": _np.concatenate(out_b) if out_b else ids[:0],
+            }
         )
 
     cands = (
@@ -816,20 +835,37 @@ def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine) — the production operator. Cells are engine-local (MLlib
     k-means), so this surface is verified by pytest invariants
     (planted-copy coverage) and by the subset theorem hashed in
-    ``q_cosine_near_dup_ivf`` below."""
-    from .similarity import ivf_assign
+    ``q_cosine_near_dup_ivf`` below. r12: the cell count is
+    occupancy-adaptive (~1500 rows/cell, floored at the historical
+    ``_IVF_CELLS`` so grading-scale cells are unchanged) — the sf25
+    probe showed the fixed 16-cell quantizer putting ~37k vectors in
+    a cell, which moves the within-cell quadratic wall instead of
+    removing it; same rule as ``q_semantic_dedup``'s quantizer."""
+    from .similarity import _IVF_CELLS, ivf_assign
 
-    _, assigned = ivf_assign(aug_emb(spark, sf_dir), vec_col="vec")
+    emb = aug_emb(spark, sf_dir)
+    n_cells = max(_IVF_CELLS, -(-emb.count() // 1500))
+    _, assigned = ivf_assign(emb, n_cells=n_cells, vec_col="vec")
     return cosine_pairs(assigned, "cell", 0.999)
 
 
-@query(
-    "q_cosine_near_dup_ivf",
-    f"""
+def _ivf_audit_oracle() -> str:
+    """Audit-sampled exact pair set + subset theorem; mirrors the
+    occupancy-ADAPTIVE md5-prefix sample (r12,
+    similarity.adaptive_sample_sql) — identical halving count and
+    threshold literal to the Spark side at any corpus size ('8' =
+    the historical 1/2 fraction at grading SFs, halving beyond so
+    the audit's quadratic verification stays bounded: the sf25
+    probe caught the fixed 1/2 fraction building a 300k-vector
+    audit block)."""
+    from .similarity import adaptive_sample_sql
+
+    return f"""
     WITH {AUG_EMB_CTE.strip()},
+    {adaptive_sample_sql("aug_emb").strip()},
     samp AS (
         SELECT vec_id, vec FROM aug_emb
-        WHERE md5(CAST(vec_id AS VARCHAR)) < '8'),
+        WHERE md5(CAST(vec_id AS VARCHAR)) < (SELECT thr FROM sthr)),
     qv AS (
         SELECT vec_id,
                list_transform(vec,
@@ -858,8 +894,10 @@ def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (SQRT(CAST(na.n2 AS DOUBLE))
                    * SQRT(CAST(nb.n2 AS DOUBLE))), 9) >= 0.999
     ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@query("q_cosine_near_dup_ivf", _ivf_audit_oracle())
 def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-dup blocked by the IVF coarse-quantizer cell
     (``similarity.ivf_assign`` — MLlib k-means, broadcast centroids):
@@ -869,9 +907,13 @@ def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — r6 VERDICT task 3), via the q_semantic_dedup
     deterministic-half pattern: the hashed rows are the EXACT
     all-pairs quantized-cosine >= 0.999 set restricted to a
-    deterministic md5-prefix audit sample (md5(vec_id) < '8', ~1/2 of
-    the corpus — append-stable, zero-shuffle, replayed verbatim by the
-    oracle), and the engine-local IVF half enters the hash as ONE
+    deterministic md5-prefix audit sample (r12: occupancy-ADAPTIVE —
+    ``similarity.adaptive_sample`` halves the fraction as the corpus
+    doubles past ~12k rows, so the audit stays BOUNDED instead of
+    (n/2)²-quadratic; resolves to the historical md5 < '8' half at
+    grading SFs — append-stable per halving level, zero-shuffle,
+    replayed by the oracle's identical integer rule), and the
+    engine-local IVF half enters the hash as ONE
     theorem boolean: the IVF pair set restricted to the sample is a
     SUBSET of the hashed exact set. That is a theorem, not an
     engine-behavior claim — ``cosine_pairs`` emits only pairs whose
@@ -882,8 +924,10 @@ def q_cosine_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-local. The audit sample bounds the quadratic verification
     at any SF; the unsampled production pair set is
     ``ivf_cosine_pairs`` above."""
+    from .similarity import adaptive_sample
+
     aug = aug_emb(spark, sf_dir)
-    samp = aug.where(F.md5(F.col("vec_id").cast("string")) < "8")
+    samp = adaptive_sample(aug)
     exact = cosine_pairs(
         samp.withColumn("_blk", F.lit(1)), "_blk", 0.999
     ).localCheckpoint(eager=True)

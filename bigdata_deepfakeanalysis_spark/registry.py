@@ -100,13 +100,19 @@ _WINDOW: list[str] = [
     #       r11 ANSI fix), and the exactly-once pair whose sink /
     #       pylog data plane changes this round (VERDICT tasks 5-6);
     #   (b) fillers strictly by last-graded round: both r1 names,
-    #       all 39 r2 names, and the 5 alphabetically-first r3 names
-    #       (disk-staging q_binaryfile_ingest goes last by the
-    #       standing staging-late convention).
+    #       all 39 r2 names, and the alphabetically-first r3 names
+    #       that fit the remaining slots (disk-staging
+    #       q_binaryfile_ingest goes last by the standing
+    #       staging-late convention).
     # ------------------------------------------------------------------
     # (a) r12-changed
     "q_cosine_near_dup",
     "q_semantic_dedup_lsh",
+    # sf25-probe fixes (strip-chunked cosine_pairs kernel; adaptive
+    # audit sample + adaptive IVF cells in q_cosine_near_dup_ivf;
+    # q_semantic_dedup shares the strip-chunked kernel)
+    "q_cosine_near_dup_ivf",
+    "q_semantic_dedup",
     "q_stream_jdbc_exactly_once",
     "q_stream_exactly_once",
     # (b) least-recently-graded: r1
@@ -152,11 +158,11 @@ _WINDOW: list[str] = [
     "q_window_lag",
     "q_window_running_sum",
     "q_window_topk_per_group",
-    # (b) least-recently-graded: oldest r3 fillers
+    # (b) least-recently-graded: oldest r3 fillers (q_bucketed_join /
+    # q_cka_pairs rotated out for the two sf25-probe-fix slots above;
+    # they lead the r13 filler rank)
     "q_asof_join",
     "q_audio_chunk_rms",
-    "q_bucketed_join",
-    "q_cka_pairs",
     # disk-staging goes last by convention
     "q_binaryfile_ingest",
 ]

@@ -395,3 +395,128 @@ def test_adaptive_lsh_bucket_production_path_and_hi_fallback(spark):
     }
     assert got_hi == want_hi
     assert max(got_hi.values()) <= 7  # only 3 planes -> bucket < 8
+
+
+def test_cosine_pairs_strip_chunking_preserves_pairs(spark, monkeypatch):
+    """r12: the sf25 probe caught cosine_pairs' block kernel
+    materializing the FULL within-block cosine matrix (669 GiB on a
+    300k-vector block) — quadratic memory where only quadratic FLOPs
+    are declared. The kernel now strips its matmul like the kNN /
+    mutual-NN tile kernels (~32 MB row blocks). Strip boundaries must
+    not change the pair set: force 1-row strips over duplicate-heavy
+    vectors (exact cosine-1 twins land on both sides of every
+    boundary) and require output identical to the single-strip run."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdata_deepfakeanalysis_spark.operators import similarity as S
+    from bigdata_deepfakeanalysis_spark.operators.dedup import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    base = [rng.standard_normal(16) for _ in range(5)]
+    rows = [
+        (i, (np.asarray(base[i % 5]) * (1.0 + 0.001 * (i // 5))).tolist())
+        for i in range(25)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>"
+    ).withColumn("blk", F.lit(1))
+
+    def canon(df):
+        return sorted(
+            (r.vec_a, r.vec_b, r.cosine) for r in df.collect()
+        )
+
+    monkeypatch.setattr(S, "_TILE_STRIP_ELEMS", 10**9)
+    one = canon(cosine_pairs(sdf, "blk", 0.999))
+    monkeypatch.setattr(S, "_TILE_STRIP_ELEMS", 1)  # 1-row strips
+    many = canon(cosine_pairs(sdf, "blk", 0.999))
+    assert many == one
+    assert len(one) > 0  # scaled twins: cosine exactly 1 >= 0.999
+
+
+def test_adaptive_sample_rule_mirrors_sql_and_thresholds_agree(spark):
+    """r12 adaptive audit sample: (a) the Python integer-doubling
+    halving rule and its DuckDB CTE mirror must pick the IDENTICAL
+    halving count for every corpus size including exact boundaries;
+    (b) the threshold literals must select exactly fraction 1/2^k
+    under bytewise string comparison at every hex-digit width; (c)
+    the PRODUCTION adaptive_sample path (in-plan count broadcast,
+    CASE threshold, md5 filter) must equal the direct
+    md5 < sample_threshold(adaptive_sample_k(n)) filter row-for-row,
+    including the hi fallback."""
+    import duckdb
+
+    from bigdata_deepfakeanalysis_spark.operators.similarity import (
+        adaptive_sample,
+        adaptive_sample_k,
+        adaptive_sample_sql,
+        sample_threshold,
+    )
+
+    # (a) rule mirror across boundaries
+    counts = [1, 11999, 12000 * 2 - 1, 12000 * 2, 12000 * 2 + 1,
+              12000 * 256, 12000 * 256 + 1, 10**7, 10**12, 10**15]
+    con = duckdb.connect()
+    for n in counts:
+        want = adaptive_sample_k(n)
+        got = con.execute(
+            "WITH snrow AS (SELECT CAST(? AS BIGINT) AS n), "
+            "sk AS (SELECT COALESCE(MIN(k), 30) AS k "
+            "FROM (SELECT UNNEST(range(1, 31)) AS k) kk, snrow "
+            "WHERE 12000 * (1 << k) >= n) SELECT k FROM sk",
+            [n],
+        ).fetchone()[0]
+        assert got == want, (n, got, want)
+        # the full CTE block must emit the matching literal
+        cte = adaptive_sample_sql("dummy_src").strip().replace(
+            "snrow AS (SELECT COUNT(*) AS n FROM dummy_src)",
+            f"snrow AS (SELECT CAST({n} AS BIGINT) AS n)",
+        )
+        thr = con.execute(
+            f"WITH {cte} SELECT thr FROM sthr"
+        ).fetchone()[0]
+        assert thr == sample_threshold(want), (n, thr, want)
+
+    # (b) literal widths: k=1 is the historical '8'; each k selects
+    # 1/2^k of an exhaustive 2-hex-digit prefix space
+    assert sample_threshold(1) == "8"
+    assert sample_threshold(4) == "1"
+    assert sample_threshold(5) == "08"
+    assert sample_threshold(8) == "01"
+    assert sample_threshold(9) == "008"
+    prefixes = [format(i, "02x") for i in range(256)]
+    for k in range(1, 9):
+        frac = sum(1 for p in prefixes if p < sample_threshold(k)) / 256
+        assert frac == 1.0 / (1 << k), (k, frac)
+
+    # (c) production path vs direct filter: n=40, target=8 -> k=3
+    # ('2'); hi fallback: hi=2 -> k=2 ('4')
+    from pyspark.sql import functions as F
+
+    sdf = spark.range(40).select(F.col("id").alias("vec_id"))
+    assert adaptive_sample_k(40, target=8) == 3
+    got = sorted(
+        r.vec_id
+        for r in adaptive_sample(sdf, target=8).collect()
+    )
+    want_ids = sorted(
+        r.vec_id
+        for r in sdf.where(
+            F.md5(F.col("vec_id").cast("string")) < sample_threshold(3)
+        ).collect()
+    )
+    assert got == want_ids and 0 < len(got) < 40
+    assert adaptive_sample_k(40, target=8, hi=2) == 2
+    got_hi = sorted(
+        r.vec_id
+        for r in adaptive_sample(sdf, target=8, hi=2).collect()
+    )
+    want_hi = sorted(
+        r.vec_id
+        for r in sdf.where(
+            F.md5(F.col("vec_id").cast("string")) < sample_threshold(2)
+        ).collect()
+    )
+    assert got_hi == want_hi
+    con.close()
