@@ -1441,24 +1441,27 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             iv.select("lane", F.col("e").alias("t"),
                       F.lit(-1).alias("delta"))
         )
-    swept = ev.withColumn(
-        "open_now",
+    # r12: the former peak-then-join-back form evaluated the whole
+    # swept cumsum subplan TWICE (once under the per-lane MAX
+    # aggregate, once as the join probe side — two window sorts over
+    # the full event list). The per-lane peak is itself a window over
+    # the SAME partitioning, so both ride one Exchange + one Sort and
+    # the argmax becomes a row-local filter (guide §2.4 "window
+    # functions partitioned by the same key ... do not need a second
+    # shuffle"; interleaved A/B below in tools/ab_max_concurrency).
+    swept = ev.select(
+        "lane",
+        "t",
         F.expr(
             "SUM(delta) OVER (PARTITION BY lane ORDER BY t, delta"
             " ROWS UNBOUNDED PRECEDING)"
-        ),
-    )
-    peak = swept.groupBy("lane").agg(F.max("open_now").alias("max_open"))
-    peak_r = peak.select(
-        F.col("lane").alias("p_lane"), "max_open"
+        ).alias("open_now"),
+    ).withColumn(
+        "max_open",
+        F.max("open_now").over(Window.partitionBy("lane")),
     )
     return (
-        swept.select("lane", "t", "open_now")
-        .join(
-            peak_r,
-            (F.col("lane") == F.col("p_lane"))
-            & (F.col("open_now") == F.col("max_open")),
-        )
+        swept.where(F.col("open_now") == F.col("max_open"))
         .groupBy("lane", "max_open")
         .agg(F.date_format(F.min("t"), "yyyy-MM-dd").alias("first_peak_date"))
         .select(

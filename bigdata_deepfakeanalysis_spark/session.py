@@ -19,6 +19,18 @@ _RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE rewrite a planned sort-merge join to shuffled-hash at
+    # runtime when EVERY post-shuffle partition's build side fits 64 MB
+    # (guide §3.1): skips both sort passes with a per-partition size
+    # gate, so it cannot OOM at corpus scale the way a blind static
+    # preferSortMergeJoin=false could (that static flip was A/B'd too:
+    # same net win locally, but it trusts planner size estimates —
+    # rejected). Interleaved min-of-3 over a 10-query join-heavy
+    # subset at sf0.1: net 0.97x, biggest movers q_topk_grouping_sets
+    # 3.81->3.04 s, q5 0.95->0.83 s, no structural regression.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     # Arrow for every pandas UDF / toPandas boundary (SURVEY §2.9).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
