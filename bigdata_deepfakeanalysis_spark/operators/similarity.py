@@ -801,19 +801,19 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tb", F.explode(tbuckets(list(range(_N_TABLES))))
     ).select("cand_id", "cq", "nc", "tb.tbl", "tb.bucket")
 
-    # query side goes through the same Arrow sign kernel — the SQL
-    # plane_signs form embeds a 64×64 literal matrix whose analysis
-    # alone costs ~0.5 s of driver time per plan build
-    q = index_signs_arrow(
-        emb.where(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            quantize("embedding").alias("qq"),
-        )
-        .withColumn("nq", dot_fixed("qq", "qq")),
-        n_all_planes,
-        vec_col="qq",
-    ).localCheckpoint(eager=True)
+    # query side: the index checkpoint above already holds every
+    # vector's quantized form, norm and all-64-plane signs — the ten
+    # query vectors are rows of it (same Arrow kernel, same inputs,
+    # identical signs by construction). Filter + rename instead of a
+    # second Arrow pass + eager checkpoint (r12: one fewer job and one
+    # fewer plan analysis per build; the r11 form re-ran
+    # index_signs_arrow on the vec_id < 10 slice).
+    q = c.where(F.col("cand_id") < 10).select(
+        F.col("cand_id").alias("query_id"),
+        F.col("cq").alias("qq"),
+        F.col("nc").alias("nq"),
+        "signs",
+    )
 
     # All three probe strategies in ONE long-format pass: a probe row is
     # (strategy, tbl, bucket), so a single broadcast join against the
@@ -933,6 +933,17 @@ def ivf_assign(
         k=n_cells,
         seed=seed,
         maxIter=max_iter,
+        # random init (r12): k-means|| runs ~2 extra distributed passes
+        # over the training sample to seed centroids — measured 1.63 s
+        # vs 0.66 s for the whole fit at sf0.1 (interleaved, warm). A
+        # coarse quantizer trained on a subsample doesn't need careful
+        # seeding (faiss trains IVF coarse quantizers with plain
+        # random-init Lloyd); every hashed output touching these cells
+        # is assignment-invariant by construction (subset/monotonicity
+        # theorems), and planted-copy coverage is seeding-independent
+        # (identical vectors land in identical cells under any
+        # centroid set).
+        initMode="random",
         featuresCol="_f",
         predictionCol="cell",
     ).fit(train)
