@@ -3447,32 +3447,37 @@ def q_quantile_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline assigns percentile bands (with the GK sketch supplying
     boundaries when exactness isn't required); the NTILE form
     (q_equidepth_histogram) is this operator's validation reference."""
+    from .quantiles import exact_percentiles_histo
+
     li = table(spark, sf_dir, "lineitem")
-    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
-    # Boundary pass in FREQUENCY form: a distributed hash-agg counts
-    # each distinct price first (codegen, map-side combine), then the
-    # exact percentile aggregate runs over (value, freq) pairs — the
-    # same Percentile code path and bit-identical boundaries, but the
-    # single final task merges 583k pre-counted entries instead of
-    # ingesting every raw row (interleaved A/B at sf1, warm, min-of-3:
-    # raw 4.9 s vs freq 2.3 s for the agg alone; outputs byte-equal).
-    counts = li.groupBy("l_extendedprice").agg(
-        F.count(F.lit(1)).alias("freq")
-    )
-    bounds = counts.agg(
-        F.expr(
-            f"transform(percentile(l_extendedprice, {qs}, freq),"
-            f" x -> round(x, 9))"
-        ).alias("qs")
+    # Boundary pass via the two-pass histogram rank selection
+    # (operators/quantiles.py): bit-identical to the Percentile
+    # aggregate, but no task ever holds the distinct-price set — the
+    # histogram is 1024 codegen-aggregated rows and only the <= 18
+    # rank-carrying bins are re-sorted. r12 interleaved A/B at sf0.1
+    # (warm, min-of-3): freq-form percentile agg 2.10-2.77 s vs
+    # 0.64-0.85 s for this form, boundaries BIT-IDENTICAL; it also
+    # retires the r6 freq-form pre-count (0.46 s), whose single-task
+    # 583k-entry map merge was the remaining scale bottleneck.
+    bounds = exact_percentiles_histo(
+        li, [], "l_extendedprice",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+    ).select(F.expr("transform(qs, x -> round(x, 9))").alias("qs"))
+    # band = count of boundaries below the value, unrolled over the 9
+    # literal array slots: the filter() HOF lambda is CodegenFallback
+    # (interpreted per row); the CASE sum stays inside WholeStageCodegen
+    # (guide §4.1 — identical integers, r12 A/B 0.65 vs 0.77 s on the
+    # banding pass)
+    band_expr = " + ".join(
+        f"(CASE WHEN l_extendedprice > qs[{i}] THEN 1 ELSE 0 END)"
+        for i in range(9)
     )
     banded = li.select("l_extendedprice", "l_quantity").join(
         F.broadcast(bounds)
     ).select(
         F.col("l_extendedprice").alias("v"),
         "l_quantity",
-        F.expr(
-            "size(filter(qs, b -> l_extendedprice > b))"
-        ).alias("band"),
+        F.expr(band_expr).alias("band"),
     )
     return (
         banded.groupBy("band")
@@ -4292,20 +4297,26 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregated deciles, not the corpus."""
     from pyspark.sql.window import Window
 
+    from .quantiles import exact_percentiles_histo
+
     o = table(spark, sf_dir, "orders")
-    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
-    bounds = o.agg(
-        F.expr(
-            f"transform(percentile(o_totalprice, {qs}), x -> round(x, 9))"
-        ).alias("qs")
+    # decile boundaries via the bounded two-pass histogram rank
+    # selection (operators/quantiles.py; bit-identical to the
+    # Percentile aggregate — see q_quantile_band_join's r12 A/B)
+    bounds = exact_percentiles_histo(
+        o, [], "o_totalprice",
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
+    ).select(F.expr("transform(qs, x -> round(x, 9))").alias("qs"))
+    # unrolled codegen band sum (see q_quantile_band_join)
+    decile_expr = " + ".join(
+        f"(CASE WHEN o_totalprice > qs[{i}] THEN 1 ELSE 0 END)"
+        for i in range(9)
     )
     banded = (
         o.select("o_totalprice", "o_orderpriority")
         .join(F.broadcast(bounds))
         .select(
-            F.expr("size(filter(qs, q -> o_totalprice > q))").alias(
-                "decile"
-            ),
+            F.expr(decile_expr).alias("decile"),
             F.when(F.col("o_orderpriority") == "1-URGENT", 1)
             .otherwise(0)
             .alias("resp"),

@@ -95,7 +95,13 @@ GLOBAL_WINDOW_BOUNDED: dict[str, int] = {
     "q_yoy_growth": 1,
     "q_spearman_corr": 2,     # ranks over the ~3k-row daily aggregate
     # fixed-k / quantile-bounded tables (deciles, funnel steps, buckets)
-    "q_decile_lift": 1,
+    # NOTE r12: queries on operators/quantiles.exact_percentiles_histo
+    # carry its bins running-count window — ordered by _qbin, which is
+    # clamped to a LITERAL n_bins (<= 1024 rows at any corpus size);
+    # the subplan is re-planned once per consumer, hence the counts.
+    "q_quantile_band_join": 2,   # histo bins cumsum x2 consumers
+    "q_quantile_normalize": 2,   # histo bins cumsum x2 consumers
+    "q_decile_lift": 3,          # decile cum window + histo bins x2
     "q_lorenz_deciles": 1,
     "q_event_funnel": 1,
     "q_emd_lengths": 1,       # length-histogram bucket domain
@@ -239,6 +245,13 @@ BNLJ_BUILD_BOUNDED: dict[str, str] = {
     "q_range_join": "band boundary table (fixed band count)",
     # Union of group-key sketch aggregates over a ~5-value domain
     "q_hll_distinct_merge": "per-priority HLL sketch union",
+    # equi-width histogram rank selection (operators/quantiles.py):
+    # the crossJoin build is the bins running-count table, keyed by
+    # _qbin which is clamped to a LITERAL n_bins (<= 1024 rows at any
+    # corpus size)
+    "q_quantile_band_join": "histogram bins table (<= n_bins literal)",
+    "q_decile_lift": "histogram bins table (<= n_bins literal)",
+    "q_quantile_normalize": "histogram bins table (<= n_bins literal)",
 }
 
 _BOUNDED_TOP = (
@@ -512,6 +525,9 @@ BOUNDED_DOMAIN_COLS = {
     "yr", "mo", "month", "dow", "hour", "period", "cohort", "cohort_week",
     # fixed widths / dims / shard counts / derived binary splits
     "dim", "pos", "shard", "half", "_pid",
+    # equi-width histogram bin id (operators/quantiles.py): clamped to
+    # a literal n_bins regardless of corpus size
+    "_qbin",
 }
 
 _L_BOUNDED_LEAF = ("LocalRelation", "OneRowRelation", "Range (",
@@ -563,6 +579,13 @@ def _hint_build_is_bounded(tree, i) -> bool:
     if node.startswith(("Join", "Union")):
         return bool(kids) and all(_hint_build_is_bounded(tree, k) for k in kids)
     if node.startswith(_L_PASSTHROUGH):
+        return bool(kids) and _hint_build_is_bounded(tree, kids[0])
+    if node.startswith(("Generate explode(array(",
+                        "Generate posexplode(array(")):
+        # constant fan-out: exploding a literal-ARITY array() constructor
+        # multiplies rows by at most its syntactic element count, so a
+        # bounded child stays bounded (the elements may reference columns
+        # — arity, not content, bounds the fan-out)
         return bool(kids) and _hint_build_is_bounded(tree, kids[0])
     return False
 
