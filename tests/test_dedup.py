@@ -77,9 +77,11 @@ def test_connected_components_raises_on_non_convergence(spark):
 
 
 def test_star_components_handle_deep_chains(spark):
-    """A path graph is the worst case for min-label propagation
-    (O(diameter) rounds — raises past max_iter); the large-star /
-    small-star alternation contracts it in O(log n) alternations."""
+    """A path graph is the worst case for plain min-label propagation
+    (O(diameter) rounds). r12's adaptive pointer halving converges it
+    in O(log diameter) rounds inside the default max_iter — but a
+    hard cap below that bound must still fail loud, and the large-star
+    / small-star alternation remains the O(log n) reference."""
     import pytest
 
     from bigdata_deepfakeanalysis_spark.operators.dedup import (
@@ -90,8 +92,14 @@ def test_star_components_handle_deep_chains(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(80)], "doc_a long, doc_b long"
     )
+    # pointer halving: an 80-edge path now converges within the
+    # default budget (plain propagation needed ~80 rounds)
+    labels_lp = connected_components(chain, max_iter=10).collect()
+    assert len(labels_lp) == 81
+    assert all(r.component == 0 for r in labels_lp)
+    # the loud-divergence contract survives: 3 rounds reach <= ~7 hops
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=10)
+        connected_components(chain, max_iter=3)
     labels = connected_components_star(chain).collect()
     assert len(labels) == 81
     assert all(r.component == 0 for r in labels)
