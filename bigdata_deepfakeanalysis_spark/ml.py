@@ -1574,20 +1574,21 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Freq-form percentile lever (r6 VERDICT stretch): audited, NOT
     applied — o_totalprice is ~unique per row (sf0.1: 150,000 rows /
     149,743 distinct), so the pre-counted value table the lever needs
-    would be as large as the input. r12 replaces the Percentile
-    aggregate itself with the two-pass histogram rank selection
-    (operators/quantiles.py) — bit-identical boundaries, no
-    single-task distinct-value map at any scale."""
-    from .operators.quantiles import exact_percentiles_histo
-
+    would be as large as the input; the single reference-decile pass
+    stays as-is (the r12 histogram rank-selection wiring was measured
+    and reverted here — see the inline note)."""
     o = table(spark, sf_dir, "orders")
-    # reference deciles via the bounded two-pass histogram rank
-    # selection (operators/quantiles.py; bit-identical to the
-    # Percentile aggregate — see q_quantile_band_join's r12 A/B)
-    ref = exact_percentiles_histo(
-        o, [], "o_totalprice",
-        [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0],
-    ).select(F.expr("transform(qs, x -> round(x, 9))").alias("qs"))
+    # reference deciles stay the Percentile aggregate: the histogram
+    # rank-selection helper was wired here in r12 and REVERTED by the
+    # mid-round bench (1.20 -> 2.19 s — over the 150k-row orders input
+    # the helper's extra tiny jobs dominate; it pays off on
+    # lineitem-sized domains, see q_quantile_band_join)
+    ref = o.agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, {_QN_QS}),"
+            " x -> round(x, 9))"
+        ).alias("qs")
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
     )

@@ -4305,16 +4305,21 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the aggregated deciles, not the corpus."""
     from pyspark.sql.window import Window
 
-    from .quantiles import exact_percentiles_histo
-
     o = table(spark, sf_dir, "orders")
-    # decile boundaries via the bounded two-pass histogram rank
-    # selection (operators/quantiles.py; bit-identical to the
-    # Percentile aggregate — see q_quantile_band_join's r12 A/B)
-    bounds = exact_percentiles_histo(
-        o, [], "o_totalprice",
-        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9],
-    ).select(F.expr("transform(qs, x -> round(x, 9))").alias("qs"))
+    # Boundary pass stays the Percentile aggregate: the histogram
+    # rank-selection helper (operators/quantiles.py) was wired here in
+    # r12 and REVERTED by the mid-round bench — over the 150k-row
+    # orders input the agg's single merge costs ~0.3 s while the
+    # helper's ~8 extra tiny jobs doubled the whole query (0.83 ->
+    # 1.86 s). Same tradeoff as the grouped sites: the helper pays off
+    # when the distinct-value domain is lineitem-sized (see
+    # q_quantile_band_join), and remains the documented scale path.
+    qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+    bounds = o.agg(
+        F.expr(
+            f"transform(percentile(o_totalprice, {qs}), x -> round(x, 9))"
+        ).alias("qs")
+    )
     # unrolled codegen band sum (see q_quantile_band_join)
     decile_expr = " + ".join(
         f"(CASE WHEN o_totalprice > qs[{i}] THEN 1 ELSE 0 END)"

@@ -98,10 +98,9 @@ GLOBAL_WINDOW_BOUNDED: dict[str, int] = {
     # NOTE r12: queries on operators/quantiles.exact_percentiles_histo
     # carry its bins running-count window — ordered by _qbin, which is
     # clamped to a LITERAL n_bins (<= 1024 rows at any corpus size);
-    # the subplan is re-planned once per consumer, hence the counts.
+    # the subplan is re-planned once per consumer, hence the count.
     "q_quantile_band_join": 2,   # histo bins cumsum x2 consumers
-    "q_quantile_normalize": 2,   # histo bins cumsum x2 consumers
-    "q_decile_lift": 3,          # decile cum window + histo bins x2
+    "q_decile_lift": 1,
     "q_lorenz_deciles": 1,
     "q_event_funnel": 1,
     "q_emd_lengths": 1,       # length-histogram bucket domain
@@ -250,8 +249,6 @@ BNLJ_BUILD_BOUNDED: dict[str, str] = {
     # _qbin which is clamped to a LITERAL n_bins (<= 1024 rows at any
     # corpus size)
     "q_quantile_band_join": "histogram bins table (<= n_bins literal)",
-    "q_decile_lift": "histogram bins table (<= n_bins literal)",
-    "q_quantile_normalize": "histogram bins table (<= n_bins literal)",
 }
 
 _BOUNDED_TOP = (
