@@ -1874,7 +1874,7 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the index unless a string has nothing rarer). The exact
     verify touches candidates only — the shape of every
     filter-verification similarity join."""
-    _, pairs = edit_distance_pairs(spark, sf_dir)
+    _, pairs, _ = edit_distance_pairs(spark, sf_dir)
     return pairs.orderBy("doc_a", "doc_b")
 
 
@@ -1958,7 +1958,12 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str):
         .select("doc_a", "doc_b", F.col("dist").cast("bigint").alias("dist"))
         .distinct()
     )
-    return titles, pairs
+    # expose the pinned prefix index too (r12): q_blocking_quality's
+    # pre-verification candidate metric previously REBUILT the whole
+    # gram-explode + df-count + rarest-prefix pipeline (two more
+    # eager checkpoints) from `titles`; the construction here is
+    # byte-identical, so consumers reuse these checkpoint blocks
+    return titles, pairs, prefix
 
 
 @query(
@@ -1999,7 +2004,7 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified operators — blocking, pairwise matching, transitive
     clustering, survivorship — which is the textbook record-linkage
     stack (Fellegi-Sunter era to Splink) in four distributed stages."""
-    titles, pairs = edit_distance_pairs(spark, sf_dir)
+    titles, pairs, _ = edit_distance_pairs(spark, sf_dir)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     members = cc.withColumnRenamed("id", "doc_id").join(titles, "doc_id")
     golden = members.groupBy("component").agg(
@@ -2076,35 +2081,13 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless blocking scheme must report completeness_ppm = 1000000;
     the reduction ratio is the scale argument for running blocked
     Ed-Join instead of the quadratic verify at 100 TB."""
-    titles, pairs = edit_distance_pairs(spark, sf_dir)
-    # candidate stage, replayed exactly as edit_distance_pairs builds
-    # it but WITHOUT the verify, so the metric sees pre-verification
-    # candidate volume
-    grams = (
-        titles.where(F.length("s") >= _EDJ_Q)
-        .select(
-            "doc_id",
-            "s",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(length(s) - {_EDJ_Q - 1}, 1)),"
-                        f" i -> substr(s, i, {_EDJ_Q}))"
-                    )
-                )
-            ).alias("g"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    df_counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
-    w = Window.partitionBy("doc_id").orderBy("gdf", "g")
-    prefix = (
-        grams.join(df_counts, "g")
-        .withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") <= _EDJ_PREFIX) & (F.col("gdf") >= 2))
-        .select("doc_id", F.length("s").alias("ln"), "g")
-        .localCheckpoint(eager=True)
-    )
+    titles, pairs, prefix = edit_distance_pairs(spark, sf_dir)
+    # candidate stage: the metric sees pre-verification candidate
+    # volume, so it re-runs ONLY the prefix self-join — the rarest-
+    # prefix index itself is the SAME pinned checkpoint the verify
+    # path built (r12: this block previously replayed the gram
+    # explode + df counts + prefix window into two more eager
+    # checkpoints, byte-identical work run twice)
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("ln").alias("la"), "g"
     )
