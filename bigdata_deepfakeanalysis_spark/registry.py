@@ -115,6 +115,24 @@ _WINDOW: list[str] = [
     "q_semantic_dedup",
     "q_stream_jdbc_exactly_once",
     "q_stream_exactly_once",
+    # (a, continued) r12 OPTIMIZATION-round changes: histogram rank
+    # selection + unrolled band sums (quantile_band_join, decile_lift;
+    # quantile_normalize had the helper wired then bench-reverted —
+    # re-graded anyway), the q2 window-floor rewrite, the adaptive
+    # pointer-halving connected-components consumers, the halved IVF
+    # Lloyd budget (q_ann_ivf_recall; the other two consumers are
+    # already above), and the shared Ed-Join prefix index
+    "q_quantile_band_join",
+    "q_decile_lift",
+    "q_quantile_normalize",
+    "q2_min_cost_supplier",
+    "q_dedup_components",
+    "q_grid_dbscan",
+    "q_record_linkage",
+    "q_dup_cluster_sizes",
+    "q_ann_ivf_recall",
+    "q_edit_distance_join",
+    "q_blocking_quality",
     # (b) least-recently-graded: r1
     "q_salted_distinct",
     "q_validity_filter",
@@ -150,21 +168,14 @@ _WINDOW: list[str] = [
     "q_semi_join",
     "q_set_ops",
     "q_stats_agg",
-    "q_string_funcs",
-    "q_token_stats",
-    "q_udtf_bigrams",
-    "q_union_provenance",
-    "q_window_distribution",
-    "q_window_lag",
-    "q_window_running_sum",
-    "q_window_topk_per_group",
-    # (b) least-recently-graded: oldest r3 fillers (q_bucketed_join /
-    # q_cka_pairs rotated out for the two sf25-probe-fix slots above;
-    # they lead the r13 filler rank)
-    "q_asof_join",
-    "q_audio_chunk_rms",
-    # disk-staging goes last by convention
-    "q_binaryfile_ingest",
+    # (b) fillers rotated OUT for the 11 optimization-round changed
+    # slots (changed-first beats least-recently-graded by the standing
+    # rule): q_string_funcs, q_token_stats, q_udtf_bigrams,
+    # q_union_provenance, q_window_distribution, q_window_lag,
+    # q_window_running_sum, q_window_topk_per_group (alphabetical r2
+    # tail), q_asof_join, q_audio_chunk_rms (r3), q_binaryfile_ingest
+    # (staging) — with q_bucketed_join / q_cka_pairs they lead the r13
+    # filler rank.
 ]
 
 
