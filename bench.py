@@ -3,11 +3,31 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", ..., "queries": {...}}
 
 Each query is forced end-to-end with the `noop` sink (full JVM-side
 execution, no driver collect), timed wall-clock after a warmup query
 that amortizes JVM/codegen startup.
+
+Line-size contract (r13, VERDICT r12 task 2): the driver's stdout
+capture is bounded, and BENCH_r03..r11 all came back `parsed: null`
+with only a truncated tail — so the printed line carries ONLY the
+summary scalars plus the per-query seconds (compact separators,
+summary keys first, `queries` last so even a head-truncated tail
+still yields per-query pairs), while the bulky sections (`retimed`
+detail, the sf1 scale block) go to a sidecar file the line references
+(`tools/bench_sidecar_last.json`, overwritten per run — copy it to a
+named tools/bench_local_*.json artifact to keep a run). Nothing about
+the timing methodology changed; the `queries` dict still contains
+every benched name with its adjudicated min.
+
+Phantom-host adjudication asymmetry (disclosed): queries whose
+min-of-2 exceeds 2x the prior committed artifact are re-timed
+interleaved min-of-3 (up to 25 of them), so slow outliers get up to 5
+min-samples while fast outliers keep 2 — totals are slightly
+flattered relative to a flat min-of-2 policy, never lowered below the
+plain min of this session's own runs for non-movers. Both numbers are
+preserved in the sidecar's `retimed` section.
 """
 
 from __future__ import annotations
@@ -488,12 +508,15 @@ def _bench_doc_queries(doc: dict, sf: float | None) -> dict[str, float]:
     the driver's BENCH_r*.json wrapper ({n, rc, sf, tail, parsed} —
     `parsed` is the JSON line when it fit, else `tail` holds a
     HEAD-TRUNCATED stdout suffix). For the truncated case, regex the
-    "name": seconds pairs out of the tail SLICED AT `"sf":` — the key
-    order of this script's output puts the headline `queries` dict
-    before "sf", and slicing there keeps the sf1 section's same-named
-    10x timings from masquerading as sf0.1 priors. A partial prior
-    (head lost to truncation) just narrows the adjudication to the
-    names it covers."""
+    "name": seconds pairs out of the tail SLICED AT `"sf1":` — the
+    pre-r13 key order put the sf1 scale block (same names, 10x
+    timings) after the headline `queries` dict, and slicing there
+    keeps those from masquerading as sf0.1 priors (the r13 line has no
+    sf1 section at all — it lives in the sidecar — so the slice is a
+    no-op there; `retimed` entries are `"name": {...}` objects the
+    number-match regex skips). A partial prior (head lost to
+    truncation) just narrows the adjudication to the names it
+    covers."""
     if doc.get("sf") != sf:
         return {}
     if isinstance(doc.get("queries"), dict):
@@ -506,7 +529,7 @@ def _bench_doc_queries(doc: dict, sf: float | None) -> dict[str, float]:
                 if isinstance(v, (int, float))}
     tail = doc.get("tail")
     if isinstance(tail, str) and tail:
-        head = tail.split('"sf":')[0]
+        head = tail.split('"sf1":')[0]
         pairs = re.findall(r'"(q[a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)',
                            head)
         if pairs:
@@ -650,14 +673,16 @@ def main() -> None:
                 timings[name] = round(best3[name], 3)
 
     total = round(sum(timings.values()), 3)
+    # Printed-line document: summary scalars first, `queries` LAST
+    # (a head-truncated capture still ends with per-query pairs), and
+    # the bulky `retimed` / `sf1` sections live in the sidecar only —
+    # see the module docstring for the size contract.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "skipped": missing,
         # startup + cache-fill + bucketed staging only; the discarded
         # non-min runs are NOT in here (they'd read as setup bloat)
         "setup_sec": round(t_first_query - t_setup, 1),
@@ -669,13 +694,17 @@ def main() -> None:
         # (r03+; r01/r02 were single-run).
         "runs_per_query": 2,
         "agg": "min",
+        "skipped": missing,
         # phantom-host adjudication (r12+): >2x movers vs the prior
         # BENCH_r*.json at the same SF are re-timed min-of-3
-        # interleaved in-session; `queries` holds the adjudicated min,
-        # this section preserves the pre-adjudication number and the
-        # prior-round base so the artifact shows its work.
-        "retimed": retimed,
+        # interleaved in-session; `queries` holds the adjudicated min;
+        # the sidecar's `retimed` section preserves the
+        # pre-adjudication number and the prior-round base.
+        "retimed_n": len(retimed),
+        "sidecar": "tools/bench_sidecar_last.json",
+        "queries": timings,
     }
+    sidecar = {"retimed": retimed}
 
     # ---- sf1 section (round-3 VERDICT stretch item) -----------------
     # Runs ONLY if tools/stage_sf1.py already staged the 10x fact
@@ -794,7 +823,7 @@ def main() -> None:
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 sf1_timings[name] = round(best, 3)
-            out["sf1"] = {
+            sidecar["sf1"] = {
                 "queries": sf1_timings,
                 "note": (
                     "10x key-shifted sf0.1 facts + content-perturbed"
@@ -809,9 +838,19 @@ def main() -> None:
         # a failed sf1 run must be distinguishable from a not-staged
         # one (ADVICE r4): not-staged -> no "sf1" key at all;
         # staged-but-broken -> explicit error entry
-        out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+        sidecar["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps(out))
+    # Sidecar: the full document (summary + queries + retimed + sf1),
+    # overwritten every run; failures to write never fail the bench.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, out["sidecar"]), "w") as f:
+            json.dump({**out, **sidecar}, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -1056,6 +1056,14 @@ def connected_components(
             ).alias("chg"),
         )
         if compress:
+            # `chg` carries ONLY the nbr_min propagation flag, not the
+            # halving jumps (ADVICE r12): the convergence heuristic and
+            # the non-convergence error then read a pure propagation
+            # metric. Terminating on propagation-changes == 0 alone is
+            # still exact — a propagation-noop round means label(u) ==
+            # label(v) across every (undirected) edge, i.e. labels are
+            # already component-uniform, so a compression lookup
+            # (label-of-label) cannot change anything either.
             l2 = stepped.select(
                 F.col("id").alias("_lid"), F.col("label").alias("_llabel")
             )
@@ -1067,13 +1075,7 @@ def connected_components(
                     F.col("label"),
                     F.coalesce("_llabel", F.col("label")),
                 ).alias("label"),
-                (
-                    F.col("chg")
-                    | (
-                        F.coalesce("_llabel", F.col("label"))
-                        < F.col("label")
-                    )
-                ).alias("chg"),
+                "chg",
             )
         stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.where(F.col("chg")).count()

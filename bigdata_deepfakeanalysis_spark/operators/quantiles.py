@@ -18,9 +18,13 @@ passes with bounded per-task state (guide §1.2 step 1 / §5):
   interpolation: (hi - pos) * lv + (pos - lo) * hv with Percentile's
           two short-circuits (integer position; equal keys).
 
-Every broadcast build is bounded by construction: scalar/
-bounded-domain aggregates, the n_bins-keyed histogram, and
-constant-fanout explodes of literal-arity arrays.
+In the UNGROUPED form every broadcast build is bounded by
+construction: scalar aggregates, the n_bins-keyed histogram, and
+constant-fanout explodes of literal-arity arrays. The GROUPED form's
+intermediates (stats, bins_cum, the rank hits) scale with group
+cardinality, so that path uses plain joins and leaves broadcast
+decisions to the planner/AQE (ADVICE r12) — grouped callers with a
+high-cardinality key get a shuffle join instead of a broadcast OOM.
 
 Interleaved A/B (sf0.1, warm, min-of-3, tools/ab_histo_percentile.py):
 ungrouped deciles over lineitem 2.10-2.77 s (percentile agg) vs
@@ -50,9 +54,21 @@ def exact_percentiles_histo(
     """Exact percentiles of double column ``v`` per ``groups``,
     bit-identical to ``percentile(v, array(*ps)[, weight])``. Returns
     one row per group with an array column ``qs`` (same order as
-    ``ps``). NULL ``v`` rows are ignored, like Percentile. Groups that
-    would be empty after the NULL filter produce no row (Percentile
-    emits NULL there) — callers here never hit that case."""
+    ``ps``). NULL ``v`` rows are ignored, like Percentile.
+
+    Divergences from ``percentile`` on degenerate input (ADVICE r12),
+    none reachable from the wired call sites: a GROUP empty after the
+    NULL filter produces no row (Percentile emits NULL); an UNGROUPED
+    empty input yields one row with an empty ``qs`` (Percentile yields
+    NULL); NaN values in ``v`` sort differently through the histogram
+    than through Percentile's map and are outside the bit-identity
+    contract. Percentiles outside [0, 1] (where Percentile raises) are
+    rejected at entry below."""
+    for p in ps:
+        if not 0.0 <= float(p) <= 1.0:
+            raise ValueError(
+                f"percentile p must be in [0, 1], got {p!r}"
+            )
     gcols = list(groups)
     w = F.col(weight) if weight else F.lit(1).cast("long")
     base = (
@@ -66,7 +82,9 @@ def exact_percentiles_histo(
         F.max("_v").alias("_mx"),
         F.sum("_w").alias("_n"),
     )
-    binned = base.join(F.broadcast(stats), gcols) if gcols else base.join(
+    # grouped-path joins are NOT hinted: stats/bins_cum/need row counts
+    # scale with group cardinality (module docstring; ADVICE r12)
+    binned = base.join(stats, gcols) if gcols else base.join(
         F.broadcast(stats)
     )
     # bin id is monotone in _v for fixed (mn, mx): subtraction and
@@ -127,7 +145,7 @@ def exact_percentiles_histo(
         need = (
             ranks.alias("rk")
             .join(
-                F.broadcast(bins_cum.alias("bc")),
+                bins_cum.alias("bc"),
                 [F.col(f"rk.{c}") == F.col(f"bc.{c}") for c in gcols],
             )
             .where((F.col("_r") >= F.col("_cb")) & (F.col("_r") < F.col("_ce")))
@@ -152,7 +170,10 @@ def exact_percentiles_histo(
     )
     # pass 2: rows of the rank-carrying bins only; exact global rank =
     # running count within the bin + the bin's offset
-    slice_ = binned.join(F.broadcast(need_bins), gcols + ["_qbin"])
+    slice_ = binned.join(
+        F.broadcast(need_bins) if not gcols else need_bins,
+        gcols + ["_qbin"],
+    )
     w_loc = Window.partitionBy(*gcols, "_qbin").orderBy("_v")
     sliced = (
         slice_.groupBy(*gcols, "_qbin", "_cb", "_v")
@@ -161,7 +182,7 @@ def exact_percentiles_histo(
         .withColumn("_cum", F.col("_cb") + F.col("_lc"))
     )
     hit = (
-        F.broadcast(need)
+        (F.broadcast(need) if not gcols else need)
         .join(sliced, gcols + ["_qbin"])
         .where(
             (F.col("_cum") - F.col("_f") <= F.col("_r"))
