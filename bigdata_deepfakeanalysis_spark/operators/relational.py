@@ -4143,7 +4143,18 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("iqr"),
         )
     )
-    scaled = li.join(
+    # pass 2 in FREQUENCY form too (r13): equal prices give identical
+    # z, so the clamp-count and checksum are freq-weighted sums over
+    # the SAME price_counts table pass 1 aggregated — ReusedExchange
+    # shares the hash-agg build across the two passes instead of
+    # re-scanning raw lineitem (interleaved A/B min-of-3: sf0.1
+    # 2.97->2.41 s, sf1 2.99->2.02 s; rows identical both SFs). freq
+    # rides as DECIMAL(12,0), NOT BIGINT: DECIMAL(18,9) x DECIMAL(20,0)
+    # needs precision 39 and Spark resolves that overflow by CLIPPING
+    # THE SCALE (~1e-7 checksum drift); (18,9) x (12,0) -> (31,9) keeps
+    # the product exact, so SUM(z_dec * freq) == SUM over raw rows
+    # bit-for-bit.
+    scaled = price_counts.withColumnRenamed("flag", "l_returnflag").join(
         F.broadcast(stats), F.col("l_returnflag") == F.col("flag")
     ).withColumn(
         "z", (F.col("l_extendedprice") - F.col("med")) / F.col("iqr")
@@ -4151,10 +4162,16 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scaled.groupBy("l_returnflag", "med", "iqr")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_if(F.abs(F.col("z")) > 0.8).alias("n_beyond_08"),
+            F.sum("freq").cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.abs(F.col("z")) > 0.8, F.col("freq"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_beyond_08"),
             F.expr(
-                "CAST(SUM(CAST(z AS DECIMAL(18,9))) AS DOUBLE)"
+                "CAST(SUM(CAST(z AS DECIMAL(18,9))"
+                " * CAST(freq AS DECIMAL(12,0))) AS DOUBLE)"
             ).alias("z_checksum"),
         )
         .select(
@@ -5099,11 +5116,13 @@ def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_topk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 parts by quantity at three grains in one pass —
-    (year, nation), (year), (overall) via GROUPING SETS, then a
-    window ranked WITHIN each cell keyed by grouping_id. The
-    multi-grain aggregate is one shuffle; the rank window partitions
-    by (gid, yr, nk) so WindowGroupLimit bounds per-cell traffic."""
+    """Top-2 parts by quantity at the surviving grains of the declared
+    GROUPING SETS — per (year, nation) and overall — ranked WITHIN
+    each cell keyed by grouping_id. Since r13 the engine computes the
+    grains as finest-grain aggregate + exact partial re-aggregation
+    instead of an Expand (see the inline comment); the rank window
+    partitions by (gid, yr, nk) so WindowGroupLimit bounds per-cell
+    traffic."""
     from pyspark.sql.window import Window
 
     li = table(spark, sf_dir, "lineitem")
@@ -5128,27 +5147,51 @@ def q_topk_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("qty"),
         )
     )
-    cells = (
-        base.groupingSets(
-            [["yr", "nk", "pk"], ["yr", "pk"], ["pk"]],
-            "yr",
-            "nk",
+    # Multi-grain cells WITHOUT the Expand (r13, VERDICT r12 task 6):
+    # the base join is all-broadcast (lineitem never shuffles), so the
+    # cost was Expand tripling the joined fact rows into the partial
+    # agg + one wide Exchange. Instead: aggregate ONCE to the finest
+    # grain (yr, nk, pk) — qty partials ride as exact DECIMAL(18,2)
+    # sums — then derive the (pk) grain by re-aggregating the finest
+    # cells (SUM of decimal partials and counts is exact, so the
+    # derived grain is bit-identical to a direct pass; the same
+    # mergeable-partials contract q_moment_merge pins). The gid=1
+    # (yr, pk) grain is not built at all: the declared filter discards
+    # it and it ranks in its own window partitions, so omitting it is
+    # row-identical (re-asserted by tools/ab_topk_preagg.py: 352 rows
+    # byte-equal; interleaved A/B 2.16-2.73 -> 1.88-2.41 s). The
+    # oracle keeps the declared GROUPING SETS form.
+    fine = base.groupBy("yr", "nk", "pk").agg(
+        F.expr("SUM(CAST(qty AS DECIMAL(18,2)))").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g0 = fine.select(F.lit(0).alias("gid"), "yr", "nk", "pk", "s", "n")
+    g3 = (
+        fine.groupBy("pk")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .select(
+            F.lit(3).alias("gid"),
+            F.lit(None).cast("int").alias("yr"),
+            F.lit(None).cast("int").alias("nk"),
             "pk",
+            "s",
+            "n",
         )
-        .agg(
-            F.expr("GROUPING(yr) * 2 + GROUPING(nk)").alias("gid"),
-            F.expr(
-                "CAST(SUM(CAST(qty AS DECIMAL(18,2))) AS DOUBLE)"
-            ).alias("qty_sum"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    )
+    cells = g0.unionByName(g3).select(
+        "gid",
+        "yr",
+        "nk",
+        "pk",
+        F.expr("CAST(s AS DOUBLE)").alias("qty_sum"),
+        "n",
     )
     w = Window.partitionBy("gid", "yr", "nk").orderBy(
         F.desc("qty_sum"), "pk"
     )
     return (
         cells.withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") <= 2) & (F.col("gid") != 1))
+        .where(F.col("rk") <= 2)
         .select(
             F.col("gid").cast("int"),
             F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
