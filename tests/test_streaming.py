@@ -174,15 +174,17 @@ def test_foreach_batch_sink_is_replay_idempotent(spark):
 
 
 def test_jdbc_sink_epoch_swap_is_atomic_under_crash(spark):
-    """VERDICT r11 task 5: the JDBC exactly-once sink's epoch
-    replacement must be ONE transaction. Protocol: (1) clean drain
-    commits every epoch; (2) a REPLAY drain crashes via the injection
-    hook between the target DELETE and the INSERT — under the r4
-    two-auto-commit-connection form this is exactly the window where
-    the already-committed epoch's rows were lost until a later replay;
-    the transactional swap must roll back, leaving the target bit-
-    identical to the pre-crash state; (3) a further replay converges
-    to the source, and the staging table drains to empty."""
+    """VERDICT r11 task 5 (pattern upgraded r13 per VERDICT r12 task
+    5): the JDBC exactly-once sink's epoch transition must be ONE
+    transaction. Protocol: (1) clean drain commits every epoch; (2) a
+    REPLAY drain crashes via the injection hook inside the pointer
+    transaction, after the pointer DELETE — the exact window where a
+    non-transactional pointer update would leave the epoch unreadable;
+    the transaction must roll back, leaving the COMMITTED VIEW
+    bit-identical to the pre-crash state (the crashed attempt's data
+    rows may persist, but only as unreferenced versions invisible
+    through the pointer); (3) a further replay converges to the source
+    and garbage-collects every superseded version."""
     import shutil
 
     from bigdata_deepfakeanalysis_spark.catalog import staging_dir, table
@@ -196,37 +198,48 @@ def test_jdbc_sink_epoch_swap_is_atomic_under_crash(spark):
             spark, SF_SMALL, str(ckpt), table_name, _test_crash=crash
         )
 
-    def counts(url: str, name: str) -> tuple[int, int]:
+    def counts(url: str, dbtable: str) -> tuple[int, int]:
         df = (
             spark.read.format("jdbc")
             .option("url", url)
-            .option("dbtable", name)
+            .option("dbtable", dbtable)
             .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
             .load()
         )
         return df.count(), df.select("event_id").distinct().count()
 
+    committed = BE.jdbc_committed_view(table_name)
+    # rows NOT referenced by the commit pointer (crashed/superseded
+    # versions awaiting garbage collection)
+    garbage = (
+        f"(SELECT d.event_id FROM {table_name} d"
+        f" LEFT JOIN {table_name}_commits c"
+        f" ON d.epoch = c.epoch AND d.ver = c.ver"
+        f" WHERE c.epoch IS NULL) AS g"
+    )
+
     url = drain(0)
     src_n = table(spark, SF_SMALL, "events").count()
-    n0, d0 = counts(url, table_name)
+    n0, d0 = counts(url, committed)
     assert n0 == d0 == src_n > 0
 
     fired: list[int] = []
 
     def crash(epoch: int) -> None:
         fired.append(epoch)
-        raise RuntimeError("injected crash between DELETE and INSERT")
+        raise RuntimeError("injected crash inside the pointer txn")
 
     with pytest.raises(Exception, match="injected crash"):
         drain(1, crash=crash)
-    assert fired, "crash hook never reached the swap transaction"
-    # the uncommitted DELETE rolled back: target unchanged, no torn epoch
-    assert counts(url, table_name) == (n0, d0)
+    assert fired, "crash hook never reached the pointer transaction"
+    # the uncommitted pointer DELETE rolled back: committed view
+    # unchanged, no torn epoch
+    assert counts(url, committed) == (n0, d0)
 
-    # replay converges and clears the staging residue the crash left
+    # replay converges and garbage-collects the crashed attempt's rows
     drain(2)
-    assert counts(url, table_name) == (n0, d0)
-    assert counts(url, f"{table_name}_stage")[0] == 0
+    assert counts(url, committed) == (n0, d0)
+    assert counts(url, garbage)[0] == 0
 
 
 def test_stateful_op_on_rocksdb_state_store(spark):
