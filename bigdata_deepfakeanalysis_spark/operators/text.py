@@ -3270,9 +3270,24 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("split(g, ' ')[2]").alias("w3"),
         )
     )
-    post = toks.select(
-        "doc_id", F.posexplode("toks").alias("p0", "w")
-    ).crossJoin(F.broadcast(top))
+    # The three term postings are sliced from ONE pinned fetch (r13):
+    # unpinned, each leg re-ran tokenize + posexplode over the whole
+    # corpus just to keep one term's rows (the checkpointed projection
+    # trap — three different column sets defeat ReusedExchange). The
+    # pinned table IS the index lookup result: only the three phrase
+    # terms' postings, a few hundred rows at any scale. Interleaved
+    # A/B min-of-3 at sf0.1: 1.96-2.53 s -> 1.52-1.65 s, 25 rows
+    # identical.
+    post = (
+        toks.select("doc_id", F.posexplode("toks").alias("p0", "w"))
+        .crossJoin(F.broadcast(top))
+        .where(
+            (F.col("w") == F.col("w1"))
+            | (F.col("w") == F.col("w2"))
+            | (F.col("w") == F.col("w3"))
+        )
+        .localCheckpoint(eager=True)
+    )
     a = post.where(F.col("w") == F.col("w1")).select(
         "doc_id", "phrase", F.col("p0").alias("pa")
     )
