@@ -90,92 +90,73 @@ def _load_all() -> None:
 
 _WINDOW: list[str] = [
     # ------------------------------------------------------------------
-    # Round-12 rotation (VERDICT r11 task 2; COVERAGE r12 sketch).
-    # The registry is closed and the union is 415/415 green, so the
-    # window's standing rule is: any r12-CHANGED queries first, then
-    # the LEAST-RECENTLY-GRADED names (rank derived from the
-    # CORRECTNESS_r* artifacts, last-round-wins). Slots:
-    #   (a) r12 code changes: the adaptive-quantizer pair whose
-    #       plane-count expression moved to try_element_at (ADVICE
-    #       r11 ANSI fix), and the exactly-once pair whose sink /
-    #       pylog data plane changes this round (VERDICT tasks 5-6);
-    #   (b) fillers strictly by last-graded round: both r1 names,
-    #       all 39 r2 names, and the alphabetically-first r3 names
-    #       that fit the remaining slots (disk-staging
-    #       q_binaryfile_ingest goes last by the standing
-    #       staging-late convention).
+    # Round-13 rotation (standing rule since r12: any queries whose
+    # CODE changed this round first, then the LEAST-RECENTLY-GRADED
+    # names — rank derived from the CORRECTNESS_r* artifacts,
+    # last-round-wins; disk-staging names go last so a
+    # staging-restricted run still verifies the pure-compute surface).
     # ------------------------------------------------------------------
-    # (a) r12-changed
-    "q_cosine_near_dup",
-    "q_semantic_dedup_lsh",
-    # sf25-probe fixes (strip-chunked cosine_pairs kernel; adaptive
-    # audit sample + adaptive IVF cells in q_cosine_near_dup_ivf;
-    # q_semantic_dedup shares the strip-chunked kernel)
-    "q_cosine_near_dup_ivf",
-    "q_semantic_dedup",
+    # (a) r13-changed: the versioned-epoch commit-pointer JDBC sink,
+    # the freq-form robust-scale second pass, the Expand-free
+    # multi-grain top-k, the pinned phrase postings, the quantiles
+    # helper hygiene (entry validation + grouped-path hints — consumer
+    # re-graded), and the six connected-components consumers whose
+    # changed-count metric became propagation-only (ADVICE r12)
     "q_stream_jdbc_exactly_once",
-    "q_stream_exactly_once",
-    # (a, continued) r12 OPTIMIZATION-round changes: histogram rank
-    # selection + unrolled band sums (quantile_band_join, decile_lift;
-    # quantile_normalize had the helper wired then bench-reverted —
-    # re-graded anyway), the q2 window-floor rewrite, the adaptive
-    # pointer-halving connected-components consumers, the halved IVF
-    # Lloyd budget (q_ann_ivf_recall; the other two consumers are
-    # already above), and the shared Ed-Join prefix index
+    "q_robust_scale",
+    "q_topk_grouping_sets",
+    "q_phrase_search",
     "q_quantile_band_join",
-    "q_decile_lift",
-    "q_quantile_normalize",
-    "q2_min_cost_supplier",
     "q_dedup_components",
     "q_grid_dbscan",
     "q_record_linkage",
     "q_dup_cluster_sizes",
-    "q_ann_ivf_recall",
-    "q_edit_distance_join",
-    "q_blocking_quality",
-    # (b) least-recently-graded: r1
-    "q_salted_distinct",
-    "q_validity_filter",
-    # (b) least-recently-graded: r2 (complete)
-    "q_above_avg_suppliers",
-    "q_anti_join",
-    "q_channel_variance_topk",
-    "q_corpus_curation",
-    "q_cube",
-    "q_date_funcs",
-    "q_distinct_count",
-    "q_doc_fingerprint",
-    "q_exists_returned",
-    "q_filter_project",
-    "q_first_n_per_group",
-    "q_gap_hof_consistency",
-    "q_group_align_join",
-    "q_group_counts_guard",
-    "q_group_parse_paths",
-    "q_grouping_sets",
-    "q_intersect_stems",
-    "q_json_extract",
-    "q_lang_id",
-    "q_minmax_normalize",
-    "q_outer_join_counts",
-    "q_pairwise_groups",
-    "q_percentiles",
-    "q_pivot",
-    "q_quality_score",
-    "q_rollup",
-    "q_safe_title",
-    "q_seeded_sample_deterministic",
-    "q_semi_join",
-    "q_set_ops",
-    "q_stats_agg",
-    # (b) fillers rotated OUT for the 11 optimization-round changed
-    # slots (changed-first beats least-recently-graded by the standing
-    # rule): q_string_funcs, q_token_stats, q_udtf_bigrams,
-    # q_union_provenance, q_window_distribution, q_window_lag,
-    # q_window_running_sum, q_window_topk_per_group (alphabetical r2
-    # tail), q_asof_join, q_audio_chunk_rms (r3), q_binaryfile_ingest
-    # (staging) — with q_bucketed_join / q_cka_pairs they lead the r13
-    # filler rank.
+    "q_semantic_dedup",
+    "q_semantic_dedup_lsh",
+    # (b) least-recently-graded fillers: the full r2 residue (the 8
+    # names rotated out in r12), then the alphabetically-first r3
+    # names that fit, staging names last
+    "q_string_funcs",
+    "q_token_stats",
+    "q_udtf_bigrams",
+    "q_union_provenance",
+    "q_window_distribution",
+    "q_window_lag",
+    "q_window_running_sum",
+    "q_window_topk_per_group",
+    # r3 rank, non-staging, alphabetical
+    "q_asof_join",
+    "q_audio_chunk_rms",
+    "q_bucketed_join",
+    "q_cka_pairs",
+    "q_cms_heavy_hitters",
+    "q_contamination_check",
+    "q_doc_chunking",
+    "q_embedding_sq8",
+    "q_gap_per_channel",
+    "q_multimodal_metadata",
+    "q_multistage_features",
+    "q_pair_selection",
+    "q_prefix_demux",
+    "q_range_join",
+    "q_salted_agg",
+    "q_seeded_cap_sample",
+    "q_sequence_packing",
+    "q_simhash_hamming",
+    "q_standardize",
+    "q_stem_join_concat",
+    "q_stream_dedup_watermark",
+    "q_stream_late_drop",
+    "q_stream_record_breakers",
+    "q_stream_session_window",
+    "q_stream_static_join",
+    "q_stream_stream_outer_join",
+    "q_stream_tumbling_window",
+    "q_surrogate_features",
+    "q_zorder_layout",
+    # r3 rank, staging-late convention
+    "q_ann_lsh_bucketed",
+    "q_binaryfile_ingest",
 ]
 
 
