@@ -545,9 +545,13 @@ def _load_prior_bench(sf: float | None) -> dict[str, float]:
     back-filled from the newest tools/bench_local_*.json for names the
     driver artifact's truncated tail lost. Empty dict when nothing at
     this SF exists, which disables the adjudication pass rather than
-    comparing apples to oranges."""
+    comparing apples to oranges. Driver artifacts that record a
+    DIFFERENT core count (the scaling-block BENCH_r*_c8.json runs) are
+    skipped for the same reason — their uniformly slower seconds would
+    mask genuine >2x movers at the full core count (r13)."""
     import glob
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
     here = os.path.dirname(os.path.abspath(__file__))
     prior: dict[str, float] = {}
     for pattern in (
@@ -562,6 +566,12 @@ def _load_prior_bench(sf: float | None) -> dict[str, float]:
                 with open(path) as f:
                     doc = json.load(f)
             except (OSError, json.JSONDecodeError):
+                continue
+            if (
+                cpus is not None
+                and doc.get("cpus") is not None
+                and str(doc["cpus"]) != str(cpus)
+            ):
                 continue
             got = _bench_doc_queries(doc, sf)
             if got:
